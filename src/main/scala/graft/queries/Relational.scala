@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Relational/analytics core over the TPC-H-ish tables (SURVEY.md §2).
+  *
+  * Determinism policy for oracle parity (SURVEY.md §4): every floating
+  * aggregate goes through an exact DECIMAL sum and is emitted as DOUBLE, so
+  * Spark's partition-order-dependent double summation can never disagree
+  * with DuckDB's sequential one. Timestamps are emitted as formatted strings.
+  * Every ranked output breaks ties on a key column.
+  */
+object Relational {
+
+  /** sum(x as decimal(p,s)) emitted as a bit-deterministic double. */
+  private def dsum(c: Column, prec: Int = 28, scale: Int = 6): Column =
+    sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+
+  private def revenue(df: DataFrame): Column =
+    df("l_extendedprice") * (lit(1.0) - df("l_discount"))
+
+  // q1: pricing summary — partial-aggregatable groupBy, no shuffle beyond one
+  // exchange on (returnflag, linestatus); whole-stage codegen end to end.
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(li("l_returnflag"), li("l_linestatus"))
+      .agg(
+        dsum(li("l_quantity")).as("sum_qty"),
+        dsum(li("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue(li)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // q2: fact join with pushed-down date filter; dims broadcast by AQE/size.
+  def q2JoinFilter(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o  = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+      && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c  = customer(s, d)
+    val n  = nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue(li)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  // q3: top-k — aggregate then TakeOrderedAndProject (no global sort at scale).
+  def q3TopK(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(li("l_orderkey"))
+      .agg(dsum(revenue(li)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // q4: ranking window per group, deterministic tie-break.
+  def q4Window(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rk"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  // q5: exact distinct aggregation (two-phase under the hood).
+  def q5Distinct(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(li("l_returnflag"))
+      .agg(
+        countDistinct(li("l_partkey")).as("n_parts"),
+        countDistinct(li("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // q6: star join — both dims explicitly broadcast; single shuffle for the agg.
+  def q6BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(c("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  // q7: EXISTS — left semi join, never materializes the right side's columns.
+  def q7SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val big = orders(s, d).filter(col("o_totalprice") > 300000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  // q8: NOT EXISTS — left anti join (filter applied to the right side
+  // before the join, so the anti-join's build input is already pruned).
+  def q8AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // q9: rollup with labeled subtotal rows (coalesce over grouping nulls).
+  def q9Rollup(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.rollup(li("l_returnflag"), li("l_linestatus"))
+      .agg(dsum(li("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // q10: union + exact dedup; dropDuplicates compiles to a hash aggregate.
+  def q10UnionDedup(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+    a.unionByName(b).dropDuplicates("o_custkey").orderBy("o_custkey")
+  }
+
+  // q11: pivot via conditional aggregation — stays in whole-stage codegen
+  // (unlike RelationalGroupedDataset.pivot, identical output, oracle-friendly).
+  def q11PivotCase(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    def flagQty(f: String) =
+      dsum(when(li("l_returnflag") === f, li("l_quantity")).otherwise(lit(0.0)))
+    li.groupBy(li("l_linestatus"))
+      .agg(flagQty("A").as("qty_a"), flagQty("N").as("qty_n"), flagQty("R").as("qty_r"))
+      .orderBy("l_linestatus")
+  }
+
+  // q12: event-time bucketing (batch twin of the streaming window agg).
+  def q12TimeBucket(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.groupBy(date_format(date_trunc("hour", e("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        e("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(e("value"), 18, 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  // q13: gap-based sessionization — lag + running sum windows, one shuffle
+  // on user_id reused by both window functions.
+  def q13Sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapped = e.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // q14: JSON field extraction + grouped aggregation over it.
+  def q14JsonExtract(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.select(e("event_type"), get_json_object(e("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_join_filter"    -> (q2JoinFilter _),
+    "q3_topk"           -> (q3TopK _),
+    "q4_window"         -> (q4Window _),
+    "q5_distinct"       -> (q5Distinct _),
+    "q6_broadcast_join" -> (q6BroadcastJoin _),
+    "q7_semi_join"      -> (q7SemiJoin _),
+    "q8_anti_join"      -> (q8AntiJoin _),
+    "q9_rollup"         -> (q9Rollup _),
+    "q10_union_dedup"   -> (q10UnionDedup _),
+    "q11_pivot_case"    -> (q11PivotCase _),
+    "q12_time_bucket"   -> (q12TimeBucket _),
+    "q13_sessionize"    -> (q13Sessionize _),
+    "q14_json_extract"  -> (q14JsonExtract _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q2_join_filter" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q3_topk" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_window" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+           FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "q5_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q6_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q9_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 1,2""",
+    "q10_union_dedup" ->
+      """SELECT DISTINCT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+         ORDER BY o_custkey""",
+    "q11_pivot_case" ->
+      """SELECT l_linestatus,
+         CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS qty_a,
+         CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS qty_n,
+         CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS qty_r
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q12_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q13_sessionize" ->
+      """WITH gapped AS (
+           SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events))
+         SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+         FROM gapped GROUP BY 1 ORDER BY 1""",
+    "q14_json_extract" ->
+      """SELECT event_type,
+         sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+         count(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS n_k
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("every relational query returns rows at sf0.001") {
+    for ((name, fn) <- Relational.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 groups are the 2x3 flag/status combinations that exist") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length >= 3 && rows.length <= 6)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    val n = rows.map(_.getAs[Long]("count_order")).sum
+    assert(n == graft.core.Tables.lineitem(spark, sf).count())
+    assert(qty > 0)
+  }
+
+  test("q3 topk is sorted desc and limited to 10") {
+    val rev = Relational.q3TopK(spark, sf).collect().map(_.getAs[Double]("revenue"))
+    assert(rev.length == 10)
+    assert(rev.sameElements(rev.sortBy(-_)), "not sorted desc")
+  }
+
+  test("q4 window keeps at most 3 per segment") {
+    val rows = Relational.q4Window(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    assert(bySeg.values.forall(_.length <= 3))
+    assert(rows.forall(_.getAs[Int]("rk") <= 3))
+  }
+
+  test("q6 plan broadcasts both dims") {
+    val plan = Relational.q6BroadcastJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q7 semi + q8 anti partition the customer set w.r.t. their predicates") {
+    val c = graft.core.Tables.customer(spark, sf).count()
+    val anti = Relational.q8AntiJoin(spark, sf).count()
+    assert(anti > 0 && anti <= c)
+  }
+
+  test("q13 sessionize: session and event counts are sane") {
+    val rows = Relational.q13Sessionize(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("n_sessions") >= 1
+      && r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
+  }
+
+  test("q1 parquet scan prunes to the referenced columns") {
+    val scan = Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    // ReadSchema should not include l_orderkey (unused by q1)
+    assert(!scan.contains("l_orderkey"), scan.take(3000))
+  }
+}
