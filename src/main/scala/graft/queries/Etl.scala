@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.EtlOps
+
+/** Driver-contract queries exercising the ETL operator family
+  * (SURVEY.md §2 "ETL operators"). Each query deterministically "dirties"
+  * a testdata table the way the reference's sources do (Oracle CSV headers,
+  * NUL bytes, naive timestamps, staging/prod drift) and applies the operator;
+  * the DuckDB oracle reproduces the same dirtying + expected semantics.
+  */
+object Etl {
+
+  // Header sanitation: simulate an Oracle CSV export header
+  // (uppercase, '#' separators, objectid_1 artifact) and sanitize it.
+  def headerSanitize(s: SparkSession, d: String): DataFrame = {
+    val dirty = nation(s, d).toDF("OBJECTID_1", "N#NAME", "Region#Key")
+    EtlOps.sanitizeHeader(dirty).orderBy("objectid")
+  }
+
+  // Mapping-dict rename + exclude-fields on orders.
+  def columnMap(s: SparkSession, d: String): DataFrame = {
+    val mapped = EtlOps.applyColumnMapping(
+      orders(s, d),
+      Map("o_orderstatus" -> "status", "o_totalprice" -> "total_price"),
+      exclude = Seq("o_orderpriority", "o_orderdate"))
+    mapped.orderBy("o_orderkey")
+  }
+
+  // JSON-schema-driven casts: numeric narrowing, decimal, date, string.
+  def schemaCast(s: SparkSession, d: String): DataFrame = {
+    EtlOps.castColumns(orders(s, d), Map(
+      "o_orderkey"   -> "int",
+      "o_totalprice" -> "decimal(12,2)",
+      "o_orderdate"  -> "date"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  // NUL-byte + QNAN cleanup. The control byte is injected deterministically
+  // (chr(1) stands in for the NUL byte in the oracle-paired path because
+  // DuckDB VARCHARs cannot hold \x00; the real \x00 path is spec-tested).
+  def nullClean(s: SparkSession, d: String): DataFrame = {
+    val dirty = documents(s, d).select(col("doc_id"),
+      concat(substring(col("text"), 1, 20), lit("\u0001"),
+             lit("POINT (1.#QNAN000 NULL)")).as("payload"))
+    val cleaned = EtlOps.fixQnan(EtlOps.cleanNullBytes(dirty, Seq("payload")), "payload")
+    cleaned.select(col("doc_id"), col("payload"), length(col("payload")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // Naive event timestamps localized as US/Eastern wall time → UTC instants.
+  def tzLocalize(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("ts"))
+    EtlOps.localizeTimestamps(e, Seq("ts"))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_ts"))
+      .orderBy("event_id")
+  }
+
+  private def prodOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("prod").as("src"))
+
+  private def stagingOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"), lit("staging").as("src"))
+
+  // PK upsert: staging wins on conflict, unmatched prod rows survive.
+  def upsert(s: SparkSession, d: String): DataFrame =
+    EtlOps.upsert(prodOrders(s, d), stagingOrders(s, d), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  // Delete-stale: prod rows whose PK vanished from staging are dropped.
+  def deleteStale(s: SparkSession, d: String): DataFrame =
+    EtlOps.deleteStale(prodOrders(s, d), stagingOrders(s, d), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  // Row-count verification across the star schema.
+  def rowCountCheck(s: SparkSession, d: String): DataFrame =
+    EtlOps.rowCountCheck(s, Seq(
+      "customer" -> customer(s, d), "orders" -> orders(s, d),
+      "lineitem" -> lineitem(s, d), "nation" -> nation(s, d)))
+      .orderBy("table_name")
+
+  // Schema diff between prod (orders) and drifted staging.
+  def schemaDiff(s: SparkSession, d: String): DataFrame = {
+    val staging = orders(s, d)
+      .drop("o_orderpriority")
+      .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+      .withColumn("load_ts", current_timestamp())
+    EtlOps.schemaDiff(s, orders(s, d), staging).orderBy("column_name")
+  }
+
+  // Geocoder-style enrichment: append nation name via broadcast lookup.
+  def enrichLookup(s: SparkSession, d: String): DataFrame =
+    EtlOps.enrichLookup(
+      customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+      nation(s, d).withColumnRenamed("n_name", "nation_name"),
+      Seq("c_nationkey" -> "n_nationkey"))
+      .select("c_custkey", "c_name", "nation_name", "n_regionkey")
+      .orderBy("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_header_sanitize" -> (headerSanitize _),
+    "etl_column_map"      -> (columnMap _),
+    "etl_schema_cast"     -> (schemaCast _),
+    "etl_null_clean"      -> (nullClean _),
+    "etl_tz_localize"     -> (tzLocalize _),
+    "etl_upsert"          -> (upsert _),
+    "etl_delete_stale"    -> (deleteStale _),
+    "etl_row_count_check" -> (rowCountCheck _),
+    "etl_schema_diff"     -> (schemaDiff _),
+    "etl_enrich_lookup"   -> (enrichLookup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_header_sanitize" ->
+      """SELECT n_nationkey AS objectid, n_name, n_regionkey AS region_key
+         FROM nation ORDER BY objectid""",
+    "etl_column_map" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+         o_totalprice AS total_price
+         FROM orders ORDER BY o_orderkey""",
+    "etl_schema_cast" ->
+      """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_custkey,
+         o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate
+         FROM orders ORDER BY o_orderkey""",
+    "etl_null_clean" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(substr(text,1,20) || chr(1) || 'POINT (1.#QNAN000 NULL)',
+                          '[\x01]', '', 'g'),
+           '(1\.#QNAN000|NULL)', 'NaN', 'g') AS payload,
+         length(regexp_replace(
+           regexp_replace(substr(text,1,20) || chr(1) || 'POINT (1.#QNAN000 NULL)',
+                          '[\x01]', '', 'g'),
+           '(1\.#QNAN000|NULL)', 'NaN', 'g')) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "etl_tz_localize" ->
+      """SELECT event_id,
+         strftime(CAST(ts AT TIME ZONE 'America/New_York' AS TIMESTAMP),
+                  '%Y-%m-%d %H:%M:%S') AS utc_ts
+         FROM events ORDER BY event_id""",
+    "etl_upsert" ->
+      """WITH prod AS (
+           SELECT o_orderkey, o_totalprice, 'prod' AS src FROM orders WHERE o_orderkey % 3 <> 0),
+         staging AS (
+           SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'staging' AS src
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM prod WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+         UNION ALL SELECT * FROM staging
+         ORDER BY o_orderkey""",
+    "etl_delete_stale" ->
+      """WITH prod AS (
+           SELECT o_orderkey, o_totalprice, 'prod' AS src FROM orders WHERE o_orderkey % 3 <> 0),
+         staging AS (
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT p.* FROM prod p WHERE EXISTS
+           (SELECT 1 FROM staging s WHERE s.o_orderkey = p.o_orderkey)
+         ORDER BY o_orderkey""",
+    "etl_row_count_check" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+         UNION ALL SELECT 'nation', count(*) FROM nation
+         UNION ALL SELECT 'orders', count(*) FROM orders
+         ORDER BY table_name""",
+    "etl_schema_diff" ->
+      """SELECT * FROM (VALUES
+           ('load_ts', '-', 'timestamp', 'missing_in_prod'),
+           ('o_custkey', 'bigint', 'bigint', 'match'),
+           ('o_orderdate', 'timestamp', 'timestamp', 'match'),
+           ('o_orderkey', 'bigint', 'bigint', 'match'),
+           ('o_orderpriority', 'string', '-', 'missing_in_staging'),
+           ('o_orderstatus', 'string', 'string', 'match'),
+           ('o_totalprice', 'double', 'string', 'type_mismatch')
+         ) AS t(column_name, prod_type, staging_type, status)
+         ORDER BY column_name""",
+    "etl_enrich_lookup" ->
+      """SELECT c_custkey, c_name, n_name AS nation_name, n_regionkey
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey"""
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+
+class EtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("sanitizeHeader lowercases, maps # and fixes objectid_N") {
+    val df = Seq((1, "a", 2)).toDF("OBJECTID_1", "N#NAME", "Region#Key")
+    assert(EtlOps.sanitizeHeader(df).columns.toSeq ==
+      Seq("objectid", "n_name", "region_key"))
+  }
+
+  test("sanitizeHeader leaves objectid_N alone when objectid exists") {
+    val df = Seq((1, 2)).toDF("objectid", "objectid_1")
+    assert(EtlOps.sanitizeHeader(df).columns.toSeq == Seq("objectid", "objectid_1"))
+  }
+
+  test("cleanNullBytes strips real NUL bytes") {
+    val df = Seq(("a\u0000b\u0000c", 1L)).toDF("s", "id")
+    val out = EtlOps.cleanNullBytes(df, Seq("s")).select("s").as[String].head()
+    assert(out == "abc")
+  }
+
+  test("fixQnan rewrites QNAN and NULL coordinate tokens") {
+    val df = Seq("POLYGON ((1 2 1.#QNAN000, 3 4 NULL))").toDF("shape")
+    val out = EtlOps.fixQnan(df, "shape").as[String].head()
+    assert(out == "POLYGON ((1 2 NaN, 3 4 NaN))")
+  }
+
+  test("upsert: staging wins on pk conflict, prod-only rows survive") {
+    val prod = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("pk", "v")
+    val staging = Seq((2, "s2"), (4, "s4")).toDF("pk", "v")
+    val out = EtlOps.upsert(prod, staging, Seq("pk"))
+      .orderBy("pk").as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "p1"), (2, "s2"), (3, "p3"), (4, "s4")))
+  }
+
+  test("deleteStale keeps only rows still present in staging") {
+    val prod = Seq((1, "p1"), (2, "p2")).toDF("pk", "v")
+    val staging = Seq((2, "s2")).toDF("pk", "v")
+    val out = EtlOps.deleteStale(prod, staging, Seq("pk")).as[(Int, String)].collect()
+    assert(out.toSeq == Seq((2, "p2")))
+  }
+
+  test("localizeTimestamps: EST and EDT wall times map to correct UTC instants") {
+    val df = Seq("2024-01-15 12:00:00", "2024-07-15 12:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val out = EtlOps.localizeTimestamps(df, Seq("ts"))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as[String].collect()
+    assert(out.toSeq == Seq("2024-01-15 17:00:00", "2024-07-15 16:00:00"))
+  }
+
+  test("enrichLookup appends lookup fields and broadcasts") {
+    val fact = Seq((1, 10), (2, 99)).toDF("id", "key")
+    val lut = Seq((10, "ten")).toDF("k", "label")
+    val out = EtlOps.enrichLookup(fact, lut, Seq("key" -> "k"))
+    assert(out.columns.toSeq == Seq("id", "key", "label"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(2) == "ten" && rows(1).isNullAt(2))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("schemaDiff statuses") {
+    val prod = spark.range(1).select($"id", lit("x").as("a"), lit(1.0).as("b"))
+    val staging = spark.range(1).select($"id", lit(2).as("a"), lit("new").as("c"))
+    val m = EtlOps.schemaDiff(spark, prod, staging).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(m == Map("id" -> "match", "a" -> "type_mismatch",
+      "b" -> "missing_in_staging", "c" -> "missing_in_prod"))
+  }
+}
