@@ -11,9 +11,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Etl.queries
+    graft.queries.Relational.queries ++ graft.queries.Etl.queries ++
+      graft.queries.Geom.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Etl.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Etl.oracles ++
+      graft.queries.Geom.oracles
 }

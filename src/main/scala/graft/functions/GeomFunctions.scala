@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** WKT-string geometry functions re-expressing the reference's geopetl-era
+  * row lambdas as pure Catalyst `Column` trees (regexp/trig over
+  * `functions._`) — codegen-able, pushdown-transparent, no UDFs, so every
+  * one of these runs inside whole-stage codegen at any scale.
+  *
+  * References (semantics only, no code reuse — the reference is Python/petl):
+  *  - force2d:        databridge-etl-tools utils.py:10-26
+  *  - promoteMulti:   postgres/postgres.py:300-359
+  *  - strip/srid:     opendata/opendata.py:273-275
+  *  - point lat/lng:  opendata/opendata.py:300-327
+  *  - web mercator:   db2/db2.py:798-815 (4326→3857 single-step)
+  *  - LCC inverse:    db2/db2.py:752-796 (EPSG:2272→geographic; the
+  *                    reference shells out to pyproj — here the Lambert
+  *                    Conformal Conic 2SP inverse (Snyder 1987, eqs 15-1..9)
+  *                    is inlined as column math on GRS80)
+  *  - bad-SRID remap: opendata/opendata.py:243-266
+  */
+object GeomFunctions {
+
+  /** Shape-type token: leading word(s) before the first '('. */
+  def geomTypeOf(wkt: Column): Column =
+    trim(regexp_extract(wkt, "^\\s*([A-Z]+)", 1))
+
+  /** Strip Z/M dimension label and per-point Z/M coordinate values. */
+  def force2d(wkt: Column): Column = {
+    val noLabel = regexp_replace(wkt, "(\\w+)( ZM?| Z| M)?\\s*\\(", "$1(")
+    regexp_replace(noLabel,
+      "(\\d+\\.?\\d*)\\s+(\\d+\\.?\\d*)(\\s+(\\d+\\.?\\d*|NaN)(\\s+(\\d+\\.?\\d*|NaN)?)?)?",
+      "$1 $2")
+  }
+
+  /** POLYGON/LINESTRING → MULTI* wrap (ESRI stores polygon classes as
+    * multipolygons; reference wraps the body in one more paren level).
+    */
+  def promoteMulti(wkt: Column): Column =
+    when(wkt.rlike("^(POLYGON|LINESTRING)\\b"),
+      concat(regexp_replace(wkt, "^(POLYGON|LINESTRING)", "MULTI$1 ("), lit(")")))
+      .otherwise(wkt)
+
+  /** `SRID=n;WKT` → the numeric SRID (null when absent). */
+  def sridOf(ewkt: Column): Column =
+    nullif(regexp_extract(ewkt, "^SRID=(\\d+);", 1), lit("")).cast("int")
+
+  /** `SRID=n;WKT` → the bare WKT part. */
+  def wktOf(ewkt: Column): Column =
+    regexp_replace(ewkt, "^SRID=\\d+;", "")
+
+  /** POINT x/y extraction (reference splits the string by hand). */
+  def pointX(wkt: Column): Column =
+    regexp_extract(wkt, "POINT\\s*\\(\\s*(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)", 1)
+      .cast("double")
+  def pointY(wkt: Column): Column =
+    regexp_extract(wkt, "POINT\\s*\\(\\s*(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)", 2)
+      .cast("double")
+
+  private val R = 6378137.0 // WGS84/GRS80 semi-major axis (also 3857 sphere radius)
+
+  /** EPSG:4326 lon → EPSG:3857 x (meters). */
+  def mercX(lon: Column): Column = lon * lit(math.Pi * R / 180.0)
+
+  /** EPSG:4326 lat → EPSG:3857 y (meters). */
+  def mercY(lat: Column): Column =
+    log(tan((lit(90.0) + lat) * lit(math.Pi / 360.0))) * lit(R)
+
+  // --- EPSG:2272 (NAD83 / Pennsylvania South, ftUS) LCC 2SP constants ---
+  private val ftUS  = 1200.0 / 3937.0           // US survey foot in meters
+  private val a     = 6378137.0                 // GRS80
+  private val f     = 1.0 / 298.257222101
+  private val e2    = 2 * f - f * f
+  private val e     = math.sqrt(e2)
+  private val lat1  = math.toRadians(40.0 + 58.0 / 60.0)        // 40°58'N
+  private val lat2  = math.toRadians(39.0 + 56.0 / 60.0)        // 39°56'N
+  private val lat0  = math.toRadians(39.0 + 20.0 / 60.0)        // 39°20'N
+  private val lon0  = math.toRadians(-(77.0 + 45.0 / 60.0))     // 77°45'W
+  private val FE    = 600000.0                  // false easting (m)
+  private val FN    = 0.0
+
+  private def mOf(phi: Double) =
+    math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+  private def tOf(phi: Double) =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+  private val n  = (math.log(mOf(lat1)) - math.log(mOf(lat2))) /
+                   (math.log(tOf(lat1)) - math.log(tOf(lat2)))
+  private val bigF = mOf(lat1) / (n * math.pow(tOf(lat1), n))
+  private val rho0 = a * bigF * math.pow(tOf(lat0), n)
+
+  /** EPSG:2272 easting/northing (US survey feet) → (lon, lat) degrees on
+    * NAD83 — the LCC 2SP inverse, fully vectorized column math. NAD83≈WGS84
+    * at the reference's published precision (the reference's extra
+    * NAD83→WGS84 step is a sub-meter datum nudge).
+    */
+  def lccInverse2272(xFt: Column, yFt: Column): (Column, Column) = {
+    val x    = xFt * lit(ftUS) - lit(FE)
+    val y    = yFt * lit(ftUS) - lit(FN)
+    val rho  = sqrt(x * x + (lit(rho0) - y) * (lit(rho0) - y)) *
+               lit(if (n >= 0) 1.0 else -1.0)
+    val t    = pow(rho / lit(a * bigF), lit(1.0 / n))
+    val theta = atan2(x, lit(rho0) - y)
+    val lon  = (theta / lit(n) + lit(lon0)) * lit(180.0 / math.Pi)
+    // iterative phi: phi = pi/2 - 2*atan(t * ((1-e sin phi)/(1+e sin phi))^(e/2))
+    var phi: Column = lit(math.Pi / 2) - lit(2.0) * atan(t)
+    for (_ <- 0 until 5) {
+      val es = lit(e) * sin(phi)
+      phi = lit(math.Pi / 2) - lit(2.0) *
+        atan(t * pow((lit(1.0) - es) / (lit(1.0) + es), lit(e / 2)))
+    }
+    (lon, phi * lit(180.0 / math.Pi))
+  }
+
+  /** Bad-SRID remap table (opendata.py:243-266) as a literal CASE chain —
+    * constant-folded by Catalyst, broadcast-free.
+    */
+  val badSridMap: Map[Int, Int] = Map(
+    300001 -> 2272, 300003 -> 2272, 300046 -> 2272, 300006 -> 2272,
+    300010 -> 2272, 300008 -> 2272, 300004 -> 2272, 300007 -> 2272,
+    300067 -> 2272, 300100 -> 2272, 300101 -> 2272, 300084 -> 3857,
+    300073 -> 4326, 300042 -> 4326, 300090 -> 4269, 300091 -> 4326,
+    300092 -> 4326, 300086 -> 6565, 300087 -> 6565, 300093 -> 2272)
+
+  def remapBadSrid(srid: Column): Column =
+    badSridMap.foldLeft(srid) { case (acc, (bad, good)) =>
+      when(srid === lit(bad), lit(good)).otherwise(acc)
+    }
+}

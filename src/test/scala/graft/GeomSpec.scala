@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GeomFunctions._
+
+class GeomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.cast("string")).as[String].head()
+
+  test("force2d strips Z label and z values") {
+    val w = lit("LINESTRING Z (1 2 3, 4 5 6)")
+    assert(one(force2d(w)) == "LINESTRING(1 2, 4 5)")
+  }
+
+  test("force2d strips ZM label and z+m values, keeps 2d untouched") {
+    assert(one(force2d(lit("POINT ZM (1 2 3 4)"))) == "POINT(1 2)")
+    assert(one(force2d(lit("POINT (7 8)"))) == "POINT(7 8)")
+    assert(one(force2d(lit("POINT Z (1 2 NaN)"))) == "POINT(1 2)")
+  }
+
+  test("promoteMulti wraps POLYGON and LINESTRING, leaves MULTI alone") {
+    assert(one(promoteMulti(lit("POLYGON ((1 2, 3 4, 1 2))")))
+      == "MULTIPOLYGON ( ((1 2, 3 4, 1 2)))")
+    assert(one(promoteMulti(lit("MULTIPOLYGON (((1 2, 3 4, 1 2)))")))
+      == "MULTIPOLYGON (((1 2, 3 4, 1 2)))")
+    assert(one(promoteMulti(lit("POINT (1 2)"))) == "POINT (1 2)")
+  }
+
+  test("srid strip + point extraction") {
+    val e = lit("SRID=2272;POINT (2693760 235970)")
+    assert(one(sridOf(e)) == "2272")
+    assert(one(wktOf(e)) == "POINT (2693760 235970)")
+    assert(one(pointX(wktOf(e))) == "2693760.0")
+    assert(one(pointY(wktOf(e))) == "235970.0")
+  }
+
+  test("web mercator matches known anchors") {
+    // (0,0) → (0,0); lon 180 → 20037508.342789244
+    assert(math.abs(one(mercX(lit(180.0))).toDouble - 20037508.342789244) < 1e-6)
+    assert(math.abs(one(mercX(lit(0.0))).toDouble) < 1e-9)
+    assert(math.abs(one(mercY(lit(0.0))).toDouble) < 1e-9)
+    // one degree of longitude = 111319.49079327358 m at the equator
+    assert(math.abs(one(mercX(lit(1.0))).toDouble - 111319.49079327358) < 1e-6)
+    // lat 45° → R * ln(tan(67.5°)) ≈ 5621521.486 m (classic anchor)
+    assert(math.abs(one(mercY(lit(45.0))).toDouble - 5621521.486192) < 1e-3)
+  }
+
+  test("LCC 2272 inverse: projection origin maps back to lat0/lon0 exactly") {
+    // FE=600000 m expressed in US survey feet; FN=0. Inverse must return
+    // the projection origin 39°20'N 77°45'W.
+    val feFt = 600000.0 / (1200.0 / 3937.0)
+    val (lon, lat) = lccInverse2272(lit(feFt), lit(0.0))
+    assert(math.abs(one(lon).toDouble - -77.75) < 1e-9)
+    assert(math.abs(one(lat).toDouble - (39.0 + 20.0 / 60.0)) < 1e-9)
+  }
+
+  test("LCC 2272 inverse round-trips an independent forward projection") {
+    // Forward LCC 2SP (Snyder 1987 eqs 15-1..4) implemented here in plain
+    // Scala as an independent check of the column-math inverse.
+    val a = 6378137.0; val f = 1.0 / 298.257222101
+    val e2 = 2 * f - f * f; val e = math.sqrt(e2)
+    val ftUS = 1200.0 / 3937.0
+    val lat1 = math.toRadians(40.0 + 58.0 / 60.0)
+    val lat2 = math.toRadians(39.0 + 56.0 / 60.0)
+    val lat0 = math.toRadians(39.0 + 20.0 / 60.0)
+    val lon0 = math.toRadians(-(77.0 + 45.0 / 60.0))
+    def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.pow(math.sin(phi), 2))
+    def t(phi: Double) = math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    val n = (math.log(m(lat1)) - math.log(m(lat2))) / (math.log(t(lat1)) - math.log(t(lat2)))
+    val bigF = m(lat1) / (n * math.pow(t(lat1), n))
+    val rho0 = a * bigF * math.pow(t(lat0), n)
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+      val rho = a * bigF * math.pow(t(phi), n)
+      val th = n * (lam - lon0)
+      val x = rho * math.sin(th) + 600000.0
+      val y = rho0 - rho * math.cos(th)
+      (x / ftUS, y / ftUS)
+    }
+    // Philadelphia-ish and zone-corner points
+    for ((lonD, latD) <- Seq((-75.1635, 39.9526), (-80.0, 39.75), (-76.5, 40.5))) {
+      val (xf, yf) = fwd(lonD, latD)
+      val (lonC, latC) = lccInverse2272(lit(xf), lit(yf))
+      assert(math.abs(one(lonC).toDouble - lonD) < 1e-9, s"lon for ($lonD,$latD)")
+      assert(math.abs(one(latC).toDouble - latD) < 1e-9, s"lat for ($lonD,$latD)")
+    }
+  }
+
+  test("bad srid remap: known bads map, unknown srids pass through") {
+    assert(one(remapBadSrid(lit(300001))) == "2272")
+    assert(one(remapBadSrid(lit(300084))) == "3857")
+    assert(one(remapBadSrid(lit(300090))) == "4269")
+    assert(one(remapBadSrid(lit(4326))) == "4326")
+  }
+}
