@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic hashing for the dedup/sketch family.
+  *
+  * Everything is built on md5 so sketches are bit-identical across engines
+  * (SURVEY.md §4): Spark `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` — 60 bits, always positive,
+  * comfortably inside BIGINT. xxhash64 would be faster but has no DuckDB
+  * twin; at scale swap `md5Long` for `xxhash64` behind the same signature.
+  */
+object HashFunctions {
+
+  /** 60-bit positive hash of a string column. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded 60-bit hash — independent permutation per seed for MinHash. */
+  def md5LongSeeded(seed: Int, c: Column): Column =
+    md5Long(concat(lit(s"$seed:"), c))
+
+  /** SQL fragment mirror of [[md5Long]] for DuckDB oracles. */
+  def md5LongSql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  def md5LongSeededSql(seed: Int, expr: String): String =
+    md5LongSql(s"concat('$seed:', $expr)")
+
+  /** Lowercased space-token array (single-space split, mirroring DuckDB
+    * `string_split(x, ' ')` exactly — including empty tokens on runs).
+    */
+  def tokens(text: Column): Column = split(lower(text), " ", -1)
+
+  /** Distinct word n-gram ("shingle") array via HOF — no UDF, stays in
+    * codegen: transform over a positional sequence, then slice off the
+    * ragged tail.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** SQL mirror of [[shingles]]: DISTINCT n-grams per row, exploded. Emits a
+    * `(doc_id, sh)` relation body — callers wrap it in a CTE.
+    */
+  def shinglesSql(n: Int, idCol: String, textCol: String, table: String): String = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT DISTINCT $idCol, $parts AS sh
+        FROM (SELECT $idCol, string_split(lower($textCol), ' ') AS ws FROM $table),
+             UNNEST(range(1, len(ws) - ${n - 2})) AS t(i)"""
+  }
+}

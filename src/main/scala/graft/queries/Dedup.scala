@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.functions.HashFunctions._
+
+/** LLM-pipeline deduplication family (SURVEY.md §2).
+  *
+  * The synthetic corpus has no natural duplicates, so every query "plants"
+  * them deterministically (exact copies, prefix-perturbed copies, scaled
+  * embedding copies) in both engines, then runs the dedup operator.
+  *
+  * Scale design (§3): nothing here ever shuffles full text — exact dedup
+  * shuffles a 60-bit hash; MinHash/LSH shuffles (band, bucket) keys; SimHash
+  * shuffles 15-bit chunk keys; candidate pair generation is always bucket-
+  * scoped (shared shingle / band bucket / simhash chunk), so candidate pairs
+  * — not N² — cross the network.
+  */
+object Dedup {
+
+  /** documents ∪ planted exact dups (id+1M, every 5th) ∪ planted near-dups
+    * ("dup "-prefixed, id+2M, every 7th). Lowercased once here.
+    */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+    val exact = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("dup "), col("text")).as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+         SELECT doc_id, lower(text) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, 'dup ' || lower(text) FROM documents WHERE doc_id % 7 = 0)"""
+
+  // ---- exact dedup: group by 60-bit content hash, keep lowest id ----------
+  def exact(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .groupBy(md5Long(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  // ---- 3-gram exact Jaccard pairs ≥ 0.5 ----------------------------------
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
+    val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val ca = cnt.toDF("a_id", "na"); val cb = cnt.toDF("b_id", "nb")
+    inter.join(ca, "a_id").join(cb, "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- MinHash (k=12) + LSH (4 bands × 3 rows) candidate pairs ------------
+  private val K = 12; private val BANDS = 4; private val ROWS = K / BANDS
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5LongSeeded(0, col("sh"))).as("s0"),
+      (1 until K).map(i => min(md5LongSeeded(i, col("sh"))).as(s"s$i")): _*)
+    val bandStructs = (0 until BANDS).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until ROWS).map(r => col(s"s${b * ROWS + r}").cast("string")): _*))
+      struct(lit(b).as("band"), key.as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.toDF("a_id", "band", "bucket")
+    val b = banded.toDF("b_id", "band", "bucket")
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  private def minhashLshSqlFor: String = {
+    val mins = (0 until K).map(i =>
+      s"min(${md5LongSeededSql(i, "sh")}) AS s$i").mkString(", ")
+    val bands = (0 until BANDS).map { b =>
+      val key = (0 until ROWS).map(r => s"CAST(s${b * ROWS + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       sh AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+       sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       banded AS ($bands)
+       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       FROM banded a JOIN banded b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       ORDER BY a_id, b_id"""
+  }
+
+  // ---- SimHash (60-bit) + hamming ≤ 3 via 4×15-bit chunk pigeonhole -------
+  private val SIMBITS = 60; private val CHUNKS = 4; private val CB = SIMBITS / CHUNKS
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = corpus(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5Long(col("w")))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until SIMBITS).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j")): _*)
+    val simCol = (0 until SIMBITS).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column).reduce(_ + _)
+    val sim = sums.select(col("doc_id"), simCol.as("sim"))
+    val chunkStructs = (0 until CHUNKS).map(ci =>
+      struct(lit(ci).as("ci"),
+        shiftright(col("sim"), ci * CB).bitwiseAND((1L << CB) - 1).as("cv")))
+    val chunked = sim.select(col("doc_id"), col("sim"),
+        explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("sim"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val a = chunked.toDF("a_id", "a_sim", "ci", "cv")
+    val b = chunked.toDF("b_id", "b_sim", "ci", "cv")
+    a.join(b, Seq("ci", "cv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  private def simhashSqlFor: String = {
+    val h = md5LongSql("w")
+    val sums = (0 until SIMBITS).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val simExpr = (0 until SIMBITS).map(j =>
+      s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
+    val chunks = (0 until CHUNKS).map(ci =>
+      s"SELECT doc_id, sim, $ci AS ci, (sim >> ${ci * CB}) & ${(1L << CB) - 1} AS cv FROM sims")
+      .mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       tok AS (SELECT doc_id, $h AS h
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)),
+       sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+       sims AS (SELECT doc_id, $simExpr AS sim FROM sums),
+       chunked AS ($chunks)
+       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+       FROM chunked a JOIN chunked b
+         ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       ORDER BY a_id, b_id"""
+  }
+
+  // ---- embedding cosine near-dup pairs ≥ 0.99 -----------------------------
+  /** Exact decimal dot product of two double-array columns — deterministic
+    * across engines and partition orders (decimal addition is exact).
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("decimal(30,15)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
+      (acc, el) => (acc + el).cast("decimal(38,15)"))
+
+  private def vecCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), _ * 0.5).as("v"))
+    base.unionByName(planted)
+  }
+
+  private val vecCorpusSql =
+    """vecs AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+         FROM embeddings WHERE vec_id % 10 = 0)"""
+
+  def embeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecCorpus(s, d)
+    val norms = vecs.select(col("vec_id"),
+      dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
+    val a = vecs.toDF("a_id", "va"); val b = vecs.toDF("b_id", "vb")
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        dotDecimal(col("va"), col("vb")).cast("double").as("dot"))
+    val na = norms.toDF("a_id", "na"); val nb = norms.toDF("b_id", "nb")
+    pairs.join(na, "a_id").join(nb, "b_id")
+      .withColumn("cos", col("dot") / sqrt(col("na") * col("nb")))
+      .filter(col("cos") >= 0.99)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val embeddingDedupSql =
+    s"""WITH $vecCorpusSql,
+       elems AS (SELECT vec_id, unnest(v) AS x,
+                        generate_subscripts(v, 1) AS i FROM vecs),
+       norms AS (SELECT vec_id,
+                   CAST(sum(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nrm
+                 FROM elems GROUP BY vec_id),
+       dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  CAST(sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+                FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2)
+       SELECT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
+       FROM dots
+       JOIN norms na ON na.vec_id = a_id
+       JOIN norms nb ON nb.vec_id = b_id
+       WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.99
+       ORDER BY a_id, b_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _),
+    "dedup_embedding"     -> (embeddingDedup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $corpusSql
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM corpus GROUP BY ${md5LongSql("text")} ORDER BY keep_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+         sh AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = a_id
+         JOIN cnt cb ON cb.doc_id = b_id
+         WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
+         ORDER BY a_id, b_id""",
+    "dedup_minhash_lsh" -> minhashLshSqlFor,
+    "dedup_simhash"     -> simhashSqlFor,
+    "dedup_embedding"   -> embeddingDedupSql
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Dedup
+import graft.functions.HashFunctions._
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams in order") {
+    val out = spark.sql("SELECT 1").select(shingles(lit("a b a b a b"), 3))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b a", "b a b"))
+  }
+
+  test("md5Long is stable and 60-bit positive") {
+    val h = spark.range(1).select(md5Long(lit("a"))).as[Long].head()
+    assert(h == 57446577476672362L) // cross-checked against DuckDB
+    val hs = spark.range(100)
+      .select(md5Long(concat(lit("x"), col("id"))).as("h"))
+      .as[Long].collect()
+    assert(hs.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("exact dedup: every planted copy collapses to its original") {
+    val rows = Dedup.queries("dedup_exact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val dups = rows.filter(_._2 > 1)
+    assert(dups.nonEmpty && dups.forall { case (id, n) => id % 5 == 0 && n == 2 })
+    // kept id is the lowest of each group: originals for exact-dup groups;
+    // the "dup "-prefixed texts are their own (singleton) groups at id+2M.
+    assert(rows.forall(r => r._1 < 1000000L || r._1 >= 2000000L))
+  }
+
+  test("ngram jaccard finds all planted near-dup pairs with high score") {
+    val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nearPlanted = pairs.filter { case (a, b, _) => b == a + 2000000L }
+    // shortest docs (~10 words) give 8/9 ≈ 0.889; everything else ≥0.9
+    assert(nearPlanted.nonEmpty && nearPlanted.forall(_._3 > 0.8))
+    val exactPlanted = pairs.filter { case (a, b, _) =>
+      a < 1000000L && b == a + 1000000L }
+    assert(exactPlanted.forall(_._3 == 1.0))
+  }
+
+  test("minhash LSH recalls every exact-dup pair (identical signatures)") {
+    val found = Dedup.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedExact = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expectedExact.subsetOf(found))
+  }
+
+  test("simhash: exact dups have hamming 0; all pairs within threshold") {
+    val rows = Dedup.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exactPlanted = rows.filter { case (a, b, _) =>
+      a < 1000000L && b == a + 1000000L }
+    assert(exactPlanted.nonEmpty && exactPlanted.forall(_._3 == 0))
+    assert(rows.forall(_._3 <= 3))
+  }
+
+  test("embedding dedup finds exactly the planted scaled copies") {
+    val rows = Dedup.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, c) => b == a + 1000000L && a % 10 == 0 && c >= 0.999 })
+  }
+
+  test("dedup shuffles hashes/buckets, never full text (plan check)") {
+    val plan = Dedup.queries("dedup_exact")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the aggregate key is the 60-bit hash; text is pruned before exchange
+    assert(plan.contains("conv"), plan.take(1500))
+  }
+}
