@@ -12,10 +12,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Etl.queries ++
-      graft.queries.Geom.queries ++ graft.queries.Dedup.queries
+      graft.queries.Geom.queries ++ graft.queries.Dedup.queries ++
+      graft.queries.Ann.queries ++ graft.queries.Text.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Etl.oracles ++
-      graft.queries.Geom.oracles ++ graft.queries.Dedup.oracles
+      graft.queries.Geom.oracles ++ graft.queries.Dedup.oracles ++
+      graft.queries.Ann.oracles ++ graft.queries.Text.oracles
 }

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+import graft.functions.HashFunctions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2 "similarity search").
+  *
+  * Scale design: probes are a tiny broadcast set (k×d floats), so the
+  * brute-force pass is a map-side broadcast nested-loop — the corpus is
+  * never shuffled; per-probe top-k is a window over the probe partition.
+  * The LSH variant buckets the corpus once with deterministic
+  * random-hyperplane signs (md5-derived, engine-portable) and joins probes
+  * only against matching buckets — the reusable index path at 100 TB.
+  *
+  * Dot products use exact decimal accumulation (Dedup.dotDecimal) so
+  * cosine scores — and therefore rankings — are bit-identical across
+  * engines and partition orders.
+  */
+object Ann {
+
+  private val TOPK = 5
+  private val PLANES = 6 // 64 buckets
+
+  /** Embeddings as double vectors; every 50th vector doubles as a probe. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  private def cosCols(dot: Column, na: Column, nb: Column): Column =
+    dot / sqrt(na * nb)
+
+  // ---- exact top-k cosine neighbors for the probe set ---------------------
+  def bruteforce(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      Dedup.dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
+      .join(all, "vec_id")
+    val probes = norms.filter(col("vec_id") % 50 === 0)
+      .toDF("probe_id", "pnrm", "pv")
+    val corpus = norms.toDF("neighbor_id", "cnrm", "cv")
+    val scored = corpus.join(broadcast(probes),
+        col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosCols(
+        Dedup.dotDecimal(col("pv"), col("cv")).cast("double"),
+        col("pnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  // ---- random-hyperplane LSH: bucket corpus once, probe hits its bucket ---
+  /** Deterministic ±1 hyperplane components: plane p, dimension d. */
+  private def planes(s: SparkSession): DataFrame = {
+    val p = s.range(PLANES).toDF("p")
+    val dim = s.range(64).toDF("dim")
+    p.crossJoin(dim).select(col("p"), col("dim"),
+      (md5Long(concat(lit("pl:"), col("p"), lit(":"), col("dim")))
+        .bitwiseAND(1) * 2 - 1).cast("double").as("comp"))
+  }
+
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    val elems = vecs(s, d).select(col("vec_id"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    val pdots = elems.join(broadcast(planes(s)), "dim")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("x") * col("comp")).cast("decimal(30,15)")).as("pdot"))
+    pdots.groupBy(col("vec_id"))
+      .agg(sum(when(col("pdot") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  def lsh(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      Dedup.dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
+    val withB = all.join(norms, "vec_id").join(buckets(s, d), "vec_id")
+    val probes = withB.filter(col("vec_id") % 50 === 0)
+      .toDF("probe_id", "pv", "pnrm", "bucket")
+    val corpus = withB.toDF("neighbor_id", "cv", "cnrm", "bucket")
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosCols(
+        Dedup.dotDecimal(col("pv"), col("cv")).cast("double"),
+        col("pnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (bruteforce _),
+    "ann_lsh"        -> (lsh _)
+  )
+
+  private val vecsSql =
+    "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private val elemsSql =
+    """elems AS (SELECT vec_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS i FROM vecs)"""
+  private val normsSql =
+    """norms AS (SELECT vec_id,
+         CAST(sum(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nrm
+       FROM elems GROUP BY vec_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql,
+         dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(p.x * c.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+           FROM elems p JOIN elems c ON p.i = c.i
+           WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         ranked AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
+    "ann_lsh" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql,
+         planes AS (SELECT p, d,
+             CAST((${md5LongSql("concat('pl:', p, ':', d)")} & 1) * 2 - 1 AS DOUBLE) AS comp
+           FROM range(0, $PLANES) t1(p), range(0, 64) t2(d)),
+         pdots AS (SELECT e.vec_id, pl.p,
+             sum(CAST(e.x * pl.comp AS DECIMAL(30,15))) AS pdot
+           FROM elems e JOIN planes pl ON pl.d = e.i - 1
+           GROUP BY 1, 2),
+         buckets AS (SELECT vec_id,
+             sum(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                      ELSE 0 END) AS bucket
+           FROM pdots GROUP BY vec_id),
+         cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+           FROM buckets p JOIN buckets c ON p.bucket = c.bucket
+           WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
+         dots AS (SELECT probe_id, neighbor_id,
+             CAST(sum(CAST(pe.x * ce.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+           FROM cand
+           JOIN elems pe ON pe.vec_id = probe_id
+           JOIN elems ce ON ce.vec_id = neighbor_id AND ce.i = pe.i
+           GROUP BY 1, 2),
+         scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         ranked AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk"""
+  )
+}

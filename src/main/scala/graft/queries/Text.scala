@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.functions.HashFunctions._
+
+/** Text-analysis operators for LLM-pipeline curation (SURVEY.md §2):
+  * language-ID, quality scoring, token counting, fingerprinting. All pure
+  * column math / HOFs over the documents table — codegen end to end, no
+  * UDFs, so they run at corpus scale as a single projection pass.
+  */
+object Text {
+
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "und", "die", "das", "ein"),
+    "fr" -> Seq("le", "et", "la", "les", "des"),
+    "es" -> Seq("el", "y", "los", "de", "la"))
+  private val langOrder = Seq("en", "de", "fr", "es")
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(x => x: Any): _*)))
+
+  // ---- language ID: stopword-marker scoring + deterministic argmax --------
+  def langid(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val scored = doc.select(Seq(col("doc_id"), col("text")) ++
+      langOrder.map(l => markerCount(col("text"), markers(l)).as(s"score_$l")): _*)
+    // argmax with fixed precedence order (en > de > fr > es), 'und' when all 0
+    val best = langOrder.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    val detect2 = langOrder.foldLeft(lit(null).cast("string"): Column) { (acc, l) =>
+      coalesce(acc, when(col(s"score_$l") === best && best > 0, lit(l)))
+    }
+    scored.select(col("doc_id"),
+        col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+        coalesce(detect2, lit("und")).as("detected"))
+      .orderBy("doc_id")
+  }
+
+  /** 4-dp rounding as pure double arithmetic (floor(x*1e4+0.5)/1e4): unlike
+    * round(), identical IEEE doubles give identical results in every engine
+    * (no BigDecimal-vs-printf half-way disagreement).
+    */
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  // ---- quality scoring: length / punctuation / stopword / repetition ------
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val text = col("text")
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val stop = markerCount(text, markers("en"))
+    val punct = nChars - length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val wordRatio = nDistinct.cast("double") / nWords
+    val stopRatio = stop.cast("double") / nWords
+    val punctRatio = punct.cast("double") / nChars
+    // simple composite: repetition-heavy, punct-heavy, stopword-free → low
+    val score = r4(
+      wordRatio * 0.5 + least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2)
+    doc.select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        nDistinct.as("n_distinct_words"), stop.as("n_stopwords"),
+        r4(wordRatio).as("distinct_ratio"),
+        r4(stopRatio).as("stopword_ratio"), score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ---- token counting: whitespace + BPE-ish sub-token regex ---------------
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val text = col("text")
+    doc.select(col("doc_id"),
+        size(tokens(text)).as("n_ws_tokens"),
+        regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe_tokens"),
+        length(text).as("n_chars"),
+        (length(text).cast("double") /
+          regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  // ---- fingerprinting: 60-bit content + head hashes -----------------------
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    doc.select(col("doc_id"),
+        md5Long(norm).as("content_fp"),
+        md5Long(substring(norm, 1, 64)).as("head_fp"),
+        md5Long(concat_ws("|", col("source"), col("lang"))).as("meta_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (langid _),
+    "text_quality"     -> (quality _),
+    "text_tokens"      -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _)
+  )
+
+  private def markerSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val scores = langOrder.map(l => s"${markerSql(markers(l))} AS score_$l")
+        .mkString(", ")
+      val best = s"greatest(${langOrder.map(l => s"score_$l").mkString(", ")})"
+      val cases = langOrder.map(l =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM documents)
+         SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE $cases ELSE 'und' END AS detected
+         FROM scored ORDER BY doc_id"""
+    },
+    "text_quality" -> {
+      val stop = markerSql(markers("en"))
+      s"""WITH base AS (SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(lower(text), ' ')) AS n_words,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
+           $stop AS n_stopwords,
+           length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct
+         FROM documents)
+         SELECT doc_id, n_chars, n_words, n_distinct_words, n_stopwords,
+           floor(CAST(n_distinct_words AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+           floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           floor((CAST(n_distinct_words AS DOUBLE) / n_words * 0.5
+             + least(CAST(n_stopwords AS DOUBLE) / n_words * 5.0, 1.0) * 0.3
+             + (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2)
+             * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM base ORDER BY doc_id"""
+    },
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+         length(text) AS n_chars,
+         CAST(length(text) AS DOUBLE)
+           / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" -> {
+      val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+      s"""SELECT doc_id,
+         ${md5LongSql(norm)} AS content_fp,
+         ${md5LongSql(s"substr($norm, 1, 64)")} AS head_fp,
+         ${md5LongSql("concat(source, '|', lang)")} AS meta_fp
+         FROM documents ORDER BY doc_id"""
+    }
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Ann, Text}
+
+class AnnTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("ann_bruteforce: exactly top-5 per probe, ranked by cosine desc") {
+    val rows = Ann.queries("ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    assert(byProbe.keySet.forall(_ % 50 == 0))
+    for ((_, rs) <- byProbe) {
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length))
+      assert(rs.length == 5)
+      val cs = rs.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "cos not descending")
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ann_lsh: candidates only, never better than brute-force top-1") {
+    val bf = Ann.queries("ann_bruteforce")(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lsh = Ann.queries("ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(lsh.forall { case (p, _, c) => c <= bf(p) + 1e-9 })
+    assert(lsh.forall(_._2 <= 3))
+  }
+
+  test("text_langid: vocabulary only contains english markers") {
+    val rows = Text.queries("text_langid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // docs with any marker ('the'/'a') → en; markerless docs → und
+    assert(rows.forall(r =>
+      if (r.getInt(1) > 0) r.getString(5) == "en" else r.getString(5) == "und"))
+    assert(rows.exists(_.getString(5) == "en"))
+  }
+
+  test("text_quality: ratios in [0,1], quality in [0,1]") {
+    val rows = Text.queries("text_quality")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val dr = r.getDouble(5); val sr = r.getDouble(6); val q = r.getDouble(7)
+      dr >= 0 && dr <= 1 && sr >= 0 && sr <= 1 && q >= 0 && q <= 1
+    })
+  }
+
+  test("text_tokens: bpe tokens >= ws tokens (sub-word splitting)") {
+    val rows = Text.queries("text_tokens")(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(2) >= r.getInt(1) - 1))
+  }
+
+  test("text_fingerprint: content fp unique per distinct doc, stable head fp") {
+    val rows = Text.queries("text_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).distinct.length == rows.length) // no natural dups
+    val again = Text.queries("text_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+}
