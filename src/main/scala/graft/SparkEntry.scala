@@ -13,11 +13,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Etl.queries ++
       graft.queries.Geom.queries ++ graft.queries.Dedup.queries ++
-      graft.queries.Ann.queries ++ graft.queries.Text.queries
+      graft.queries.Ann.queries ++ graft.queries.Text.queries ++
+      graft.queries.MmStream.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Etl.oracles ++
       graft.queries.Geom.oracles ++ graft.queries.Dedup.oracles ++
-      graft.queries.Ann.oracles ++ graft.queries.Text.oracles
+      graft.queries.Ann.oracles ++ graft.queries.Text.oracles ++
+      graft.queries.MmStream.oracles
 }

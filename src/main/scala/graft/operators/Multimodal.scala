@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2 "multimodal").
+  *
+  * Design: media (image/audio/video) travel as opaque `binary` columns with a
+  * typed metadata struct alongside. Everything schema/partitioning-shaped is
+  * real; only the actual codec is stubbed (this container has no media
+  * libraries) behind [[decodeStub]] — a deterministic fake with the exact
+  * batch shape a real decoder (e.g. an `mapInPandas`/JNI ffmpeg bridge on a
+  * production cluster) would have.
+  */
+object Multimodal {
+
+  /** Attach typed metadata to a binary payload column: byte length, md5,
+    * magic-prefix sniff. Pure column expressions — metadata extraction
+    * never leaves codegen, and at 100 TB it's a projection over the scan.
+    */
+  def withBinaryMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(payloadCol)))
+      .withColumn("content_md5", md5(col(payloadCol)))
+      .withColumn("magic", lower(hex(substring(col(payloadCol), 1, 4))))
+      .withColumn("sniffed_type",
+        when(col("magic").startsWith("89504e47"), "image/png")
+          .when(col("magic").startsWith("ffd8ff"), "image/jpeg")
+          .when(col("magic").startsWith("494433"), "audio/mp3")
+          .when(col("magic").startsWith("00000018"), "video/mp4")
+          .otherwise("application/octet-stream"))
+
+  /** Deterministic fixed-size frame/chunk sampler over a binary column:
+    * split the payload into `frameSize`-byte frames, keep every `every`-th.
+    * Imperative per-partition work (the one legitimate mapPartitions in this
+    * codebase): streams over rows, allocates per-frame only, no partition
+    * materialization — safe for arbitrarily large partitions.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameSize: Int = 32, every: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_len", IntegerType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val nFrames = (bytes.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator
+          .filter(_ % every == 0)
+          .map { i =>
+            val from = i * frameSize
+            val until = math.min(from + frameSize, bytes.length)
+            val frame = java.util.Arrays.copyOfRange(bytes, from, until)
+            digest.reset()
+            val hex = digest.digest(frame).map("%02x".format(_)).mkString
+            Row(id, i, until - from, hex)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB: media decode / feature extraction. A production build replaces
+    * this with a real codec behind the same signature (binary → fixed-width
+    * feature vector). The fake is deterministic: 4-bin byte histogram
+    * normalized to [0,1] — enough to exercise schema, batching and
+    * downstream consumers end to end.
+    */
+  def decodeStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val bins = new Array[Double](4)
+        var i = 0
+        while (i < bytes.length) { bins(((bytes(i) & 0xff) >> 6)) += 1.0; i += 1 }
+        val n = math.max(bytes.length, 1).toDouble
+        Row(r.getLong(idIdx), bins.map(_ / n).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

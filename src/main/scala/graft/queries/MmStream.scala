@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.Multimodal
+import graft.streaming.Streams
+
+/** Multimodal + streaming driver queries (SURVEY.md §2).
+  *
+  * Multimodal payloads are stood in by utf-8 document bytes (no media libs
+  * in this container — see Multimodal.decodeStub); streaming queries are the
+  * batch twins of Streams (same transformation object), with true
+  * readStream parity asserted in StreamSpec.
+  */
+object MmStream {
+
+  // binary column + typed metadata — oracle-checkable (md5/length in DuckDB)
+  def binaryMeta(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    Multimodal.withBinaryMeta(doc, "payload")
+      .select(col("doc_id"), col("byte_len"), col("content_md5"),
+        col("magic"), col("sniffed_type"))
+      .orderBy("doc_id")
+  }
+
+  // frame sampler over the binary payload — rows-only (mapPartitions shape)
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    Multimodal.sampleFrames(doc, "doc_id", "payload", frameSize = 32, every = 4)
+      .orderBy("id", "frame_idx")
+  }
+
+  // tumbling-window agg (batch twin; stream parity in StreamSpec)
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame =
+    Streams.windowAgg(events(s, d), withWatermark = false)
+      .orderBy("win_start", "event_type")
+
+  // stateful dedup (batch twin) over a corpus with planted duplicate events
+  private def dupEvents(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.unionByName(e.filter(col("event_id") % 10 === 0))
+  }
+
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    Streams.dedupEvents(dupEvents(s, d), withWatermark = false)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"    -> (binaryMeta _),
+    "mm_frame_sample"   -> (frameSample _),
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_dedup_state" -> (streamDedup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS byte_len,
+         md5(text) AS content_md5,
+         lower(hex(encode(substr(text, 1, 4)))) AS magic,
+         'application/octet-stream' AS sniffed_type
+         FROM documents ORDER BY doc_id""",
+    // mm_frame_sample: rows-only (imperative mapPartitions; spec-tested)
+    "stream_window_agg" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                  '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_dedup_state" ->
+      """WITH dup AS (SELECT * FROM events
+                      UNION ALL SELECT * FROM events WHERE event_id % 10 = 0),
+         deduped AS (SELECT DISTINCT * FROM dup)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM deduped GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.Streams
+
+class MmStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("binary meta sniffs magic prefixes") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val txt = "hello".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpg), (3L, txt)).toDF("id", "payload")
+    val out = Multimodal.withBinaryMeta(df, "payload")
+      .orderBy("id").select("sniffed_type").as[String].collect()
+    assert(out.toSeq == Seq("image/png", "image/jpeg", "application/octet-stream"))
+  }
+
+  test("frame sampler: frame math on a hand-computed payload") {
+    // 100 bytes, frameSize 32 → frames 0..3 (32,32,32,4 bytes); every=2 → 0,2
+    val bytes = Array.tabulate(100)(_.toByte)
+    val df = Seq((7L, bytes)).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload", 32, 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((7L, 0, 32), (7L, 2, 32)))
+  }
+
+  test("frame sampler handles final short frame") {
+    val bytes = Array.tabulate(33)(_.toByte)
+    val df = Seq((1L, bytes)).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload", 32, 1)
+      .orderBy("frame_idx").collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0, 32), (1, 1)))
+  }
+
+  test("decode stub: deterministic normalized histogram") {
+    val bytes = Array[Byte](0, 0, 64, 127, -128, -1) // bins: 2,1,1? careful
+    val df = Seq((1L, bytes)).toDF("id", "payload")
+    val feats = Multimodal.decodeStub(df, "id", "payload")
+      .select("features").as[Seq[Double]].head()
+    assert(feats.length == 4)
+    assert(math.abs(feats.sum - 1.0) < 1e-12)
+    val again = Multimodal.decodeStub(df, "id", "payload")
+      .select("features").as[Seq[Double]].head()
+    assert(feats == again)
+  }
+
+  lazy val stagedEvents: String =
+    Streams.stageEventsDir(spark, sf, "/tmp/graft_stream_events")
+
+  test("streaming window agg equals its batch twin (readStream parity)") {
+    val batch = graft.queries.MmStream.queries("stream_window_agg")(spark, sf)
+      .collect().map(_.toString).sorted
+    val stream = Streams.windowAgg(Streams.eventsStream(spark, stagedEvents),
+      withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("win_agg_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_agg_test")
+      .orderBy("win_start", "event_type").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
+
+  test("streaming dedup drops within-watermark duplicate event_ids") {
+    val e = graft.core.Tables.events(spark, sf)
+    val stream = Streams.dedupEvents(
+      Streams.eventsStream(spark, stagedEvents)
+        .unionByName(Streams.eventsStream(spark, stagedEvents)),
+      withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_test").count()
+    assert(got == e.count(), "every duplicated event_id must appear exactly once")
+  }
+}
