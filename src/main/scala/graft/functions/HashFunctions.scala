@@ -33,16 +33,45 @@ object HashFunctions {
     */
   def tokens(text: Column): Column = split(lower(text), " ", -1)
 
-  /** Distinct word n-gram ("shingle") array via HOF — no UDF, stays in
-    * codegen: transform over a positional sequence, then slice off the
-    * ragged tail.
+  /** Distinct word n-gram ("shingle") array from a *materialized* token
+    * array column. IMPORTANT: pass an attribute (project `tokens(text)`
+    * into a column first), not the `tokens(...)` expression itself —
+    * higher-order-function lambdas are interpreted (no codegen, no
+    * subexpression elimination), so an inline expression would re-split the
+    * text for every element access.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
     array_distinct(transform(sequence(lit(0), count - 1),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
+
+  /** Convenience one-shot shingler for tests/small inputs (re-splits per
+    * element — do not use in hot paths; see [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  // ---- MinHash permutations: one md5 per shingle, k linear perms ----------
+  /** Prime modulus < 2^30 so a*h+b stays under 2^60 in both engines
+    * (DuckDB errors on BIGINT overflow; Java would silently wrap).
+    */
+  val MinhashP: Long = 1073741789L
+
+  /** Deterministic (a_i, b_i) permutation parameters. */
+  def permParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i =>
+      (((2L * i + 1) * 12582917L) % MinhashP,
+        (i * 4256249L + 98765431L) % MinhashP))
+
+  /** Reduce a 60-bit hash into the permutation domain. */
+  def h30(c: Column): Column = c % MinhashP
+
+  def minhashPerm(h: Column, a: Long, b: Long): Column =
+    (lit(a) * h + lit(b)) % MinhashP
+
+  def minhashPermSql(hExpr: String, a: Long, b: Long): String =
+    s"(($a * $hExpr + $b) % $MinhashP)"
 
   /** SQL mirror of [[shingles]]: DISTINCT n-grams per row, exploded. Emits a
     * `(doc_id, sh)` relation body — callers wrap it in a CTE.

@@ -19,7 +19,9 @@ object EtlOps {
     * first `objectid_N` column to `objectid` (Oracle-export artifact fix).
     */
   def sanitizeHeader(df: DataFrame): DataFrame = {
-    val lowered = df.columns.map(_.trim.toLowerCase.replace("#", "_"))
+    val lowered = df.columns.map(
+      _.filterNot(_ == 0xFEFF.toChar) // BOM leaks into the first CSV header
+        .trim.toLowerCase.replace("#", "_"))
     val hasObjectId = lowered.contains("objectid")
     val objectidN = "^objectid_\\d+$".r
     var renamedFirst = false

@@ -16,9 +16,10 @@ import graft.functions.HashFunctions._
   * random-hyperplane signs (md5-derived, engine-portable) and joins probes
   * only against matching buckets — the reusable index path at 100 TB.
   *
-  * Dot products use exact decimal accumulation (Dedup.dotDecimal) so
-  * cosine scores — and therefore rankings — are bit-identical across
-  * engines and partition orders.
+  * Dot products fold doubles strictly left-to-right (Dedup.dotSeq ≡ DuckDB
+  * list_reduce) so cosine scores — and therefore rankings — are
+  * bit-identical across engines; hyperplane sign dots stay decimal-exact
+  * (grouped sums have no defined order).
   */
 object Ann {
 
@@ -37,7 +38,7 @@ object Ann {
   def bruteforce(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
-      Dedup.dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
+      Dedup.dotSeq(col("v"), col("v")).as("nrm"))
       .join(all, "vec_id")
     val probes = norms.filter(col("vec_id") % 50 === 0)
       .toDF("probe_id", "pnrm", "pv")
@@ -45,7 +46,7 @@ object Ann {
     val scored = corpus.join(broadcast(probes),
         col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosCols(
-        Dedup.dotDecimal(col("pv"), col("cv")).cast("double"),
+        Dedup.dotSeq(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -66,8 +67,12 @@ object Ann {
         .bitwiseAND(1) * 2 - 1).cast("double").as("comp"))
   }
 
-  private def buckets(s: SparkSession, d: String): DataFrame = {
-    val elems = vecs(s, d).select(col("vec_id"),
+  /** 64-bucket signature for every (vec_id, v) row — reused by ann_lsh and
+    * the LSH-blocked embedding dedup.
+    */
+  private[queries] def bucketsOf(vecsDf: DataFrame): DataFrame = {
+    val s = vecsDf.sparkSession
+    val elems = vecsDf.select(col("vec_id"),
       posexplode(col("v")).as(Seq("dim", "x")))
     val pdots = elems.join(broadcast(planes(s)), "dim")
       .groupBy(col("vec_id"), col("p"))
@@ -81,15 +86,15 @@ object Ann {
   def lsh(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
-      Dedup.dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
-    val withB = all.join(norms, "vec_id").join(buckets(s, d), "vec_id")
+      Dedup.dotSeq(col("v"), col("v")).as("nrm"))
+    val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
     val probes = withB.filter(col("vec_id") % 50 === 0)
       .toDF("probe_id", "pv", "pnrm", "bucket")
     val corpus = withB.toDF("neighbor_id", "cv", "cnrm", "bucket")
     val cand = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosCols(
-        Dedup.dotDecimal(col("pv"), col("cv")).cast("double"),
+        Dedup.dotSeq(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -110,19 +115,32 @@ object Ann {
   private val elemsSql =
     """elems AS (SELECT vec_id, unnest(v) AS x,
                  generate_subscripts(v, 1) AS i FROM vecs)"""
-  private val normsSql =
-    """norms AS (SELECT vec_id,
-         CAST(sum(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nrm
-       FROM elems GROUP BY vec_id)"""
+  private def normsSql =
+    s"""norms AS (SELECT vec_id, ${Dedup.dotSeqSql("v", "v")} AS nrm FROM vecs)"""
+
+  /** SQL twin of [[buckets]] over an `elems(vec_id, x, i)` CTE — shared with
+    * Dedup's LSH-blocked embedding pass.
+    */
+  private[queries] def bucketsSqlFragment: String =
+    s"""planes AS (SELECT p, d,
+         CAST((${md5LongSql("concat('pl:', p, ':', d)")} & 1) * 2 - 1 AS DOUBLE) AS comp
+       FROM range(0, $PLANES) t1(p), range(0, 64) t2(d)),
+     pdots AS (SELECT e.vec_id, pl.p,
+         sum(CAST(e.x * pl.comp AS DECIMAL(30,15))) AS pdot
+       FROM elems e JOIN planes pl ON pl.d = e.i - 1
+       GROUP BY 1, 2),
+     buckets AS (SELECT vec_id,
+         sum(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                  ELSE 0 END) AS bucket
+       FROM pdots GROUP BY vec_id)"""
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
-      s"""WITH $vecsSql, $elemsSql, $normsSql,
+      s"""WITH $vecsSql, $normsSql,
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             CAST(sum(CAST(p.x * c.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
-           FROM elems p JOIN elems c ON p.i = c.i
-           WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id
-           GROUP BY 1, 2),
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
          scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM dots
@@ -136,26 +154,15 @@ object Ann {
          FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
     "ann_lsh" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql,
-         planes AS (SELECT p, d,
-             CAST((${md5LongSql("concat('pl:', p, ':', d)")} & 1) * 2 - 1 AS DOUBLE) AS comp
-           FROM range(0, $PLANES) t1(p), range(0, 64) t2(d)),
-         pdots AS (SELECT e.vec_id, pl.p,
-             sum(CAST(e.x * pl.comp AS DECIMAL(30,15))) AS pdot
-           FROM elems e JOIN planes pl ON pl.d = e.i - 1
-           GROUP BY 1, 2),
-         buckets AS (SELECT vec_id,
-             sum(CASE WHEN pdot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-                      ELSE 0 END) AS bucket
-           FROM pdots GROUP BY vec_id),
+         $bucketsSqlFragment,
          cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
            FROM buckets p JOIN buckets c ON p.bucket = c.bucket
            WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
          dots AS (SELECT probe_id, neighbor_id,
-             CAST(sum(CAST(pe.x * ce.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+             ${Dedup.dotSeqSql("pv.v", "cv.v")} AS dot
            FROM cand
-           JOIN elems pe ON pe.vec_id = probe_id
-           JOIN elems ce ON ce.vec_id = neighbor_id AND ce.i = pe.i
-           GROUP BY 1, 2),
+           JOIN vecs pv ON pv.vec_id = probe_id
+           JOIN vecs cv ON cv.vec_id = neighbor_id),
          scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM dots

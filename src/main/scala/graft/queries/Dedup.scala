@@ -49,9 +49,18 @@ object Dedup {
       .orderBy("keep_id")
 
   // ---- 3-gram exact Jaccard pairs ≥ 0.5 ----------------------------------
+  /** (doc_id, 60-bit shingle hash) pairs — tokens materialized before the
+    * shingle HOF (interpreted lambdas re-evaluate inline expressions), and
+    * hashes — not shingle strings — cross every shuffle (§3).
+    */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("sh0"))
+      .select(col("doc_id"), md5Long(col("sh0")).as("sh"))
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = corpus(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val sh = shingleHashes(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
     val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
@@ -69,11 +78,13 @@ object Dedup {
   private val K = 12; private val BANDS = 4; private val ROWS = K / BANDS
 
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = corpus(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    // one md5 per shingle; K signature slots via linear permutations
+    val sh = shingleHashes(s, d).select(col("doc_id"), h30(col("sh")).as("h"))
+    val pp = permParams(K)
     val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5LongSeeded(0, col("sh"))).as("s0"),
-      (1 until K).map(i => min(md5LongSeeded(i, col("sh"))).as(s"s$i")): _*)
+      min(minhashPerm(col("h"), pp(0)._1, pp(0)._2)).as("s0"),
+      (1 until K).map(i =>
+        min(minhashPerm(col("h"), pp(i)._1, pp(i)._2)).as(s"s$i")): _*)
     val bandStructs = (0 until BANDS).map { b =>
       val key = md5(concat_ws(",",
         (0 until ROWS).map(r => col(s"s${b * ROWS + r}").cast("string")): _*))
@@ -89,15 +100,17 @@ object Dedup {
   }
 
   private def minhashLshSqlFor: String = {
+    val pp = permParams(K)
     val mins = (0 until K).map(i =>
-      s"min(${md5LongSeededSql(i, "sh")}) AS s$i").mkString(", ")
+      s"min(${minhashPermSql("h", pp(i)._1, pp(i)._2)}) AS s$i").mkString(", ")
     val bands = (0 until BANDS).map { b =>
       val key = (0 until ROWS).map(r => s"CAST(s${b * ROWS + r} AS VARCHAR)")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS bucket FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH $corpusSql,
-       sh AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+       sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+       sh AS (SELECT doc_id, ${md5LongSql("sh")} % ${MinhashP} AS h FROM sh0),
        sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        banded AS ($bands)
        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -162,13 +175,27 @@ object Dedup {
 
   // ---- embedding cosine near-dup pairs ≥ 0.99 -----------------------------
   /** Exact decimal dot product of two double-array columns — deterministic
-    * across engines and partition orders (decimal addition is exact).
+    * across engines and partition orders (decimal addition is exact). Used
+    * where a *grouped* sum would otherwise be order-dependent.
     */
   def dotDecimal(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x * y).cast("decimal(30,15)")),
       lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
       (acc, el) => (acc + el).cast("decimal(38,15)"))
+
+  /** Sequential double dot product: Spark's `aggregate` HOF and DuckDB's
+    * `list_reduce` both fold strictly left-to-right, so the result is
+    * bit-identical across engines without decimal cost. ~5× faster than
+    * [[dotDecimal]] (no BigDecimal boxing in the interpreted lambda).
+    * SQL twin: `list_reduce(list_transform(a,(x,i)->x*b[i]),(acc,x)->acc+x)`.
+    */
+  def dotSeq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, el) => acc + el)
+
+  /** SQL twin of [[dotSeq]]. */
+  def dotSeqSql(aExpr: String, bExpr: String): String =
+    s"list_reduce(list_transform($aExpr, (x,i) -> x * ($bExpr)[i]), (acc,x) -> acc + x)"
 
   private def vecCorpus(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"),
@@ -186,34 +213,45 @@ object Dedup {
          SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
          FROM embeddings WHERE vec_id % 10 = 0)"""
 
+  /** LSH-blocked near-dup pass: candidate pairs come only from matching
+    * hyperplane-sign buckets (Ann.bucketsOf), then get exact decimal
+    * cosine scoring. At cos ≥ 0.99 true near-dups are virtually
+    * sign-identical (a positively-scaled copy is *exactly* sign-identical),
+    * so recall is preserved while candidate volume drops from N²/2 to
+    * Σ_bucket C(n_b, 2) — the shape that survives a 100 TB corpus.
+    */
   def embeddingDedup(s: SparkSession, d: String): DataFrame = {
     val vecs = vecCorpus(s, d)
+    val withB = vecs.join(Ann.bucketsOf(vecs), "vec_id")
     val norms = vecs.select(col("vec_id"),
-      dotDecimal(col("v"), col("v")).cast("double").as("nrm"))
-    val a = vecs.toDF("a_id", "va"); val b = vecs.toDF("b_id", "vb")
-    val pairs = a.join(b, col("a_id") < col("b_id"))
+      dotSeq(col("v"), col("v")).as("nrm"))
+    val a = withB.toDF("a_id", "va", "bucket")
+    val b = withB.toDF("b_id", "vb", "bucket")
+    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        dotDecimal(col("va"), col("vb")).cast("double").as("dot"))
+        dotSeq(col("va"), col("vb")).as("dot"))
     val na = norms.toDF("a_id", "na"); val nb = norms.toDF("b_id", "nb")
     pairs.join(na, "a_id").join(nb, "b_id")
       .withColumn("cos", col("dot") / sqrt(col("na") * col("nb")))
       .filter(col("cos") >= 0.99)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
-  private val embeddingDedupSql =
+  private def embeddingDedupSql =
     s"""WITH $vecCorpusSql,
        elems AS (SELECT vec_id, unnest(v) AS x,
                         generate_subscripts(v, 1) AS i FROM vecs),
-       norms AS (SELECT vec_id,
-                   CAST(sum(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS nrm
-                 FROM elems GROUP BY vec_id),
+       ${Ann.bucketsSqlFragment},
+       norms AS (SELECT vec_id, ${dotSeqSql("v", "v")} AS nrm FROM vecs),
        dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                  CAST(sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
-                FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
-                GROUP BY 1, 2)
-       SELECT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
+                  ${dotSeqSql("av.v", "bv.v")} AS dot
+                FROM buckets a
+                JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                JOIN vecs av ON av.vec_id = a.vec_id
+                JOIN vecs bv ON bv.vec_id = b.vec_id)
+       SELECT DISTINCT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
        FROM dots
        JOIN norms na ON na.vec_id = a_id
        JOIN norms nb ON nb.vec_id = b_id
@@ -235,7 +273,8 @@ object Dedup {
          FROM corpus GROUP BY ${md5LongSql("text")} ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $corpusSql,
-         sh AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+         sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
