@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §3/§5): the optimizations that matter at
+  * 100 TB — pushdown, pruning, broadcasts, TakeOrdered, no cartesian blowups
+  * — must be visible in the executed plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: date filter is pushed to the orders parquet scan") {
+    val p = plan("q2_join_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.matches("(?s).*PushedFilters.*o_orderdate.*"), p.take(2000))
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q7/q8: semi and anti joins stay semi/anti") {
+    assert(plan("q7_semi_join").contains("LeftSemi"))
+    assert(plan("q8_anti_join").contains("LeftAnti"))
+  }
+
+  test("etl_upsert: anti join + union, no cartesian") {
+    val p = plan("etl_upsert")
+    assert(p.contains("LeftAnti") && p.contains("Union"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("etl_enrich_lookup and q6: dims broadcast") {
+    assert(plan("etl_enrich_lookup").contains("BroadcastHashJoin"))
+    assert(plan("q6_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("ann_bruteforce: probes broadcast; corpus never shuffled for the join") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("no dedup/ann plan contains a cartesian product") {
+    for (q <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding", "ann_lsh"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+  }
+
+  test("text/geom single-pass queries shuffle only for final ordering") {
+    for (q <- Seq("text_fingerprint", "text_tokens", "geom_force_2d",
+      "geom_point_latlng", "mm_binary_meta")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles on hash: ${p.take(800)}")
+    }
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
+  }
+}
