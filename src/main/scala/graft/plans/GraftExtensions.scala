@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions plugin registering graft's native expressions with
+  * the SQL function registry, so pure-SQL users get them too:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT graft_dot(a, b) FROM vectors")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      GraftExtensions.dotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    children => DotProduct(children(0), children(1))
+
+  /** Register graft functions on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_dot", dotBuilder)
+}

@@ -38,7 +38,7 @@ object Ann {
   def bruteforce(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
-      Dedup.dotSeq(col("v"), col("v")).as("nrm"))
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
       .join(all, "vec_id")
     val probes = norms.filter(col("vec_id") % 50 === 0)
       .toDF("probe_id", "pnrm", "pv")
@@ -46,7 +46,7 @@ object Ann {
     val scored = corpus.join(broadcast(probes),
         col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosCols(
-        Dedup.dotSeq(col("pv"), col("cv")),
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -86,7 +86,7 @@ object Ann {
   def lsh(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
-      Dedup.dotSeq(col("v"), col("v")).as("nrm"))
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
     val probes = withB.filter(col("vec_id") % 50 === 0)
       .toDF("probe_id", "pv", "pnrm", "bucket")
@@ -94,7 +94,7 @@ object Ann {
     val cand = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosCols(
-        Dedup.dotSeq(col("pv"), col("cv")),
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

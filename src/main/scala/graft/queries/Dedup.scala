@@ -224,12 +224,12 @@ object Dedup {
     val vecs = vecCorpus(s, d)
     val withB = vecs.join(Ann.bucketsOf(vecs), "vec_id")
     val norms = vecs.select(col("vec_id"),
-      dotSeq(col("v"), col("v")).as("nrm"))
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     val a = withB.toDF("a_id", "va", "bucket")
     val b = withB.toDF("b_id", "vb", "bucket")
     val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        dotSeq(col("va"), col("vb")).as("dot"))
+        graft.plans.DotProduct.dot(col("va"), col("vb")).as("dot"))
     val na = norms.toDF("a_id", "na"); val nb = norms.toDF("b_id", "nb")
     pairs.join(na, "a_id").join(nb, "b_id")
       .withColumn("cos", col("dot") / sqrt(col("na") * col("nb")))
