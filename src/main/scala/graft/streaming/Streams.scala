@@ -3,6 +3,11 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+// Top-level (public) so Catalyst's generated encoder projections can
+// access them — codegen cannot touch private nested classes.
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessState(n_sessions: Long, n_events: Long, last_sec: Long)
+
 /** Structured Streaming operators (SURVEY.md §2 "streaming") with exact
   * batch twins. The transformation logic lives here ONCE and is applied to
   * either a batch or a streaming source — guaranteeing the batch-parity the
@@ -52,5 +57,34 @@ object Streams {
     graft.core.Tables.events(spark, sfDir)
       .write.mode("overwrite").parquet(outDir)
     outDir
+  }
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState — the
+    * custom-state rung of Structured Streaming (beyond what windowed aggs
+    * express). State per user is three longs (bounded); each micro-batch
+    * folds its (sorted) events into the running session count. Batch twin:
+    * Relational.q13Sessionize — the spec asserts stream≡batch.
+    */
+  def sessionizeStateful(events: DataFrame, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("ts")).as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) => {
+          // events within a micro-batch are unordered; sort before folding
+          val sorted = evs.toArray.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+          for (e <- sorted) {
+            val sec = e.ts.getTime / 1000
+            val newSession = st.last_sec == Long.MinValue || sec - st.last_sec > gapSec
+            st = SessState(st.n_sessions + (if (newSession) 1L else 0L),
+              st.n_events + 1L, sec)
+          }
+          state.update(st)
+          Iterator((uid, st.n_sessions, st.n_events))
+        })
+      .toDF("user_id", "n_sessions", "n_events")
   }
 }
