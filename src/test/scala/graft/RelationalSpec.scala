@@ -54,6 +54,22 @@ class RelationalSpec extends AnyFunSuite {
       && r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
   }
 
+  test("q5: approx_count_distinct tracks exact within its error bound") {
+    // §2 q5 is "approx+exact": the oracle-checked query is exact (HLL
+    // sketches aren't engine-portable); the approx path is pinned here.
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val rows = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val e = r.getLong(1).toDouble; val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+    }
+  }
+
   test("q1 parquet scan prunes to the referenced columns") {
     val scan = Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
     // ReadSchema should not include l_orderkey (unused by q1)
