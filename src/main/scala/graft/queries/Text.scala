@@ -93,11 +93,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- PII scrubbing: regex redaction of emails/phones/SSNs ---------------
+  /** Redact PII tokens. RE2-compatible patterns (no lookaround) so the
+    * DuckDB oracle matches byte-for-byte.
+    */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ssn = regexp_replace(email, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]")
+    regexp_replace(ssn, "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "[PHONE]")
+  }
+
+  // Inject deterministic PII into each doc, scrub it, count redactions.
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val dirty = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id"), lit("@example.com or "),
+      lit("215-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    doc.select(col("doc_id"), scrubPii(dirty).as("clean"),
+        (regexp_count(scrubPii(dirty), lit("\\[(EMAIL|PHONE|SSN)\\]")))
+          .as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCount _),
-    "text_fingerprint" -> (fingerprint _)
+    "text_fingerprint" -> (fingerprint _),
+    "text_pii_scrub"   -> (piiScrub _)
   )
 
   private def markerSql(words: Seq[String]): String = {
@@ -144,6 +172,22 @@ object Text {
            / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
            AS chars_per_token
          FROM documents ORDER BY doc_id""",
+    "text_pii_scrub" -> {
+      val dirty =
+        """substr(text, 1, 40) || ' contact user' || doc_id || '@example.com or '
+           || '215-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END"""
+      val scrub =
+        s"""regexp_replace(regexp_replace(regexp_replace($dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+             '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g')"""
+      s"""SELECT doc_id, $scrub AS clean,
+         len(regexp_extract_all($scrub, '\\[(EMAIL|PHONE|SSN)\\]')) AS n_redactions
+         FROM documents ORDER BY doc_id"""
+    },
     "text_fingerprint" -> {
       val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
       s"""SELECT doc_id,

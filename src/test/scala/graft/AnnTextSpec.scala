@@ -53,6 +53,14 @@ class AnnTextSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(2) >= r.getInt(1) - 1))
   }
 
+  test("text_pii_scrub: no raw PII survives; redaction counts match planting") {
+    val rows = Text.queries("text_pii_scrub")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.forall { case (_, t, _) =>
+      !t.contains("@example.com") && !t.contains("215-555-") })
+    assert(rows.forall { case (id, _, n) => n == (if (id % 3 == 0) 3 else 2) })
+  }
+
   test("text_fingerprint: content fp unique per distinct doc, stable head fp") {
     val rows = Text.queries("text_fingerprint")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
