@@ -258,7 +258,37 @@ object Dedup {
        WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.99
        ORDER BY a_id, b_id"""
 
+  // ---- pair → keep/drop resolution ---------------------------------------
+  /** Connected-components-style keep-min-id resolution (§3): iterative
+    * min-label propagation over the near-dup pair graph. `iterations` hops
+    * bound the work (dup clusters are shallow in practice); each iteration
+    * is one join + one min-aggregation — no driver-side graph.
+    */
+  def resolveKeepMin(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iterations) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      labels = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+    }
+    labels
+  }
+
+  /** Driver query: the drop-list a dedup pipeline feeds downstream — every
+    * doc that lost at least one pairing (appears as the higher id). The
+    * richer component resolution is [[resolveKeepMin]] (spec-covered; its
+    * iterative shape isn't one SQL statement).
+    */
+  def dropList(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d).select(col("b_id").as("drop_id")).distinct()
+      .orderBy("drop_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_drop_list"     -> (dropList _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -267,6 +297,11 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_drop_list" -> {
+      // the minhash pair query, reduced to its distinct higher ids
+      val pairs = minhashLshSqlFor
+      s"""SELECT DISTINCT b_id AS drop_id FROM ($pairs) ORDER BY drop_id"""
+    },
     "dedup_exact" ->
       s"""WITH $corpusSql
          SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -71,6 +71,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall { case (a, b, c) => b == a + 1000000L && a % 10 == 0 && c >= 0.999 })
   }
 
+  test("resolveKeepMin: chain components collapse to the min id") {
+    // chain 1-2-3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveKeepMin(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("drop list contains exactly the planted duplicate ids from minhash") {
+    val drops = Dedup.queries("dedup_drop_list")(spark, sf)
+      .as[Long].collect().toSet
+    // every planted exact copy (id+1M) must be dropped
+    val planted = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
+      .map(_ + 1000000L).toSet
+    assert(planted.subsetOf(drops))
+    // LSH banding also yields false-positive candidate pairs between
+    // originals (by design — the verify stage downstream filters them), so
+    // some drop ids < 1M are expected; the planted copies must all be there.
+  }
+
   test("dedup shuffles hashes/buckets, never full text (plan check)") {
     val plan = Dedup.queries("dedup_exact")(spark, sf)
       .queryExecution.optimizedPlan.toString
