@@ -103,6 +103,24 @@ object EtlOps {
     counted.reduce(_ unionByName _)
   }
 
+  /** Null/empty verification (postgres.py:867-890 companion checks): one
+    * row per column with null and empty-string counts — a single
+    * aggregation pass regardless of column count.
+    */
+  def nullEmptyCheck(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val isStr = df.schema(c).dataType.typeName == "string"
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        (if (isStr) sum(when(col(c) === "", 1L).otherwise(0L))
+         else lit(0L)).as(s"_empty_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    cols.map(c => wide.select(lit(c).as("column_name"),
+        col(s"_null_$c").as("n_null"), col(s"_empty_$c").as("n_empty")))
+      .reduce(_ unionByName _)
+  }
+
   /** Schema diff report (postgres.py:455-488): full outer compare of
     * (column → type) between prod and staging. Driver-side metadata only.
     */

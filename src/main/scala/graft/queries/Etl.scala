@@ -86,6 +86,20 @@ object Etl {
       "lineitem" -> lineitem(s, d), "nation" -> nation(s, d)))
       .orderBy("table_name")
 
+  // Null/empty verification over a frame with planted nulls/empties.
+  def nullCheck(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 13 === 0, lit(""))
+        .otherwise(col("c_mktsegment")).as("segment"),
+      when(col("c_custkey") % 17 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("acctbal"))
+    EtlOps.nullEmptyCheck(c, Seq("name", "segment", "acctbal"))
+      .orderBy("column_name")
+  }
+
   // Schema diff between prod (orders) and drifted staging.
   def schemaDiff(s: SparkSession, d: String): DataFrame = {
     val staging = orders(s, d)
@@ -113,6 +127,7 @@ object Etl {
     "etl_upsert"          -> (upsert _),
     "etl_delete_stale"    -> (deleteStale _),
     "etl_row_count_check" -> (rowCountCheck _),
+    "etl_null_check"      -> (nullCheck _),
     "etl_schema_diff"     -> (schemaDiff _),
     "etl_enrich_lookup"   -> (enrichLookup _)
   )
@@ -169,6 +184,22 @@ object Etl {
          UNION ALL SELECT 'nation', count(*) FROM nation
          UNION ALL SELECT 'orders', count(*) FROM orders
          ORDER BY table_name""",
+    "etl_null_check" ->
+      """WITH planted AS (SELECT
+           CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_name END AS name,
+           CASE WHEN c_custkey % 13 = 0 THEN '' ELSE c_mktsegment END AS segment,
+           CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+         FROM customer)
+         SELECT 'acctbal' AS column_name,
+           sum(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS n_null,
+           0 AS n_empty FROM planted
+         UNION ALL SELECT 'name',
+           sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END),
+           sum(CASE WHEN name = '' THEN 1 ELSE 0 END) FROM planted
+         UNION ALL SELECT 'segment',
+           sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END),
+           sum(CASE WHEN segment = '' THEN 1 ELSE 0 END) FROM planted
+         ORDER BY column_name""",
     "etl_schema_diff" ->
       """SELECT * FROM (VALUES
            ('load_ts', '-', 'timestamp', 'missing_in_prod'),
