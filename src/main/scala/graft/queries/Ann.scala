@@ -105,9 +105,58 @@ object Ann {
       .orderBy("probe_id", "rk")
   }
 
+  // ---- IVF-flat: coarse quantizer buckets, probe visits nProbe cells ------
+  private val NPROBE = 2
+
+  /** IVF with a deterministic sampled codebook (every 37th vector is a
+    * centroid — engine-portable, unlike k-means). Corpus is assigned to its
+    * most-cosine-similar centroid once (the reusable inverted file); a probe
+    * searches only its NPROBE nearest cells. Coarse assignment is
+    * centroids×corpus map-side work (centroids broadcast), candidates are
+    * cell-scoped — the IVF contract at any scale.
+    */
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+    val withN = all.join(norms, "vec_id")
+    val cents = withN.filter(col("vec_id") % 37 === 1)
+      .toDF("cent_id", "cv", "cnrm")
+    // similarity of every vector to every centroid (centroids broadcast)
+    val sims = withN.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        (graft.plans.DotProduct.dot(col("v"), col("cv")) /
+          sqrt(col("nrm") * col("cnrm"))).as("csim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val ranked = sims.withColumn("crk", row_number().over(byVec))
+    val assignment = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probeCells = ranked.filter(col("vec_id") % 50 === 0 && col("crk") <= NPROBE)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"))
+    val corpus = withN.join(assignment, "vec_id")
+      .toDF("neighbor_id", "cv2", "cnrm2", "cell")
+    val probes = withN.toDF("probe_id", "pv", "pnrm")
+      .join(probeCells, "probe_id")
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (graft.plans.DotProduct.dot(col("pv"), col("cv2")) /
+          sqrt(col("pnrm") * col("cnrm2"))).as("cos"))
+      .distinct() // a neighbor can appear via both probed cells
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteforce _),
-    "ann_lsh"        -> (lsh _)
+    "ann_lsh"        -> (lsh _),
+    "ann_ivf"        -> (ivf _)
   )
 
   private val vecsSql =
@@ -152,6 +201,38 @@ object Ann {
            FROM scored)
          SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
+    "ann_ivf" ->
+      s"""WITH $vecsSql, $normsSql,
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 37 = 1),
+         sims AS (SELECT x.vec_id, c.cent_id,
+             ${Dedup.dotSeqSql("x.v", "c.cv")}
+               / sqrt(nx.nrm * nc.nrm) AS csim
+           FROM vecs x
+           CROSS JOIN cents c
+           JOIN norms nx ON nx.vec_id = x.vec_id
+           JOIN norms nc ON nc.vec_id = c.cent_id),
+         ranked AS (SELECT vec_id, cent_id, csim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS crk
+           FROM sims),
+         assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
+           FROM ranked WHERE vec_id % 50 = 0 AND crk <= $NPROBE),
+         cand AS (SELECT DISTINCT pc.probe_id, a.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("pv.v", "nv.v")}
+               / sqrt(np.nrm * nn.nrm) AS cos
+           FROM probe_cells pc
+           JOIN assignment a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           JOIN vecs pv ON pv.vec_id = pc.probe_id
+           JOIN vecs nv ON nv.vec_id = a.vec_id
+           JOIN norms np ON np.vec_id = pc.probe_id
+           JOIN norms nn ON nn.vec_id = a.vec_id),
+         final_ranked AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM cand)
+         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         FROM final_ranked WHERE rk <= 3 ORDER BY probe_id, rk""",
     "ann_lsh" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql,
          $bucketsSqlFragment,

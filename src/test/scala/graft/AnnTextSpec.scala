@@ -31,6 +31,16 @@ class AnnTextSpec extends AnyFunSuite {
     assert(lsh.forall(_._2 <= 3))
   }
 
+  test("ann_ivf: cell-scoped candidates, never beats brute-force top-1") {
+    val bf = Ann.queries("ann_bruteforce")(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = Ann.queries("ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (p, _, c) => c <= bf(p) + 1e-9 })
+    assert(ivf.forall(_._2 <= 3))
+  }
+
   test("text_langid: vocabulary only contains english markers") {
     val rows = Text.queries("text_langid")(spark, sf).collect()
     assert(rows.nonEmpty)
