@@ -40,7 +40,7 @@ object Ann {
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
       .join(all, "vec_id")
-    val probes = norms.filter(col("vec_id") % 50 === 0)
+    val probes = norms.filter(col("vec_id") % PROBE_MOD === 0)
       .toDF("probe_id", "pnrm", "pv")
     val corpus = norms.toDF("neighbor_id", "cnrm", "cv")
     val scored = corpus.join(broadcast(probes),
@@ -88,7 +88,7 @@ object Ann {
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
-    val probes = withB.filter(col("vec_id") % 50 === 0)
+    val probes = withB.filter(col("vec_id") % PROBE_MOD === 0)
       .toDF("probe_id", "pv", "pnrm", "bucket")
     val corpus = withB.toDF("neighbor_id", "cv", "cnrm", "bucket")
     val cand = corpus.join(broadcast(probes), Seq("bucket"))
@@ -99,7 +99,7 @@ object Ann {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= CAND_TOPK)
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
       .orderBy("probe_id", "rk")
@@ -107,47 +107,60 @@ object Ann {
 
   // ---- IVF-flat: coarse quantizer buckets, probe visits nProbe cells ------
   private val NPROBE = 2
+  private val CAND_TOPK = 3   // top-k for the bucketed variants (lsh, ivf)
+  private val CENT_MOD = 37   // every CENT_MOD-th vector forms the codebook
+  private val PROBE_MOD = 50  // every PROBE_MOD-th vector is a probe
 
-  /** IVF with a deterministic sampled codebook (every 37th vector is a
-    * centroid — engine-portable, unlike k-means). Corpus is assigned to its
-    * most-cosine-similar centroid once (the reusable inverted file); a probe
-    * searches only its NPROBE nearest cells. Coarse assignment is
-    * centroids×corpus map-side work (centroids broadcast), candidates are
-    * cell-scoped — the IVF contract at any scale.
+  /** IVF coarse quantization with a deterministic sampled codebook (every
+    * CENT_MOD-th vector is a centroid — engine-portable, unlike k-means).
+    * Returns (corpus cell assignment, probe→probed cells); exposed for the
+    * spec's cell-scoping assertion. Coarse assignment is centroids×corpus
+    * map-side work (centroids broadcast).
     */
-  def ivf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     val withN = all.join(norms, "vec_id")
-    val cents = withN.filter(col("vec_id") % 37 === 1)
+    val cents = withN.filter(col("vec_id") % CENT_MOD === 1)
       .toDF("cent_id", "cv", "cnrm")
     // similarity of every vector to every centroid (centroids broadcast)
     val sims = withN.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
-        (graft.plans.DotProduct.dot(col("v"), col("cv")) /
-          sqrt(col("nrm") * col("cnrm"))).as("csim"))
+        cosCols(graft.plans.DotProduct.dot(col("v"), col("cv")),
+          col("nrm"), col("cnrm")).as("csim"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
     val ranked = sims.withColumn("crk", row_number().over(byVec))
     val assignment = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
-    val probeCells = ranked.filter(col("vec_id") % 50 === 0 && col("crk") <= NPROBE)
+    val probeCells = ranked
+      .filter(col("vec_id") % PROBE_MOD === 0 && col("crk") <= NPROBE)
       .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"))
+    (assignment, probeCells)
+  }
+
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+    val withN = all.join(norms, "vec_id")
+    val (assignment, probeCells) = ivfCells(s, d)
     val corpus = withN.join(assignment, "vec_id")
       .toDF("neighbor_id", "cv2", "cnrm2", "cell")
     val probes = withN.toDF("probe_id", "pv", "pnrm")
       .join(probeCells, "probe_id")
+    // no dedup needed: each neighbor lives in exactly one cell (crk = 1 is
+    // unique), so a (probe, neighbor) pair can match at most once
     val cand = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        (graft.plans.DotProduct.dot(col("pv"), col("cv2")) /
-          sqrt(col("pnrm") * col("cnrm2"))).as("cos"))
-      .distinct() // a neighbor can appear via both probed cells
+        cosCols(graft.plans.DotProduct.dot(col("pv"), col("cv2")),
+          col("pnrm"), col("cnrm2")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= CAND_TOPK)
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
       .orderBy("probe_id", "rk")
@@ -189,7 +202,7 @@ object Ann {
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
            FROM vecs p JOIN vecs c
-             ON p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
+             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
          scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM dots
@@ -203,7 +216,7 @@ object Ann {
          FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
     "ann_ivf" ->
       s"""WITH $vecsSql, $normsSql,
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 37 = 1),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CENT_MOD = 1),
          sims AS (SELECT x.vec_id, c.cent_id,
              ${Dedup.dotSeqSql("x.v", "c.cv")}
                / sqrt(nx.nrm * nc.nrm) AS csim
@@ -217,8 +230,8 @@ object Ann {
            FROM sims),
          assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
          probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
-           FROM ranked WHERE vec_id % 50 = 0 AND crk <= $NPROBE),
-         cand AS (SELECT DISTINCT pc.probe_id, a.vec_id AS neighbor_id,
+           FROM ranked WHERE vec_id % $PROBE_MOD = 0 AND crk <= $NPROBE),
+         cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "nv.v")}
                / sqrt(np.nrm * nn.nrm) AS cos
            FROM probe_cells pc
@@ -232,13 +245,13 @@ object Ann {
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM cand)
          SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
-         FROM final_ranked WHERE rk <= 3 ORDER BY probe_id, rk""",
+         FROM final_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_lsh" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql,
          $bucketsSqlFragment,
          cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
            FROM buckets p JOIN buckets c ON p.bucket = c.bucket
-           WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
+           WHERE p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
          dots AS (SELECT probe_id, neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "cv.v")} AS dot
            FROM cand
@@ -254,6 +267,6 @@ object Ann {
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM scored)
          SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
-         FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk"""
+         FROM ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk"""
   )
 }

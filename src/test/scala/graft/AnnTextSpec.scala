@@ -35,10 +35,17 @@ class AnnTextSpec extends AnyFunSuite {
     val bf = Ann.queries("ann_bruteforce")(spark, sf).collect()
       .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
     val ivf = Ann.queries("ann_ivf")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(ivf.nonEmpty)
-    assert(ivf.forall { case (p, _, c) => c <= bf(p) + 1e-9 })
+    assert(ivf.forall { case (p, _, _, c) => c <= bf(p) + 1e-9 })
     assert(ivf.forall(_._2 <= 3))
+    // cell scoping: every returned neighbor must live in one of its
+    // probe's probed cells (a full-corpus scan would violate this)
+    val (assignment, probeCells) = Ann.ivfCells(spark, sf)
+    val cellOf = assignment.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = probeCells.collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    assert(ivf.forall { case (p, _, n, _) => probed(p).contains(cellOf(n)) })
   }
 
   test("text_langid: vocabulary only contains english markers") {
