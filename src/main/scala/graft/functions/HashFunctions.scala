@@ -17,16 +17,9 @@ object HashFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded 60-bit hash — independent permutation per seed for MinHash. */
-  def md5LongSeeded(seed: Int, c: Column): Column =
-    md5Long(concat(lit(s"$seed:"), c))
-
   /** SQL fragment mirror of [[md5Long]] for DuckDB oracles. */
   def md5LongSql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
-
-  def md5LongSeededSql(seed: Int, expr: String): String =
-    md5LongSql(s"concat('$seed:', $expr)")
 
   /** Lowercased space-token array (single-space split, mirroring DuckDB
     * `string_split(x, ' ')` exactly — including empty tokens on runs).
@@ -41,9 +34,14 @@ object HashFunctions {
     * text for every element access.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val count = size(toks) - (n - 1)
+    // guard: sequence(0, -1) counts DOWN ([0,-1]) and element_at(_, 0)
+    // throws — docs shorter than n tokens must yield an empty set, exactly
+    // like the DuckDB twin's range(1, len-1)
+    when(count > 0,
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Convenience one-shot shingler for tests/small inputs (re-splits per

@@ -19,15 +19,21 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
-  /** documents ∪ planted exact dups (id+1M, every 5th) ∪ planted near-dups
-    * ("dup "-prefixed, id+2M, every 7th). Lowercased once here.
+  /** Planted-id offsets, far above any real id a 100 TB corpus could hold
+    * (ids are bigint; offsets at 1e12 leave no collision window).
+    */
+  val ExactOffset: Long = 1000000000000L
+  val NearOffset: Long  = 2000000000000L
+
+  /** documents ∪ planted exact dups (id+ExactOffset, every 5th) ∪ planted
+    * near-dups ("dup "-prefixed, id+NearOffset, every 7th). Lowercased once.
     */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
     val exact = base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + ExactOffset).as("doc_id"), col("text"))
     val near = base.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
+      .select((col("doc_id") + NearOffset).as("doc_id"),
         concat(lit("dup "), col("text")).as("text"))
     base.unionByName(exact).unionByName(near)
   }
@@ -36,9 +42,9 @@ object Dedup {
     """corpus AS (
          SELECT doc_id, lower(text) AS text FROM documents
          UNION ALL
-         SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 5 = 0
+         SELECT doc_id + 1000000000000, lower(text) FROM documents WHERE doc_id % 5 = 0
          UNION ALL
-         SELECT doc_id + 2000000, 'dup ' || lower(text) FROM documents WHERE doc_id % 7 = 0)"""
+         SELECT doc_id + 2000000000000, 'dup ' || lower(text) FROM documents WHERE doc_id % 7 = 0)"""
 
   // ---- exact dedup: group by 60-bit content hash, keep lowest id ----------
   def exact(s: SparkSession, d: String): DataFrame =
@@ -174,20 +180,11 @@ object Dedup {
   }
 
   // ---- embedding cosine near-dup pairs ≥ 0.99 -----------------------------
-  /** Exact decimal dot product of two double-array columns — deterministic
-    * across engines and partition orders (decimal addition is exact). Used
-    * where a *grouped* sum would otherwise be order-dependent.
-    */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast("decimal(30,15)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
-      (acc, el) => (acc + el).cast("decimal(38,15)"))
-
   /** Sequential double dot product: Spark's `aggregate` HOF and DuckDB's
     * `list_reduce` both fold strictly left-to-right, so the result is
     * bit-identical across engines without decimal cost. ~5× faster than
-    * [[dotDecimal]] (no BigDecimal boxing in the interpreted lambda).
+    * a decimal-accumulator formulation (no BigDecimal boxing in the
+    * interpreted lambda).
     * SQL twin: `list_reduce(list_transform(a,(x,i)->x*b[i]),(acc,x)->acc+x)`.
     */
   def dotSeq(a: Column, b: Column): Column =
@@ -201,7 +198,7 @@ object Dedup {
     val base = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val planted = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + ExactOffset).as("vec_id"),
         transform(col("v"), _ * 0.5).as("v"))
     base.unionByName(planted)
   }
@@ -210,12 +207,12 @@ object Dedup {
     """vecs AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          UNION ALL
-         SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+         SELECT vec_id + 1000000000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
          FROM embeddings WHERE vec_id % 10 = 0)"""
 
   /** LSH-blocked near-dup pass: candidate pairs come only from matching
-    * hyperplane-sign buckets (Ann.bucketsOf), then get exact decimal
-    * cosine scoring. At cos ≥ 0.99 true near-dups are virtually
+    * hyperplane-sign buckets (Ann.bucketsOf), then get deterministic
+    * sequential-double cosine scoring (DotProduct.dot). At cos ≥ 0.99 true near-dups are virtually
     * sign-identical (a positively-scaled copy is *exactly* sign-identical),
     * so recall is preserved while candidate volume drops from N²/2 to
     * Σ_bucket C(n_b, 2) — the shape that survives a 100 TB corpus.
@@ -230,12 +227,14 @@ object Dedup {
     val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         graft.plans.DotProduct.dot(col("va"), col("vb")).as("dot"))
-    val na = norms.toDF("a_id", "na"); val nb = norms.toDF("b_id", "nb")
+    // zero-norm guard: cos would be 0/0 = NaN, and both engines order NaN
+    // ABOVE every double, so it would pass >= τ — exclude degenerate vectors
+    val na = norms.filter(col("nrm") > 0).toDF("a_id", "na")
+    val nb = norms.filter(col("nrm") > 0).toDF("b_id", "nb")
     pairs.join(na, "a_id").join(nb, "b_id")
       .withColumn("cos", col("dot") / sqrt(col("na") * col("nb")))
       .filter(col("cos") >= 0.99)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
-      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -251,10 +250,10 @@ object Dedup {
                 JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                 JOIN vecs av ON av.vec_id = a.vec_id
                 JOIN vecs bv ON bv.vec_id = b.vec_id)
-       SELECT DISTINCT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
+       SELECT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
        FROM dots
-       JOIN norms na ON na.vec_id = a_id
-       JOIN norms nb ON nb.vec_id = b_id
+       JOIN norms na ON na.vec_id = a_id AND na.nrm > 0
+       JOIN norms nb ON nb.vec_id = b_id AND nb.nrm > 0
        WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.99
        ORDER BY a_id, b_id"""
 
@@ -272,8 +271,11 @@ object Dedup {
     for (_ <- 1 to iterations) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
+      // localCheckpoint truncates lineage: each iteration references the
+      // previous labels twice, so without it the plan doubles per hop
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
     }
     labels
   }

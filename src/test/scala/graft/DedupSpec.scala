@@ -16,6 +16,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq("a b a", "b a b"))
   }
 
+  test("shingles: docs shorter than n yield an empty set, not a crash") {
+    // regression: sequence(0,-1) counts DOWN and element_at(_,0) throws
+    for (txt <- Seq("", "one", "one two")) {
+      val out = spark.sql("SELECT 1").select(shingles(lit(txt), 3))
+        .as[Seq[String]].head()
+      assert(out.isEmpty, s"'$txt' should have no 3-grams")
+    }
+    assert(spark.sql("SELECT 1").select(shingles(lit("a b c"), 3))
+      .as[Seq[String]].head() == Seq("a b c"))
+  }
+
   test("md5Long is stable and 60-bit positive") {
     val h = spark.range(1).select(md5Long(lit("a"))).as[Long].head()
     assert(h == 57446577476672362L) // cross-checked against DuckDB
@@ -32,17 +43,17 @@ class DedupSpec extends AnyFunSuite {
     assert(dups.nonEmpty && dups.forall { case (id, n) => id % 5 == 0 && n == 2 })
     // kept id is the lowest of each group: originals for exact-dup groups;
     // the "dup "-prefixed texts are their own (singleton) groups at id+2M.
-    assert(rows.forall(r => r._1 < 1000000L || r._1 >= 2000000L))
+    assert(rows.forall(r => r._1 < Dedup.ExactOffset || r._1 >= Dedup.NearOffset))
   }
 
   test("ngram jaccard finds all planted near-dup pairs with high score") {
     val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val nearPlanted = pairs.filter { case (a, b, _) => b == a + 2000000L }
+    val nearPlanted = pairs.filter { case (a, b, _) => b == a + Dedup.NearOffset }
     // shortest docs (~10 words) give 8/9 ≈ 0.889; everything else ≥0.9
     assert(nearPlanted.nonEmpty && nearPlanted.forall(_._3 > 0.8))
     val exactPlanted = pairs.filter { case (a, b, _) =>
-      a < 1000000L && b == a + 1000000L }
+      a < Dedup.ExactOffset && b == a + Dedup.ExactOffset }
     assert(exactPlanted.forall(_._3 == 1.0))
   }
 
@@ -51,7 +62,7 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val expectedExact = graft.core.Tables.documents(spark, sf)
       .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
-      .map(id => (id, id + 1000000L)).toSet
+      .map(id => (id, id + Dedup.ExactOffset)).toSet
     assert(expectedExact.subsetOf(found))
   }
 
@@ -59,7 +70,7 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.queries("dedup_simhash")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val exactPlanted = rows.filter { case (a, b, _) =>
-      a < 1000000L && b == a + 1000000L }
+      a < Dedup.ExactOffset && b == a + Dedup.ExactOffset }
     assert(exactPlanted.nonEmpty && exactPlanted.forall(_._3 == 0))
     assert(rows.forall(_._3 <= 3))
   }
@@ -68,7 +79,7 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.queries("dedup_embedding")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
-    assert(rows.forall { case (a, b, c) => b == a + 1000000L && a % 10 == 0 && c >= 0.999 })
+    assert(rows.forall { case (a, b, c) => b == a + Dedup.ExactOffset && a % 10 == 0 && c >= 0.999 })
   }
 
   test("resolveKeepMin: chain components collapse to the min id") {
@@ -86,11 +97,11 @@ class DedupSpec extends AnyFunSuite {
     // every planted exact copy (id+1M) must be dropped
     val planted = graft.core.Tables.documents(spark, sf)
       .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
-      .map(_ + 1000000L).toSet
+      .map(_ + Dedup.ExactOffset).toSet
     assert(planted.subsetOf(drops))
     // LSH banding also yields false-positive candidate pairs between
     // originals (by design — the verify stage downstream filters them), so
-    // some drop ids < 1M are expected; the planted copies must all be there.
+    // some original-range drop ids are expected; all planted copies must be there.
   }
 
   test("dedup shuffles hashes/buckets, never full text (plan check)") {
