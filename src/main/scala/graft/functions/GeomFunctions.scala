@@ -26,20 +26,26 @@ object GeomFunctions {
   def geomTypeOf(wkt: Column): Column =
     trim(regexp_extract(wkt, "^\\s*([A-Z]+)", 1))
 
-  /** Strip Z/M dimension label and per-point Z/M coordinate values. */
+  /** Strip Z/M dimension label and per-point Z/M coordinate values.
+    * Signed coordinates supported (the reference's regex assumed positive
+    * state-plane values; this function is exposed generally).
+    */
   def force2d(wkt: Column): Column = {
     val noLabel = regexp_replace(wkt, "(\\w+)( ZM?| Z| M)?\\s*\\(", "$1(")
     regexp_replace(noLabel,
-      "(\\d+\\.?\\d*)\\s+(\\d+\\.?\\d*)(\\s+(\\d+\\.?\\d*|NaN)(\\s+(\\d+\\.?\\d*|NaN)?)?)?",
+      "(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)(\\s+(-?\\d+\\.?\\d*|NaN)(\\s+(-?\\d+\\.?\\d*|NaN)?)?)?",
       "$1 $2")
   }
 
   /** POLYGON/LINESTRING → MULTI* wrap (ESRI stores polygon classes as
     * multipolygons; reference wraps the body in one more paren level).
+    * The Z/M dimension label travels with the type token — reference
+    * replaces the whole "POLYGON Z" token (postgres.py:338-358).
     */
   def promoteMulti(wkt: Column): Column =
     when(wkt.rlike("^(POLYGON|LINESTRING)\\b"),
-      concat(regexp_replace(wkt, "^(POLYGON|LINESTRING)", "MULTI$1 ("), lit(")")))
+      concat(regexp_replace(wkt,
+        "^(POLYGON|LINESTRING)( ZM| Z| M)?", "MULTI$1$2 ("), lit(")")))
       .otherwise(wkt)
 
   /** `SRID=n;WKT` → the numeric SRID (null when absent). */

@@ -44,12 +44,20 @@ object EtlOps {
 
   /** Cast columns to a target (JSON-schema-derived) type map
     * (postgres.py:527-549 builds DDL from a schema; here the same schema
-    * drives declarative casts). Missing columns are ignored.
+    * drives declarative casts). Missing columns are ignored. Uses try_cast:
+    * Spark 4 runs ANSI-on by default, where a plain cast() ABORTS the job
+    * on one malformed cell — a cleaning ingest must null it instead.
+    * Single projection (not a withColumn chain) to keep the plan flat.
     */
-  def castColumns(df: DataFrame, types: Map[String, String]): DataFrame =
-    types.foldLeft(df) { case (d, (c, t)) =>
-      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+  def castColumns(df: DataFrame, types: Map[String, String]): DataFrame = {
+    val projected = df.columns.map { c =>
+      types.get(c) match {
+        case Some(t) => expr(s"try_cast(`$c` AS $t)").as(c)
+        case None    => col(c)
+      }
     }
+    df.select(projected.toIndexedSeq: _*)
+  }
 
   /** Remove NUL bytes (and other C0 controls the reference's csv writer would
     * choke on) from string columns (_cleanup.py:40-66 semantics, applied to
@@ -108,11 +116,15 @@ object EtlOps {
     * aggregation pass regardless of column count.
     */
   def nullEmptyCheck(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullEmptyCheck needs at least one column")
     val aggs = cols.flatMap { c =>
       val isStr = df.schema(c).dataType.typeName == "string"
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        (if (isStr) sum(when(col(c) === "", 1L).otherwise(0L))
+        // coalesce: sum over zero rows is null — an empty table is clean (0)
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"_null_$c"),
+        (if (isStr)
+           coalesce(sum(when(col(c) === "", 1L).otherwise(0L)), lit(0L))
          else lit(0L)).as(s"_empty_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
@@ -157,7 +169,12 @@ object EtlOps {
                    keys: Seq[(String, String)]): DataFrame = {
     val cond = keys.map { case (f, l) => fact(f) === lookup(l) }.reduce(_ && _)
     val lookupVals = lookup.columns.filterNot(keys.map(_._2).contains)
+    // name collisions with fact columns get a lookup_ prefix — duplicate
+    // column names break every later by-name reference and parquet write
+    val appended = lookupVals.map { c =>
+      if (fact.columns.contains(c)) lookup(c).as(s"lookup_$c") else lookup(c)
+    }
     fact.join(broadcast(lookup), cond, "left")
-      .select(fact.columns.map(fact(_)) ++ lookupVals.map(lookup(_)): _*)
+      .select(fact.columns.map(fact(_)) ++ appended: _*)
   }
 }

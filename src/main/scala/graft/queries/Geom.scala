@@ -127,7 +127,7 @@ object Geom {
          FROM customer)
          SELECT id, regexp_replace(
            regexp_replace(wkt, '(\\w+)( ZM?| Z| M)?\\s*\\(', '\\1(', 'g'),
-           '(\\d+\\.?\\d*)\\s+(\\d+\\.?\\d*)(\\s+(\\d+\\.?\\d*|NaN)(\\s+(\\d+\\.?\\d*|NaN)?)?)?',
+           '(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)(\\s+(-?\\d+\\.?\\d*|NaN)(\\s+(-?\\d+\\.?\\d*|NaN)?)?)?',
            '\\1 \\2', 'g') AS wkt_2d
          FROM src ORDER BY id""",
     "geom_promote_multi" ->
@@ -141,7 +141,8 @@ object Geom {
                 ELSE 'MULTIPOLYGON (((' || ring || ')))' END AS wkt FROM src),
          promoted AS (SELECT id,
            CASE WHEN regexp_matches(wkt, '^(POLYGON|LINESTRING)\\b')
-                THEN regexp_replace(wkt, '^(POLYGON|LINESTRING)', 'MULTI\\1 (') || ')'
+                THEN regexp_replace(wkt, '^(POLYGON|LINESTRING)( ZM| Z| M)?',
+                                    'MULTI\\1\\2 (') || ')'
                 ELSE wkt END AS wkt_multi FROM built)
          SELECT id, wkt_multi,
            trim(regexp_extract(wkt_multi, '^\\s*([A-Z]+)', 1)) AS geom_type

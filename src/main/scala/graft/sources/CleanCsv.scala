@@ -80,9 +80,17 @@ object CleanCsv {
       sane.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq)
     jsonSchema match {
       case Some(js) =>
-        val types = schemaFromJson(js)
+        // schema names go through the same sanitation as the CSV header, so
+        // matching is consistent (castColumns matches case-SENSITIVELY while
+        // column resolution is case-insensitive — without this, a cased
+        // schema name would silently skip its cast yet still resolve)
+        val types = schemaFromJson(js).map { case (n, t) =>
+          n.trim.toLowerCase.replace("#", "_") -> t
+        }
         val typed = EtlOps.castColumns(cleaned, types.toMap)
-        // project to the schema's column order (ingest contract)
+        // project to the schema's column order (ingest contract); a schema
+        // column absent from the CSV fails loudly here, like the
+        // reference's COPY into the schema-created table would
         typed.select(types.map(t => col(t._1)): _*)
       case None => cleaned
     }

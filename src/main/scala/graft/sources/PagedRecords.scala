@@ -21,7 +21,12 @@ object PagedRecords {
                      recordsField: String = "records"): DataFrame = {
     val arr = from_json(get_json_object(col(pageCol), s"$$.$recordsField"),
       org.apache.spark.sql.types.DataType.fromDDL("array<string>"))
-    pages.select(col("*"), posexplode(arr).as(Seq("record_idx", "record_json")))
+    // posexplode_OUTER: a malformed page (or one without the records field)
+    // yields a row with null record_json instead of silently vanishing —
+    // the reference raises on missing records (knack.py:118-120); callers
+    // filter or alert on `record_json IS NULL`
+    pages.select(col("*"),
+      posexplode_outer(arr).as(Seq("record_idx", "record_json")))
   }
 
   /** knack `connection` values: `[{"id": "..."}, ...]` → JSON array of ids
@@ -49,20 +54,27 @@ object PagedRecords {
       "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
 
   /** airtable semantics: any list value → its JSON encoding; scalars pass
-    * through (airtable.py:96-105). JSON arrays are already JSON text here,
-    * so this extracts the field raw when it's an array, unquoted otherwise.
+    * through (airtable.py:96-105). get_json_object already does exactly
+    * that — arrays/objects come back as raw JSON text, scalars unquoted.
     */
-  def coerceValue(record: Column, field: String): Column = {
-    val raw = get_json_object(record, s"$$.$field")
-    when(raw.rlike("^\\["), raw).otherwise(raw)
-  }
+  def coerceValue(record: Column, field: String): Column =
+    get_json_object(record, s"$$.$field")
 
-  /** Sequential objectid in a caller-supplied order (airtable.py:107-110
-    * counts arrival order; distributed, arrival order must be made explicit
-    * — here: page position then in-page record index).
+  /** Sequential objectid in (page, in-page index) order (airtable.py:107-110
+    * counts arrival order; distributed, that order must be explicit).
+    * Scale-safe: the only global window runs over ONE ROW PER PAGE (the
+    * per-page counts) — records themselves never funnel through a single
+    * partition, unlike a naive global row_number.
     */
-  def addSequentialObjectId(records: DataFrame,
-                            orderCols: Seq[String]): DataFrame =
-    records.withColumn("objectid",
-      row_number().over(Window.orderBy(orderCols.map(col): _*)))
+  def addSequentialObjectId(records: DataFrame, pageCol: String,
+                            idxCol: String): DataFrame = {
+    val counts = records.groupBy(col(pageCol)).agg(count(lit(1)).as("_n"))
+    val offsets = counts.withColumn("_off",
+        sum(col("_n")).over(Window.orderBy(col(pageCol))) - col("_n"))
+      .drop("_n")
+    records.join(broadcast(offsets), pageCol)
+      .withColumn("objectid",
+        (col("_off") + col(idxCol) + 1).cast("long"))
+      .drop("_off")
+  }
 }

@@ -43,10 +43,23 @@ object TableLifecycle {
     }
     val f = fs(spark, tablePath)
     val prodPath = new Path(tablePath)
-    if (f.exists(new Path(old))) f.delete(new Path(old), true)
-    if (f.exists(prodPath)) f.rename(prodPath, new Path(old))
-    f.rename(new Path(staging), prodPath)
-    f.delete(new Path(old), true)
+    val oldPath = new Path(old)
+    // FileSystem.rename/delete report failure by RETURNING FALSE, not by
+    // throwing — every step must be checked or a failed swap could delete
+    // the only copy of prod.
+    if (f.exists(oldPath) && !f.delete(oldPath, true))
+      throw new java.io.IOException(s"rename-replace: cannot clear $old")
+    val hadProd = f.exists(prodPath)
+    if (hadProd && !f.rename(prodPath, oldPath))
+      throw new java.io.IOException(
+        s"rename-replace: cannot move prod aside ($tablePath -> $old); prod untouched")
+    if (!f.rename(new Path(staging), prodPath)) {
+      // restore prod before failing — never leave the table missing
+      if (hadProd) f.rename(oldPath, prodPath)
+      throw new java.io.IOException(
+        s"rename-replace: cannot promote staging ($staging -> $tablePath); prod restored")
+    }
+    f.delete(oldPath, true) // best-effort cleanup; prod is already live
     staged
   }
 }

@@ -20,11 +20,18 @@ class GeomSpec extends AnyFunSuite {
     assert(one(force2d(lit("POINT ZM (1 2 3 4)"))) == "POINT(1 2)")
     assert(one(force2d(lit("POINT (7 8)"))) == "POINT(7 8)")
     assert(one(force2d(lit("POINT Z (1 2 NaN)"))) == "POINT(1 2)")
+    // signed coordinates (southern hemisphere / depths)
+    assert(one(force2d(lit("POINT Z (10 -20 -5)"))) == "POINT(10 -20)")
+    assert(one(force2d(lit("LINESTRING Z (-1.5 -2.5 3, -4 5 -6)")))
+      == "LINESTRING(-1.5 -2.5, -4 5)")
   }
 
   test("promoteMulti wraps POLYGON and LINESTRING, leaves MULTI alone") {
     assert(one(promoteMulti(lit("POLYGON ((1 2, 3 4, 1 2))")))
       == "MULTIPOLYGON ( ((1 2, 3 4, 1 2)))")
+    // Z/M label travels with the type token (reference replaces "POLYGON Z")
+    assert(one(promoteMulti(lit("POLYGON Z ((1 2 9, 3 4 9, 1 2 9))")))
+      == "MULTIPOLYGON Z ( ((1 2 9, 3 4 9, 1 2 9)))")
     assert(one(promoteMulti(lit("MULTIPOLYGON (((1 2, 3 4, 1 2)))")))
       == "MULTIPOLYGON (((1 2, 3 4, 1 2)))")
     assert(one(promoteMulti(lit("POINT (1 2)"))) == "POINT (1 2)")

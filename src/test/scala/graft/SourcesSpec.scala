@@ -25,7 +25,7 @@ class SourcesSpec extends AnyFunSuite {
     val recs = PagedRecords.explodeRecords(pages, "body")
     assert(recs.count() == 3)
     val withId = PagedRecords.addSequentialObjectId(recs,
-      Seq("page_no", "record_idx"))
+      "page_no", "record_idx")
     val names = withId.orderBy("objectid")
       .select(get_json_object(col("record_json"), "$.name")).as[String].collect()
     assert(names.toSeq == Seq("alice", "bob", "carol"))
@@ -43,6 +43,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(0).getString(1) == "215-555-0001")
     assert(out(0).getString(2) == "2024-03-14T09:30:00Z")
     assert(out(1).getString(2) == "2023-12-01T23:05:00Z")
+  }
+
+  test("malformed pages surface as null records instead of vanishing") {
+    val pages = Seq((1, page1), (2, "{\"oops\": true}"), (3, "not json"))
+      .toDF("page_no", "body")
+    val recs = PagedRecords.explodeRecords(pages, "body")
+    assert(recs.count() == 4) // 2 real records + 2 null-marker rows
+    assert(recs.filter(col("record_json").isNull).count() == 2)
   }
 
   test("truncate-and-load replaces table contents") {
