@@ -27,7 +27,10 @@ object Multimodal {
         when(col("magic").startsWith("89504e47"), "image/png")
           .when(col("magic").startsWith("ffd8ff"), "image/jpeg")
           .when(col("magic").startsWith("494433"), "audio/mp3")
-          .when(col("magic").startsWith("00000018"), "video/mp4")
+          // MP4: the first 4 bytes are the (variable) ftyp box size; the
+          // signature is 'ftyp' at bytes 5-8
+          .when(lower(hex(substring(col(payloadCol), 5, 4))) === "66747970",
+            "video/mp4")
           .otherwise("application/octet-stream"))
 
   /** Deterministic fixed-size frame/chunk sampler over a binary column:
@@ -48,7 +51,7 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.flatMap { r =>
+      rows.filter(r => !r.isNullAt(idIdx) && !r.isNullAt(pIdx)).flatMap { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
         val nFrames = (bytes.length + frameSize - 1) / frameSize
@@ -82,7 +85,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
+      rows.filter(r => !r.isNullAt(idIdx) && !r.isNullAt(pIdx)).map { r =>
         val bytes = r.getAs[Array[Byte]](pIdx)
         val bins = new Array[Double](4)
         var i = 0

@@ -24,6 +24,8 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 aggs: Map[String, (Column, Column => Column)]): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(!df.columns.contains("_salt"), "input already has a _salt column")
     val salted = df.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val phase1 = salted
@@ -44,6 +46,13 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` null-extended copies of every
+    // unmatched (replicated) right row — only left-preserving types are sound
+    require(Seq("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin cannot preserve right/full outer semantics (got $joinType)")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "input already has a _salt column")
     val saltedLeft = left.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val saltedRight = right.withColumn("_salt",

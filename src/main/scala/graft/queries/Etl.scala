@@ -158,7 +158,7 @@ object Etl {
          FROM documents ORDER BY doc_id""",
     "etl_tz_localize" ->
       """SELECT event_id,
-         strftime(CAST(ts AT TIME ZONE 'America/New_York' AS TIMESTAMP),
+         strftime(CAST((ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS utc_ts
          FROM events ORDER BY event_id""",
     "etl_upsert" ->

@@ -48,7 +48,7 @@ object MmStream {
     Streams.dedupEvents(dupEvents(s, d), withWatermark = false)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,12 +63,18 @@ object MmStream {
       """SELECT doc_id,
          octet_length(encode(text)) AS byte_len,
          md5(text) AS content_md5,
-         lower(hex(encode(substr(text, 1, 4)))) AS magic,
-         'application/octet-stream' AS sniffed_type
+         lower(substr(hex(encode(text)), 1, 8)) AS magic,
+         CASE
+           WHEN lower(substr(hex(encode(text)), 1, 8)) = '89504e47' THEN 'image/png'
+           WHEN lower(substr(hex(encode(text)), 1, 6)) = 'ffd8ff' THEN 'image/jpeg'
+           WHEN lower(substr(hex(encode(text)), 1, 6)) = '494433' THEN 'audio/mp3'
+           WHEN lower(substr(hex(encode(text)), 9, 8)) = '66747970' THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type
          FROM documents ORDER BY doc_id""",
     // mm_frame_sample: rows-only (imperative mapPartitions; spec-tested)
     "stream_window_agg" ->
-      """SELECT strftime(to_timestamp(floor(epoch(ts) / 1800) * 1800),
+      """SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS win_start,
          event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -76,7 +82,10 @@ object MmStream {
     "stream_dedup_state" ->
       """WITH dup AS (SELECT * FROM events
                       UNION ALL SELECT * FROM events WHERE event_id % 10 = 0),
-         deduped AS (SELECT DISTINCT * FROM dup)
+         deduped AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_id
+                 ORDER BY ts, value, event_type, props) AS _rn FROM dup)
+           WHERE _rn = 1)
          SELECT event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM deduped GROUP BY 1 ORDER BY 1"""

@@ -15,9 +15,8 @@ import graft.core.Tables._
   */
 object Relational {
 
-  /** sum(x as decimal(p,s)) emitted as a bit-deterministic double. */
   private def dsum(c: Column, prec: Int = 28, scale: Int = 6): Column =
-    sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+    graft.core.Determinism.dsum(c, prec, scale)
 
   private def revenue(df: DataFrame): Column =
     df("l_extendedprice") * (lit(1.0) - df("l_discount"))
@@ -270,7 +269,7 @@ object Relational {
       """WITH gapped AS (
            SELECT user_id,
              CASE WHEN prev_ts IS NULL
-                  OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800 THEN 1 ELSE 0 END AS new_sess
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_sess
            FROM (SELECT user_id, ts,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                  FROM events))
