@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver/test environments). */
   def local(appName: String = "graft"): SparkSession = {
@@ -30,6 +31,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate returns any PRE-EXISTING session, silently ignoring every
+    // builder config — re-apply the runtime-settable ones so graft behaves
+    // identically either way (extensions can't be injected post-hoc, but
+    // the function registry can).
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    if (!s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")))
+      graft.plans.GraftExtensions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

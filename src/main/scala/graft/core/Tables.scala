@@ -24,6 +24,10 @@ object Tables {
     * (truncating to micros — all downstream ops bucket at >= second grain).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // session-global legacy flag, also declared in GraftSession.builder;
+    // set here too so events() works on sessions built elsewhere (driver,
+    // tests). Documented side effect: later nanos-parquet reads in this
+    // session also map nanos to long.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -7,8 +7,10 @@ import graft.functions.HashFunctions._
 
 /** Text-analysis operators for LLM-pipeline curation (SURVEY.md §2):
   * language-ID, quality scoring, token counting, fingerprinting. All pure
-  * column math / HOFs over the documents table — codegen end to end, no
-  * UDFs, so they run at corpus scale as a single projection pass.
+  * column math over the documents table, no UDFs — a single projection
+  * pass at corpus scale. (markerCount uses a filter HOF, which is
+  * interpreted rather than codegen'd: fine for the handful of marker
+  * words per language, noted here so nobody widens the lists blindly.)
   */
 object Text {
 
@@ -53,7 +55,7 @@ object Text {
     val nWords = size(toks)
     val nDistinct = size(array_distinct(toks))
     val stop = markerCount(text, markers("en"))
-    val punct = nChars - length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val punct = nChars - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
     val wordRatio = nDistinct.cast("double") / nWords
     val stopRatio = stop.cast("double") / nWords
     val punctRatio = punct.cast("double") / nChars
@@ -74,10 +76,10 @@ object Text {
     val text = col("text")
     doc.select(col("doc_id"),
         size(tokens(text)).as("n_ws_tokens"),
-        regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe_tokens"),
+        regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe_tokens"),
         length(text).as("n_chars"),
         (length(text).cast("double") /
-          regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+          regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
           .as("chars_per_token"))
       .orderBy("doc_id")
   }
@@ -89,7 +91,9 @@ object Text {
     doc.select(col("doc_id"),
         md5Long(norm).as("content_fp"),
         md5Long(substring(norm, 1, 64)).as("head_fp"),
-        md5Long(concat_ws("|", col("source"), col("lang"))).as("meta_fp"))
+        md5Long(concat_ws("|",
+          coalesce(col("source"), lit("")), coalesce(col("lang"), lit(""))))
+          .as("meta_fp"))
       .orderBy("doc_id")
   }
 
@@ -152,7 +156,7 @@ object Text {
            len(string_split(lower(text), ' ')) AS n_words,
            len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
            $stop AS n_stopwords,
-           length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct
+           length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS punct
          FROM documents)
          SELECT doc_id, n_chars, n_words, n_distinct_words, n_stopwords,
            floor(CAST(n_distinct_words AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
@@ -166,10 +170,10 @@ object Text {
     "text_tokens" ->
       """SELECT doc_id,
          len(string_split(lower(text), ' ')) AS n_ws_tokens,
-         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
          length(text) AS n_chars,
          CAST(length(text) AS DOUBLE)
-           / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
            AS chars_per_token
          FROM documents ORDER BY doc_id""",
     "text_pii_scrub" -> {
@@ -193,7 +197,7 @@ object Text {
       s"""SELECT doc_id,
          ${md5LongSql(norm)} AS content_fp,
          ${md5LongSql(s"substr($norm, 1, 64)")} AS head_fp,
-         ${md5LongSql("concat(source, '|', lang)")} AS meta_fp
+         ${md5LongSql("concat(coalesce(source,''), '|', coalesce(lang,''))")} AS meta_fp
          FROM documents ORDER BY doc_id"""
     }
   )
