@@ -66,7 +66,10 @@ object Dedup {
       .select(col("doc_id"), md5Long(col("sh0")).as("sh"))
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashes(s, d)
+    // the shingle relation feeds three plan branches (both join sides + the
+    // per-doc counts); materialize it once instead of recomputing the
+    // explode+hash pipeline three times
+    val sh = shingleHashes(s, d).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
     val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
