@@ -14,4 +14,14 @@ object Determinism {
     */
   def dsum(c: Column, prec: Int = 28, scale: Int = 6): Column =
     sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+
+  /** 4-dp rounding as pure double arithmetic (floor(x*1e4+0.5)/1e4): unlike
+    * round(), identical IEEE doubles give identical results in every engine
+    * (Spark's exact-BigDecimal HALF_UP and DuckDB's double round() disagree
+    * on half-way doubles).
+    */
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** SQL twin of [[r4]] for the DuckDB oracles. */
+  def r4Sql(expr: String): String = s"floor(($expr) * 10000.0 + 0.5) / 10000.0"
 }

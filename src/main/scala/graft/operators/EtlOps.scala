@@ -30,6 +30,14 @@ object EtlOps {
         renamedFirst = true; "objectid"
       } else c
     }
+    // distinct inputs can sanitize to one name ('A#B' and 'a_b' → 'a_b');
+    // toDF would accept the duplicates and every later by-name lookup or
+    // parquet write would fail far from here — fail fast with the originals
+    val collisions = df.columns.zip(fixed).groupBy(_._2).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      "header sanitation collisions: " + collisions.map { case (to, from) =>
+        from.map(_._1).mkString("[", ", ", "]") + " -> " + to
+      }.mkString("; "))
     df.toDF(fixed.toIndexedSeq: _*)
   }
 

@@ -53,7 +53,7 @@ object Ann {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+        graft.core.Determinism.r4(col("cos")).as("cos"))
       .orderBy("probe_id", "rk")
   }
 
@@ -101,7 +101,7 @@ object Ann {
     cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= CAND_TOPK)
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+        graft.core.Determinism.r4(col("cos")).as("cos"))
       .orderBy("probe_id", "rk")
   }
 
@@ -162,7 +162,7 @@ object Ann {
     cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= CAND_TOPK)
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+        graft.core.Determinism.r4(col("cos")).as("cos"))
       .orderBy("probe_id", "rk")
   }
 
@@ -212,7 +212,7 @@ object Ann {
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM scored)
-         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         SELECT probe_id, rk, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
          FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
     "ann_ivf" ->
       s"""WITH $vecsSql, $normsSql,
@@ -244,7 +244,7 @@ object Ann {
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM cand)
-         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         SELECT probe_id, rk, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
          FROM final_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_lsh" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql,
@@ -266,7 +266,7 @@ object Ann {
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM scored)
-         SELECT probe_id, rk, neighbor_id, round(cos, 4) AS cos
+         SELECT probe_id, rk, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
          FROM ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk"""
   )
 }

@@ -79,7 +79,8 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(col("jaccard")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -175,7 +176,7 @@ object Dedup {
        sims AS (SELECT doc_id, $simExpr AS sim FROM sums),
        chunked AS ($chunks)
        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         bit_count(xor(a.sim, b.sim)) AS hamming
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
        FROM chunked a JOIN chunked b
          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sim, b.sim)) <= 3
@@ -237,7 +238,8 @@ object Dedup {
     pairs.join(na, "a_id").join(nb, "b_id")
       .withColumn("cos", col("dot") / sqrt(col("na") * col("nb")))
       .filter(col("cos") >= 0.99)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(col("cos")).as("cos"))
       .orderBy("a_id", "b_id")
   }
 
@@ -253,7 +255,7 @@ object Dedup {
                 JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                 JOIN vecs av ON av.vec_id = a.vec_id
                 JOIN vecs bv ON bv.vec_id = b.vec_id)
-       SELECT a_id, b_id, round(dot / sqrt(na.nrm * nb.nrm), 4) AS cos
+       SELECT a_id, b_id, ${graft.core.Determinism.r4Sql("dot / sqrt(na.nrm * nb.nrm)")} AS cos
        FROM dots
        JOIN norms na ON na.vec_id = a_id AND na.nrm > 0
        JOIN norms nb ON nb.vec_id = b_id AND nb.nrm > 0
@@ -262,16 +264,30 @@ object Dedup {
 
   // ---- pair → keep/drop resolution ---------------------------------------
   /** Connected-components-style keep-min-id resolution (§3): iterative
-    * min-label propagation over the near-dup pair graph. `iterations` hops
-    * bound the work (dup clusters are shallow in practice); each iteration
-    * is one join + one min-aggregation — no driver-side graph.
+    * min-label propagation over the near-dup pair graph, run to a fixed
+    * point. Convergence is detected by the label-sum: labels only ever
+    * decrease under min-propagation, so an unchanged sum means no label
+    * moved anywhere. Each pass is one join + one min-aggregation + one
+    * scalar agg — no driver-side graph; passes needed = graph diameter
+    * (O(log n) for the chain-shaped dup clusters prefix-perturbation makes).
+    * `maxIterations` is a runaway bound: hitting it without convergence
+    * throws rather than silently returning partial labels.
     */
-  def resolveKeepMin(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+  def resolveKeepMin(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty pair set
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIterations) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       // localCheckpoint truncates lineage: each iteration references the
@@ -279,7 +295,13 @@ object Dedup {
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iters += 1
     }
+    require(converged,
+      s"resolveKeepMin did not converge within $maxIterations iterations")
     labels
   }
 
@@ -320,7 +342,7 @@ object Dedup {
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT a_id, b_id,
-           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+           ${graft.core.Determinism.r4Sql("CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)")} AS jaccard
          FROM inter
          JOIN cnt ca ON ca.doc_id = a_id
          JOIN cnt cb ON cb.doc_id = b_id

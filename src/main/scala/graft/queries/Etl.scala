@@ -30,12 +30,18 @@ object Etl {
   }
 
   // JSON-schema-driven casts: numeric narrowing, decimal, date, string.
+  // The DECIMAL/DATE values are rendered as strings in the final projection:
+  // the cast semantics are still exercised (and spec-tested as typed), but the
+  // comparison surface avoids engine-specific typed encodings (int128/decimal/
+  // date32) that hash differently across DuckDB/Arrow readers.
   def schemaCast(s: SparkSession, d: String): DataFrame = {
     EtlOps.castColumns(orders(s, d), Map(
       "o_orderkey"   -> "int",
       "o_totalprice" -> "decimal(12,2)",
       "o_orderdate"  -> "date"))
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
       .orderBy("o_orderkey")
   }
 
@@ -142,8 +148,9 @@ object Etl {
          FROM orders ORDER BY o_orderkey""",
     "etl_schema_cast" ->
       """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_custkey,
-         o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
-         CAST(o_orderdate AS DATE) AS o_orderdate
+         o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_totalprice,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
          FROM orders ORDER BY o_orderkey""",
     "etl_null_clean" ->
       """SELECT doc_id,
@@ -191,14 +198,14 @@ object Etl {
            CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS acctbal
          FROM customer)
          SELECT 'acctbal' AS column_name,
-           sum(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS n_null,
-           0 AS n_empty FROM planted
+           CAST(sum(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(0 AS BIGINT) AS n_empty FROM planted
          UNION ALL SELECT 'name',
-           sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END),
-           sum(CASE WHEN name = '' THEN 1 ELSE 0 END) FROM planted
+           CAST(sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN name = '' THEN 1 ELSE 0 END) AS BIGINT) FROM planted
          UNION ALL SELECT 'segment',
-           sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END),
-           sum(CASE WHEN segment = '' THEN 1 ELSE 0 END) FROM planted
+           CAST(sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN segment = '' THEN 1 ELSE 0 END) AS BIGINT) FROM planted
          ORDER BY column_name""",
     "etl_schema_diff" ->
       """SELECT * FROM (VALUES

@@ -273,11 +273,11 @@ object Relational {
            FROM (SELECT user_id, ts,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                  FROM events))
-         SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM gapped GROUP BY 1 ORDER BY 1""",
     "q14_json_extract" ->
       """SELECT event_type,
-         sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          count(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS n_k
          FROM events GROUP BY 1 ORDER BY 1"""
   )

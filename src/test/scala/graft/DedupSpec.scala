@@ -83,12 +83,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("resolveKeepMin: chain components collapse to the min id") {
-    // chain 1-2-3-4 plus isolated pair 10-11
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
-    val labels = Dedup.resolveKeepMin(pairs, iterations = 3)
+    // 9-node chain (needs >3 propagation hops — the fixed-point loop must
+    // keep going until labels stop moving) plus isolated pair 100-101
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveKeepMin(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    val expected = (1L to 9L).map(_ -> 1L).toMap ++ Map(100L -> 100L, 101L -> 100L)
+    assert(labels == expected)
   }
 
   test("drop list contains exactly the planted duplicate ids from minhash") {

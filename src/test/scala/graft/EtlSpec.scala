@@ -20,6 +20,12 @@ class EtlSpec extends AnyFunSuite {
     assert(EtlOps.sanitizeHeader(df).columns.toSeq == Seq("objectid", "objectid_1"))
   }
 
+  test("sanitizeHeader fails fast on post-sanitation name collisions") {
+    val df = Seq((1, 2)).toDF("A#B", "a_b")
+    val e = intercept[IllegalArgumentException](EtlOps.sanitizeHeader(df))
+    assert(e.getMessage.contains("A#B") && e.getMessage.contains("a_b"))
+  }
+
   test("cleanNullBytes strips real NUL bytes") {
     val df = Seq(("a\u0000b\u0000c", 1L)).toDF("s", "id")
     val out = EtlOps.cleanNullBytes(df, Seq("s")).select("s").as[String].head()

@@ -24,6 +24,16 @@ def norm(rows, cols):
         out.append(tuple(vals))
     return sorted(out), [cols[i] for i in order]
 
+# Types whose python/pandas/arrow renderings diverge between a DuckDB query
+# result and a Spark-written parquet file (int128 vs int64, decimal vs float,
+# date32 vs timestamp). fetchall() coerces them identically so a str() compare
+# passes locally while a typed hash (the driver's) fails — lint them out.
+FRAGILE = ("HUGEINT", "DECIMAL", "DATE", "TIME", "UHUGEINT", "TINYINT", "SMALLINT")
+def fragile(types):
+    return [str(t) for t in types
+            if any(str(t).upper().startswith(f) for f in FRAGILE)
+            and not str(t).upper().startswith("TIMESTAMP")]
+
 fails = 0
 for name in sorted(oracle):
     res_dir = f"{out}/{name}"
@@ -36,6 +46,9 @@ for name in sorted(oracle):
         d_rows, d_cols = norm(d_rel.fetchall(), d_rel.columns)
     except Exception as e:
         print(f"FAIL {name}: oracle error {str(e)[:200]}"); fails += 1; continue
+    bad = fragile(d_rel.types) + fragile(spark_rel.types)
+    if bad:
+        print(f"FAIL {name}: hash-fragile result types {bad}"); fails += 1; continue
     if s_cols != d_cols:
         print(f"FAIL {name}: cols {s_cols} != {d_cols}"); fails += 1; continue
     if s_rows != d_rows:
