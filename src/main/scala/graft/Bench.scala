@@ -4,19 +4,35 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. Each query is executed once untimed (JIT/codegen
   * warm-up + file-index population — on a long-lived cluster these costs
-  * amortize to zero) and then timed.
+  * amortize to zero) and then timed twice, reporting the best run.
+  *
+  * Between runs every persisted block (localCheckpoint RDDs from the dedup
+  * family) is dropped: without this, ~100 query executions of leftover
+  * blocks pile up in the block manager and mid-bench queries pay their GC
+  * bill — each measurement must see the same clean executor state.
   */
 object Bench {
+  private def clearState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("graft-bench")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      def run(): Boolean =
+        try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      run(); clearState(spark) // warm
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = run()
+        val t = (System.nanoTime() - t0) / 1e9
+        clearState(spark)
+        if (ok) t else -1.0
+      }
       // failed queries report -1, never a misleading tiny duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
