@@ -168,6 +168,17 @@ object EtlOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /** Deterministic `pct`% sample: keep rows whose salted content hash of
+    * `key` lands in the first `pct` of 100 buckets. Reproducible across
+    * runs, engines and cluster sizes (unlike `df.sample`, which is seeded
+    * per partition split), and consistent across tables sharing a key —
+    * sample orders and lineitem by the same order key and the sample joins.
+    */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(graft.functions.HashFunctions.md5Long(key) % 100 < pct)
+  }
+
   /** Geocoder-style enrichment (ais_geocoder.py): left join a broadcast
     * lookup keyed on `keys`, appending its non-key fields. The reference
     * calls an HTTP geocoder per row; at scale the lookup is a dimension

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism.{dsum, r4, r4Sql}
+import graft.core.Tables._
+import graft.functions.HashFunctions._
+import graft.operators.{AsofJoin, Skew}
+
+/** Advanced relational operators (SURVEY.md §2 "advanced"): as-of join,
+  * range join, exact quantiles, deterministic sampling, salted-skew
+  * aggregation, and the stateful-streaming sessionizer's oracle twin.
+  */
+object Advanced {
+
+  // ---- as-of join: latest purchase at or before each event ----------------
+  /** For every non-purchase event, the same user's most recent purchase
+    * event at or before it (−1 when the user never purchased yet). The
+    * right side is pre-reduced to one row per (user, ts) — (user_id, ts)
+    * is unique in the corpus, but the reduction keeps the operator
+    * deterministic on any input (see AsofJoin.asofLast's contract).
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val lefts = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rights = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_id"))
+    AsofJoin.asofLast(lefts, rights, Seq("user_id"), "ts", "p_ts",
+        Seq("p_id", "p_ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("p_id"), lit(-1L)).as("last_purchase_id"),
+        coalesce(col("ts").cast("long") - col("p_ts").cast("long"), lit(-1L))
+          .as("secs_since_purchase"))
+      .orderBy("event_id")
+  }
+
+  // ---- range join: events banded into value tiers -------------------------
+  private val tierRows = Seq(
+    ("bronze", 0.0, 50.0), ("silver", 50.0, 150.0),
+    ("gold", 150.0, 300.0), ("platinum", 300.0, 1000.0))
+
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = tierRows.toDF("tier", "lo", "hi")
+    AsofJoin.rangeJoinBroadcast(events(s, d), tiers, "value", "lo", "hi")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 18, 2).as("sum_value"))
+      .orderBy("tier")
+  }
+
+  // ---- exact interpolated percentiles per group ---------------------------
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r4(percentile(col("l_extendedprice"), lit(0.95))).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- deterministic hash sample (reproducible at any scale) --------------
+  /** 5% sample of orders keyed on a salted content hash: the same rows are
+    * selected on every run, every engine, every cluster size — the property
+    * `df.sample()` (seeded per-partition-split) cannot give.
+    */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.EtlOps.hashSample(
+        orders(s, d), concat(lit("smp:"), col("o_orderkey")), 5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  // ---- salted two-phase aggregation (skew-proof, exact) -------------------
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    Skew.saltedAgg(li, Seq("l_returnflag"), buckets = 8, aggs = Map(
+      "n_rows" -> (count(lit(1)), (c: Column) => sum(c)),
+      "sum_qty" -> (sum(col("l_quantity").cast("decimal(28,6)")),
+        (c: Column) => sum(c).cast("double"))))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- stateful sessionizer, oracle-checked -------------------------------
+  /** The flatMapGroupsWithState sessionizer run in batch mode (identical
+    * code path to the stream; readStream parity is pinned in StreamSpec) —
+    * giving the custom-state operator the same DuckDB oracle as q13.
+    */
+  def streamSessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.sessionizeStateful(events(s, d), gapSec = 1800L)
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join"         -> (asofJoin _),
+    "range_join"        -> (rangeJoin _),
+    "q15_percentile"    -> (percentiles _),
+    "etl_hash_sample"   -> (hashSample _),
+    "skew_salted_agg"   -> (skewSaltedAgg _),
+    "stream_sessionize" -> (streamSessionize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH lefts AS (
+           SELECT event_id, user_id, ts, event_type FROM events
+           WHERE event_type <> 'purchase'),
+         rights AS (
+           SELECT user_id, ts AS p_ts, max(event_id) AS p_id FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.event_id, l.user_id, l.event_type,
+           coalesce(r.p_id, -1) AS last_purchase_id,
+           coalesce(CAST(floor(epoch(l.ts)) AS BIGINT)
+                    - CAST(floor(epoch(r.p_ts)) AS BIGINT), -1)
+             AS secs_since_purchase
+         FROM lefts l ASOF LEFT JOIN rights r
+           ON l.user_id = r.user_id AND r.p_ts <= l.ts
+         ORDER BY event_id""",
+    "range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+           ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),
+           ('gold', 150.0, 300.0), ('platinum', 300.0, 1000.0))
+         SELECT tier, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN tiers ON value >= lo AND value < hi
+         GROUP BY 1 ORDER BY 1""",
+    "q15_percentile" ->
+      s"""SELECT l_returnflag,
+         ${r4Sql("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+         ${r4Sql("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "etl_hash_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE ${md5LongSql("concat('smp:', o_orderkey)")} % 100 < 5
+         ORDER BY o_orderkey""",
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "stream_sessionize" -> Relational.oracles("q13_sessionize")
+  )
+}
