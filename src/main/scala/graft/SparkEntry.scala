@@ -14,12 +14,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Etl.queries ++
       graft.queries.Geom.queries ++ graft.queries.Dedup.queries ++
       graft.queries.Ann.queries ++ graft.queries.Text.queries ++
-      graft.queries.MmStream.queries ++ graft.queries.Advanced.queries
+      graft.queries.MmStream.queries ++ graft.queries.Advanced.queries ++
+      graft.queries.Ingest.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Etl.oracles ++
       graft.queries.Geom.oracles ++ graft.queries.Dedup.oracles ++
       graft.queries.Ann.oracles ++ graft.queries.Text.oracles ++
-      graft.queries.MmStream.oracles ++ graft.queries.Advanced.oracles
+      graft.queries.MmStream.oracles ++ graft.queries.Advanced.oracles ++
+      graft.queries.Ingest.oracles
 }

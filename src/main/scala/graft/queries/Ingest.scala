@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.sources.{CleanCsv, PagedRecords}
+
+/** Ingest-path driver queries: the reference's csv-cleaning read and
+  * paged-API record coercions (SURVEY.md §1 items 1 and 7), oracle-gated.
+  * Each query deterministically STAGES a dirty input (a CSV with BOM/NUL
+  * dirt; knack-shaped JSON pages) from a testdata table, runs the
+  * ingest operator, and the oracle recomputes the expected clean output
+  * straight from the table — so the whole dirty round trip must cancel out
+  * exactly.
+  */
+object Ingest {
+
+  // ---- cleaning CSV read: BOM + '#' headers + NUL bytes + latin-1 ---------
+  /** Stage the nation table as a deliberately dirty CSV: a UTF-8 BOM
+    * before the first header, Oracle-style `#` header separators, a NUL byte planted in
+    * every 3rd name and a multi-byte 'é' in every 5th (the cleaner must
+    * strip exactly the NUL and keep the é). The latin-1 fallback read is
+    * exercised separately in CleanCsvSpec — one file cannot be both
+    * BOM-marked UTF-8 and latin-1. Driver-side staging only writes the
+    * small fixture; the read path itself stays fully distributed.
+    */
+  private val BOM = "\uFEFF"
+
+  private def stageDirtyCsv(s: SparkSession, d: String): String = {
+    val rows = nation(s, d)
+      .orderBy("n_nationkey")
+      .collect()
+      .map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1) +
+          (if (k % 3 == 0) "\u0000" else "") + (if (k % 5 == 0) "é" else "")
+        s"$k,$name,${r.getAs[Number](2).longValue}"
+      }
+    val header = BOM + "NATION#KEY,N#NAME,REGION#KEY"
+    val content = (header +: rows).mkString("\n")
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_stage", java.lang.Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("nation_dirty.csv")
+    java.nio.file.Files.write(f,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  private val nationSchemaJson =
+    """[{"name": "NATION#KEY", "type": "integer"},
+        {"name": "N#NAME", "type": "string"},
+        {"name": "REGION#KEY", "type": "integer"}]"""
+
+  def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val path = stageDirtyCsv(s, d)
+    CleanCsv.read(s, path, Some(nationSchemaJson))
+      .orderBy("nation_key")
+  }
+
+  // ---- paged-API record coercion (knack/airtable semantics) ---------------
+  /** Stage knack-shaped JSON pages from the customer table — 100 records
+    * per page, records sorted by id within a page — then explode + coerce:
+    * phone `{"full": ...}`, connection `[{"id": ...}]`, date_time
+    * `{"timestamp": "M/d/yyyy h:mm a"}`, plus the sequential objectid in
+    * (page, in-page-index) order. The page construction is itself
+    * distributed (one groupBy), so a million-page dump stages the same way.
+    */
+  def pagedCoerce(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val rec = struct(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      struct(concat(lit("555-"), col("c_custkey")).as("full")).as("phone"),
+      struct(format_string("%d/%d/2020 %d:%02d %s",
+        col("c_custkey") % 12 + 1, col("c_custkey") % 28 + 1,
+        col("c_custkey") % 12 + 1, col("c_custkey") % 60,
+        when(col("c_custkey") % 2 === 0, "AM").otherwise("PM"))
+        .as("timestamp")).as("when"),
+      array(
+        struct(concat(lit("cn-"), col("c_custkey")).as("id")),
+        struct(concat(lit("cn-"), col("c_custkey") + 1).as("id"))).as("conns"))
+    val pages = c.groupBy(expr("c_custkey div 100").as("page"))
+      .agg(to_json(struct(sort_array(collect_list(rec)).as("records")))
+        .as("page_json"))
+    val records = PagedRecords.explodeRecords(pages, "page_json")
+    val coerced = PagedRecords.addSequentialObjectId(records, "page", "record_idx")
+      .select(
+        col("objectid"),
+        get_json_object(col("record_json"), "$.id").cast("long").as("id"),
+        PagedRecords.coerceValue(col("record_json"), "name").as("name"),
+        PagedRecords.coercePhone(col("record_json"), "phone").as("phone"),
+        PagedRecords.coerceConnection(col("record_json"), "conns").as("conn_ids"),
+        PagedRecords.coerceDateTime(col("record_json"), "when").as("event_ts"))
+    coerced.orderBy("objectid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_csv_ingest"   -> (csvIngest _),
+    "etl_paged_coerce" -> (pagedCoerce _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the NUL planted in every 3rd name must be scrubbed (no trace here);
+    // the latin-1 é must survive the fallback read byte-exactly
+    "etl_csv_ingest" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS nation_key,
+         n_name || CASE WHEN n_nationkey % 5 = 0 THEN 'é' ELSE '' END AS n_name,
+         CAST(n_regionkey AS INTEGER) AS region_key
+         FROM nation ORDER BY nation_key""",
+    "etl_paged_coerce" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) AS objectid,
+         c_custkey AS id, c_name AS name,
+         '555-' || c_custkey AS phone,
+         '["cn-' || c_custkey || '","cn-' || (c_custkey + 1) || '"]' AS conn_ids,
+         printf('2020-%02d-%02dT%02d:%02d:00Z',
+           c_custkey % 12 + 1, c_custkey % 28 + 1,
+           CASE WHEN c_custkey % 2 = 0
+                THEN (c_custkey % 12 + 1) % 12
+                ELSE (c_custkey % 12 + 1) % 12 + 12 END,
+           c_custkey % 60) AS event_ts
+         FROM customer ORDER BY objectid"""
+  )
+}
