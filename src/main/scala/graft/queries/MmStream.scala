@@ -33,6 +33,23 @@ object MmStream {
       .orderBy("id", "frame_idx")
   }
 
+  // feature-extraction stub over the binary payload, oracle-checked: the
+  // deterministic fake (4-bin byte histogram) is recomputable in DuckDB
+  // because the documents corpus is pure ASCII (byte ≡ char) — so even the
+  // mapPartitions decode path gets a cross-engine correctness gate
+  def featureExtract(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val r4 = graft.core.Determinism.r4 _
+    Multimodal.decodeStub(doc, "doc_id", "payload")
+      .select(col("id").as("doc_id"),
+        r4(element_at(col("features"), 1)).as("f0"),
+        r4(element_at(col("features"), 2)).as("f1"),
+        r4(element_at(col("features"), 3)).as("f2"),
+        r4(element_at(col("features"), 4)).as("f3"))
+      .orderBy("doc_id")
+  }
+
   // tumbling-window agg (batch twin; stream parity in StreamSpec)
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
     Streams.windowAgg(events(s, d), withWatermark = false)
@@ -54,6 +71,7 @@ object MmStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_frame_sample"   -> (frameSample _),
+    "mm_feature_extract" -> (featureExtract _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup_state" -> (streamDedup _)
   )
@@ -73,6 +91,26 @@ object MmStream {
          END AS sniffed_type
          FROM documents ORDER BY doc_id""",
     // mm_frame_sample: rows-only (imperative mapPartitions; spec-tested)
+    "mm_feature_extract" -> {
+      val r4 = graft.core.Determinism.r4Sql _
+      s"""WITH chars AS (
+           SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) // 64 AS bin
+           FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+         hist AS (
+           SELECT doc_id,
+             sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS b0,
+             sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+             sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+             sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3,
+             count(*) AS n
+           FROM chars GROUP BY 1)
+         SELECT doc_id,
+           ${r4("CAST(b0 AS DOUBLE) / n")} AS f0,
+           ${r4("CAST(b1 AS DOUBLE) / n")} AS f1,
+           ${r4("CAST(b2 AS DOUBLE) / n")} AS f2,
+           ${r4("CAST(b3 AS DOUBLE) / n")} AS f3
+         FROM hist ORDER BY doc_id"""
+    },
     "stream_window_agg" ->
       """SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS win_start,
