@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. Each query is executed once untimed (JIT/codegen
   * warm-up + file-index population — on a long-lived cluster these costs
-  * amortize to zero) and then timed twice, reporting the best run.
+  * amortize to zero) and then timed three times, reporting the best run
+  * (single-JVM local mode sees multi-second GC/OS stalls often enough
+  * that two samples can both be hit).
   *
   * Between runs every persisted block (localCheckpoint RDDs from the dedup
   * family) is dropped: without this, ~100 query executions of leftover
@@ -24,7 +26,7 @@ object Bench {
       def run(): Boolean =
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       run(); clearState(spark) // warm
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = run()
         val t = (System.nanoTime() - t0) / 1e9

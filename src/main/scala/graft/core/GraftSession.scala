@@ -23,9 +23,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Local session sized by SPARK_GRAFT_CPUS (driver/test environments). */
+  /** Local session sized by SPARK_GRAFT_CPUS, defaulting to every core the
+    * machine has (the driver benches on a 32-core box — a "4" default left
+    * 28 cores idle in any environment that didn't set the variable).
+    */
   def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val s = builder(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

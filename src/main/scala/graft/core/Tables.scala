@@ -36,4 +36,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Ensure minimum map-side parallelism. The testdata tables are single
+    * parquet files with ONE row group, so Spark scans them as one partition
+    * and everything before the first shuffle — shingle hashing, token
+    * explosion, vector dot products — runs on one core of 32. Redistribute
+    * cheaply (the inputs are small; the derived work is what's expensive)
+    * up to the session's parallelism. On a production cluster inputs arrive
+    * in many splits and this no-ops.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

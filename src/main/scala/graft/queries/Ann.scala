@@ -26,10 +26,14 @@ object Ann {
   private val TOPK = 5
   private val PLANES = 6 // 64 buckets
 
-  /** Embeddings as double vectors; every 50th vector doubles as a probe. */
+  /** Embeddings as double vectors; every 50th vector doubles as a probe.
+    * spread: the single-row-group source otherwise serializes every dot
+    * product onto one scan task (see Tables.spread).
+    */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    graft.core.Tables.spread(
+      embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")))
 
   private def cosCols(dot: Column, na: Column, nb: Column): Column =
     dot / sqrt(na * nb)
@@ -37,9 +41,12 @@ object Ann {
   // ---- exact top-k cosine neighbors for the probe set ---------------------
   def bruteforce(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
+    // materialized once: feeds BOTH the probe and corpus branches — without
+    // it Catalyst re-runs the scan+norm pipeline per branch
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
       .join(all, "vec_id")
+      .localCheckpoint()
     val probes = norms.filter(col("vec_id") % PROBE_MOD === 0)
       .toDF("probe_id", "pnrm", "pv")
     val corpus = norms.toDF("neighbor_id", "cnrm", "cv")
@@ -74,9 +81,15 @@ object Ann {
     val s = vecsDf.sparkSession
     val elems = vecsDf.select(col("vec_id"),
       posexplode(col("v")).as(Seq("dim", "x")))
+    // hyperplane sign dots need an ORDER-FREE exact sum (grouped sums have
+    // no defined order). Scaled-long accumulation gives that at long-add
+    // speed: x*comp*1e9 is the same IEEE double in both engines, floor of
+    // it the same integer — where a decimal(30,15) sum pays BigDecimal
+    // boxing on every row. 1e-9 sign resolution only moves buckets for
+    // |pdot| < 64e-9, identically in both engines.
     val pdots = elems.join(broadcast(planes(s)), "dim")
       .groupBy(col("vec_id"), col("p"))
-      .agg(sum((col("x") * col("comp")).cast("decimal(30,15)")).as("pdot"))
+      .agg(sum(floor(col("x") * col("comp") * 1e9).cast("long")).as("pdot"))
     pdots.groupBy(col("vec_id"))
       .agg(sum(when(col("pdot") > 0,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
@@ -87,7 +100,10 @@ object Ann {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+    // materialized once: probe and corpus branches would otherwise each
+    // recompute the norm + hyperplane-bucket pipelines
     val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
+      .localCheckpoint()
     val probes = withB.filter(col("vec_id") % PROBE_MOD === 0)
       .toDF("probe_id", "pv", "pnrm", "bucket")
     val corpus = withB.toDF("neighbor_id", "cv", "cnrm", "bucket")
@@ -117,11 +133,21 @@ object Ann {
     * spec's cell-scoping assertion. Coarse assignment is centroids×corpus
     * map-side work (centroids broadcast).
     */
-  private[graft] def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfCells(withNorms(s, d))
+
+  /** (vec_id, v, nrm), materialized once per query — shared by the
+    * codebook, the coarse assignment, and the probe/corpus branches (four
+    * consumers; without the checkpoint each re-runs scan + norms).
+    */
+  private def withNorms(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
-    val withN = all.join(norms, "vec_id")
+    all.join(norms, "vec_id").select("vec_id", "v", "nrm").localCheckpoint()
+  }
+
+  private def ivfCells(withN: DataFrame): (DataFrame, DataFrame) = {
     val cents = withN.filter(col("vec_id") % CENT_MOD === 1)
       .toDF("cent_id", "cv", "cnrm")
     // similarity of every vector to every centroid (centroids broadcast)
@@ -141,11 +167,8 @@ object Ann {
   }
 
   def ivf(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
-    val norms = all.select(col("vec_id"),
-      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
-    val withN = all.join(norms, "vec_id")
-    val (assignment, probeCells) = ivfCells(s, d)
+    val withN = withNorms(s, d)
+    val (assignment, probeCells) = ivfCells(withN)
     val corpus = withN.join(assignment, "vec_id")
       .toDF("neighbor_id", "cv2", "cnrm2", "cell")
     val probes = withN.toDF("probe_id", "pv", "pnrm")
@@ -188,7 +211,7 @@ object Ann {
          CAST((${md5LongSql("concat('pl:', p, ':', d)")} & 1) * 2 - 1 AS DOUBLE) AS comp
        FROM range(0, $PLANES) t1(p), range(0, 64) t2(d)),
      pdots AS (SELECT e.vec_id, pl.p,
-         sum(CAST(e.x * pl.comp AS DECIMAL(30,15))) AS pdot
+         sum(CAST(floor(e.x * pl.comp * 1000000000.0) AS BIGINT)) AS pdot
        FROM elems e JOIN planes pl ON pl.d = e.i - 1
        GROUP BY 1, 2),
      buckets AS (SELECT vec_id,

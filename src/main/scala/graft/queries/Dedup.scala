@@ -35,7 +35,9 @@ object Dedup {
     val near = base.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + NearOffset).as("doc_id"),
         concat(lit("dup "), col("text")).as("text"))
-    base.unionByName(exact).unionByName(near)
+    // spread BEFORE the expensive downstream work (shingle/token hashing):
+    // the single-row-group source reads as one partition otherwise
+    spread(base.unionByName(exact).unionByName(near))
   }
 
   private val corpusSql =
@@ -100,8 +102,11 @@ object Dedup {
         (0 until ROWS).map(r => col(s"s${b * ROWS + r}").cast("string")): _*))
       struct(lit(b).as("band"), key.as("bucket"))
     }
+    // materialized once: both self-join sides would otherwise recompute the
+    // full shingle → signature → banding pipeline
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint()
     val a = banded.toDF("a_id", "band", "bucket")
     val b = banded.toDF("b_id", "band", "bucket")
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
@@ -143,7 +148,9 @@ object Dedup {
           .as(s"b$j")): _*)
     val simCol = (0 until SIMBITS).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column).reduce(_ + _)
-    val sim = sums.select(col("doc_id"), simCol.as("sim"))
+    // materialized once: the 60-sum SimHash aggregation feeds both join
+    // sides — without this the whole token pipeline runs twice
+    val sim = sums.select(col("doc_id"), simCol.as("sim")).localCheckpoint()
     val chunkStructs = (0 until CHUNKS).map(ci =>
       struct(lit(ci).as("ci"),
         shiftright(col("sim"), ci * CB).bitwiseAND((1L << CB) - 1).as("cv")))
@@ -204,7 +211,7 @@ object Dedup {
     val planted = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + ExactOffset).as("vec_id"),
         transform(col("v"), _ * 0.5).as("v"))
-    base.unionByName(planted)
+    spread(base.unionByName(planted))
   }
 
   private val vecCorpusSql =
@@ -223,7 +230,9 @@ object Dedup {
     */
   def embeddingDedup(s: SparkSession, d: String): DataFrame = {
     val vecs = vecCorpus(s, d)
-    val withB = vecs.join(Ann.bucketsOf(vecs), "vec_id")
+    // materialized once: both self-join sides would otherwise recompute the
+    // hyperplane-bucket pipeline (vecs itself is a cheap scan — not worth one)
+    val withB = vecs.join(Ann.bucketsOf(vecs), "vec_id").localCheckpoint()
     val norms = vecs.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     val a = withB.toDF("a_id", "va", "bucket")
