@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

@@ -82,6 +82,20 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  // ---- custom physical operator: bounded-heap per-key top-k ---------------
+  /** Top-3 events per user by value — via the TopKPerKeyPlan custom
+    * LogicalPlan/SparkStrategy/SparkPlan (rung (c) of the extension
+    * ladder): partial bounded heaps before the shuffle, so only
+    * O(users·k) rows cross the exchange and nothing is ever sorted.
+    * The oracle is the window-rank formulation it replaces.
+    */
+  def topkPerKey(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"), col("value"))
+    graft.plans.TopK.perKey(e, Seq("user_id"),
+        Seq(col("value").desc, col("event_id").asc), 3)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
   // ---- stateful sessionizer, oracle-checked -------------------------------
   /** The flatMapGroupsWithState sessionizer run in batch mode (identical
     * code path to the stream; readStream parity is pinned in StreamSpec) —
@@ -97,6 +111,7 @@ object Advanced {
     "q15_percentile"    -> (percentiles _),
     "etl_hash_sample"   -> (hashSample _),
     "skew_salted_agg"   -> (skewSaltedAgg _),
+    "q16_topk_perkey"   -> (topkPerKey _),
     "stream_sessionize" -> (streamSessionize _)
   )
 
@@ -138,6 +153,13 @@ object Advanced {
       """SELECT l_returnflag, count(*) AS n_rows,
          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q16_topk_perkey" ->
+      """SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rk
+           FROM events) WHERE rk <= 3
+         ORDER BY user_id, value DESC, event_id""",
     "stream_sessionize" -> Relational.oracles("q13_sessionize")
   )
 }
