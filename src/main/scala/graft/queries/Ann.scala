@@ -55,10 +55,21 @@ object Ann {
       .withColumn("cos", cosCols(
         graft.plans.DotProduct.dot(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
+      .select("probe_id", "neighbor_id", "cos")
+    rankTop(scored, TOPK)
+  }
+
+  /** Per-probe top-k + rank: the bounded-heap TopK operator cuts the scored
+    * relation to k rows per probe WITHOUT sorting it (Spark's own
+    * WindowGroupLimit still sorts the full input before limiting); the
+    * row_number window then ranks only the ≤ k·probes survivors.
+    */
+  private def rankTop(scored: DataFrame, k: Int): DataFrame = {
+    val kept = graft.plans.TopK.perKey(scored, Seq("probe_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TOPK)
+    kept.withColumn("rk", row_number().over(w))
       .select(col("probe_id"), col("rk"), col("neighbor_id"),
         graft.core.Determinism.r4(col("cos")).as("cos"))
       .orderBy("probe_id", "rk")
@@ -112,13 +123,8 @@ object Ann {
       .withColumn("cos", cosCols(
         graft.plans.DotProduct.dot(col("pv"), col("cv")),
         col("pnrm"), col("cnrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= CAND_TOPK)
-      .select(col("probe_id"), col("rk"), col("neighbor_id"),
-        graft.core.Determinism.r4(col("cos")).as("cos"))
-      .orderBy("probe_id", "rk")
+      .select("probe_id", "neighbor_id", "cos")
+    rankTop(cand, CAND_TOPK)
   }
 
   // ---- IVF-flat: coarse quantizer buckets, probe visits nProbe cells ------
@@ -180,13 +186,7 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"),
         cosCols(graft.plans.DotProduct.dot(col("pv"), col("cv2")),
           col("pnrm"), col("cnrm2")).as("cos"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= CAND_TOPK)
-      .select(col("probe_id"), col("rk"), col("neighbor_id"),
-        graft.core.Determinism.r4(col("cos")).as("cos"))
-      .orderBy("probe_id", "rk")
+    rankTop(cand, CAND_TOPK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
