@@ -163,7 +163,9 @@ object Ann {
           col("nrm"), col("cnrm")).as("csim"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
+    // materialized once: feeds both the assignment and probe-cells branches
     val ranked = sims.withColumn("crk", row_number().over(byVec))
+      .localCheckpoint()
     val assignment = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val probeCells = ranked
