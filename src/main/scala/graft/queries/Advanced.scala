@@ -82,6 +82,24 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  // ---- salted join (replicate-and-salt, for skew AQE can't fix) -----------
+  /** lineitem⋈orders through Skew.saltedJoin (orders replicated over 8 salt
+    * buckets, lineitem salted) then aggregated — the oracle is the plain
+    * join, proving replicate-and-salt changes the physical distribution,
+    * never the result.
+    */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(li, o, Seq("l_orderkey"), buckets = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- custom physical operator: bounded-heap per-key top-k ---------------
   /** Top-3 events per user by value — via the TopKPerKeyPlan custom
     * LogicalPlan/SparkStrategy/SparkPlan (rung (c) of the extension
@@ -111,6 +129,7 @@ object Advanced {
     "q15_percentile"    -> (percentiles _),
     "etl_hash_sample"   -> (hashSample _),
     "skew_salted_agg"   -> (skewSaltedAgg _),
+    "skew_salted_join"  -> (skewSaltedJoin _),
     "q16_topk_perkey"   -> (topkPerKey _),
     "stream_sessionize" -> (streamSessionize _)
   )
@@ -153,6 +172,12 @@ object Advanced {
       """SELECT l_returnflag, count(*) AS n_rows,
          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "skew_salted_join" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "q16_topk_perkey" ->
       """SELECT user_id, event_id, value FROM (
            SELECT user_id, event_id, value,

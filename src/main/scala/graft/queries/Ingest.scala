@@ -95,9 +95,28 @@ object Ingest {
     coerced.orderBy("objectid")
   }
 
+  // ---- staging→prod rename-replace lifecycle, oracle-gated ----------------
+  /** Load a selection of orders through the full TableLifecycle
+    * rename-replace dance (write to __staging, count-verify, atomic
+    * directory swap) and read the promoted table back — the oracle
+    * recomputes the selection directly, gating the whole write→swap→read
+    * path.
+    */
+  def renameReplace(s: SparkSession, d: String): DataFrame = {
+    val src = customer(s, d).filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_stage", java.lang.Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val table = dir.resolve("customer_prod").toString
+    graft.sources.TableLifecycle.renameReplace(src, table)
+    s.read.parquet(table).orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_csv_ingest"   -> (csvIngest _),
-    "etl_paged_coerce" -> (pagedCoerce _)
+    "etl_csv_ingest"     -> (csvIngest _),
+    "etl_paged_coerce"   -> (pagedCoerce _),
+    "etl_rename_replace" -> (renameReplace _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +127,9 @@ object Ingest {
          n_name || CASE WHEN n_nationkey % 5 = 0 THEN 'é' ELSE '' END AS n_name,
          CAST(n_regionkey AS INTEGER) AS region_key
          FROM nation ORDER BY nation_key""",
+    "etl_rename_replace" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey % 4 = 1 ORDER BY c_custkey""",
     "etl_paged_coerce" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS objectid,
          c_custkey AS id, c_name AS name,

@@ -55,6 +55,11 @@ object MmStream {
     Streams.windowAgg(events(s, d), withWatermark = false)
       .orderBy("win_start", "event_type")
 
+  // sliding-window agg — every event in exactly two overlapping windows
+  def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
+    Streams.slidingWindowAgg(events(s, d), withWatermark = false)
+      .orderBy("win_start", "event_type")
+
   // stateful dedup (batch twin) over a corpus with planted duplicate events
   private def dupEvents(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
@@ -73,6 +78,7 @@ object MmStream {
     "mm_frame_sample"   -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _)
   )
 
@@ -117,6 +123,18 @@ object MmStream {
          event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // each event contributes to the two 15-min-grid windows covering it
+    "stream_sliding_agg" ->
+      """WITH expanded AS (
+           SELECT event_type, value, unnest([
+             CAST(floor(epoch(ts) / 900) AS BIGINT) * 900,
+             CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 900]) AS win_start
+           FROM events)
+         SELECT strftime(CAST(to_timestamp(win_start) AT TIME ZONE 'UTC' AS TIMESTAMP),
+                  '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_dedup_state" ->
       """WITH dup AS (SELECT * FROM events
                       UNION ALL SELECT * FROM events WHERE event_id % 10 = 0),

@@ -177,7 +177,34 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q17: full cube — every grouping-set combination with labeled subtotals.
+  def q17Cube(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.cube(li("l_returnflag"), li("l_linestatus"))
+      .agg(dsum(li("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // q18: per-customer running total — one shuffle on the key, decimal-exact
+  // cumulative sum emitted as double (same determinism policy as dsum).
+  def q18RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_cube"          -> (q17Cube _),
+    "q18_running_total" -> (q18RunningTotal _),
     "q1_agg"            -> (q1Agg _),
     "q2_join_filter"    -> (q2JoinFilter _),
     "q3_topk"           -> (q3TopK _),
@@ -195,6 +222,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY 1,2""",
+    "q18_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -29,6 +29,20 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Sliding 30-minute window (15-minute slide) counts per event type —
+    * each event lands in exactly two overlapping windows. Same
+    * batch/stream duality as [[windowAgg]].
+    */
+  def slidingWindowAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Stateful event dedup by event_id. On a stream, the watermark bounds the
     * dedup state (ids older than 1h are evicted); in batch it's an exact
     * dropDuplicates.

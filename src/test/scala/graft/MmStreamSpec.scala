@@ -67,6 +67,20 @@ class MmStreamSpec extends AnyFunSuite {
     assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
   }
 
+  test("streaming sliding window agg equals its batch twin (readStream parity)") {
+    val batch = graft.queries.MmStream.queries("stream_sliding_agg")(spark, sf)
+      .collect().map(_.toString).sorted
+    val stream = Streams.slidingWindowAgg(Streams.eventsStream(spark, stagedEvents),
+      withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("slide_agg_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_agg_test")
+      .orderBy("win_start", "event_type").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     val e = graft.core.Tables.events(spark, sf)
     val stream = Streams.dedupEvents(
