@@ -316,15 +316,23 @@ object Dedup {
 
   /** Driver query: the drop-list a dedup pipeline feeds downstream — every
     * doc that lost at least one pairing (appears as the higher id). The
-    * richer component resolution is [[resolveKeepMin]] (spec-covered; its
-    * iterative shape isn't one SQL statement).
+    * richer component resolution is [[resolveKeepMin]] / [[resolve]].
     */
   def dropList(s: SparkSession, d: String): DataFrame =
     minhashLsh(s, d).select(col("b_id").as("drop_id")).distinct()
       .orderBy("drop_id")
 
+  /** Driver query: full connected-component resolution of the minhash pair
+    * graph — every paired doc labeled with its component's minimum id
+    * (keep-min policy). Oracle: a DuckDB recursive CTE computing the same
+    * transitive min-label closure.
+    */
+  def resolve(s: SparkSession, d: String): DataFrame =
+    resolveKeepMin(minhashLsh(s, d)).orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_drop_list"     -> (dropList _),
+    "dedup_resolve"       -> (resolve _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -337,6 +345,17 @@ object Dedup {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor
       s"""SELECT DISTINCT b_id AS drop_id FROM ($pairs) ORDER BY drop_id"""
+    },
+    "dedup_resolve" -> {
+      val pairs = minhashLshSqlFor
+      s"""WITH RECURSIVE pairs AS ($pairs),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+         SELECT id, min(label) AS label FROM walk GROUP BY id ORDER BY id"""
     },
     "dedup_exact" ->
       s"""WITH $corpusSql
