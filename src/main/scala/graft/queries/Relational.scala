@@ -202,7 +202,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // q19: lead/lag neighbors — both offsets share ONE window (single
+  // shuffle + sort on user_id), gaps in whole seconds (epoch-floor parity
+  // with the oracle, as in q13).
+  def q19LeadLag(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .as("secs_since_prev"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("prev_event_id"), lit(-1L)).as("prev_event_id"),
+        coalesce(col("next_event_id"), lit(-1L)).as("next_event_id"),
+        coalesce(col("secs_since_prev"), lit(-1L)).as("secs_since_prev"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_lead_lag"      -> (q19LeadLag _),
     "q17_cube"          -> (q17Cube _),
     "q18_running_total" -> (q18RunningTotal _),
     "q1_agg"            -> (q1Agg _),
@@ -222,6 +241,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_lead_lag" ->
+      """SELECT user_id, event_id,
+         coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+         coalesce(lead(event_id) OVER w, -1) AS next_event_id,
+         coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT), -1)
+           AS secs_since_prev
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
     "q17_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
          coalesce(l_linestatus,'ALL') AS linestatus,
