@@ -24,4 +24,10 @@ object Determinism {
 
   /** SQL twin of [[r4]] for the DuckDB oracles. */
   def r4Sql(expr: String): String = s"floor(($expr) * 10000.0 + 0.5) / 10000.0"
+
+  /** 6-dp variant of [[r4]] (coordinate-precision outputs). */
+  def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** SQL twin of [[r6]]. */
+  def r6Sql(expr: String): String = s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
 }

@@ -119,6 +119,36 @@ object GeomFunctions {
     (lon, phi * lit(180.0 / math.Pi))
   }
 
+  /** SQL twin of [[lccInverse2272]] for the DuckDB oracle: the same
+    * closed-form LCC 2SP inverse with the same projection constants
+    * interpolated as full-precision (round-trip) double literals, the
+    * fixed-point iteration laid out as a linear CTE chain. sqrt is
+    * correctly rounded everywhere (IEEE); pow/atan/sin may differ by ulps
+    * between libm and the JVM — absorbed by the caller's 6-dp
+    * floor-rounding on both sides.
+    *
+    * Input: a CTE named `pts(id, xft, yft)` (easting/northing, ftUS).
+    * Output: CTE chain body ending in `lcc(id, lng, lat)` (degrees,
+    * unrounded) — append to the caller's WITH list and select from `lcc`.
+    */
+  def lccInverse2272SqlCtes: String = {
+    val sign = if (n >= 0) 1.0 else -1.0
+    val deg = 180.0 / math.Pi
+    val steps = (1 to 5).map { i =>
+      s"""p$i AS (SELECT id, t, theta,
+            pi()/2 - 2*atan(t * pow((1.0 - $e*sin(phi))/(1.0 + $e*sin(phi)), ${e / 2})) AS phi
+          FROM p${i - 1})"""
+    }.mkString(",\n       ")
+    s"""base AS (SELECT id, xft * $ftUS - $FE AS x, yft * $ftUS - $FN AS y FROM pts),
+       polar AS (SELECT id,
+           sqrt(x*x + ($rho0 - y)*($rho0 - y)) * $sign AS rho,
+           atan2(x, $rho0 - y) AS theta FROM base),
+       tt AS (SELECT id, pow(rho / ${a * bigF}, ${1.0 / n}) AS t, theta FROM polar),
+       p0 AS (SELECT id, t, theta, pi()/2 - 2*atan(t) AS phi FROM tt),
+       $steps,
+       lcc AS (SELECT id, (theta / $n + $lon0) * $deg AS lng, phi * $deg AS lat FROM p5)"""
+  }
+
   /** Bad-SRID remap table (opendata.py:243-266) as a literal CASE chain —
     * constant-folded by Catalyst, broadcast-free.
     */

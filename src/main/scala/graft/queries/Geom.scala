@@ -83,13 +83,16 @@ object Geom {
       .orderBy("id")
   }
 
-  // EPSG:2272 state-plane (ftUS) → lon/lat. Rows-only: DuckDB has no proj;
-  // correctness is anchored in GeomSpec (origin identity + forward round-trip).
+  // EPSG:2272 state-plane (ftUS) → lon/lat. Oracle: the same LCC 2SP
+  // inverse arithmetic mirrored as a DuckDB CTE chain (GeomSpec additionally
+  // anchors the math itself via the origin identity + forward round-trip).
   def reprojectStatePlane(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val k = c("c_custkey")
     val (lon, lat) = lccInverse2272(xi(k).cast("double"), yi(k).cast("double"))
-    c.select(k.as("id"), round(lon, 6).as("lng"), round(lat, 6).as("lat"))
+    c.select(k.as("id"),
+        graft.core.Determinism.r6(lon).as("lng"),
+        graft.core.Determinism.r6(lat).as("lat"))
       .orderBy("id")
   }
 
@@ -173,6 +176,15 @@ object Geom {
          round(ln(tan((90.0 + (((c_custkey * 104729) % 1600000) / 10000.0 - 80.0))
                * pi() / 360.0)) * 6378137.0, 1) AS merc_y
          FROM customer ORDER BY id""",
+    "geom_reproject_sp" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      s"""WITH pts AS (SELECT c_custkey AS id,
+            CAST($xiSql AS DOUBLE) AS xft, CAST($yiSql AS DOUBLE) AS yft
+          FROM customer),
+          ${graft.functions.GeomFunctions.lccInverse2272SqlCtes}
+          SELECT id, ${r6("lng")} AS lng, ${r6("lat")} AS lat
+          FROM lcc ORDER BY id"""
+    },
     "geom_bad_srid_remap" -> {
       val cases = bads.zipWithIndex
         .map { case (v, i) => s"WHEN c_custkey % ${bads.size} = $i THEN $v" }

@@ -96,7 +96,20 @@ object MmStream {
            ELSE 'application/octet-stream'
          END AS sniffed_type
          FROM documents ORDER BY doc_id""",
-    // mm_frame_sample: rows-only (imperative mapPartitions; spec-tested)
+    // the imperative mapPartitions frame sampler, recomputed declaratively:
+    // ASCII corpus ⇒ byte frames ≡ char frames, so md5(substr(...)) matches
+    // the sampler's per-frame digests byte-for-byte
+    "mm_frame_sample" ->
+      """WITH frames AS (
+           SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(least(32, length(text) - 32 * i) AS INTEGER) AS frame_len,
+             md5(substr(text, CAST(32 * i + 1 AS INTEGER),
+                        CAST(least(32, length(text) - 32 * i) AS INTEGER))) AS frame_md5
+           FROM documents,
+                UNNEST(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)
+           WHERE i % 4 = 0)
+         SELECT id, frame_idx, frame_len, frame_md5
+         FROM frames ORDER BY id, frame_idx""",
     "mm_feature_extract" -> {
       val r4 = graft.core.Determinism.r4Sql _
       s"""WITH chars AS (
