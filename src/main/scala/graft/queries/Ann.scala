@@ -191,10 +191,30 @@ object Ann {
     rankTop(cand, CAND_TOPK)
   }
 
+  /** Recall@k evaluation: per probe, how many of the exact top-k (from the
+    * brute-force pass) the LSH index recovered — the quality gauge every
+    * approximate index needs shipped alongside it ("measure, don't guess").
+    */
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    val bf = bruteforce(s, d).filter(col("rk") <= CAND_TOPK)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ls = lsh(s, d)
+      .select(col("probe_id").as("l_probe"), col("neighbor_id").as("l_neighbor"))
+    bf.join(ls, bf("probe_id") === ls("l_probe")
+        && bf("neighbor_id") === ls("l_neighbor"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("l_neighbor")).as("n_match"))
+      .select(col("probe_id"), col("n_match"),
+        graft.core.Determinism.r4(col("n_match").cast("double") / CAND_TOPK)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
-    "ann_ivf"        -> (ivf _)
+    "ann_ivf"        -> (ivf _),
+    "ann_recall"     -> (recallEval _)
   )
 
   private val vecsSql =
@@ -222,6 +242,46 @@ object Ann {
        FROM pdots GROUP BY vec_id)"""
 
   val oracles: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql,
+         $bucketsSqlFragment,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         l_cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+           FROM buckets p JOIN buckets c ON p.bucket = c.bucket
+           WHERE p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+         l_dots AS (SELECT probe_id, neighbor_id,
+             ${Dedup.dotSeqSql("pv.v", "cv.v")} AS dot
+           FROM l_cand
+           JOIN vecs pv ON pv.vec_id = probe_id
+           JOIN vecs cv ON cv.vec_id = neighbor_id),
+         l_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM l_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         l_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM l_scored),
+         lshk AS (SELECT probe_id, neighbor_id FROM l_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(lshk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(lshk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN lshk
+           ON lshk.probe_id = bf.probe_id AND lshk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
     "ann_bruteforce" ->
       s"""WITH $vecsSql, $normsSql,
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

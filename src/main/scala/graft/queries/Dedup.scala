@@ -86,6 +86,27 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Containment similarity (|A∩B| / min(|A|,|B|)) ≥ 0.8 — catches
+    * quote/subset duplication that symmetric Jaccard misses (a short doc
+    * fully contained in a long one has low Jaccard but containment 1.0).
+    * Same bucket-scoped shingle join as [[ngramJaccard]].
+    */
+  def ngramContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashes(s, d).localCheckpoint()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
+    val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val ca = cnt.toDF("a_id", "na"); val cb = cnt.toDF("b_id", "nb")
+    inter.join(ca, "a_id").join(cb, "b_id")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.8)
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(col("containment")).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- MinHash (k=12) + LSH (4 bands × 3 rows) candidate pairs ------------
   private val K = 12; private val BANDS = 4; private val ROWS = K / BANDS
 
@@ -334,6 +355,7 @@ object Dedup {
     "dedup_drop_list"     -> (dropList _),
     "dedup_resolve"       -> (resolve _),
     "dedup_exact"         -> (exact _),
+    "dedup_ngram_containment" -> (ngramContainment _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
@@ -375,6 +397,21 @@ object Dedup {
          JOIN cnt ca ON ca.doc_id = a_id
          JOIN cnt cb ON cb.doc_id = b_id
          WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
+         ORDER BY a_id, b_id""",
+    "dedup_ngram_containment" ->
+      s"""WITH $corpusSql,
+         sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           ${graft.core.Determinism.r4Sql("CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh)")} AS containment
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = a_id
+         JOIN cnt cb ON cb.doc_id = b_id
+         WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.8
          ORDER BY a_id, b_id""",
     "dedup_minhash_lsh" -> minhashLshSqlFor,
     "dedup_simhash"     -> simhashSqlFor,

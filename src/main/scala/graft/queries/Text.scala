@@ -124,7 +124,27 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- document-frequency / IDF over the corpus vocabulary ----------------
+  /** Per-term document frequency + inverse document frequency for the 100
+    * most document-frequent terms (ties broken by term). The classic
+    * text-statistics pass: explode DISTINCT terms per doc, count docs per
+    * term — one shuffle on the term.
+    */
+  def idf(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val n = doc.count() // corpus size: one metadata-only count
+    doc.select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " ", -1))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        graft.core.Determinism.r4(log(lit(n.toDouble) / col("df"))).as("idf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_idf"         -> (idf _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCount _),
@@ -138,6 +158,15 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_idf" ->
+      s"""WITH terms AS (
+           SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         df AS (SELECT term, count(*) AS df FROM terms
+                WHERE term <> '' GROUP BY 1)
+         SELECT term, df,
+           ${graft.core.Determinism.r4Sql("ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE))")} AS idf
+         FROM df ORDER BY df DESC, term LIMIT 100""",
     "text_langid" -> {
       val scores = langOrder.map(l => s"${markerSql(markers(l))} AS score_$l")
         .mkString(", ")
