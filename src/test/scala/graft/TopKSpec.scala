@@ -56,6 +56,15 @@ class TopKSpec extends AnyFunSuite {
       s"expected one hash exchange between partial and final:\n$planStr")
   }
 
+  test("TopK.perKey groups null keys together, like window partitionBy") {
+    val df = Seq((Some(1L), 10L, 5.0), (None, 11L, 3.0), (None, 12L, 9.0),
+      (None, 13L, 1.0)).toDF("k", "id", "v")
+    val out = TopK.perKey(df, Seq("k"), Seq($"v".desc, $"id".asc), 2)
+      .collect().map(_.getLong(1)).toSet
+    // null group keeps its top-2 by v desc: ids 12 (9.0) and 11 (3.0)
+    assert(out == Set(10L, 12L, 11L))
+  }
+
   test("map-side partial pass bounds what crosses the shuffle") {
     // one partition with many rows for one key -> partial emits only k
     val df = spark.range(0, 1000, 1, 1)
