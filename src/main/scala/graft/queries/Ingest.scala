@@ -113,10 +113,25 @@ object Ingest {
     s.read.parquet(table).orderBy("c_custkey")
   }
 
+  /** Truncate-and-load twin of [[renameReplace]]: wholesale replacement of
+    * the table contents, read back for the oracle compare.
+    */
+  def truncateLoad(s: SparkSession, d: String): DataFrame = {
+    val src = supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_stage", java.lang.Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val table = dir.resolve("supplier_prod").toString
+    graft.sources.TableLifecycle.truncateAndLoad(src, table)
+    s.read.parquet(table).orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_csv_ingest"     -> (csvIngest _),
     "etl_paged_coerce"   -> (pagedCoerce _),
-    "etl_rename_replace" -> (renameReplace _)
+    "etl_rename_replace" -> (renameReplace _),
+    "etl_truncate_load"  -> (truncateLoad _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +145,9 @@ object Ingest {
     "etl_rename_replace" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey % 4 = 1 ORDER BY c_custkey""",
+    "etl_truncate_load" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+         ORDER BY s_suppkey""",
     "etl_paged_coerce" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS objectid,
          c_custkey AS id, c_name AS name,

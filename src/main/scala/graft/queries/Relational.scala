@@ -220,7 +220,18 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  // q20: ntile quartiles of customers by balance within segment.
+  def q20Ntile(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "quartile", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_ntile"         -> (q20Ntile _),
     "q19_lead_lag"      -> (q19LeadLag _),
     "q17_cube"          -> (q17Cube _),
     "q18_running_total" -> (q18RunningTotal _),
@@ -241,6 +252,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+           AS quartile
+         FROM customer ORDER BY c_mktsegment, quartile, c_custkey""",
     "q19_lead_lag" ->
       """SELECT user_id, event_id,
          coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
