@@ -21,6 +21,15 @@ import org.apache.spark.sql.types.StructType
   * in (payload struct) order wins the window's `last` only by input order —
   * callers needing bit-stable output should pre-reduce the right side to
   * one row per (keys, rightTs) (e.g. max_by) like the driver query does.
+  *
+  * NULL semantics match SQL as-of/equi joins (and DuckDB's ASOF JOIN):
+  * right rows with a NULL key or NULL timestamp can never match and are
+  * filtered out up front — Window.partitionBy would otherwise group NULL
+  * keys together and match them to each other. Left rows with NULL keys or
+  * NULL timestamps are preserved with NULL payloads: their partition then
+  * holds no right rows, and a NULL left timestamp sorts before every
+  * non-null right timestamp, so `last(_pay)` over the preceding frame is
+  * NULL either way.
   */
 object AsofJoin {
 
@@ -41,10 +50,13 @@ object AsofJoin {
         left(leftTs).as("_t"), lit(1).as("_side"),
         lit(null).cast(payType).as("_pay"),
         struct(left.columns.map(left(_)).toIndexedSeq: _*).as("_lrow")): _*)
-    val rightU = right.select(
-      keys.map(right(_)) ++ Seq(
-        right(rightTs).as("_t"), lit(0).as("_side"),
-        struct(payloadCols.map(right(_)).toIndexedSeq: _*).as("_pay"),
+    // a NULL-key / NULL-ts right row matches nothing under SQL semantics
+    val rightNonNull = right.filter(
+      (keys.map(right(_).isNotNull) :+ right(rightTs).isNotNull).reduce(_ && _))
+    val rightU = rightNonNull.select(
+      keys.map(rightNonNull(_)) ++ Seq(
+        rightNonNull(rightTs).as("_t"), lit(0).as("_side"),
+        struct(payloadCols.map(rightNonNull(_)).toIndexedSeq: _*).as("_pay"),
         lit(null).cast(lrowType).as("_lrow")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)

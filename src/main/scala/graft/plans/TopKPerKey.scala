@@ -109,6 +109,12 @@ object TopKStrategy extends SparkStrategy {
 object TopK {
   /** Top `k` rows per `keyCols` group under `orderCols` (first = best).
     * Output order is unspecified; sort the survivors if needed.
+    *
+    * Determinism contract (mirroring AsofJoin's note): `orderCols` must be
+    * a TOTAL order within each key. The bounded heap admits only strictly
+    * better rows, so among order-tied rows the retained set depends on
+    * input/partition order and can differ from a row_number formulation.
+    * Append a unique id as the last order column to break ties.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
              k: Int): DataFrame = {

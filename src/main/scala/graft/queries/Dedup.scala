@@ -296,12 +296,14 @@ object Dedup {
   /** Connected-components-style keep-min-id resolution (§3): iterative
     * min-label propagation over the near-dup pair graph, run to a fixed
     * point. Convergence is detected by the label-sum: labels only ever
-    * decrease under min-propagation, so an unchanged sum means no label
-    * moved anywhere. Each pass is one join + one min-aggregation + one
-    * scalar agg — no driver-side graph; passes needed = graph diameter
-    * (O(log n) for the chain-shaped dup clusters prefix-perturbation makes).
-    * `maxIterations` is a runaway bound: hitting it without convergence
-    * throws rather than silently returning partial labels.
+    * decrease under min-propagation (and label(x) <= x always holds), so an
+    * unchanged sum means no label moved anywhere. Each pass is one edge join
+    * + one min-aggregation + one POINTER-DOUBLING self-join (labels jump to
+    * their label's label), so a chain of length L converges in O(log L)
+    * passes — one-hop propagation alone would need diameter passes and a
+    * long dup chain would exhaust the bound. `maxIterations` is a runaway
+    * bound: hitting it without convergence throws rather than silently
+    * returning partial labels.
     */
   def resolveKeepMin(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -320,10 +322,17 @@ object Dedup {
     while (!converged && iters < maxIterations) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      // localCheckpoint truncates lineage: each iteration references the
-      // previous labels twice, so without it the plan doubles per hop
-      labels = labels.unionByName(prop)
+      val hop = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer doubling: replace each label by its label's label. Labels
+      // are always ids present in the label set (mins of ids), so the join
+      // hits; coalesce only guards the theoretical miss. label2 <= label,
+      // so monotone decrease — and the sum-based convergence test — hold.
+      val jump = hop.select(col("id").as("jid"), col("label").as("jlabel"))
+      // localCheckpoint truncates lineage: each iteration references the
+      // previous labels several times, so without it the plan doubles per hop
+      labels = hop.join(jump, hop("label") === jump("jid"), "left")
+        .select(hop("id"), coalesce(col("jlabel"), hop("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
