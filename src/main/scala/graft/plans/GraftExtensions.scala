@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
 }
 
@@ -28,8 +29,19 @@ object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression =
     children => DotProduct(children(0), children(1))
 
-  /** Register graft functions on an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register graft functions on an already-running session. Strategy +
+    * optimizer rule go through the experimental hooks (the only post-build
+    * injection point Spark offers); the rule is useless without the
+    * strategy, so they travel together.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_dot", dotBuilder)
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowTopKRewrite
+  }
 }

@@ -114,6 +114,26 @@ object Advanced {
       .orderBy(col("user_id"), col("value").desc, col("event_id"))
   }
 
+  // ---- optimizer rule: window top-k rewritten to the bounded-heap plan ----
+  /** Top-2 orders per customer by price — written as the PLAIN
+    * row_number-window formulation a user would write. The
+    * [[graft.plans.WindowTopKRewrite]] optimizer rule (injected through
+    * GraftExtensions) replaces the window+filter with TopKPerKeyPlan, so
+    * this runs as partial+final bounded heaps with no per-key sort;
+    * PlanSpec pins the rewritten physical shape. The order (price desc,
+    * orderkey) is total per key, so the rewrite is result-identical.
+    */
+  def topkRewrite(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ---- stateful sessionizer, oracle-checked -------------------------------
   /** The flatMapGroupsWithState sessionizer run in batch mode (identical
     * code path to the stream; readStream parity is pinned in StreamSpec) —
@@ -131,6 +151,7 @@ object Advanced {
     "skew_salted_agg"   -> (skewSaltedAgg _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "q16_topk_perkey"   -> (topkPerKey _),
+    "q21_topk_rewrite"  -> (topkRewrite _),
     "stream_sessionize" -> (streamSessionize _)
   )
 
@@ -185,6 +206,13 @@ object Advanced {
                                 ORDER BY value DESC, event_id) AS rk
            FROM events) WHERE rk <= 3
          ORDER BY user_id, value DESC, event_id""",
+    "q21_topk_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 2
+         ORDER BY o_custkey, o_orderkey""",
     "stream_sessionize" -> Relational.oracles("q13_sessionize")
   )
 }

@@ -73,13 +73,19 @@ object MmStream {
         graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
       .orderBy("event_type")
 
+  // stream-static broadcast enrich (batch twin; stream parity in StreamSpec)
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame =
+    Streams.staticEnrichAgg(events(s, d), customer(s, d))
+      .orderBy("c_mktsegment", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_frame_sample"   -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sliding_agg" -> (streamSlidingAgg _),
-    "stream_dedup_state" -> (streamDedup _)
+    "stream_dedup_state" -> (streamDedup _),
+    "stream_static_join" -> (streamStaticJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +163,11 @@ object MmStream {
            WHERE _rn = 1)
          SELECT event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM deduped GROUP BY 1 ORDER BY 1"""
+         FROM deduped GROUP BY 1 ORDER BY 1""",
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

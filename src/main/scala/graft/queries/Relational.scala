@@ -230,7 +230,48 @@ object Relational {
       .orderBy("c_mktsegment", "quartile", "c_custkey")
   }
 
+  // q22: explicit grouping sets — the general form rollup/cube specialize;
+  // one pass, Expand feeds a single partial-aggregated exchange.
+  def q22GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.groupingSets(
+        Seq(Seq(o("o_orderstatus"), o("o_orderpriority")),
+          Seq(o("o_orderstatus")), Seq.empty),
+        o("o_orderstatus"), o("o_orderpriority"))
+      .agg(dsum(o("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n_orders"))
+      .orderBy("status", "priority")
+  }
+
+  // q23: TPC-H Q22 shape — customers above the average (positive) balance
+  // with no order exceeding 50× their balance, per nation. Two subquery
+  // decorrelations in one plan: the scalar "average" becomes a 1-row
+  // broadcast (comparison rearranged to exact decimal bal·n > Σbal, so no
+  // engine ever divides a float), and the correlated non-equi NOT EXISTS
+  // becomes a left_anti join on the equi key with the price predicate as
+  // the join's residual condition — shuffled on custkey, never a
+  // cartesian.
+  def q23AntiAboveAvg(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_totalprice") > lit(50.0) * c("c_acctbal"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 18, 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_grouping_sets" -> (q22GroupingSets _),
+    "q23_anti_above_avg" -> (q23AntiAboveAvg _),
     "q20_ntile"         -> (q20Ntile _),
     "q19_lead_lag"      -> (q19LeadLag _),
     "q17_cube"          -> (q17Cube _),
@@ -252,6 +293,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+         count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY 1, 2""",
+    "q23_anti_above_avg" ->
+      """WITH stats AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, stats
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_totalprice > 50.0 * c_acctbal)
+         GROUP BY 1 ORDER BY 1""",
     "q20_ntile" ->
       """SELECT c_mktsegment, c_custkey,
          CAST(ntile(4) OVER (PARTITION BY c_mktsegment

@@ -143,7 +143,71 @@ object Text {
       .limit(100)
   }
 
+  // ---- character-level Shannon entropy ------------------------------------
+  /** Per-doc character entropy — the classic compressibility/quality signal
+    * (gibberish and repeated-char spam score far from English's ~4.1 bits).
+    * Shape at scale: explode to (doc, char) with map-side partial counts
+    * (≤ ~100 distinct chars per doc per partition cross the shuffle, not
+    * the characters themselves), then one per-doc aggregation.
+    *
+    * Cross-engine float policy: H = log2(n) − Σ cnt·log2(cnt) / n, with
+    * each cnt·log2(cnt) term 6-dp-floor-rounded and summed as exact
+    * DECIMAL — partition order can never change the sum, and the two
+    * engines' libm ulp differences are absorbed by the rounding.
+    */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val chars = doc.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val terms = counts.select(col("doc_id"), col("cnt"),
+      graft.core.Determinism.r6(
+        col("cnt").cast("double") * log2(col("cnt").cast("double"))).as("term"))
+    terms.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("term").cast("decimal(28,6)")).cast("double").as("wsum"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        graft.core.Determinism.r4(
+          log2(col("n_chars").cast("double")) - col("wsum") / col("n_chars"))
+          .as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  // ---- n-gram repetition ratios (Gopher-style quality filter) -------------
+  /** Per-doc word-bigram repetition: duplicate-bigram fraction and
+    * top-bigram mass — the repetition signals large-scale corpus filters
+    * cut on (boilerplate and generated spam repeat n-grams; prose doesn't).
+    * Unlike [[quality]]'s distinct-word ratio this sees phrase-level
+    * repetition. Docs with < 2 tokens have no bigrams and no row (same on
+    * both engines). All-integer counts; the only floats are two final
+    * ratios of those counts.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).withColumn("toks", tokens(col("text")))
+    val nbi = size(col("toks")) - 1
+    // all bigrams WITH multiplicity (the dedup family's shingle helper
+    // distincts — repetition is exactly what it throws away)
+    val bigrams = doc.select(col("doc_id"),
+      explode(when(nbi > 0, transform(sequence(lit(0), nbi - 1),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        r4(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        r4(col("top_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"     -> (entropy _),
+    "text_repetition"  -> (repetition _),
     "text_idf"         -> (idf _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -158,6 +222,34 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      s"""WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars
+                    WHERE ch <> '' GROUP BY 1, 2),
+         terms AS (SELECT doc_id, cnt,
+             ${graft.core.Determinism.r6Sql("cnt * log2(CAST(cnt AS DOUBLE))")} AS term
+           FROM counts),
+         agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+             count(*) AS n_distinct_chars,
+             CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS wsum
+           FROM terms GROUP BY 1)
+         SELECT doc_id, n_chars, n_distinct_chars,
+           ${graft.core.Determinism.r4Sql("log2(CAST(n_chars AS DOUBLE)) - wsum / n_chars")} AS char_entropy
+         FROM agg ORDER BY doc_id""",
+    "text_repetition" ->
+      s"""WITH bi AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+                UNNEST(range(1, len(ws))) AS t(i)),
+         counts AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct_bigrams, CAST(max(cnt) AS BIGINT) AS top_cnt
+           FROM counts GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_distinct_bigrams,
+           ${graft.core.Determinism.r4Sql("1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams")} AS dup_bigram_frac,
+           ${graft.core.Determinism.r4Sql("CAST(top_cnt AS DOUBLE) / n_bigrams")} AS top_bigram_frac
+         FROM agg ORDER BY doc_id""",
     "text_idf" ->
       s"""WITH terms AS (
            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -43,6 +43,20 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Stream-static enrichment: each event joined to a static dimension and
+    * aggregated per (segment, event_type). The standard streaming enrich
+    * pattern — the static side is broadcast (re-read per micro-batch, so a
+    * slowly-refreshed dim table stays current) and the unbounded stream
+    * side is never shuffled for the join; the only stateful operator is
+    * the aggregation. Works identically on a batch frame (the driver
+    * query/oracle) and a readStream frame (parity in StreamSpec).
+    */
+  def staticEnrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+
   /** Stateful event dedup by event_id. On a stream, the watermark bounds the
     * dedup state (ids older than 1h are evicted); in batch it's an exact
     * dropDuplicates.

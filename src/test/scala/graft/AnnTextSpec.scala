@@ -86,4 +86,44 @@ class AnnTextSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sameElements(again))
   }
+
+  test("text_entropy matches a driver-side Shannon computation per doc") {
+    val got = Text.queries("text_entropy")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    for ((id, text) <- docs.take(25)) {
+      val counts = text.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = text.length.toLong
+      // same rounded-term formulation as the query (the policy under test
+      // is "deterministic H within 1e-4 of true H", not bit-equality here)
+      val h = (math.log(n.toDouble) / math.log(2.0)) -
+        counts.values.map(c => c * math.log(c.toDouble) / math.log(2.0)).sum / n
+      val (gn, gd, gh) = got(id)
+      assert(gn == n && gd == counts.size, s"doc $id counts")
+      assert(math.abs(gh - h) < 1e-3, s"doc $id entropy $gh vs $h")
+      assert(gh >= 0.0 && gh <= math.log(gd.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("text_repetition matches a driver-side bigram computation per doc") {
+    val got = Text.queries("text_repetition")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for ((id, text) <- docs.take(25)) {
+      val toks = text.toLowerCase.split(" ", -1)
+      val bis = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bis.nonEmpty) {
+        val (gn, gd, gdup, gtop) = got(id)
+        assert(gn == bis.length && gd == bis.distinct.length, s"doc $id counts")
+        val cnts = bis.groupBy(identity).map(_._2.length)
+        assert(math.abs(gdup - (1.0 - bis.distinct.length.toDouble / bis.length)) < 1e-4)
+        assert(math.abs(gtop - cnts.max.toDouble / bis.length) < 1e-4)
+      } else assert(!got.contains(id))
+    }
+  }
 }

@@ -53,6 +53,20 @@ class MmStreamSpec extends AnyFunSuite {
   lazy val stagedEvents: String =
     Streams.stageEventsDir(spark, sf, "/tmp/graft_stream_events")
 
+  test("stream-static broadcast enrich equals its batch twin (readStream parity)") {
+    val batch = graft.queries.MmStream.queries("stream_static_join")(spark, sf)
+      .collect().map(_.toString).sorted
+    val dim = graft.core.Tables.customer(spark, sf)
+    val stream = Streams.staticEnrichAgg(Streams.eventsStream(spark, stagedEvents), dim)
+    val q = stream.writeStream.format("memory")
+      .queryName("static_join_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("static_join_test")
+      .orderBy("c_mktsegment", "event_type").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
+
   test("streaming window agg equals its batch twin (readStream parity)") {
     val batch = graft.queries.MmStream.queries("stream_window_agg")(spark, sf)
       .collect().map(_.toString).sorted

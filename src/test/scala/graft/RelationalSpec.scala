@@ -75,4 +75,39 @@ class RelationalSpec extends AnyFunSuite {
     // ReadSchema should not include l_orderkey (unused by q1)
     assert(!scan.contains("l_orderkey"), scan.take(3000))
   }
+
+  test("q22 grouping sets: subtotal levels are consistent") {
+    val rows = Relational.queries("q22_grouping_sets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val total = graft.core.Tables.orders(spark, sf).count()
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1 && grand.head._4 == total)
+    val statusLevel = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    assert(statusLevel.map(_._4).sum == total)
+    val leafLevel = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    assert(leafLevel.map(_._4).sum == total)
+    // no (ALL, priority) rows: that set is not in the grouping sets list
+    assert(!rows.exists(r => r._1 == "ALL" && r._2 != "ALL"))
+  }
+
+  test("q23 equals an independently-computed above-avg anti-join set") {
+    val c = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val ordersByCust = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val pos = c.filter(_._3 > 0.0)
+    val avg = pos.map(x => BigDecimal(x._3).setScale(2)).sum / pos.length
+    val expected = c.filter { x =>
+        BigDecimal(x._3).setScale(2) > avg &&
+          !ordersByCust.getOrElse(x._1, Seq.empty).exists(_ > 50.0 * x._3)
+      }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(expected.nonEmpty)
+    val got = Relational.queries("q23_anti_above_avg")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
 }

@@ -10,11 +10,16 @@ class TopKSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  // reference formulation KEEPS the rank column: WindowTopKRewrite (active
+  // in this session via GraftExtensions) only fires when the rank is
+  // projected away, so this stays a genuine window plan — an independent
+  // reference, not the operator under test rewritten back into itself
   private def windowTopK(k: Int) = {
     val e = graft.core.Tables.events(spark, sf)
       .select($"user_id", $"event_id", $"value")
     val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
-    e.withColumn("rk", row_number().over(w)).filter($"rk" <= k).drop("rk")
+    e.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"user_id", $"event_id", $"value", $"rk")
   }
 
   test("TopK.perKey returns exactly the window row_number<=k rows") {
