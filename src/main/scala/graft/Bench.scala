@@ -21,8 +21,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local-iteration filter: run only queries whose name starts with one of
+    // the comma-separated prefixes (full suite when unset — the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = graft.core.GraftSession.local("graft-bench")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       def run(): Boolean =
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       run(); clearState(spark) // warm
@@ -42,7 +49,17 @@ object Bench {
     // sentinel deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout scraping is defeated by sbt's trailing "[success] ..." lines, so
+    // the metric also lands in a file the driver can read directly: argv(0)
+    // if given, else $SPARK_GRAFT_BENCH_OUT, else BENCH_OUT.json in cwd.
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_OUT.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -67,11 +67,44 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("sh0"))
       .select(col("doc_id"), md5Long(col("sh0")).as("sh"))
 
+  /** Document-frequency cap for the shared-shingle self-join. Without it one
+    * boilerplate shingle present in 10⁶ docs creates C(10⁶,2) candidate
+    * pairs inside a single bucket — the cap bounds every bucket at
+    * C(MaxShingleDf,2) pairs, the property that makes the join shape safe at
+    * 100 TB. Shingles above the cap carry ~no signal (standard stop-shingle
+    * practice), so they are removed from BOTH the intersection and the
+    * per-doc sizes: similarity is computed over the informative-shingle
+    * space, identically in Spark and the DuckDB oracle.
+    */
+  val MaxShingleDf = 100
+
+  /** Remove shingles whose document frequency exceeds `cap` from a
+    * (doc_id, sh) relation. The over-frequent set is tiny by construction
+    * (only shingles in >cap docs), so it broadcasts; the df computation
+    * itself is one hash-shuffle of 60-bit keys with map-side partial
+    * aggregation. After this filter every shared-shingle bucket holds at
+    * most `cap` docs → at most C(cap,2) candidate pairs.
+    */
+  def dfCapShingles(sh: DataFrame, cap: Int): DataFrame = {
+    val stop = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > cap)
+      .select(col("sh"))
+    // the USING join moves `sh` to the first position; downstream positional
+    // renames (toDF("a_id","sh")) require (doc_id, sh) order — pin it
+    sh.join(broadcast(stop), Seq("sh"), "left_anti")
+      .select(col("doc_id"), col("sh"))
+  }
+
+  private def cappedShingles(s: SparkSession, d: String): DataFrame =
+    // localCheckpoint: feeds the stop-set aggregation AND the anti-join side
+    dfCapShingles(shingleHashes(s, d).localCheckpoint(), MaxShingleDf)
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // the shingle relation feeds three plan branches (both join sides + the
     // per-doc counts); materialize it once instead of recomputing the
     // explode+hash pipeline three times
-    val sh = shingleHashes(s, d).localCheckpoint()
+    val sh = cappedShingles(s, d).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
     val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
@@ -89,10 +122,10 @@ object Dedup {
   /** Containment similarity (|A∩B| / min(|A|,|B|)) ≥ 0.8 — catches
     * quote/subset duplication that symmetric Jaccard misses (a short doc
     * fully contained in a long one has low Jaccard but containment 1.0).
-    * Same bucket-scoped shingle join as [[ngramJaccard]].
+    * Same bucket-scoped, df-capped shingle join as [[ngramJaccard]].
     */
   def ngramContainment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashes(s, d).localCheckpoint()
+    val sh = cappedShingles(s, d).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
     val inter = a.join(b, a("sh") === b("sh") && a("a_id") < b("b_id"))
@@ -395,7 +428,10 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $corpusSql,
          sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
-         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         shall AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         keepsh AS (SELECT sh FROM shall
+                    GROUP BY sh HAVING count(DISTINCT doc_id) <= $MaxShingleDf),
+         sh AS (SELECT s.doc_id, s.sh FROM shall s JOIN keepsh USING (sh)),
          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -410,7 +446,10 @@ object Dedup {
     "dedup_ngram_containment" ->
       s"""WITH $corpusSql,
          sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
-         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         shall AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         keepsh AS (SELECT sh FROM shall
+                    GROUP BY sh HAVING count(DISTINCT doc_id) <= $MaxShingleDf),
+         sh AS (SELECT s.doc_id, s.sh FROM shall s JOIN keepsh USING (sh)),
          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -106,6 +106,19 @@ class DedupSpec extends AnyFunSuite {
     // some original-range drop ids are expected; all planted copies must be there.
   }
 
+  test("df-cap drops boilerplate shingles, keeps informative ones") {
+    // shingle 999 is "boilerplate": present in 6 docs (> cap 5); shingle 1
+    // is informative (2 docs). After the cap the boilerplate bucket must be
+    // gone entirely — the property that bounds candidate pairs at C(cap,2).
+    val sh = ((1L to 6L).map(d => (d, 999L)) ++ Seq((1L, 1L), (2L, 1L)))
+      .toDF("doc_id", "sh")
+    val kept = Dedup.dfCapShingles(sh, cap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 1L), (2L, 1L)))
+    // at cap >= 6 nothing is dropped
+    assert(Dedup.dfCapShingles(sh, cap = 6).count() == 8)
+  }
+
   test("dedup shuffles hashes/buckets, never full text (plan check)") {
     val plan = Dedup.queries("dedup_exact")(spark, sf)
       .queryExecution.optimizedPlan.toString
