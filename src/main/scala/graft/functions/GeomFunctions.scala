@@ -149,6 +149,163 @@ object GeomFunctions {
        lcc AS (SELECT id, (theta / $n + $lon0) * $deg AS lng, phi * $deg AS lat FROM p5)"""
   }
 
+  // --- WKT → Esri-JSON geometry (ago.py:361-430 project_and_format_shape,
+  // --- ago.py:674-758 convert_geometry) ------------------------------------
+
+  /** Coordinate text "x y, x y" → compact JSON pair list "[x,y],[x,y]".
+    * Ring/path separators "), (" collapse to "),(" via the same
+    * space-after-comma strip, so downstream paren→bracket rewrites produce
+    * compact JSON.
+    */
+  private def coordPairsJson(body: Column): Column =
+    regexp_replace(
+      regexp_replace(body, "(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)", "[$1,$2]"),
+      ",\\s+", ",")
+
+  /** WKT (optionally `SRID=n;`-prefixed) → the Esri REST geometry object the
+    * reference builds per row before an AGO addFeatures/updateFeatures POST
+    * (ago.py:674-758):
+    *  - POINT (x y)        → {"x":x,"y":y,"spatialReference":{"wkid":W}}
+    *  - POLYGON ((r))      → {"rings":[[[x,y],…]],…}
+    *  - MULTIPOLYGON       → {"rings":[ring per polygon,…],…}
+    *  - LINESTRING (p)     → {"paths":[[[x,y],…]],…}
+    *  - MULTILINESTRING    → {"paths":[path per line,…],…} with the
+    *    reference's wkid+latestWkid spatialReference quirk (ago.py:741-748)
+    *  - blank / `… EMPTY`  → NaN point / empty rings/paths per `layerType`
+    *    (the AGO layer's geometryType — blank WKT carries no type of its own)
+    *  - unrecognized       → null (the reference raises; a null column is the
+    *    distributed-friendly poison value a caller can filter + alert on)
+    * Pure Column regexp/string math — codegen, no UDF. Coordinates pass
+    * through as their source text (the reference round-trips them through
+    * float; exact only because our fixtures use integer coordinates —
+    * projection-rounding belongs to the upstream reprojection ops).
+    * Holes: WKT interior rings become additional entries in "rings"; the
+    * reference's shapely path keeps only `poly.exterior` (drops holes
+    * silently, ago.py:364-375) — fixtures are hole-free so both agree.
+    */
+  def esriJson(ewkt: Column, wkid: Int, layerType: String): Column = {
+    val wkt = wktOf(ewkt)
+    val sr = s""","spatialReference":{"wkid":$wkid}}"""
+    val srMulti = s""","spatialReference":{"wkid":$wkid,"latestWkid":$wkid}}"""
+    val empty = layerType match {
+      case "esriGeometryPoint"    => s"""{"x":"NaN","y":"NaN"$sr"""
+      case "esriGeometryPolyline" => s"""{"paths":[]$sr"""
+      case _                      => s"""{"rings":[]$sr"""
+    }
+    val t = geomTypeOf(wkt)
+    val point = concat(lit("{\"x\":"), pointX(wkt).cast("string"),
+      lit(",\"y\":"), pointY(wkt).cast("string"), lit(sr))
+    val polygon = concat(lit("{\"rings\":[["),
+      coordPairsJson(regexp_extract(wkt, "^POLYGON\\s*\\(\\((.*)\\)\\)\\s*$", 1)),
+      lit("]]" + sr))
+    val mpRings = regexp_replace(regexp_replace(
+      coordPairsJson(regexp_extract(wkt, "^MULTIPOLYGON\\s*\\((.*)\\)\\s*$", 1)),
+      "\\(\\(", "["), "\\)\\)", "]")
+    val multipolygon = concat(lit("{\"rings\":["), mpRings, lit("]" + sr))
+    val linestring = concat(lit("{\"paths\":[["),
+      coordPairsJson(regexp_extract(wkt, "^LINESTRING\\s*\\((.*)\\)\\s*$", 1)),
+      lit("]]" + sr))
+    val mlPaths = regexp_replace(regexp_replace(
+      coordPairsJson(regexp_extract(wkt, "^MULTILINESTRING\\s*\\((.*)\\)\\s*$", 1)),
+      "\\(", "["), "\\)", "]")
+    val multilinestring = concat(lit("{\"paths\":["), mlPaths, lit("]" + srMulti))
+    when(wkt.isNull || trim(wkt) === "" || instr(wkt, "EMPTY") > 0, lit(empty))
+      .when(t === "POINT", point)
+      .when(t === "MULTIPOLYGON", multipolygon)
+      .when(t === "POLYGON", polygon)
+      .when(t === "MULTILINESTRING", multilinestring)
+      .when(t === "LINESTRING", linestring)
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** SQL twin of [[esriJson]] for the DuckDB oracle: the same regexp
+    * composition over an input WKT expression. Emits a CASE over the type
+    * token. `pointXSql`-style extraction uses DOUBLE casts to match Spark's
+    * double-rendered point coordinates.
+    */
+  def esriJsonSql(ewktExpr: String, wkid: Int, layerType: String): String = {
+    val w = s"regexp_replace($ewktExpr, '^SRID=\\d+;', '')"
+    val sr = s""","spatialReference":{"wkid":$wkid}}"""
+    val srMulti = s""","spatialReference":{"wkid":$wkid,"latestWkid":$wkid}}"""
+    val empty = layerType match {
+      case "esriGeometryPoint"    => s"""{"x":"NaN","y":"NaN"$sr"""
+      case "esriGeometryPolyline" => s"""{"paths":[]$sr"""
+      case _                      => s"""{"rings":[]$sr"""
+    }
+    def pairs(e: String) =
+      s"""regexp_replace(regexp_replace($e,
+            '(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)', '[\\1,\\2]', 'g'),
+            ',\\s+', ',', 'g')"""
+    val px = s"CAST(CAST(regexp_extract($w, 'POINT\\s*\\(\\s*(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)', 1) AS DOUBLE) AS VARCHAR)"
+    val py = s"CAST(CAST(regexp_extract($w, 'POINT\\s*\\(\\s*(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)', 2) AS DOUBLE) AS VARCHAR)"
+    val polyBody = pairs(s"regexp_extract($w, '^POLYGON\\s*\\(\\((.*)\\)\\)\\s*$$', 1)")
+    val mpBody =
+      s"""regexp_replace(regexp_replace(
+            ${pairs(s"regexp_extract($w, '^MULTIPOLYGON\\s*\\((.*)\\)\\s*$$', 1)")},
+            '\\(\\(', '[', 'g'), '\\)\\)', ']', 'g')"""
+    val lineBody = pairs(s"regexp_extract($w, '^LINESTRING\\s*\\((.*)\\)\\s*$$', 1)")
+    val mlBody =
+      s"""regexp_replace(regexp_replace(
+            ${pairs(s"regexp_extract($w, '^MULTILINESTRING\\s*\\((.*)\\)\\s*$$', 1)")},
+            '\\(', '[', 'g'), '\\)', ']', 'g')"""
+    s"""CASE
+        WHEN $w IS NULL OR trim($w) = '' OR $w LIKE '%EMPTY%' THEN '${empty.replace("'", "''")}'
+        WHEN trim(regexp_extract($w, '^\\s*([A-Z]+)', 1)) = 'POINT'
+          THEN '{"x":' || $px || ',"y":' || $py || '$sr'
+        WHEN trim(regexp_extract($w, '^\\s*([A-Z]+)', 1)) = 'MULTIPOLYGON'
+          THEN '{"rings":[' || $mpBody || ']$sr'
+        WHEN trim(regexp_extract($w, '^\\s*([A-Z]+)', 1)) = 'POLYGON'
+          THEN '{"rings":[[' || $polyBody || ']]$sr'
+        WHEN trim(regexp_extract($w, '^\\s*([A-Z]+)', 1)) = 'MULTILINESTRING'
+          THEN '{"paths":[' || $mlBody || ']$srMulti'
+        WHEN trim(regexp_extract($w, '^\\s*([A-Z]+)', 1)) = 'LINESTRING'
+          THEN '{"paths":[[' || $lineBody || ']]$sr'
+        ELSE NULL END"""
+  }
+
+  // --- structural WKT validity (ago.py:398-406 warns via shapely.is_valid;
+  // --- here the cheap structural subset as column math) --------------------
+
+  /** Balanced '(' / ')' counts. */
+  def parensBalanced(wkt: Column): Column =
+    length(wkt) - length(regexp_replace(wkt, "\\(", "")) ===
+      length(wkt) - length(regexp_replace(wkt, "\\)", ""))
+
+  /** Ring texts of a POLYGON/MULTIPOLYGON: innermost "x y, x y, …" runs. */
+  private def ringTexts(wkt: Column): Column =
+    split(
+      regexp_replace(regexp_replace(wkt,
+        "^\\s*(MULTI)?POLYGON\\s*\\(+", ""), "\\)+\\s*$", ""),
+      "\\)+\\s*,\\s*\\(+")
+
+  /** Every polygon ring is closed (first point == last point). */
+  def ringsClosed(wkt: Column): Column =
+    forall(ringTexts(wkt), r => {
+      val pts = split(r, "\\s*,\\s*")
+      trim(element_at(pts, 1)) === trim(element_at(pts, -1))
+    })
+
+  /** Every polygon ring has >= 4 points (triangle + closure) — the minimum
+    * a linear ring needs to bound area.
+    */
+  def ringsMinPoints(wkt: Column): Column =
+    forall(ringTexts(wkt), r => size(split(r, ",")) >= 4)
+
+  /** Structural validity of a WKT value: recognized type token, balanced
+    * parens, and (for polygon classes) closed >=4-point rings. Cheap column
+    * math applied before an AGO upload — the distributed stand-in for the
+    * reference's per-row shapely `is_valid` warning (full
+    * self-intersection testing needs a real geometry kernel).
+    */
+  def wktStructurallyValid(wkt: Column): Column = {
+    val t = geomTypeOf(wkt)
+    val known = t.isin("POINT", "LINESTRING", "POLYGON",
+      "MULTIPOLYGON", "MULTILINESTRING", "MULTIPOINT")
+    val polyOk = when(t.isin("POLYGON", "MULTIPOLYGON"),
+      ringsClosed(wkt) && ringsMinPoints(wkt)).otherwise(lit(true))
+    known && parensBalanced(wkt) && polyOk
+  }
+
   /** Bad-SRID remap table (opendata.py:243-266) as a literal CASE chain —
     * constant-folded by Catalyst, broadcast-free.
     */

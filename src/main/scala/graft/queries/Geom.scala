@@ -96,6 +96,84 @@ object Geom {
       .orderBy("id")
   }
 
+  // EPSG:2272 → 3857, the reference's composed production path
+  // (db2.py:731-819 build_reprojector: 2272→4269 LCC inverse, →4326 datum
+  // step, →3857 mercator, then the ArcGIS-alignment affine nudge
+  // xshift=-0.20/yshift=+1.18, db2_commands.py:29-30). The 4269→4326 datum
+  // op is sub-meter and modeled as identity (as in geom_reproject_sp); the
+  // geographic intermediate is 6-dp-rounded on BOTH engines so the final
+  // 0.1 m rounding is deterministic across libm/JVM.
+  def reproject2272Merc(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val (lon0, lat0) = lccInverse2272(xi(k).cast("double"), yi(k).cast("double"))
+    val lon = graft.core.Determinism.r6(lon0)
+    val lat = graft.core.Determinism.r6(lat0)
+    c.select(k.as("id"),
+        round(mercX(lon) + lit(-0.20), 1).as("merc_x"),
+        round(mercY(lat) + lit(1.18), 1).as("merc_y"))
+      .orderBy("id")
+  }
+
+  // WKT → Esri-JSON geometry objects for AGO upsert (ago.py:361-430,
+  // 674-758): one of each shape class per key, with planted EMPTY points.
+  def esriRings(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val x = xi(k); val y = yi(k)
+    def p(cx: Column, cy: Column) = concat(str(cx), lit(" "), str(cy))
+    val ringA = concat(p(x, y), lit(", "), p(x + 20L, y), lit(", "),
+      p(x, y + 20L), lit(", "), p(x, y))
+    val ringB = concat(p(x + 100L, y + 100L), lit(", "), p(x + 120L, y + 100L),
+      lit(", "), p(x + 100L, y + 120L), lit(", "), p(x + 100L, y + 100L))
+    val seg1 = concat(p(x, y), lit(", "), p(x + 10L, y + 10L))
+    val seg2 = concat(p(x, y + 5L), lit(", "), p(x + 10L, y + 15L))
+    val wkt = when(k % 20 === 0, lit("POINT EMPTY"))
+      .when(k % 5 === 0, concat(lit("POINT ("), p(x, y), lit(")")))
+      .when(k % 5 === 1, concat(lit("POLYGON (("), ringA, lit("))")))
+      .when(k % 5 === 2, concat(lit("MULTIPOLYGON ((("), ringA, lit(")), (("),
+        ringB, lit(")))")))
+      .when(k % 5 === 3, concat(lit("LINESTRING ("), seg1, lit(")")))
+      .otherwise(concat(lit("MULTILINESTRING (("), seg1, lit("), ("), seg2, lit("))")))
+    val ewkt = concat(lit("SRID=2272;"), wkt)
+    c.select(k.as("id"),
+        esriJson(ewkt, 3857, "esriGeometryPoint").as("esri_json"))
+      .orderBy("id")
+  }
+
+  // Structural WKT validity gate before an AGO upload (ago.py:398-406):
+  // planted defects — unclosed ring, 3-point ring, unbalanced parens,
+  // unknown type token — must be flagged; everything else passes.
+  def validityCheck(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val x = xi(k); val y = yi(k)
+    def p(cx: Column, cy: Column) = concat(str(cx), lit(" "), str(cy))
+    val ringOk = concat(p(x, y), lit(", "), p(x + 20L, y), lit(", "),
+      p(x, y + 20L), lit(", "), p(x, y))
+    val ringOpen = concat(p(x, y), lit(", "), p(x + 20L, y), lit(", "),
+      p(x, y + 20L), lit(", "), p(x + 1L, y))
+    val ringSmall = concat(p(x, y), lit(", "), p(x + 20L, y), lit(", "), p(x, y))
+    val wkt = when(k % 11 === 0, concat(lit("POLYGON (("), ringOpen, lit("))")))
+      .when(k % 13 === 0, concat(lit("POLYGON (("), ringSmall, lit("))")))
+      .when(k % 17 === 0, concat(lit("POLYGON (("), ringOk, lit(")")))
+      .when(k % 19 === 0, concat(lit("TRIANGLE (("), ringOk, lit("))")))
+      .when(k % 5 === 0, concat(lit("MULTIPOLYGON ((("), ringOk, lit(")), (("),
+        ringOk, lit(")))")))
+      .when(k % 5 === 1, concat(lit("POINT ("), p(x, y), lit(")")))
+      .when(k % 5 === 2, concat(lit("LINESTRING ("), p(x, y), lit(", "),
+        p(x + 10L, y + 10L), lit(")")))
+      .otherwise(concat(lit("POLYGON (("), ringOk, lit("))")))
+    c.select(k.as("id"), geomTypeOf(wkt).as("geom_type"),
+        parensBalanced(wkt).cast("int").as("paren_ok"),
+        when(geomTypeOf(wkt).isin("POLYGON", "MULTIPOLYGON"),
+          ringsClosed(wkt).cast("int")).otherwise(lit(1)).as("rings_closed"),
+        when(geomTypeOf(wkt).isin("POLYGON", "MULTIPOLYGON"),
+          ringsMinPoints(wkt).cast("int")).otherwise(lit(1)).as("rings_minpts"),
+        wktStructurallyValid(wkt).cast("int").as("is_valid"))
+      .orderBy("id")
+  }
+
   // Bad-SRID lookup remap over the reference's correction table.
   private val bads = badSridMap.keys.toSeq.sorted
   def badSridRemapQ(s: SparkSession, d: String): DataFrame = {
@@ -115,6 +193,9 @@ object Geom {
     "geom_point_latlng"   -> (pointLatLng _),
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
+    "geom_reproject_2272_merc" -> (reproject2272Merc _),
+    "geom_esri_rings"     -> (esriRings _),
+    "geom_validity_check" -> (validityCheck _),
     "geom_bad_srid_remap" -> (badSridRemapQ _)
   )
 
@@ -184,6 +265,71 @@ object Geom {
           ${graft.functions.GeomFunctions.lccInverse2272SqlCtes}
           SELECT id, ${r6("lng")} AS lng, ${r6("lat")} AS lat
           FROM lcc ORDER BY id"""
+    },
+    "geom_reproject_2272_merc" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      s"""WITH pts AS (SELECT c_custkey AS id,
+            CAST($xiSql AS DOUBLE) AS xft, CAST($yiSql AS DOUBLE) AS yft
+          FROM customer),
+          ${graft.functions.GeomFunctions.lccInverse2272SqlCtes},
+          deg AS (SELECT id, ${r6("lng")} AS lng, ${r6("lat")} AS lat FROM lcc)
+          SELECT id,
+            round(lng * pi() * 6378137.0 / 180.0 + (-0.20), 1) AS merc_x,
+            round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 + 1.18, 1) AS merc_y
+          FROM deg ORDER BY id"""
+    },
+    "geom_esri_rings" -> {
+      val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"
+      val ringA = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 20)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 20)")} || ', ' || ${pSql(xiSql, yiSql)}"
+      val ringB = s"${pSql(s"($xiSql + 100)", s"($yiSql + 100)")} || ', ' || ${pSql(s"($xiSql + 120)", s"($yiSql + 100)")} || ', ' || ${pSql(s"($xiSql + 100)", s"($yiSql + 120)")} || ', ' || ${pSql(s"($xiSql + 100)", s"($yiSql + 100)")}"
+      val seg1 = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 10)", s"($yiSql + 10)")}"
+      val seg2 = s"${pSql(xiSql, s"($yiSql + 5)")} || ', ' || ${pSql(s"($xiSql + 10)", s"($yiSql + 15)")}"
+      s"""WITH src AS (SELECT c_custkey AS id,
+           'SRID=2272;' || CASE
+             WHEN c_custkey % 20 = 0 THEN 'POINT EMPTY'
+             WHEN c_custkey % 5 = 0 THEN 'POINT (' || ${pSql(xiSql, yiSql)} || ')'
+             WHEN c_custkey % 5 = 1 THEN 'POLYGON ((' || $ringA || '))'
+             WHEN c_custkey % 5 = 2 THEN 'MULTIPOLYGON (((' || $ringA || ')), ((' || $ringB || ')))'
+             WHEN c_custkey % 5 = 3 THEN 'LINESTRING (' || $seg1 || ')'
+             ELSE 'MULTILINESTRING ((' || $seg1 || '), (' || $seg2 || '))'
+           END AS ewkt
+         FROM customer)
+         SELECT id, ${graft.functions.GeomFunctions.esriJsonSql("ewkt", 3857, "esriGeometryPoint")} AS esri_json
+         FROM src ORDER BY id"""
+    },
+    "geom_validity_check" -> {
+      val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"
+      val ringOk = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 20)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 20)")} || ', ' || ${pSql(xiSql, yiSql)}"
+      val ringOpen = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 20)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 20)")} || ', ' || ${pSql(s"($xiSql + 1)", yiSql)}"
+      val ringSmall = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 20)", yiSql)} || ', ' || ${pSql(xiSql, yiSql)}"
+      val rings = """string_split_regex(regexp_replace(regexp_replace(wkt,
+           '^\s*(MULTI)?POLYGON\s*\(+', ''), '\)+\s*$', ''), '\)+\s*,\s*\(+')"""
+      val closed = s"""list_aggregate(list_transform($rings,
+           r -> trim(string_split_regex(r, '\\s*,\\s*')[1]) = trim(string_split_regex(r, '\\s*,\\s*')[-1])), 'bool_and')"""
+      val minpts = s"""list_aggregate(list_transform($rings,
+           r -> len(string_split(r, ',')) >= 4), 'bool_and')"""
+      val typ = """trim(regexp_extract(wkt, '^\s*([A-Z]+)', 1))"""
+      val paren = "length(wkt) - length(replace(wkt, '(', '')) = length(wkt) - length(replace(wkt, ')', ''))"
+      val isPoly = s"$typ IN ('POLYGON', 'MULTIPOLYGON')"
+      val known = s"$typ IN ('POINT', 'LINESTRING', 'POLYGON', 'MULTIPOLYGON', 'MULTILINESTRING', 'MULTIPOINT')"
+      s"""WITH src AS (SELECT c_custkey AS id, CASE
+             WHEN c_custkey % 11 = 0 THEN 'POLYGON ((' || $ringOpen || '))'
+             WHEN c_custkey % 13 = 0 THEN 'POLYGON ((' || $ringSmall || '))'
+             WHEN c_custkey % 17 = 0 THEN 'POLYGON ((' || $ringOk || ')'
+             WHEN c_custkey % 19 = 0 THEN 'TRIANGLE ((' || $ringOk || '))'
+             WHEN c_custkey % 5 = 0 THEN 'MULTIPOLYGON (((' || $ringOk || ')), ((' || $ringOk || ')))'
+             WHEN c_custkey % 5 = 1 THEN 'POINT (' || ${pSql(xiSql, yiSql)} || ')'
+             WHEN c_custkey % 5 = 2 THEN 'LINESTRING (' || ${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 10)", s"($yiSql + 10)")} || ')'
+             ELSE 'POLYGON ((' || $ringOk || '))'
+           END AS wkt
+         FROM customer)
+         SELECT id, $typ AS geom_type,
+           CAST($paren AS INTEGER) AS paren_ok,
+           CASE WHEN $isPoly THEN CAST($closed AS INTEGER) ELSE 1 END AS rings_closed,
+           CASE WHEN $isPoly THEN CAST($minpts AS INTEGER) ELSE 1 END AS rings_minpts,
+           CAST(($known AND $paren AND
+                 (NOT $isPoly OR ($closed AND $minpts))) AS INTEGER) AS is_valid
+         FROM src ORDER BY id"""
     },
     "geom_bad_srid_remap" -> {
       val cases = bads.zipWithIndex

@@ -104,4 +104,56 @@ class GeomSpec extends AnyFunSuite {
     assert(one(remapBadSrid(lit(300090))) == "4269")
     assert(one(remapBadSrid(lit(4326))) == "4326")
   }
+
+  test("esriJson: every WKT class maps to its Esri geometry object") {
+    def j(w: String) = one(esriJson(lit(w), 3857, "esriGeometryPoint"))
+    assert(j("SRID=2272;POINT (10 20)") ==
+      """{"x":10.0,"y":20.0,"spatialReference":{"wkid":3857}}""")
+    assert(j("POLYGON ((1 2, 3 2, 1 4, 1 2))") ==
+      """{"rings":[[[1,2],[3,2],[1,4],[1,2]]],"spatialReference":{"wkid":3857}}""")
+    assert(j("MULTIPOLYGON (((1 2, 3 2, 1 4, 1 2)), ((5 6, 7 6, 5 8, 5 6)))") ==
+      """{"rings":[[[1,2],[3,2],[1,4],[1,2]],[[5,6],[7,6],[5,8],[5,6]]],"spatialReference":{"wkid":3857}}""")
+    assert(j("LINESTRING (1 2, 3 4)") ==
+      """{"paths":[[[1,2],[3,4]]],"spatialReference":{"wkid":3857}}""")
+    // the reference's wkid+latestWkid quirk on the multiline branch
+    assert(j("MULTILINESTRING ((1 2, 3 4), (5 6, 7 8))") ==
+      """{"paths":[[[1,2],[3,4]],[[5,6],[7,8]]],"spatialReference":{"wkid":3857,"latestWkid":3857}}""")
+    assert(j("POINT EMPTY") ==
+      """{"x":"NaN","y":"NaN","spatialReference":{"wkid":3857}}""")
+    assert(one(esriJson(lit(" "), 3857, "esriGeometryPolygon")) ==
+      """{"rings":[],"spatialReference":{"wkid":3857}}""")
+    assert(one(esriJson(lit(" "), 3857, "esriGeometryPolyline")) ==
+      """{"paths":[],"spatialReference":{"wkid":3857}}""")
+    // unrecognized type → null poison, not a throw
+    assert(spark.range(1)
+      .select(esriJson(lit("CIRCLE (1 2, 3)"), 3857, "esriGeometryPoint"))
+      .head().isNullAt(0))
+  }
+
+  test("wkt structural validity: defects are flagged, good shapes pass") {
+    def v(w: String) = one(wktStructurallyValid(lit(w))) == "true"
+    assert(v("POINT (1 2)"))
+    assert(v("POLYGON ((1 2, 3 2, 1 4, 1 2))"))
+    assert(v("MULTIPOLYGON (((1 2, 3 2, 1 4, 1 2)), ((5 6, 7 6, 5 8, 5 6)))"))
+    assert(v("LINESTRING (1 2, 3 4)"))
+    assert(!v("POLYGON ((1 2, 3 2, 1 4, 9 9))"))   // unclosed ring
+    assert(!v("POLYGON ((1 2, 3 2, 1 2))"))        // 3-point ring
+    assert(!v("POLYGON ((1 2, 3 2, 1 4, 1 2)"))    // unbalanced parens
+    assert(!v("TRIANGLE ((1 2, 3 2, 1 4, 1 2))"))  // unknown type token
+    // a multipolygon with ONE bad ring among good ones must fail
+    assert(!v("MULTIPOLYGON (((1 2, 3 2, 1 4, 1 2)), ((5 6, 7 6, 5 8, 9 9)))"))
+  }
+
+  test("composed 2272→3857 equals lcc-inverse → mercator + arcgis nudge") {
+    // anchor: City Hall-ish state-plane coords; composed query legs must
+    // agree with running the two published legs by hand
+    val (lonC, latC) = lccInverse2272(lit(2694444.0), lit(235902.0))
+    val lon = one(graft.core.Determinism.r6(lonC)).toDouble
+    val lat = one(graft.core.Determinism.r6(latC)).toDouble
+    val mx = one(round(mercX(lit(lon)) + lit(-0.20), 1)).toDouble
+    val my = one(round(mercY(lit(lat)) + lit(1.18), 1)).toDouble
+    // Philadelphia is near lon -75.16, lat 39.95 → web-merc ≈ (-8.37e6, 4.86e6)
+    assert(math.abs(mx + 8.367e6) < 2e4, s"mx=$mx")
+    assert(math.abs(my - 4.859e6) < 2e4, s"my=$my")
+  }
 }
