@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CurrentRow, EqualTo, ExprId, Expression, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CurrentRow, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -46,6 +46,9 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     conjunct match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rankId => Some(k)
       case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rankId => Some(k - 1)
+      // flipped spellings (SQL "WHERE 3 >= rk" parses literal-first)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rankId => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rankId => Some(k - 1)
       case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rankId => Some(1)
       case EqualTo(IntegerLiteral(1), a: Attribute) if a.exprId == rankId => Some(1)
       case _ => None

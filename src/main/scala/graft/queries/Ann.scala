@@ -107,7 +107,18 @@ object Ann {
         .otherwise(0L)).as("bucket"))
   }
 
-  def lsh(s: SparkSession, d: String): DataFrame = {
+  /** Hamming-1 multiprobe (standard multiprobe LSH): each probe visits its
+    * own sign bucket plus the PLANES buckets one bit-flip away — the cells
+    * a near-boundary neighbor most likely fell into. The corpus stays
+    * bucketed ONCE; only the tiny broadcast probe set expands (×(PLANES+1)),
+    * so the join shape — and its 100 TB behavior — is unchanged while
+    * recall strictly improves (asserted in AnnTextSpec).
+    */
+  def lsh(s: SparkSession, d: String): DataFrame =
+    lshImpl(s, d, multiprobe = true)
+
+  private[graft] def lshImpl(s: SparkSession, d: String,
+                             multiprobe: Boolean): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
@@ -115,8 +126,17 @@ object Ann {
     // recompute the norm + hyperplane-bucket pipelines
     val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
       .localCheckpoint()
-    val probes = withB.filter(col("vec_id") % PROBE_MOD === 0)
+    val probes0 = withB.filter(col("vec_id") % PROBE_MOD === 0)
       .toDF("probe_id", "pv", "pnrm", "bucket")
+    val probes =
+      if (!multiprobe) probes0
+      else probes0.select(col("probe_id"), col("pv"), col("pnrm"),
+        explode(array(col("bucket") +:
+          (0 until PLANES).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
+    // each corpus vector lives in exactly one bucket and a probe's
+    // (PLANES+1) probed buckets are distinct values, so a (probe, neighbor)
+    // pair can match at most once — no dedup needed
     val corpus = withB.toDF("neighbor_id", "cv", "cnrm", "bucket")
     val cand = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -195,10 +215,17 @@ object Ann {
     * brute-force pass) the LSH index recovered — the quality gauge every
     * approximate index needs shipped alongside it ("measure, don't guess").
     */
-  def recallEval(s: SparkSession, d: String): DataFrame = {
+  def recallEval(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, lsh(s, d))
+
+  /** Single-probe recall — kept for the spec's strict-improvement gate. */
+  private[graft] def recallEvalSingleProbe(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, lshImpl(s, d, multiprobe = false))
+
+  private def recallOf(s: SparkSession, d: String, lshDf: DataFrame): DataFrame = {
     val bf = bruteforce(s, d).filter(col("rk") <= CAND_TOPK)
       .select(col("probe_id"), col("neighbor_id"))
-    val ls = lsh(s, d)
+    val ls = lshDf
       .select(col("probe_id").as("l_probe"), col("neighbor_id").as("l_neighbor"))
     bf.join(ls, bf("probe_id") === ls("l_probe")
         && bf("neighbor_id") === ls("l_neighbor"), "left")
@@ -224,6 +251,16 @@ object Ann {
                  generate_subscripts(v, 1) AS i FROM vecs)"""
   private def normsSql =
     s"""norms AS (SELECT vec_id, ${Dedup.dotSeqSql("v", "v")} AS nrm FROM vecs)"""
+
+  /** SQL twin of the hamming-1 multiprobe expansion: probe rows fan out to
+    * their own bucket plus each single-bit flip.
+    */
+  private def probeBucketsSql: String = {
+    val flips = ("bucket" +: (0 until PLANES).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""probe_buckets AS (SELECT vec_id, unnest($flips) AS bucket
+       FROM buckets WHERE vec_id % $PROBE_MOD = 0)"""
+  }
 
   /** SQL twin of [[buckets]] over an `elems(vec_id, x, i)` CTE — shared with
     * Dedup's LSH-blocked embedding pass.
@@ -259,9 +296,10 @@ object Ann {
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM bf_scored),
          bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $probeBucketsSql,
          l_cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
-           FROM buckets p JOIN buckets c ON p.bucket = c.bucket
-           WHERE p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+           FROM probe_buckets p JOIN buckets c ON p.bucket = c.bucket
+           WHERE p.vec_id <> c.vec_id),
          l_dots AS (SELECT probe_id, neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "cv.v")} AS dot
            FROM l_cand
@@ -334,9 +372,10 @@ object Ann {
     "ann_lsh" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql,
          $bucketsSqlFragment,
+         $probeBucketsSql,
          cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
-           FROM buckets p JOIN buckets c ON p.bucket = c.bucket
-           WHERE p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+           FROM probe_buckets p JOIN buckets c ON p.bucket = c.bucket
+           WHERE p.vec_id <> c.vec_id),
          dots AS (SELECT probe_id, neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "cv.v")} AS dot
            FROM cand

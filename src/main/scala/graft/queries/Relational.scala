@@ -231,17 +231,23 @@ object Relational {
   }
 
   // q22: explicit grouping sets — the general form rollup/cube specialize;
-  // one pass, Expand feeds a single partial-aggregated exchange.
+  // one pass, Expand feeds a single partial-aggregated exchange. Subtotal
+  // rows are identified by grouping() — NOT a coalesce sentinel — so a
+  // genuine NULL key value can never collapse into the 'ALL' subtotals.
   def q22GroupingSets(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     o.groupingSets(
         Seq(Seq(o("o_orderstatus"), o("o_orderpriority")),
           Seq(o("o_orderstatus")), Seq.empty),
         o("o_orderstatus"), o("o_orderpriority"))
-      .agg(dsum(o("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
+      .agg(dsum(o("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"),
+        grouping(o("o_orderstatus")).as("g_status"),
+        grouping(o("o_orderpriority")).as("g_priority"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_status") === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_priority") === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
         col("sum_price"), col("n_orders"))
       .orderBy("status", "priority")
   }
@@ -294,8 +300,10 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q22_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus,'ALL') AS status,
-         coalesce(o_orderpriority,'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                     ELSE o_orderstatus END AS status,
+         CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+              ELSE o_orderpriority END AS priority,
          CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
          count(*) AS n_orders
          FROM orders

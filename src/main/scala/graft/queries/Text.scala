@@ -157,7 +157,12 @@ object Text {
     */
   def entropy(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
-    val chars = doc.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    // codepoint-safe split: "(?s)(?<=.)" breaks AFTER each code point (Java
+    // regex treats a surrogate pair as one '.'), matching DuckDB's
+    // string_split(text,'') codepoint semantics — a bare "" split would
+    // emit UTF-16 code units and diverge on any non-BMP char (emoji)
+    val chars = doc.select(col("doc_id"),
+        explode(split(col("text"), "(?s)(?<=.)")).as("ch"))
       .filter(col("ch") =!= "")
     val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
     val terms = counts.select(col("doc_id"), col("cnt"),

@@ -30,9 +30,56 @@ object CleanCsv {
     "integer" -> "int", "boolean" -> "boolean",
     "object" -> "string", "array" -> "string",
     "date" -> "date", "time" -> "string",
-    "datetime" -> "timestamp", "timestamp without time zone" -> "timestamp",
+    "datetime" -> "timestamp", "timestamp" -> "timestamp",
+    "timestamp without time zone" -> "timestamp",
     "timestamp with time zone" -> "timestamp",
     "geom" -> "string", "geometry" -> "string")
+
+  /** The reference's three sink-specific DATA_TYPE_MAPs, verbatim
+    * (JSON-schema type → target DDL type) — for emitting
+    * reference-identical CREATE TABLE column types per sink. They differ
+    * only in temporal targets:
+    *  - postgres (postgres/postgres_map.py:1-17): tz kept as declared
+    *  - carto (carto/carto_.py:25-43): every timestamp forced tz-aware
+    *  - abstract/legacy (abstract/__init__.py:11-25): datetime collapses
+    *    to date, no timestamp keys
+    */
+  val postgresDdlMap: Map[String, String] = Map(
+    "string" -> "text", "number" -> "numeric", "float" -> "numeric",
+    "double precision" -> "numeric", "integer" -> "integer",
+    "boolean" -> "boolean", "object" -> "jsonb", "array" -> "jsonb",
+    "date" -> "date", "time" -> "time",
+    "datetime" -> "timestamp without time zone",
+    "timestamp without time zone" -> "timestamp without time zone",
+    "timestamp with time zone" -> "timestamp with time zone",
+    "geom" -> "geometry", "geometry" -> "geometry")
+
+  val cartoDdlMap: Map[String, String] = Map(
+    "string" -> "text", "number" -> "numeric", "float" -> "numeric",
+    "double precision" -> "numeric", "integer" -> "integer",
+    "boolean" -> "boolean", "object" -> "jsonb", "array" -> "jsonb",
+    "date" -> "date", "time" -> "time",
+    "datetime" -> "timestamp with time zone",
+    "timestamp" -> "timestamp with time zone",
+    "timestamp without time zone" -> "timestamp with time zone",
+    "geom" -> "geometry", "geometry" -> "geometry")
+
+  val abstractDdlMap: Map[String, String] = Map(
+    "string" -> "text", "number" -> "numeric", "float" -> "numeric",
+    "double precision" -> "numeric", "integer" -> "integer",
+    "boolean" -> "boolean", "object" -> "jsonb", "array" -> "jsonb",
+    "date" -> "date", "time" -> "time", "datetime" -> "date",
+    "geom" -> "geometry", "geometry" -> "geometry")
+
+  /** GEOM_TYPE_MAP (postgres_map.py:19-27): declared geometry class →
+    * stored class. polygon/line promote to their MULTI class — the DDL-side
+    * twin of [[graft.functions.GeomFunctions.promoteMulti]], which performs
+    * the matching promotion on the WKT values.
+    */
+  val geomTypeMap: Map[String, String] = Map(
+    "point" -> "Point", "line" -> "Linestring", "linestring" -> "Linestring",
+    "polygon" -> "MultiPolygon", "multipolygon" -> "MultiPolygon",
+    "multilinestring" -> "MultiLineString", "geometry" -> "Geometry")
 
   /** Parse the reference's JSON schema document
     * (`[{"name": ..., "type": ...}, ...]` or `{"fields": [...]}`) into

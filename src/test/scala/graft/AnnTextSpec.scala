@@ -48,6 +48,35 @@ class AnnTextSpec extends AnyFunSuite {
     assert(ivf.forall { case (p, _, n, _) => probed(p).contains(cellOf(n)) })
   }
 
+  test("ann_lsh multiprobe: strictly better recall than single-probe") {
+    // hamming-1 multiprobe must recover at least every single-probe match
+    // (own bucket is always probed) and strictly more overall — measured at
+    // sf0.01, where bucket boundaries actually split neighbors (at sf0.001
+    // the corpus is too small for boundary cases to be guaranteed)
+    val d = "/root/testdata/sf0.01"
+    def matches(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = matches(Ann.recallEvalSingleProbe(spark, d))
+    val multi  = matches(Ann.recallEval(spark, d))
+    assert(single.keySet == multi.keySet)
+    assert(single.keySet.forall(p => multi(p) >= single(p)),
+      "multiprobe lost a single-probe match")
+    assert(multi.values.sum > single.values.sum,
+      s"recall did not strictly improve: ${single.values.sum} -> ${multi.values.sum}")
+  }
+
+  test("entropy char split is codepoint-safe (non-BMP parity with DuckDB)") {
+    // "(?s)(?<=.)" must yield code points: an emoji stays one element, not
+    // two surrogate halves — the semantics DuckDB's string_split(text, '')
+    // uses, so n_chars/entropy agree cross-engine beyond ASCII
+    import org.apache.spark.sql.functions.{col, explode, split, lit}
+    import spark.implicits._
+    val out = spark.range(1)
+      .select(explode(split(lit("a😀b\nc"), "(?s)(?<=.)")).as("ch"))
+      .filter(col("ch") =!= "").as[String].collect().toSeq
+    assert(out == Seq("a", "😀", "b", "\n", "c"))
+  }
+
   test("text_langid: vocabulary only contains english markers") {
     val rows = Text.queries("text_langid")(spark, sf).collect()
     assert(rows.nonEmpty)

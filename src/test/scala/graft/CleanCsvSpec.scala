@@ -51,6 +51,29 @@ class CleanCsvSpec extends AnyFunSuite {
     assert(r.getInt(0) == 1 && r.getBoolean(2))
   }
 
+  test("full DATA_TYPE_MAP round-trips: every DDL-map key has a Spark cast") {
+    // every key of every sink DDL map must resolve through the Spark-target
+    // typeMap (no JSON-schema type a reference pipeline can declare may
+    // silently fall back to string) ...
+    val allKeys = (CleanCsv.postgresDdlMap.keySet ++ CleanCsv.cartoDdlMap.keySet
+      ++ CleanCsv.abstractDdlMap.keySet)
+    assert(allKeys.subsetOf(CleanCsv.typeMap.keySet),
+      s"unmapped: ${allKeys -- CleanCsv.typeMap.keySet}")
+    // ... and every Spark target must be a real castable type
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1)
+    for (t <- CleanCsv.typeMap.values.toSet[String])
+      df.select(lit(null).cast(t)).collect() // throws on an invalid type name
+    // reference-pinned spot checks, one per divergent temporal rule
+    assert(CleanCsv.postgresDdlMap("datetime") == "timestamp without time zone")
+    assert(CleanCsv.cartoDdlMap("datetime") == "timestamp with time zone")
+    assert(CleanCsv.abstractDdlMap("datetime") == "date")
+    // geometry classes promote to MULTI, matching promoteMulti on values
+    assert(CleanCsv.geomTypeMap("polygon") == "MultiPolygon")
+    assert(CleanCsv.geomTypeMap("line") == "Linestring")
+    assert(CleanCsv.geomTypeMap("multilinestring") == "MultiLineString")
+  }
+
   test("schemaFromJson accepts the {fields:[...]} wrapper and unknown types") {
     val js = """{"fields":[{"name":"shape","type":"geometry"},
                            {"name":"x","type":"wat"}]}"""

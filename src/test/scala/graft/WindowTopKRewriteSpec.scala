@@ -64,6 +64,24 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     assert(eq.groupBy($"user_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("flipped literal-first spellings (SQL 'WHERE 3 >= rk') are rewritten") {
+    // lit(3) >= rk ≡ rk <= 3; lit(4) > rk ≡ rk <= 3 — both must hit the
+    // bounded-heap plan and agree with the window formulation
+    val geq = events.withColumn("rk", row_number().over(w))
+      .filter(lit(3) >= $"rk").drop("rk")
+    assert(geq.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      geq.queryExecution.executedPlan.toString)
+    val gt = events.withColumn("rk", row_number().over(w))
+      .filter(lit(4) > $"rk").drop("rk")
+    assert(gt.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      gt.queryExecution.executedPlan.toString)
+    val reference = events.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(geq.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == reference)
+    assert(gt.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == reference)
+  }
+
   test("guard: rank kept in the output keeps the real window") {
     val df = events.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
     val plan = df.queryExecution.executedPlan.toString
