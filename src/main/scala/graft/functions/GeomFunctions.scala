@@ -306,6 +306,21 @@ object GeomFunctions {
     known && parensBalanced(wkt) && polyOk
   }
 
+  // --- CSV field quoting (opendata.py:336 tocsv / carto_.py:79 gzip path:
+  // --- petl writes csv.QUOTE_MINIMAL — only fields containing a comma,
+  // --- quote, or newline get quoted, with embedded quotes doubled) --------
+
+  /** QUOTE_MINIMAL rendering of one field. */
+  def csvQuote(field: Column): Column =
+    when(field.rlike("[\",\n\r]"),
+      concat(lit("\""), regexp_replace(field, "\"", "\"\""), lit("\"")))
+      .otherwise(field)
+
+  /** SQL twin of [[csvQuote]]. */
+  def csvQuoteSql(e: String): String =
+    s"""CASE WHEN regexp_matches($e, '[",\n\r]')
+        THEN '"' || replace($e, '"', '""') || '"' ELSE $e END"""
+
   /** Bad-SRID remap table (opendata.py:243-266) as a literal CASE chain —
     * constant-folded by Catalyst, broadcast-free.
     */

@@ -101,9 +101,11 @@ object EtlOps {
     prod.join(staging.select(pks.map(col): _*), pks, "left_anti")
       .unionByName(staging)
 
-  /** Delete-stale via EXCEPT (postgres.py:1034-1090): keep only prod rows
-    * whose PK still exists in staging — a left-semi join (never materializes
-    * staging's non-key columns).
+  /** Delete-stale (postgres.py:1034-1090): the reference DELETEs prod PKs
+    * absent from staging; expressed set-wise that leaves the SURVIVOR set —
+    * prod rows whose PK still exists in staging — which is what this
+    * returns, as a left-semi join (never materializes staging's non-key
+    * columns).
     */
   def deleteStale(prod: DataFrame, staging: DataFrame, pks: Seq[String]): DataFrame =
     prod.join(staging.select(pks.map(col): _*), pks, "left_semi")

@@ -218,6 +218,12 @@ object Ann {
   def recallEval(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, lsh(s, d))
 
+  /** Recall@k gate for the IVF index — every approximate index ships with
+    * its own measured recall, not just the LSH one.
+    */
+  def recallEvalIvf(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivf(s, d))
+
   /** Single-probe recall — kept for the spec's strict-improvement gate. */
   private[graft] def recallEvalSingleProbe(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, lshImpl(s, d, multiprobe = false))
@@ -241,7 +247,8 @@ object Ann {
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
-    "ann_recall"     -> (recallEval _)
+    "ann_recall"     -> (recallEval _),
+    "ann_recall_ivf" -> (recallEvalIvf _)
   )
 
   private val vecsSql =
@@ -319,6 +326,56 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(lshk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN lshk
            ON lshk.probe_id = bf.probe_id AND lshk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_recall_ivf" ->
+      s"""WITH $vecsSql, $normsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CENT_MOD = 1),
+         sims AS (SELECT x.vec_id, c.cent_id,
+             ${Dedup.dotSeqSql("x.v", "c.cv")}
+               / sqrt(nx.nrm * nc.nrm) AS csim
+           FROM vecs x
+           CROSS JOIN cents c
+           JOIN norms nx ON nx.vec_id = x.vec_id
+           JOIN norms nc ON nc.vec_id = c.cent_id),
+         ranked AS (SELECT vec_id, cent_id, csim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS crk
+           FROM sims),
+         assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
+           FROM ranked WHERE vec_id % $PROBE_MOD = 0 AND crk <= $NPROBE),
+         cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("pv.v", "nv.v")}
+               / sqrt(np.nrm * nn.nrm) AS cos
+           FROM probe_cells pc
+           JOIN assignment a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+           JOIN vecs pv ON pv.vec_id = pc.probe_id
+           JOIN vecs nv ON nv.vec_id = a.vec_id
+           JOIN norms np ON np.vec_id = pc.probe_id
+           JOIN norms nn ON nn.vec_id = a.vec_id),
+         final_ranked AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM cand),
+         ivfk AS (SELECT probe_id, neighbor_id FROM final_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(ivfk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(ivfk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN ivfk
+           ON ivfk.probe_id = bf.probe_id AND ivfk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_bruteforce" ->
       s"""WITH $vecsSql, $normsSql,

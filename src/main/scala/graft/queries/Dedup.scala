@@ -377,6 +377,32 @@ object Dedup {
     labels
   }
 
+  /** Candidate→verify: LSH candidate pairs re-scored with TRUE shingle
+    * Jaccard, keeping only pairs ≥ 0.5 — the production MinHash shape
+    * (banding for recall, exact verification for precision; banding alone
+    * admits false positives by design). Verification cost is bounded by the
+    * candidate count, which banding bounds — the full N² never gets exact
+    * scoring. Shingle sets join the (small) candidate relation by doc id,
+    * so only candidate docs' shingles are compared.
+    */
+  def minhashVerified(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashLsh(s, d)
+    val sh = shingleHashes(s, d).localCheckpoint()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("a_id", "sh")
+    val b = sh.toDF("b_id", "sh")
+    val inter = cand.join(a, "a_id").join(b, Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val ca = cnt.toDF("a_id", "na"); val cb = cnt.toDF("b_id", "nb")
+    inter.join(ca, "a_id").join(cb, "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(col("jaccard")).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Driver query: the drop-list a dedup pipeline feeds downstream — every
     * doc that lost at least one pairing (appears as the higher id). The
     * richer component resolution is [[resolveKeepMin]] / [[resolve]].
@@ -395,6 +421,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_drop_list"     -> (dropList _),
+    "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_resolve"       -> (resolve _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_containment" -> (ngramContainment _),
@@ -409,6 +436,26 @@ object Dedup {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor
       s"""SELECT DISTINCT b_id AS drop_id FROM ($pairs) ORDER BY drop_id"""
+    },
+    "dedup_minhash_verified" -> {
+      val pairs = minhashLshSqlFor
+      s"""WITH cand AS ($pairs),
+         $corpusSql,
+         sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
+         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.a_id
+                   JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+                   GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           ${graft.core.Determinism.r4Sql("CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)")} AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = a_id
+         JOIN cnt cb ON cb.doc_id = b_id
+         WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
+         ORDER BY a_id, b_id"""
     },
     "dedup_resolve" -> {
       val pairs = minhashLshSqlFor

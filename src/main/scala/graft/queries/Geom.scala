@@ -174,6 +174,33 @@ object Geom {
       .orderBy("id")
   }
 
+  // The opendata CSV export pipeline end-to-end (opendata.py:92-345):
+  // lowercase header names, bad-SRID remap (300001→2272), SRID= strip,
+  // point reprojection to 4326 (the "always to 4326 for opendata" rule via
+  // the LCC inverse), lat/lng extracted as their own fields, shape dropped,
+  // and each row rendered as a QUOTE_MINIMAL csv line (petl tocsv) — names
+  // with planted commas/quotes must come out quoted-and-doubled. Lat/lng in
+  // the csv line are %.6f-formatted (printf of a 6-dp-floored double is
+  // identical across engines); the standalone columns stay r6 doubles.
+  def opendataExport(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val ewkt = concat(lit("SRID=300001;POINT ("),
+      str(xi(k)), lit(" "), str(yi(k)), lit(")"))
+    val name = when(k % 7 === 0, concat(c("c_name"), lit(", \"vip\"")))
+      .otherwise(c("c_name"))
+    val (lon0, lat0) = lccInverse2272(pointX(wktOf(ewkt)), pointY(wktOf(ewkt)))
+    val lng = graft.core.Determinism.r6(lon0)
+    val lat = graft.core.Determinism.r6(lat0)
+    c.select(k.as("id"),
+        remapBadSrid(sridOf(ewkt)).as("from_srid"),
+        lng.as("lng"), lat.as("lat"),
+        concat_ws(",", k.cast("string"), csvQuote(name),
+          format_string("%.6f", lng), format_string("%.6f", lat))
+          .as("csv_line"))
+      .orderBy("id")
+  }
+
   // Bad-SRID lookup remap over the reference's correction table.
   private val bads = badSridMap.keys.toSeq.sorted
   def badSridRemapQ(s: SparkSession, d: String): DataFrame = {
@@ -196,7 +223,8 @@ object Geom {
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
     "geom_esri_rings"     -> (esriRings _),
     "geom_validity_check" -> (validityCheck _),
-    "geom_bad_srid_remap" -> (badSridRemapQ _)
+    "geom_bad_srid_remap" -> (badSridRemapQ _),
+    "opendata_csv_export" -> (opendataExport _)
   )
 
   private val xiSql = "((c_custkey * 7919) % 1000000 + 2400000)"
@@ -330,6 +358,22 @@ object Geom {
            CAST(($known AND $paren AND
                  (NOT $isPoly OR ($closed AND $minpts))) AS INTEGER) AS is_valid
          FROM src ORDER BY id"""
+    },
+    "opendata_csv_export" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      val nameSql = """CASE WHEN c_custkey % 7 = 0 THEN c_name || ', "vip"'
+                       ELSE c_name END"""
+      s"""WITH pts AS (SELECT c_custkey AS id,
+            CAST($xiSql AS DOUBLE) AS xft, CAST($yiSql AS DOUBLE) AS yft
+          FROM customer),
+          ${graft.functions.GeomFunctions.lccInverse2272SqlCtes},
+          deg AS (SELECT id, ${r6("lng")} AS lng, ${r6("lat")} AS lat FROM lcc),
+          names AS (SELECT c_custkey AS id, $nameSql AS name FROM customer)
+          SELECT n.id, 2272 AS from_srid, d.lng, d.lat,
+            CAST(n.id AS VARCHAR) || ',' ||
+            ${graft.functions.GeomFunctions.csvQuoteSql("n.name")} || ',' ||
+            printf('%.6f', d.lng) || ',' || printf('%.6f', d.lat) AS csv_line
+          FROM names n JOIN deg d ON d.id = n.id ORDER BY n.id"""
     },
     "geom_bad_srid_remap" -> {
       val cases = bads.zipWithIndex

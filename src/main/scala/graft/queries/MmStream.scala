@@ -78,6 +78,21 @@ object MmStream {
     Streams.staticEnrichAgg(events(s, d), customer(s, d))
       .orderBy("c_mktsegment", "event_type")
 
+  // stream-stream interval join (batch twin; readStream parity in the spec):
+  // click→purchase attribution pairs, aggregated per click-day for a
+  // bounded, hash-checkable result
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    Streams.attributionJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        withWatermark = false)
+      .groupBy(date_format(col("c_ts"), "yyyy-MM-dd").as("click_day"))
+      .agg(count(lit(1)).as("n_attributed"),
+        graft.core.Determinism.dsum(col("p_value"), 18, 2).as("sum_value"))
+      .orderBy("click_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_frame_sample"   -> (frameSample _),
@@ -85,7 +100,8 @@ object MmStream {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _),
-    "stream_static_join" -> (streamStaticJoin _)
+    "stream_static_join" -> (streamStaticJoin _),
+    "stream_interval_join" -> (streamIntervalJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +184,15 @@ object MmStream {
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_interval_join" ->
+      """SELECT strftime(c.ts, '%Y-%m-%d') AS click_day,
+         count(*) AS n_attributed,
+         CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1"""
   )
 }

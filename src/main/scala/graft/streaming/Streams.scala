@@ -57,6 +57,27 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
 
+  /** Stream-stream interval join: click → purchase attribution. Each click
+    * matches the same user's purchases inside [click_ts, click_ts + 30 min].
+    * On streams BOTH sides carry a watermark and the join condition bounds
+    * event-time distance, so Spark's symmetric hash join can evict state
+    * (a purchase older than watermark+30min can never match a future click);
+    * in batch it is a plain equi join with a range residual — shuffled on
+    * user_id, never a cartesian. Same code both ways (parity in
+    * MmStreamSpec).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      withWatermark: Boolean): DataFrame = {
+    def wm(df: DataFrame) =
+      if (withWatermark) df.withWatermark("ts", "1 hour") else df
+    val c = wm(clicks).select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = wm(purchases).select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** Stateful event dedup by event_id. On a stream, the watermark bounds the
     * dedup state (ids older than 1h are evicted); in batch it's an exact
     * dropDuplicates.

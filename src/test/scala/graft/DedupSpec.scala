@@ -106,6 +106,30 @@ class DedupSpec extends AnyFunSuite {
     // some original-range drop ids are expected; all planted copies must be there.
   }
 
+  test("minhash verify: verified pairs are a subset of candidates with true jaccard") {
+    val cand = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.queries("dedup_minhash_verified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.nonEmpty)
+    // precision stage: every surviving pair was a candidate and scores >= τ
+    assert(verified.forall { case (a, b, _) => cand.contains((a, b)) })
+    assert(verified.forall(_._3 >= 0.5))
+    // every planted exact copy still survives with jaccard 1.0 (a must be an
+    // original id — exact-copy/near-copy pairs also differ by ExactOffset)
+    val exact = verified.filter { case (a, b, _) =>
+      a < Dedup.ExactOffset && b == a + Dedup.ExactOffset }
+    assert(exact.nonEmpty && exact.forall(_._3 == 1.0))
+    // banding admits false positives by design; the corpus must be large
+    // enough to contain some before the verify stage visibly filters — at
+    // sf0.1 it does (sf0.001/sf0.01 happen to band cleanly)
+    val d1 = "/root/testdata/sf0.1"
+    val cand1 = Dedup.queries("dedup_minhash_lsh")(spark, d1).count()
+    val ver1 = Dedup.queries("dedup_minhash_verified")(spark, d1).count()
+    assert(ver1 < cand1,
+      s"expected verification to drop candidates at sf0.1: $ver1 vs $cand1")
+  }
+
   test("df-cap drops boilerplate shingles, keeps informative ones") {
     // shingle 999 is "boilerplate": present in 6 docs (> cap 5); shingle 1
     // is informative (2 docs). After the cap the boilerplate bucket must be

@@ -144,6 +144,14 @@ class GeomSpec extends AnyFunSuite {
     assert(!v("MULTIPOLYGON (((1 2, 3 2, 1 4, 1 2)), ((5 6, 7 6, 5 8, 9 9)))"))
   }
 
+  test("csvQuote implements QUOTE_MINIMAL: only risky fields quoted, quotes doubled") {
+    assert(one(csvQuote(lit("plain"))) == "plain")
+    assert(one(csvQuote(lit("has,comma"))) == "\"has,comma\"")
+    assert(one(csvQuote(lit("has \"quote\""))) == "\"has \"\"quote\"\"\"")
+    assert(one(csvQuote(lit("line\nbreak"))) == "\"line\nbreak\"")
+    assert(one(csvQuote(lit("semicolon;ok"))) == "semicolon;ok")
+  }
+
   test("composed 2272→3857 equals lcc-inverse → mercator + arcgis nudge") {
     // anchor: City Hall-ish state-plane coords; composed query legs must
     // agree with running the two published legs by hand

@@ -95,6 +95,25 @@ class MmStreamSpec extends AnyFunSuite {
     assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
   }
 
+  test("stream-stream interval join equals its batch twin (readStream parity)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.events(spark, sf)
+    val batch = Streams.attributionJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), withWatermark = false)
+      .collect().map(_.toString).sorted
+    val se = Streams.eventsStream(spark, stagedEvents)
+    val stream = Streams.attributionJoin(
+      se.filter(col("event_type") === "click"),
+      se.filter(col("event_type") === "purchase"), withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("interval_join_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("interval_join_test").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     val e = graft.core.Tables.events(spark, sf)
     val stream = Streams.dedupEvents(
