@@ -91,6 +91,22 @@ object EtlOps {
                          zone: String = "America/New_York"): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, to_utc_timestamp(col(c), zone)))
 
+  /** AGO row-format text cleaning (ago.py:445-452): strip non-ASCII bytes
+    * and the characters AGO chokes on (' " < >) from a column headed into
+    * an addFeatures/updateFeatures payload. One codegen regexp.
+    */
+  def agoCleanText(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]|['\"<>]", "")
+
+  /** AGO date formatting (ago.py:462-471): esriFieldTypeDate values are
+    * posted as UTC epoch MILLIS; a timezone-naive value is interpreted as
+    * Eastern wall time first. (The reference's `timezone.est` is a latent
+    * AttributeError — `datetime.timezone` only defines `utc` — so the
+    * naive branch would crash there; this models the documented intent.)
+    */
+  def agoEpochMillis(ts: Column, zone: String = "America/New_York"): Column =
+    unix_millis(to_utc_timestamp(ts, zone))
+
   /** PK upsert of staging into prod (postgres.py:1092-1180
     * INSERT .. ON CONFLICT DO UPDATE): staging wins on PK collision, prod
     * rows without a staging match survive. Set-oriented: one anti-join

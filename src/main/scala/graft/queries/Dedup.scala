@@ -79,15 +79,19 @@ object Dedup {
   val MaxShingleDf = 100
 
   /** Remove shingles whose document frequency exceeds `cap` from a
-    * (doc_id, sh) relation. The over-frequent set is tiny by construction
-    * (only shingles in >cap docs), so it broadcasts; the df computation
-    * itself is one hash-shuffle of 60-bit keys with map-side partial
-    * aggregation. After this filter every shared-shingle bucket holds at
-    * most `cap` docs → at most C(cap,2) candidate pairs.
+    * (doc_id, sh) relation. PRECONDITION: rows are unique per (doc_id, sh)
+    * — true by construction for shingle relations (shinglesFromTokens emits
+    * per-doc distinct shingles), and what makes a plain count(*) the exact
+    * document frequency WITHOUT countDistinct's two-phase distinct-expand
+    * (measured ~0.7 s/query at sf0.1). The over-frequent set is tiny by
+    * construction (only shingles in >cap docs), so it broadcasts; the df
+    * computation itself is one hash-shuffle of 60-bit keys with map-side
+    * partial aggregation. After this filter every shared-shingle bucket
+    * holds at most `cap` docs → at most C(cap,2) candidate pairs.
     */
   def dfCapShingles(sh: DataFrame, cap: Int): DataFrame = {
     val stop = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select(col("sh"))
     // the USING join moves `sh` to the first position; downstream positional

@@ -66,6 +66,19 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // AGO row formatting ahead of an addFeatures POST: ASCII/quote-char
+  // cleaning on text, esriFieldTypeDate → UTC epoch millis (naive values
+  // read as Eastern wall time). Planted unicode + quote chars prove the
+  // cleaning; the date leg shares etl_tz_localize's localization semantics.
+  def agoFormatRow(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val dirty = concat(col("event_type"), lit("<tag>'café'\"x\""))
+    e.select(col("event_id"),
+        graft.operators.EtlOps.agoCleanText(dirty).as("cleaned"),
+        graft.operators.EtlOps.agoEpochMillis(col("ts")).as("date_ms"))
+      .orderBy("event_id")
+  }
+
   private def prodOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice"), lit("prod").as("src"))
@@ -130,6 +143,7 @@ object Etl {
     "etl_schema_cast"     -> (schemaCast _),
     "etl_null_clean"      -> (nullClean _),
     "etl_tz_localize"     -> (tzLocalize _),
+    "ago_format_row"      -> (agoFormatRow _),
     "etl_upsert"          -> (upsert _),
     "etl_delete_stale"    -> (deleteStale _),
     "etl_row_count_check" -> (rowCountCheck _),
@@ -163,6 +177,12 @@ object Etl {
                           '[\x01]', '', 'g'),
            '(1\.#QNAN000|NULL)', 'NaN', 'g')) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "ago_format_row" ->
+      """SELECT event_id,
+         regexp_replace(event_type || '<tag>''café''"x"',
+                        '[^\x00-\x7F]|[''"<>]', '', 'g') AS cleaned,
+         CAST(epoch_ms(ts AT TIME ZONE 'America/New_York') AS BIGINT) AS date_ms
+         FROM events ORDER BY event_id""",
     "etl_tz_localize" ->
       """SELECT event_id,
          strftime(CAST((ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP),

@@ -61,6 +61,18 @@ class EtlSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("2024-01-15 17:00:00", "2024-07-15 16:00:00"))
   }
 
+  test("agoCleanText strips non-ascii and AGO-hostile chars; epoch millis is EST-aware") {
+    val out = spark.range(1)
+      .select(EtlOps.agoCleanText(lit("café<b>'x' \"y\" ok")).as("c"))
+      .as[String].head()
+    assert(out == "caf<b>x y ok".replace("<b>", "b")) // é, quotes, <> gone
+    // 2024-01-01 12:00 naive == EST wall time -> 17:00 UTC
+    val ms = spark.range(1)
+      .select(EtlOps.agoEpochMillis(lit("2024-01-01 12:00:00").cast("timestamp")))
+      .as[Long].head()
+    assert(ms == 1704128400000L) // cross-checked against DuckDB epoch_ms
+  }
+
   test("enrichLookup appends lookup fields and broadcasts") {
     val fact = Seq((1, 10), (2, 99)).toDF("id", "key")
     val lut = Seq((10, "ten")).toDF("k", "label")
