@@ -210,7 +210,37 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- benchmark decontamination ------------------------------------------
+  /** Train/eval contamination check (the GPT-3-style decontamination pass
+    * every serious pretraining pipeline runs): count each corpus doc's
+    * 5-gram shingles that also occur in the benchmark set. The benchmark's
+    * distinct shingle hashes are a SMALL broadcast set (eval suites are
+    * tiny next to a corpus), so at 100 TB this is one map-side semi-join
+    * over the corpus shingle stream — the corpus is never shuffled.
+    * Fixture: every 31st doc doubles as a "benchmark" doc, so those docs
+    * are contaminated by construction and must surface with every shingle
+    * matched.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+    val sh = doc.select(col("doc_id"),
+        explode(shinglesFromTokens(tokens(col("text")), 5)).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("sh"))
+      // feeds both the benchmark-set build and the corpus-side semi-join
+      .localCheckpoint()
+    val bench = sh.filter(col("doc_id") % 31 === 0).select(col("sh")).distinct()
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (col("doc_id") % 31 === 0).cast("int").as("is_benchmark"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (contamination _),
     "text_entropy"     -> (entropy _),
     "text_repetition"  -> (repetition _),
     "text_idf"         -> (idf _),
@@ -227,6 +257,19 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, lower(text) AS text FROM documents),
+         sh0 AS (${shinglesSql(5, "doc_id", "text", "docs")}),
+         sh AS (SELECT doc_id, ${md5LongSql("sh")} AS sh FROM sh0),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0),
+         per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_contam
+                  FROM sh WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+         SELECT p.doc_id, p.n_shingles,
+           coalesce(h.n_contam, 0) AS n_contam,
+           CAST(p.doc_id % 31 = 0 AS INTEGER) AS is_benchmark
+         FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+         ORDER BY p.doc_id""",
     "text_entropy" ->
       s"""WITH chars AS (
            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("mixture: kept fraction tracks each stratum's rate; fully deterministic") {
+    val rows = Sampling.queries("sample_mixture")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // coins below the stratum rate only
+    assert(rows.forall { case (_, src, coin) => coin < Sampling.MixRates(src) })
+    // rate-10000 stratum keeps every doc; lower strata keep roughly their share
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val perStratum = total / 4.0
+    assert(bySrc(0) == math.ceil(perStratum) || bySrc(0) == math.floor(perStratum))
+    for ((src, rate) <- Sampling.MixRates if src != 0) {
+      val expected = perStratum * rate / 10000.0
+      assert(math.abs(bySrc.getOrElse(src, 0.0) - expected) < perStratum * 0.15,
+        s"stratum $src kept ${bySrc.getOrElse(src, 0.0)}, expected ~$expected")
+    }
+    // determinism: a second run selects the identical doc set
+    val again = Sampling.queries("sample_mixture")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
+  test("token budget: each source stops at the first doc crossing the cap") {
+    val kept = Sampling.queries("sample_token_budget")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    // soft-cap contract: a kept doc STARTS under budget
+    assert(kept.forall { case (_, _, n, cum) => cum - n < Sampling.TokenBudget })
+    // per source, kept docs are exactly a prefix of the doc_id order: the
+    // doc after the last kept one must start at/over budget
+    val all = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("source"),
+        size(graft.functions.HashFunctions.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for ((src, docs) <- all.groupBy(_._2)) {
+      val ordered = docs.sortBy(_._1)
+      val keptIds = kept.filter(_._1 == src).map(_._2).toSet
+      var cum = 0L
+      for ((id, _, n) <- ordered) {
+        val startsUnder = cum < Sampling.TokenBudget
+        assert(keptIds.contains(id) == startsUnder,
+          s"source $src doc $id: cum=$cum keep=${keptIds.contains(id)}")
+        cum += n
+      }
+    }
+  }
+
+  test("contamination: benchmark docs match every one of their shingles") {
+    val rows = graft.queries.Text.queries("text_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val bench = rows.filter(_._4 == 1)
+    assert(bench.nonEmpty)
+    // planted contamination: a benchmark doc's shingles are all in the set
+    assert(bench.forall { case (_, nsh, ncon, _) => ncon == nsh },
+      "benchmark doc not fully matched")
+    // and matches never exceed a doc's own shingle count
+    assert(rows.forall { case (_, nsh, ncon, _) => ncon <= nsh })
+  }
+}
