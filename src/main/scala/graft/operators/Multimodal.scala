@@ -70,6 +70,40 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB: media resize/downsample. A production build replaces the stride
+    * sampler with a real scaler (image resize / audio resample) behind the
+    * same signature: binary in → smaller binary out + output metadata. The
+    * fake keeps every `stride`-th byte — deterministic, size-reducing, and
+    * recomputable in the oracle (ASCII corpus ⇒ byte stride ≡ char
+    * stride). Streams per row (no partition materialization); output is
+    * ~len/stride per row, so executor memory is bounded by the largest
+    * single payload, same as a real scaler.
+    */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
+                 stride: Int = 4): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("out_len", IntegerType, nullable = false),
+      StructField("out_md5", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.filter(r => !r.isNullAt(idIdx) && !r.isNullAt(pIdx)).map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+        digest.reset()
+        val hex = digest.digest(out).map("%02x".format(_)).mkString
+        Row(r.getLong(idIdx), out.length, hex)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** STUB: media decode / feature extraction. A production build replaces
     * this with a real codec behind the same signature (binary → fixed-width
     * feature vector). The fake is deterministic: 4-bin byte histogram

@@ -50,6 +50,18 @@ object MmStream {
       .orderBy("doc_id")
   }
 
+  // resize/downsample stub over the binary payload, oracle-checked: stride
+  // byte sampling is recomputable in DuckDB because the corpus is pure
+  // ASCII (byte ≡ char), so even the imperative resize path gets a
+  // cross-engine gate
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    Multimodal.resizeStub(doc, "doc_id", "payload", stride = 4)
+      .select(col("id").as("doc_id"), col("out_len"), col("out_md5"))
+      .orderBy("doc_id")
+  }
+
   // tumbling-window agg (batch twin; stream parity in StreamSpec)
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
     Streams.windowAgg(events(s, d), withWatermark = false)
@@ -97,6 +109,7 @@ object MmStream {
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_frame_sample"   -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
+    "mm_resize"          -> (resize _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _),
@@ -152,6 +165,18 @@ object MmStream {
            ${r4("CAST(b3 AS DOUBLE) / n")} AS f3
          FROM hist ORDER BY doc_id"""
     },
+    // stride-4 byte sampling recomputed declaratively (ASCII byte ≡ char)
+    "mm_resize" ->
+      """WITH sampled AS (
+           SELECT doc_id,
+             string_agg(substr(text, CAST(1 + 4 * i AS INTEGER), 1), ''
+                        ORDER BY i) AS out_text
+           FROM documents,
+                UNNEST(range(0, CAST(ceil(length(text) / 4.0) AS BIGINT))) AS t(i)
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(length(out_text) AS INTEGER) AS out_len,
+           md5(out_text) AS out_md5
+         FROM sampled ORDER BY doc_id""",
     "stream_window_agg" ->
       """SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS win_start,

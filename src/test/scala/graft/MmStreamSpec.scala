@@ -38,6 +38,23 @@ class MmStreamSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 32), (1, 1)))
   }
 
+  test("resize stub: stride sampling on a hand-computed payload") {
+    import org.apache.spark.sql.functions.{col, encode, lit}
+    import spark.implicits._
+    // "abcdefghij" stride 4 -> bytes at 0,4,8 = "aei"
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val out = Multimodal.resizeStub(df, "id", "payload", stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("aei".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq((1L, 3, expectMd5)))
+    // stride 1 is the identity sample
+    val id1 = Multimodal.resizeStub(df, "id", "payload", stride = 1)
+      .collect().head
+    assert(id1.getInt(1) == 10)
+  }
+
   test("decode stub: deterministic normalized histogram") {
     val bytes = Array[Byte](0, 0, 64, 127, -128, -1) // bins: 2,1,1? careful
     val df = Seq((1L, bytes)).toDF("id", "payload")
