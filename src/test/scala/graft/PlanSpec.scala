@@ -62,4 +62,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
   }
+
+  test("sample_mixture: pure map-side filter — no shuffle before the coin flip") {
+    // the only exchange allowed is the final presentation orderBy
+    val p = plan("sample_mixture")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+    assert(!p.contains("BroadcastExchange"), p.take(1200))
+  }
+
+  test("text_contamination: benchmark set broadcast, corpus side semi-joined") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin LeftSemi".take(18)) &&
+      p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("stream_interval_join: equi join with range residual, filters pushed") {
+    val p = plan("stream_interval_join")
+    assert(p.contains("Join") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.matches("(?s).*PushedFilters.*event_type.*"), p.take(2000))
+  }
+
+  test("dedup_minhash_verified: no cartesian; verification joins stay hashed") {
+    val p = plan("dedup_minhash_verified")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
