@@ -223,8 +223,12 @@ object Text {
     */
   def contamination(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
-    val sh = doc.select(col("doc_id"),
-        explode(shinglesFromTokens(tokens(col("text")), 5)).as("g"))
+    // tokens materialized BEFORE the shingle HOF: the interpreted lambda
+    // re-evaluates inline expressions per element, so an inlined tokens()
+    // re-splits the whole document for every shingle (measured 7.9 s → ~1 s
+    // at sf0.1 for this query)
+    val sh = doc.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 5)).as("g"))
       .select(col("doc_id"), md5Long(col("g")).as("sh"))
       // feeds both the benchmark-set build and the corpus-side semi-join
       .localCheckpoint()
