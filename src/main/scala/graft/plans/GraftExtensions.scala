@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_distinct_bitmap"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_distinct_bitmap"),
+      BitmapDistinct.builder))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
@@ -37,6 +41,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_dot", dotBuilder)
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_distinct_bitmap", BitmapDistinct.builder)
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

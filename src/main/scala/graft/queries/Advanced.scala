@@ -143,7 +143,23 @@ object Advanced {
     graft.streaming.Streams.sessionizeStateful(events(s, d), gapSec = 1800L)
       .orderBy("user_id")
 
+  // ---- custom bitmap-distinct aggregate, oracle-checked -------------------
+  /** Distinct users per event type via the [[graft.plans.BitmapDistinct]]
+    * TypedImperativeAggregate: per-partition bitmaps OR-merge across one
+    * exchange (maxId/8 bytes per group per partition crosses the network,
+    * however many rows each partition saw) and the result is EXACT — gated
+    * against DuckDB's count(DISTINCT). The SQL registration
+    * (`graft_distinct_bitmap`) is exercised in the spec.
+    */
+  def bitmapDistinctUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.BitmapDistinct.distinctCount(col("user_id"), 1 << 21)
+        .as("n_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_bitmap_distinct" -> (bitmapDistinctUsers _),
     "asof_join"         -> (asofJoin _),
     "range_join"        -> (rangeJoin _),
     "q15_percentile"    -> (percentiles _),
@@ -156,6 +172,9 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "asof_join" ->
       """WITH lefts AS (
            SELECT event_id, user_id, ts, event_type FROM events
