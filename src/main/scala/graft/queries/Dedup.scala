@@ -423,7 +423,19 @@ object Dedup {
   def resolve(s: SparkSession, d: String): DataFrame =
     resolveKeepMin(minhashLsh(s, d)).orderBy("id")
 
+  /** Cluster-size histogram of the resolved duplicate components — the
+    * report a dedup pass actually ships (how much of the corpus is
+    * duplicated, and in how large groups). Two cheap aggregations over the
+    * (already converged) label relation.
+    */
+  def clusterStats(s: SparkSession, d: String): DataFrame =
+    resolveKeepMin(minhashLsh(s, d))
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (clusterStats _),
     "dedup_drop_list"     -> (dropList _),
     "dedup_minhash_verified" -> (minhashVerified _),
     "dedup_resolve"       -> (resolve _),
@@ -440,6 +452,20 @@ object Dedup {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor
       s"""SELECT DISTINCT b_id AS drop_id FROM ($pairs) ORDER BY drop_id"""
+    },
+    "dedup_cluster_stats" -> {
+      val pairs = minhashLshSqlFor
+      s"""WITH RECURSIVE pairs AS ($pairs),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+         sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sizes GROUP BY 1 ORDER BY 1"""
     },
     "dedup_minhash_verified" -> {
       val pairs = minhashLshSqlFor

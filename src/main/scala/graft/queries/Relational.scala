@@ -252,6 +252,24 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  // q25: the remaining ranking-window family in one pass — percent_rank,
+  // cume_dist, first/last value — all sharing ONE window sort (same
+  // partition+order ⇒ Spark plans a single Sort+Window). Order is total
+  // (balance then key), so every engine agrees on every rank.
+  def q25WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.select(col("c_mktsegment"), col("c_custkey"),
+        graft.core.Determinism.r4(percent_rank().over(w)).as("pct_rank"),
+        graft.core.Determinism.r4(cume_dist().over(w)).as("cume"),
+        first(col("c_custkey")).over(w).as("poorest_key"),
+        last(col("c_custkey")).over(wFull).as("richest_key"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // q23: TPC-H Q22 shape — customers above the average (positive) balance
   // with no order exceeding 50× their balance, per nation. Two subquery
   // decorrelations in one plan: the scalar "average" becomes a 1-row
@@ -278,6 +296,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q23_anti_above_avg" -> (q23AntiAboveAvg _),
+    "q25_window_suite"  -> (q25WindowSuite _),
     "q20_ntile"         -> (q20Ntile _),
     "q19_lead_lag"      -> (q19LeadLag _),
     "q17_cube"          -> (q17Cube _),
@@ -310,6 +329,19 @@ object Relational {
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), ())
          ORDER BY 1, 2""",
+    "q25_window_suite" -> {
+      val r4 = graft.core.Determinism.r4Sql _
+      s"""SELECT c_mktsegment, c_custkey,
+         ${r4("percent_rank() OVER w")} AS pct_rank,
+         ${r4("cume_dist() OVER w")} AS cume,
+         first_value(c_custkey) OVER w AS poorest_key,
+         last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_key
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey"""
+    },
     "q23_anti_above_avg" ->
       """WITH stats AS (
            SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n

@@ -83,4 +83,25 @@ class MathPropertySpec extends AnyFunSuite {
       assert(sh == expected, s"text: $text")
     }
   }
+
+  test("csvQuote round-trips through an RFC-4180 parser for random fields") {
+    // any field, however hostile, must parse back to itself from the
+    // quoted rendering (QUOTE_MINIMAL contract)
+    def parseCsvField(s: String): String =
+      if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
+        s.substring(1, s.length - 1).replace("\"\"", "\"")
+      else s
+    val alphabet = "ab,\"\n\r x;"
+    val fields = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val quoted = fields.toDF("f").select(csvQuote(col("f")).as("q"))
+      .as[String].collect()
+    fields.zip(quoted).foreach { case (orig, q) =>
+      assert(parseCsvField(q) == orig, s"field <$orig> rendered <$q>")
+      // minimality: fields without risky chars are untouched
+      if (!orig.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        assert(q == orig)
+    }
+  }
 }
