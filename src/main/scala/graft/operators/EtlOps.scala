@@ -91,6 +91,23 @@ object EtlOps {
                          zone: String = "America/New_York"): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, to_utc_timestamp(col(c), zone)))
 
+  /** Dead-letter routing (ago.py:320-348 writes rows that failed an AGO
+    * batch to an error CSV for quarantine): tag every row with the named
+    * checks it fails. Adds `qc_reasons` (failed check names, in declaration
+    * order) and `qc_status` ('pass' / 'quarantine'); callers route each
+    * side to its sink. A NULL check result counts as FAILED (three-valued
+    * logic is hostile here — an unevaluable check must never wave a row
+    * through). One projection pass, no shuffle.
+    */
+  def quarantine(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val reasons = array_compact(array(checks.map { case (name, ok) =>
+      when(ok, lit(null).cast("string")).otherwise(lit(name))
+    }: _*))
+    df.withColumn("qc_reasons", reasons)
+      .withColumn("qc_status",
+        when(size(col("qc_reasons")) === 0, lit("pass")).otherwise(lit("quarantine")))
+  }
+
   /** AGO row-format text cleaning (ago.py:445-452): strip non-ASCII bytes
     * and the characters AGO chokes on (' " < >) from a column headed into
     * an addFeatures/updateFeatures payload. One codegen regexp.

@@ -79,6 +79,26 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // Dead-letter routing over a frame with planted defects: negative values
+  // and null props must land in quarantine with the right reason list,
+  // everything else passes. Aggregated to (status, reasons) counts for a
+  // bounded oracle result.
+  def quarantineQ(s: SparkSession, d: String): DataFrame = {
+    val dirty = events(s, d)
+      .withColumn("value",
+        when(col("event_id") % 97 === 0, -col("value")).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_id") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("props")))
+    graft.operators.EtlOps.quarantine(dirty, Seq(
+        "null_props" -> col("props").isNotNull,
+        "nonpositive_value" -> (col("value") > 0)))
+      .groupBy(col("qc_status"),
+        concat_ws(",", col("qc_reasons")).as("reasons"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qc_status", "reasons")
+  }
+
   private def prodOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice"), lit("prod").as("src"))
@@ -144,6 +164,7 @@ object Etl {
     "etl_null_clean"      -> (nullClean _),
     "etl_tz_localize"     -> (tzLocalize _),
     "ago_format_row"      -> (agoFormatRow _),
+    "etl_quarantine"      -> (quarantineQ _),
     "etl_upsert"          -> (upsert _),
     "etl_delete_stale"    -> (deleteStale _),
     "etl_row_count_check" -> (rowCountCheck _),
@@ -177,6 +198,20 @@ object Etl {
                           '[\x01]', '', 'g'),
            '(1\.#QNAN000|NULL)', 'NaN', 'g')) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "etl_quarantine" ->
+      """WITH dirty AS (SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS value,
+           CASE WHEN event_id % 89 = 0 THEN NULL ELSE props END AS props
+         FROM events),
+         checked AS (SELECT *,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN props IS NOT NULL THEN NULL ELSE 'null_props' END,
+             CASE WHEN value > 0 THEN NULL ELSE 'nonpositive_value' END],
+             x -> x IS NOT NULL), ','), '') AS reasons
+         FROM dirty)
+         SELECT CASE WHEN reasons = '' THEN 'pass' ELSE 'quarantine' END AS qc_status,
+           reasons, count(*) AS n
+         FROM checked GROUP BY 1, 2 ORDER BY 1, 2""",
     "ago_format_row" ->
       """SELECT event_id,
          regexp_replace(event_type || '<tag>''café''"x"',

@@ -73,6 +73,25 @@ class EtlSpec extends AnyFunSuite {
     assert(ms == 1704128400000L) // cross-checked against DuckDB epoch_ms
   }
 
+  test("quarantine: failed checks collect in order; NULL check result fails closed") {
+    val df = Seq(
+      (1L, Some(10.0), Some("p")),   // clean
+      (2L, Some(-1.0), Some("p")),   // one failure
+      (3L, Some(-1.0), None),        // both failures
+      (4L, None, Some("p"))          // NULL check input -> fail closed
+    ).toDF("id", "value", "props")
+    val out = EtlOps.quarantine(df, Seq(
+        "null_props" -> col("props").isNotNull,
+        "positive_value" -> (col("value") > 0)))
+      .select(col("id"), col("qc_status"), concat_ws(",", col("qc_reasons")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("pass", ""))
+    assert(out(2L) == ("quarantine", "positive_value"))
+    assert(out(3L) == ("quarantine", "null_props,positive_value"))
+    // value NULL makes (value > 0) NULL — must quarantine, never pass
+    assert(out(4L) == ("quarantine", "positive_value"))
+  }
+
   test("enrichLookup appends lookup fields and broadcasts") {
     val fact = Seq((1, 10), (2, 99)).toDF("id", "key")
     val lut = Seq((10, "ten")).toDF("k", "label")
