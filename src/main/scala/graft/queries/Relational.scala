@@ -270,6 +270,26 @@ object Relational {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // q26: semi-structured flatten — from_json with an explicit schema, then
+  // nested-array posexplode plus struct field extraction, the
+  // schema-on-read path a JSON-bearing column takes (q14 covers scalar
+  // extraction; this covers nested arrays/structs). The JSON itself is
+  // synthesized deterministically so both engines parse identical bytes.
+  def q26JsonFlatten(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val j = concat(lit("""{"tags":[""""), col("event_type"), lit("""","t"""),
+      (col("event_id") % 5).cast("string"), lit(""""],"meta":{"src":"s"""),
+      (col("user_id") % 3).cast("string"), lit("""","v":"""),
+      (col("event_id") % 7).cast("string"), lit("}}"))
+    val schema = "struct<tags: array<string>, meta: struct<src: string, v: bigint>>"
+    val parsed = e.select(col("event_id"), from_json(j, lit(schema)).as("p"))
+    parsed.select(col("event_id"),
+        posexplode(col("p.tags")).as(Seq("tag_idx", "tag")),
+        col("p.meta.src").as("src"), col("p.meta.v").as("v"))
+      .select(col("event_id"), col("tag_idx"), col("tag"), col("src"), col("v"))
+      .orderBy("event_id", "tag_idx")
+  }
+
   // q23: TPC-H Q22 shape — customers above the average (positive) balance
   // with no order exceeding 50× their balance, per nation. Two subquery
   // decorrelations in one plan: the scalar "average" becomes a 1-row
@@ -297,6 +317,7 @@ object Relational {
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q23_anti_above_avg" -> (q23AntiAboveAvg _),
     "q25_window_suite"  -> (q25WindowSuite _),
+    "q26_json_flatten"  -> (q26JsonFlatten _),
     "q20_ntile"         -> (q20Ntile _),
     "q19_lead_lag"      -> (q19LeadLag _),
     "q17_cube"          -> (q17Cube _),
@@ -342,6 +363,18 @@ object Relational {
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
          ORDER BY c_mktsegment, c_custkey"""
     },
+    "q26_json_flatten" ->
+      """WITH src AS (SELECT event_id,
+           '{"tags":["' || event_type || '","t' || (event_id % 5)
+             || '"],"meta":{"src":"s' || (user_id % 3)
+             || '","v":' || (event_id % 7) || '}}' AS j
+         FROM events)
+         SELECT event_id, CAST(i AS INTEGER) AS tag_idx,
+           json_extract_string(j, '$.tags[' || i || ']') AS tag,
+           json_extract_string(j, '$.meta.src') AS src,
+           CAST(json_extract(j, '$.meta.v') AS BIGINT) AS v
+         FROM src, UNNEST(range(0, CAST(json_array_length(j, '$.tags') AS BIGINT))) AS t(i)
+         ORDER BY event_id, tag_idx""",
     "q23_anti_above_avg" ->
       """WITH stats AS (
            SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
