@@ -131,6 +131,54 @@ class MmStreamSpec extends AnyFunSuite {
     assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
   }
 
+  test("watermark drops a too-late row across micro-batches (append mode)") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // two-batch file source with a checkpoint: batch 1 advances the
+    // watermark far past batch 2's late row; the late row's window is
+    // already finalized, so append-mode output must NOT contain it. This is
+    // the state-eviction semantics the batch twin cannot show.
+    val dir = "/tmp/graft_wm_events"
+    val ckpt = "/tmp/graft_wm_ckpt"
+    val outDir = "/tmp/graft_wm_out"
+    def row(id: Long, ts: String, tpe: String) =
+      (id, java.sql.Timestamp.valueOf(ts), id, tpe, 1.0, "{}")
+    def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    for (d <- Seq(dir, ckpt, outDir))
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    frame(Seq(
+      row(1, "2024-01-01 00:05:00", "click"),
+      row(2, "2024-01-05 00:00:00", "click") // watermark -> Jan 4 23:00
+    )).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def runBatch(): Unit = {
+      // memory sink cannot recover a checkpoint — the file sink is the
+      // restartable production shape anyway
+      val stream = Streams.windowAgg(
+        spark.readStream.schema(schema).parquet(dir), withWatermark = true)
+      val q = stream.writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runBatch()
+    // batch 2: one row in the SAME (already finalized) Jan-1 window as
+    // event 1, arriving long after the watermark passed it
+    frame(Seq(row(3, "2024-01-01 00:10:00", "click")))
+      .write.mode("append").parquet(dir)
+    runBatch()
+    val out = spark.read.parquet(outDir)
+      .select(col("win_start"), col("n_events")).as[(String, Long)].collect().toMap
+    // the Jan-1 00:00 window closed with ONLY event 1 — the late event 3
+    // must have been dropped, never re-emitted or double-counted
+    assert(out.get("2024-01-01 00:00:00").contains(1L), out.toString)
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     val e = graft.core.Tables.events(spark, sf)
     val stream = Streams.dedupEvents(
