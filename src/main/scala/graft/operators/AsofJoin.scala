@@ -69,6 +69,53 @@ object AsofJoin {
         payloadCols.map(p => col(s"_match.$p").as(p)): _*)
   }
 
+  /** Forward as-of join: for every left row, the single EARLIEST right row
+    * with `right(rightTs) >= left(leftTs)` and equal keys — the
+    * time-to-next-event primitive (next reading at-or-after t, next
+    * purchase after a click). Mirror of [[asofLast]]: same union + one
+    * ordered window per key, but lefts sort BEFORE rights at equal
+    * timestamps (exact `>=` semantics) and `first(payload, ignoreNulls)`
+    * scans the FOLLOWING frame. Same single-shuffle cost, same NULL rules —
+    * except a NULL left timestamp needs an explicit guard here (ascending
+    * NULLS FIRST would otherwise put every right row in its frame).
+    */
+  def asofNext(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.intersect(left.columns).isEmpty,
+      s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val internal = Seq("_t", "_side", "_pay", "_lrow")
+    require((left.columns ++ right.columns).intersect(internal).isEmpty,
+      s"reserved column names in use: ${internal.mkString(",")}")
+
+    val payType = StructType(payloadCols.map(right.schema(_)).toArray)
+    val lrowType = left.schema
+
+    val leftU = left.select(
+      keys.map(left(_)) ++ Seq(
+        left(leftTs).as("_t"), lit(0).as("_side"),
+        lit(null).cast(payType).as("_pay"),
+        struct(left.columns.map(left(_)).toIndexedSeq: _*).as("_lrow")): _*)
+    val rightNonNull = right.filter(
+      (keys.map(right(_).isNotNull) :+ right(rightTs).isNotNull).reduce(_ && _))
+    val rightU = rightNonNull.select(
+      keys.map(rightNonNull(_)) ++ Seq(
+        rightNonNull(rightTs).as("_t"), lit(1).as("_side"),
+        struct(payloadCols.map(rightNonNull(_)).toIndexedSeq: _*).as("_pay"),
+        lit(null).cast(lrowType).as("_lrow")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    leftU.unionByName(rightU)
+      .withColumn("_match", first(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col("_lrow.*") +:
+        payloadCols.map(p =>
+          when(col("_t").isNotNull, col(s"_match.$p")).otherwise(lit(null))
+            .as(p)): _*)
+  }
+
   /** Range join against a small banded dimension (`lo <= x < hi`): the dim
     * is broadcast, so the non-equi condition runs as a map-side broadcast
     * nested-loop — no shuffle of the fact side at all. For banded dims too

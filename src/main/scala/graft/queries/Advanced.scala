@@ -36,6 +36,25 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  /** Forward as-of twin of [[asofJoin]]: for every non-purchase event, the
+    * same user's NEXT purchase at or after it — time-to-conversion.
+    */
+  def asofJoinFwd(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val lefts = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rights = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_id"))
+    AsofJoin.asofNext(lefts, rights, Seq("user_id"), "ts", "p_ts",
+        Seq("p_id", "p_ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("p_id"), lit(-1L)).as("next_purchase_id"),
+        coalesce(col("p_ts").cast("long") - col("ts").cast("long"), lit(-1L))
+          .as("secs_to_purchase"))
+      .orderBy("event_id")
+  }
+
   // ---- range join: events banded into value tiers -------------------------
   private val tierRows = Seq(
     ("bronze", 0.0, 50.0), ("silver", 50.0, 150.0),
@@ -161,6 +180,7 @@ object Advanced {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_bitmap_distinct" -> (bitmapDistinctUsers _),
     "asof_join"         -> (asofJoin _),
+    "asof_join_fwd"     -> (asofJoinFwd _),
     "range_join"        -> (rangeJoin _),
     "q15_percentile"    -> (percentiles _),
     "etl_hash_sample"   -> (hashSample _),
@@ -189,6 +209,21 @@ object Advanced {
              AS secs_since_purchase
          FROM lefts l ASOF LEFT JOIN rights r
            ON l.user_id = r.user_id AND r.p_ts <= l.ts
+         ORDER BY event_id""",
+    "asof_join_fwd" ->
+      """WITH lefts AS (
+           SELECT event_id, user_id, ts, event_type FROM events
+           WHERE event_type <> 'purchase'),
+         rights AS (
+           SELECT user_id, ts AS p_ts, max(event_id) AS p_id FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.event_id, l.user_id, l.event_type,
+           coalesce(r.p_id, -1) AS next_purchase_id,
+           coalesce(CAST(floor(epoch(r.p_ts)) AS BIGINT)
+                    - CAST(floor(epoch(l.ts)) AS BIGINT), -1)
+             AS secs_to_purchase
+         FROM lefts l ASOF LEFT JOIN rights r
+           ON l.user_id = r.user_id AND l.ts <= r.p_ts
          ORDER BY event_id""",
     "range_join" ->
       """WITH tiers(tier, lo, hi) AS (VALUES

@@ -31,6 +31,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> 101L, 3L -> 100L, 4L -> -1L))
   }
 
+  test("asofNext: earliest right row at or after each left row, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),  // next is p101@10
+      (2L, 10L, ts("2024-01-01 00:00:10")),  // exactly at p101 (>= matches)
+      (3L, 10L, ts("2024-01-01 00:00:11")),  // after the last purchase -> none
+      (4L, 20L, ts("2024-01-01 00:00:01"))   // user 20 has no purchases
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:01")),
+      (101L, 10L, ts("2024-01-01 00:00:10"))
+    ).toDF("p_id", "user_id", "p_ts")
+    val out = AsofJoin.asofNext(left, right, Seq("user_id"), "ts", "p_ts",
+        Seq("p_id", "p_ts"))
+      .select($"event_id", $"p_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 101L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
+    // a NULL left timestamp must NOT grab the whole following frame
+    val nullLeft = Seq((5L, Option.empty[java.sql.Timestamp], 10L))
+      .toDF("event_id", "ts", "user_id")
+      .select($"event_id", $"user_id", $"ts")
+    val nOut = AsofJoin.asofNext(nullLeft, right, Seq("user_id"), "ts", "p_ts",
+        Seq("p_id")).select($"p_id").collect()
+    assert(nOut.length == 1 && nOut.head.isNullAt(0),
+      "NULL left ts must yield NULL payload")
+  }
+
   test("asofLast plan contains no join: union + one window, single shuffle") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:05"))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, 10L, ts("2024-01-01 00:00:01"))).toDF("p_id", "user_id", "p_ts")
