@@ -79,6 +79,28 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // Incremental high-watermark extraction: given the previous run's
+  // watermark, pull only newer rows and report the new watermark alongside
+  // them — the restartable incremental-load shape (a full-scan filter that
+  // parquet min/max statistics prune to the recent files at scale; no state
+  // beyond one timestamp). The fixture's watermark is the corpus midpoint,
+  // derived deterministically in both engines.
+  def incrementalWatermark(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    // previous watermark: midpoint of the corpus time range, derived from
+    // the data in BOTH engines (no hardcoded instant) and kept inside the
+    // plan as a broadcast 1-row aggregate — same decorrelation shape as
+    // q23, no driver-side action
+    val wmDf = e.agg(((min(col("ts")).cast("long")
+      + max(col("ts")).cast("long")) / 2).cast("long").as("wm_sec"))
+    e.crossJoin(broadcast(wmDf))
+      .filter(col("ts").cast("long") > col("wm_sec"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("new_watermark"))
+      .orderBy("event_type")
+  }
+
   // Dead-letter routing over a frame with planted defects: negative values
   // and null props must land in quarantine with the right reason list,
   // everything else passes. Aggregated to (status, reasons) counts for a
@@ -165,6 +187,7 @@ object Etl {
     "etl_tz_localize"     -> (tzLocalize _),
     "ago_format_row"      -> (agoFormatRow _),
     "etl_quarantine"      -> (quarantineQ _),
+    "etl_incremental_watermark" -> (incrementalWatermark _),
     "etl_upsert"          -> (upsert _),
     "etl_delete_stale"    -> (deleteStale _),
     "etl_row_count_check" -> (rowCountCheck _),
@@ -198,6 +221,15 @@ object Etl {
                           '[\x01]', '', 'g'),
            '(1\.#QNAN000|NULL)', 'NaN', 'g')) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "etl_incremental_watermark" ->
+      """WITH wm AS (SELECT CAST((CAST(floor(epoch(min(ts))) AS BIGINT)
+             + CAST(floor(epoch(max(ts))) AS BIGINT)) / 2 AS BIGINT) AS wm_sec
+           FROM events)
+         SELECT event_type, count(*) AS n_new,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS new_watermark
+         FROM events, wm
+         WHERE CAST(floor(epoch(ts)) AS BIGINT) > wm_sec
+         GROUP BY 1 ORDER BY 1""",
     "etl_quarantine" ->
       """WITH dirty AS (SELECT event_id,
            CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS value,
