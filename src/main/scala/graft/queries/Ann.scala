@@ -26,7 +26,7 @@ object Ann {
   private val TOPK = 5
   private val PLANES = 6 // 64 buckets
 
-  /** Embeddings as double vectors; every 50th vector doubles as a probe.
+  /** Embeddings as double vectors.
     * spread: the single-row-group source otherwise serializes every dot
     * product onto one scan task (see Tables.spread).
     */
@@ -34,6 +34,28 @@ object Ann {
     graft.core.Tables.spread(
       embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v")))
+
+  /** Fixed-size deterministic hash panel: the `n` vec_ids with the smallest
+    * salted md5 (vec_id tie-break). `orderBy + limit` compiles to
+    * TakeOrderedAndProject — a per-partition bounded heap merged on the
+    * driver — so selection is one O(N) map pass yielding a CONSTANT-size
+    * result no matter the corpus. This is what makes the probe set and the
+    * IVF codebook corpus-size-independent: at 100 TB the panel is still
+    * `n` rows, so "probes/centroids broadcast" stays true by construction
+    * (the old `vec_id % MOD` selection grew linearly with the corpus).
+    */
+  private def panel(df: DataFrame, salt: String, n: Int): DataFrame =
+    df.select(col("vec_id"),
+        md5Long(concat(lit(salt), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(n)
+      .select("vec_id")
+
+  /** Panel ids, exposed for the corpus-size-independence spec. */
+  private[graft] def probePanelIds(s: SparkSession, d: String): Seq[Long] =
+    panel(vecs(s, d), "probe:", PROBE_COUNT).collect().map(_.getLong(0)).toSeq
+  private[graft] def centPanelIds(s: SparkSession, d: String): Seq[Long] =
+    panel(vecs(s, d), "cent:", CENT_COUNT).collect().map(_.getLong(0)).toSeq
 
   private def cosCols(dot: Column, na: Column, nb: Column): Column =
     dot / sqrt(na * nb)
@@ -47,7 +69,7 @@ object Ann {
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
       .join(all, "vec_id")
       .localCheckpoint()
-    val probes = norms.filter(col("vec_id") % PROBE_MOD === 0)
+    val probes = norms.join(broadcast(panel(norms, "probe:", PROBE_COUNT)), "vec_id")
       .toDF("probe_id", "pnrm", "pv")
     val corpus = norms.toDF("neighbor_id", "cnrm", "cv")
     val scored = corpus.join(broadcast(probes),
@@ -126,7 +148,7 @@ object Ann {
     // recompute the norm + hyperplane-bucket pipelines
     val withB = all.join(norms, "vec_id").join(bucketsOf(all), "vec_id")
       .localCheckpoint()
-    val probes0 = withB.filter(col("vec_id") % PROBE_MOD === 0)
+    val probes0 = withB.join(broadcast(panel(withB, "probe:", PROBE_COUNT)), "vec_id")
       .toDF("probe_id", "pv", "pnrm", "bucket")
     val probes =
       if (!multiprobe) probes0
@@ -149,12 +171,14 @@ object Ann {
 
   // ---- IVF-flat: coarse quantizer buckets, probe visits nProbe cells ------
   private val NPROBE = 2
-  private val CAND_TOPK = 3   // top-k for the bucketed variants (lsh, ivf)
-  private val CENT_MOD = 37   // every CENT_MOD-th vector forms the codebook
-  private val PROBE_MOD = 50  // every PROBE_MOD-th vector is a probe
+  private val CAND_TOPK = 3      // top-k for the bucketed variants (lsh, ivf)
+  private val CENT_COUNT = 16    // FIXED codebook size — never grows with N
+  private val PROBE_COUNT = 10   // FIXED probe panel size — never grows with N
 
-  /** IVF coarse quantization with a deterministic sampled codebook (every
-    * CENT_MOD-th vector is a centroid — engine-portable, unlike k-means).
+  /** IVF coarse quantization with a deterministic hash-sampled codebook of
+    * CONSTANT size CENT_COUNT (engine-portable, unlike k-means): coarse
+    * assignment is N×K map-side work with K fixed, and the centroid
+    * broadcast is K rows at any corpus size.
     * Returns (corpus cell assignment, probe→probed cells); exposed for the
     * spec's cell-scoping assertion. Coarse assignment is centroids×corpus
     * map-side work (centroids broadcast).
@@ -174,7 +198,7 @@ object Ann {
   }
 
   private def ivfCells(withN: DataFrame): (DataFrame, DataFrame) = {
-    val cents = withN.filter(col("vec_id") % CENT_MOD === 1)
+    val cents = withN.join(broadcast(panel(withN, "cent:", CENT_COUNT)), "vec_id")
       .toDF("cent_id", "cv", "cnrm")
     // similarity of every vector to every centroid (centroids broadcast)
     val sims = withN.join(broadcast(cents), lit(true))
@@ -189,7 +213,8 @@ object Ann {
     val assignment = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val probeCells = ranked
-      .filter(col("vec_id") % PROBE_MOD === 0 && col("crk") <= NPROBE)
+      .join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
+      .filter(col("crk") <= NPROBE)
       .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"))
     (assignment, probeCells)
   }
@@ -259,6 +284,14 @@ object Ann {
   private def normsSql =
     s"""norms AS (SELECT vec_id, ${Dedup.dotSeqSql("v", "v")} AS nrm FROM vecs)"""
 
+  /** SQL twins of [[panel]]: fixed-count smallest-salted-hash selection. */
+  private def probeIdsSql =
+    s"""probe_ids AS (SELECT vec_id FROM vecs
+       ORDER BY ${md5LongSql("concat('probe:', vec_id)")}, vec_id LIMIT $PROBE_COUNT)"""
+  private def centIdsSql =
+    s"""cent_ids AS (SELECT vec_id FROM vecs
+       ORDER BY ${md5LongSql("concat('cent:', vec_id)")}, vec_id LIMIT $CENT_COUNT)"""
+
   /** SQL twin of the hamming-1 multiprobe expansion: probe rows fan out to
     * their own bucket plus each single-bit flip.
     */
@@ -266,7 +299,7 @@ object Ann {
     val flips = ("bucket" +: (0 until PLANES).map(i => s"xor(bucket, ${1L << i})"))
       .mkString("[", ", ", "]")
     s"""probe_buckets AS (SELECT vec_id, unnest($flips) AS bucket
-       FROM buckets WHERE vec_id % $PROBE_MOD = 0)"""
+       FROM buckets WHERE vec_id IN (SELECT vec_id FROM probe_ids))"""
   }
 
   /** SQL twin of [[buckets]] over an `elems(vec_id, x, i)` CTE — shared with
@@ -287,12 +320,12 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" ->
-      s"""WITH $vecsSql, $elemsSql, $normsSql,
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
          $bucketsSqlFragment,
          bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
            FROM vecs p JOIN vecs c
-             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
          bf_scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM bf_dots
@@ -328,11 +361,11 @@ object Ann {
            ON lshk.probe_id = bf.probe_id AND lshk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_ivf" ->
-      s"""WITH $vecsSql, $normsSql,
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,
          bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
            FROM vecs p JOIN vecs c
-             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
          bf_scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM bf_dots
@@ -343,7 +376,8 @@ object Ann {
                                 ORDER BY cos DESC, neighbor_id) AS rk
            FROM bf_scored),
          bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CENT_MOD = 1),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+           WHERE vec_id IN (SELECT vec_id FROM cent_ids)),
          sims AS (SELECT x.vec_id, c.cent_id,
              ${Dedup.dotSeqSql("x.v", "c.cv")}
                / sqrt(nx.nrm * nc.nrm) AS csim
@@ -357,7 +391,8 @@ object Ann {
            FROM sims),
          assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
          probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
-           FROM ranked WHERE vec_id % $PROBE_MOD = 0 AND crk <= $NPROBE),
+           FROM ranked WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+             AND crk <= $NPROBE),
          cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "nv.v")}
                / sqrt(np.nrm * nn.nrm) AS cos
@@ -378,11 +413,11 @@ object Ann {
            ON ivfk.probe_id = bf.probe_id AND ivfk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_bruteforce" ->
-      s"""WITH $vecsSql, $normsSql,
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql,
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
            FROM vecs p JOIN vecs c
-             ON p.vec_id % $PROBE_MOD = 0 AND p.vec_id <> c.vec_id),
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
          scored AS (SELECT probe_id, neighbor_id,
              dot / sqrt(np.nrm * nc.nrm) AS cos
            FROM dots
@@ -395,8 +430,9 @@ object Ann {
          SELECT probe_id, rk, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
          FROM ranked WHERE rk <= $TOPK ORDER BY probe_id, rk""",
     "ann_ivf" ->
-      s"""WITH $vecsSql, $normsSql,
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CENT_MOD = 1),
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+           WHERE vec_id IN (SELECT vec_id FROM cent_ids)),
          sims AS (SELECT x.vec_id, c.cent_id,
              ${Dedup.dotSeqSql("x.v", "c.cv")}
                / sqrt(nx.nrm * nc.nrm) AS csim
@@ -410,7 +446,8 @@ object Ann {
            FROM sims),
          assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
          probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
-           FROM ranked WHERE vec_id % $PROBE_MOD = 0 AND crk <= $NPROBE),
+           FROM ranked WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+             AND crk <= $NPROBE),
          cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("pv.v", "nv.v")}
                / sqrt(np.nrm * nn.nrm) AS cos
@@ -427,7 +464,7 @@ object Ann {
          SELECT probe_id, rk, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
          FROM final_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_lsh" ->
-      s"""WITH $vecsSql, $elemsSql, $normsSql,
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
          $bucketsSqlFragment,
          $probeBucketsSql,
          cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id

@@ -12,7 +12,8 @@ class AnnTextSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val byProbe = rows.groupBy(_._1)
     assert(byProbe.nonEmpty)
-    assert(byProbe.keySet.forall(_ % 50 == 0))
+    val panel = Ann.probePanelIds(spark, sf).toSet
+    assert(byProbe.keySet == panel)
     for ((_, rs) <- byProbe) {
       assert(rs.map(_._2).sorted.sameElements(1 to rs.length))
       assert(rs.length == 5)
@@ -63,6 +64,23 @@ class AnnTextSpec extends AnyFunSuite {
       "multiprobe lost a single-probe match")
     assert(multi.values.sum > single.values.sum,
       s"recall did not strictly improve: ${single.values.sum} -> ${multi.values.sum}")
+  }
+
+  test("ann panels are corpus-size-independent (same count at sf0.001 and sf0.1)") {
+    // the 100 TB premise: probe set and IVF codebook are CONSTANT-size
+    // broadcasts. sf0.1's corpus is 4x sf0.001's (2000 vs 500 vectors) —
+    // the panels must not grow with it (the old vec_id % MOD selection did).
+    val small = "/root/testdata/sf0.001"
+    val large = "/root/testdata/sf0.1"
+    val pS = Ann.probePanelIds(spark, small)
+    val pL = Ann.probePanelIds(spark, large)
+    val cS = Ann.centPanelIds(spark, small)
+    val cL = Ann.centPanelIds(spark, large)
+    assert(pS.size == pL.size, s"probe panel grew: ${pS.size} -> ${pL.size}")
+    assert(cS.size == cL.size, s"codebook grew: ${cS.size} -> ${cL.size}")
+    assert(pS.distinct.size == pS.size && cS.distinct.size == cS.size)
+    assert((pS.toSet & cS.toSet) != pS.toSet || pS.size != cS.size,
+      "probe and centroid panels must be independently salted")
   }
 
   test("entropy char split is codepoint-safe (non-BMP parity with DuckDB)") {
