@@ -149,6 +149,60 @@ object GeomFunctions {
        lcc AS (SELECT id, (theta / $n + $lon0) * $deg AS lng, phi * $deg AS lat FROM p5)"""
   }
 
+  // --- vertex-wise reprojection (db2/db2.py:768-819 reproj_vec applies the
+  // --- composed transform to EVERY vertex of ANY shape via shapely
+  // --- transform(); db2.py:821-880 copy_rows_transformed streams whole
+  // --- tables through it) --------------------------------------------------
+
+  /** Apply a coordinate rewrite to every "x y" vertex of a WKT value,
+    * preserving ring/path structure. The body is tokenized on vertex commas
+    * (each token = optional leading parens + "x y" + optional trailing
+    * parens) and a `transform` lambda rewrites the pair in place — one
+    * in-row projection, no explode, no shuffle, so whole-table
+    * reprojection stays embarrassingly parallel at any scale (the
+    * reference's shapely `transform` is the same per-row shape, just
+    * single-node).
+    */
+  private def mapVertices(wkt: Column)(f: (Column, Column) => Column): Column = {
+    val body = regexp_replace(wkt, "^\\s*[A-Z]+\\s+", "")
+    val toks = split(body, ",\\s*", -1)
+    val out = transform(toks, tok => {
+      val prefix = regexp_extract(tok, "^([\\s(]*)", 1)
+      val suffix = regexp_extract(tok, "([\\s)]*)$", 1)
+      val x = regexp_extract(tok, "(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)", 1)
+        .cast("double")
+      val y = regexp_extract(tok, "(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)", 2)
+        .cast("double")
+      concat(prefix, f(x, y), suffix)
+    })
+    concat(geomTypeOf(wkt), lit(" "), array_join(out, ", "))
+  }
+
+  /** EPSG:2272 WKT of any shape class → 4326 WKT, every vertex through the
+    * LCC inverse, coordinates rendered %.6f on a 6-dp-floored double (the
+    * cross-engine-stable string form).
+    */
+  def reprojectVerts2272(wkt: Column): Column =
+    mapVertices(wkt) { (x, y) =>
+      val (lon0, lat0) = lccInverse2272(x, y)
+      concat(format_string("%.6f", graft.core.Determinism.r6(lon0)), lit(" "),
+        format_string("%.6f", graft.core.Determinism.r6(lat0)))
+    }
+
+  /** EPSG:2272 WKT of any shape class → 3857 WKT: the reference's composed
+    * production pipeline (LCC inverse → mercator → the ArcGIS-alignment
+    * −0.20/+1.18 m nudge, db2_commands.py:29-30) over every vertex,
+    * rendered %.1f at the 0.1 m grid.
+    */
+  def reprojectVerts2272Merc(wkt: Column): Column =
+    mapVertices(wkt) { (x, y) =>
+      val (lon0, lat0) = lccInverse2272(x, y)
+      val lng = graft.core.Determinism.r6(lon0)
+      val lat = graft.core.Determinism.r6(lat0)
+      concat(format_string("%.1f", round(mercX(lng) + lit(-0.20), 1)), lit(" "),
+        format_string("%.1f", round(mercY(lat) + lit(1.18), 1)))
+    }
+
   // --- WKT → Esri-JSON geometry (ago.py:361-430 project_and_format_shape,
   // --- ago.py:674-758 convert_geometry) ------------------------------------
 

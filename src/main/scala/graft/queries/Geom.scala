@@ -115,6 +115,37 @@ object Geom {
       .orderBy("id")
   }
 
+  // Vertex-wise reprojection of NON-POINT geometries — the production
+  // transformation every polygon/line dataset takes (db2.py:768-819
+  // reproj_vec maps the composed 2272→4326→3857 pipeline over EVERY vertex
+  // of any shape; db2.py:821-880 copy_rows_transformed streams whole tables
+  // through it). One of each non-point shape class per key; both the
+  // geographic (4326) and the nudged web-mercator (3857) renderings ship.
+  def reprojectPoly(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val x = xi(k); val y = yi(k)
+    def p(cx: Column, cy: Column) = concat(str(cx), lit(" "), str(cy))
+    val ringA = concat(p(x, y), lit(", "), p(x + 200L, y), lit(", "),
+      p(x, y + 200L), lit(", "), p(x, y))
+    val ringB = concat(p(x + 1000L, y + 1000L), lit(", "),
+      p(x + 1200L, y + 1000L), lit(", "),
+      p(x + 1000L, y + 1200L), lit(", "), p(x + 1000L, y + 1000L))
+    val seg1 = concat(p(x, y), lit(", "), p(x + 150L, y + 150L), lit(", "),
+      p(x + 300L, y + 100L))
+    val seg2 = concat(p(x, y + 50L), lit(", "), p(x + 150L, y + 200L))
+    val wkt = when(k % 4 === 0, concat(lit("POLYGON (("), ringA, lit("))")))
+      .when(k % 4 === 1, concat(lit("MULTIPOLYGON ((("), ringA, lit(")), (("),
+        ringB, lit(")))")))
+      .when(k % 4 === 2, concat(lit("LINESTRING ("), seg1, lit(")")))
+      .otherwise(concat(lit("MULTILINESTRING (("), seg1, lit("), ("), seg2,
+        lit("))")))
+    c.select(k.as("id"), geomTypeOf(wkt).as("geom_type"),
+        reprojectVerts2272(wkt).as("wkt_4326"),
+        reprojectVerts2272Merc(wkt).as("wkt_3857"))
+      .orderBy("id")
+  }
+
   // WKT → Esri-JSON geometry objects for AGO upsert (ago.py:361-430,
   // 674-758): one of each shape class per key, with planted EMPTY points.
   def esriRings(s: SparkSession, d: String): DataFrame = {
@@ -221,6 +252,7 @@ object Geom {
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
+    "geom_reproject_poly" -> (reprojectPoly _),
     "geom_esri_rings"     -> (esriRings _),
     "geom_validity_check" -> (validityCheck _),
     "geom_bad_srid_remap" -> (badSridRemapQ _),
@@ -305,6 +337,49 @@ object Geom {
             round(lng * pi() * 6378137.0 / 180.0 + (-0.20), 1) AS merc_x,
             round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 + 1.18, 1) AS merc_y
           FROM deg ORDER BY id"""
+    },
+    "geom_reproject_poly" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"
+      val ringA = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 200)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 200)")} || ', ' || ${pSql(xiSql, yiSql)}"
+      val ringB = s"${pSql(s"($xiSql + 1000)", s"($yiSql + 1000)")} || ', ' || ${pSql(s"($xiSql + 1200)", s"($yiSql + 1000)")} || ', ' || ${pSql(s"($xiSql + 1000)", s"($yiSql + 1200)")} || ', ' || ${pSql(s"($xiSql + 1000)", s"($yiSql + 1000)")}"
+      val seg1 = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 150)", s"($yiSql + 150)")} || ', ' || ${pSql(s"($xiSql + 300)", s"($yiSql + 100)")}"
+      val seg2 = s"${pSql(xiSql, s"($yiSql + 50)")} || ', ' || ${pSql(s"($xiSql + 150)", s"($yiSql + 200)")}"
+      val mercXSql = "lng * pi() * 6378137.0 / 180.0 + (-0.20)"
+      val mercYSql = "ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 + 1.18"
+      s"""WITH src AS (SELECT c_custkey AS id, CASE
+             WHEN c_custkey % 4 = 0 THEN 'POLYGON ((' || $ringA || '))'
+             WHEN c_custkey % 4 = 1 THEN 'MULTIPOLYGON (((' || $ringA || ')), ((' || $ringB || ')))'
+             WHEN c_custkey % 4 = 2 THEN 'LINESTRING (' || $seg1 || ')'
+             ELSE 'MULTILINESTRING ((' || $seg1 || '), (' || $seg2 || '))'
+           END AS wkt
+         FROM customer),
+         toks AS (SELECT id,
+             trim(regexp_extract(wkt, '^\\s*([A-Z]+)', 1)) AS typ,
+             generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
+           FROM (SELECT id, wkt,
+             string_split_regex(regexp_replace(wkt, '^\\s*[A-Z]+\\s+', ''), ',\\s*') AS arr
+           FROM src)),
+         verts AS (SELECT id * 4096 + i AS pid, id AS doc_id, i, typ,
+             regexp_extract(tok, '^([\\s(]*)', 1) AS pre,
+             regexp_extract(tok, '([\\s)]*)$$', 1) AS suf,
+             CAST(regexp_extract(tok, '(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)', 1) AS DOUBLE) AS xft,
+             CAST(regexp_extract(tok, '(-?\\d+\\.?\\d*)\\s+(-?\\d+\\.?\\d*)', 2) AS DOUBLE) AS yft
+           FROM toks),
+         pts AS (SELECT pid AS id, xft, yft FROM verts),
+         ${graft.functions.GeomFunctions.lccInverse2272SqlCtes},
+         deg AS (SELECT id AS pid, ${r6("lng")} AS lng, ${r6("lat")} AS lat FROM lcc),
+         parts AS (SELECT v.doc_id, v.typ,
+             string_agg(v.pre || printf('%.6f', d.lng) || ' ' || printf('%.6f', d.lat) || v.suf,
+                        ', ' ORDER BY v.i) AS body4326,
+             string_agg(v.pre || printf('%.1f', round($mercXSql, 1)) || ' ' || printf('%.1f', round($mercYSql, 1)) || v.suf,
+                        ', ' ORDER BY v.i) AS body3857
+           FROM verts v JOIN deg d ON d.pid = v.pid
+           GROUP BY v.doc_id, v.typ)
+         SELECT doc_id AS id, typ AS geom_type,
+           typ || ' ' || body4326 AS wkt_4326,
+           typ || ' ' || body3857 AS wkt_3857
+         FROM parts ORDER BY id"""
     },
     "geom_esri_rings" -> {
       val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"

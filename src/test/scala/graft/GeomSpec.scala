@@ -164,4 +164,29 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(mx + 8.367e6) < 2e4, s"mx=$mx")
     assert(math.abs(my - 4.859e6) < 2e4, s"my=$my")
   }
+
+  test("vertex-wise reprojection preserves structure, transforms every vertex") {
+    // every shape class: structure (parens/commas/type token) must survive,
+    // and every vertex must equal the single-point transform of its input
+    val (lonC, latC) = lccInverse2272(lit(2694444.0), lit(235902.0))
+    val lon = one(graft.core.Determinism.r6(lonC))
+    val lat = one(graft.core.Determinism.r6(latC))
+    val pt = f"${lon.toDouble}%.6f ${lat.toDouble}%.6f"
+    def rp(w: String) = one(reprojectVerts2272(lit(w)))
+    assert(rp("POLYGON ((2694444 235902, 2694444 235902, 2694444 235902, 2694444 235902))")
+      == s"POLYGON (($pt, $pt, $pt, $pt))")
+    assert(rp("MULTIPOLYGON (((2694444 235902, 2694444 235902, 2694444 235902, 2694444 235902)), ((2694444 235902, 2694444 235902, 2694444 235902, 2694444 235902)))")
+      == s"MULTIPOLYGON ((($pt, $pt, $pt, $pt)), (($pt, $pt, $pt, $pt)))")
+    assert(rp("LINESTRING (2694444 235902, 2694444 235902)")
+      == s"LINESTRING ($pt, $pt)")
+    assert(rp("MULTILINESTRING ((2694444 235902, 2694444 235902), (2694444 235902, 2694444 235902))")
+      == s"MULTILINESTRING (($pt, $pt), ($pt, $pt))")
+    // distinct vertices stay distinct (no accidental first-vertex reuse)
+    val two = rp("LINESTRING (2694444 235902, 2704444 245902)")
+    val parts = two.stripPrefix("LINESTRING (").stripSuffix(")").split(", ")
+    assert(parts.length == 2 && parts(0) != parts(1))
+    // merc variant: same structure, 0.1 m grid rendering
+    val m = one(reprojectVerts2272Merc(lit("LINESTRING (2694444 235902, 2704444 245902)")))
+    assert(m.matches("LINESTRING \\(-?\\d+\\.\\d -?\\d+\\.\\d, -?\\d+\\.\\d -?\\d+\\.\\d\\)"), m)
+  }
 }
