@@ -91,7 +91,11 @@ object Etl {
     // the data in BOTH engines (no hardcoded instant) and kept inside the
     // plan as a broadcast 1-row aggregate — same decorrelation shape as
     // q23, no driver-side action
-    val wmDf = e.agg(((min(col("ts")).cast("long")
+    // explicit floor on BOTH engines: Spark's cast(double→long) truncates
+    // while DuckDB's CAST rounds-to-nearest, so an odd min+max sum would
+    // otherwise put the two watermarks 1 s apart (the sum stays < 2^53, so
+    // the double midpoint is exact and floor is deterministic)
+    val wmDf = e.agg(floor((min(col("ts")).cast("long")
       + max(col("ts")).cast("long")) / 2).cast("long").as("wm_sec"))
     e.crossJoin(broadcast(wmDf))
       .filter(col("ts").cast("long") > col("wm_sec"))
@@ -170,6 +174,40 @@ object Etl {
     EtlOps.schemaDiff(s, orders(s, d), staging).orderBy("column_name")
   }
 
+  // AIS geocode-miss semantics (ais_geocoder.py:73-105): rows the service
+  // can't match keep their input fields but get EMPTY-STRING AIS fields
+  // (csv.DictWriter's restval='' over keys never set on the row), and the
+  // run reports its miss counter (`errors`, printed at ais_geocoder.py:114;
+  // the request layer gives up after 5 attempts). Misses planted: every
+  // 11th key is absent from the service relation. The miss count and the
+  // errors>5 gate ride along as a broadcast 1-row aggregate (same
+  // decorrelation shape as q23 — in-plan, no driver action).
+  def geocodeMiss(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = col("c_custkey")
+    val addrs = c.select(k.as("id"), col("c_name").as("name"))
+    val ais = c.filter(k % 11 =!= 0).select(
+      k.as("ais_id"),
+      ((k * 7919L) % 1000000L + 2400000L).cast("string").as("a_lon"),
+      ((k * 104729L) % 300000L + 200000L).cast("string").as("a_lat"))
+    val matched = col("ais_id").isNotNull
+    val enriched = addrs.join(ais, col("id") === col("ais_id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("a_lon"), lit("")).as("lon"),
+        coalesce(col("a_lat"), lit("")).as("lat"),
+        when(matched, concat(lit("SRID=2272;POINT ("), col("a_lon"),
+            lit(" "), col("a_lat"), lit(")")))
+          .otherwise(lit("")).as("shape"),
+        matched.cast("int").as("matched"))
+    val gate = enriched.agg(
+      sum(when(col("matched") === 0, 1L).otherwise(0L)).as("n_miss"))
+    enriched.crossJoin(broadcast(gate))
+      .select(col("id"), col("name"), col("lon"), col("lat"), col("shape"),
+        col("matched"), col("n_miss"),
+        (col("n_miss") > 5).cast("int").as("fail_gate"))
+      .orderBy("id")
+  }
+
   // Geocoder-style enrichment: append nation name via broadcast lookup.
   def enrichLookup(s: SparkSession, d: String): DataFrame =
     EtlOps.enrichLookup(
@@ -193,7 +231,8 @@ object Etl {
     "etl_row_count_check" -> (rowCountCheck _),
     "etl_null_check"      -> (nullCheck _),
     "etl_schema_diff"     -> (schemaDiff _),
-    "etl_enrich_lookup"   -> (enrichLookup _)
+    "etl_enrich_lookup"   -> (enrichLookup _),
+    "etl_geocode_miss"    -> (geocodeMiss _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,8 +261,8 @@ object Etl {
            '(1\.#QNAN000|NULL)', 'NaN', 'g')) AS n_chars
          FROM documents ORDER BY doc_id""",
     "etl_incremental_watermark" ->
-      """WITH wm AS (SELECT CAST((CAST(floor(epoch(min(ts))) AS BIGINT)
-             + CAST(floor(epoch(max(ts))) AS BIGINT)) / 2 AS BIGINT) AS wm_sec
+      """WITH wm AS (SELECT CAST(floor((CAST(floor(epoch(min(ts))) AS BIGINT)
+             + CAST(floor(epoch(max(ts))) AS BIGINT)) / 2.0) AS BIGINT) AS wm_sec
            FROM events)
          SELECT event_type, count(*) AS n_new,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS new_watermark
@@ -305,6 +344,24 @@ object Etl {
            ('o_totalprice', 'double', 'string', 'type_mismatch')
          ) AS t(column_name, prod_type, staging_type, status)
          ORDER BY column_name""",
+    "etl_geocode_miss" ->
+      """WITH addrs AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+         ais AS (SELECT c_custkey AS ais_id,
+             CAST((c_custkey * 7919) % 1000000 + 2400000 AS VARCHAR) AS a_lon,
+             CAST((c_custkey * 104729) % 300000 + 200000 AS VARCHAR) AS a_lat
+           FROM customer WHERE c_custkey % 11 <> 0),
+         joined AS (SELECT a.id, a.name,
+             coalesce(s.a_lon, '') AS lon, coalesce(s.a_lat, '') AS lat,
+             CASE WHEN s.ais_id IS NOT NULL
+                  THEN 'SRID=2272;POINT (' || s.a_lon || ' ' || s.a_lat || ')'
+                  ELSE '' END AS shape,
+             CAST(s.ais_id IS NOT NULL AS INTEGER) AS matched
+           FROM addrs a LEFT JOIN ais s ON s.ais_id = a.id),
+         gate AS (SELECT CAST(sum(CASE WHEN matched = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_miss FROM joined)
+         SELECT id, name, lon, lat, shape, matched, n_miss,
+           CAST(n_miss > 5 AS INTEGER) AS fail_gate
+         FROM joined, gate ORDER BY id""",
     "etl_enrich_lookup" ->
       """SELECT c_custkey, c_name, n_name AS nation_name, n_regionkey
          FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey

@@ -102,6 +102,23 @@ class EtlSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("geocode miss semantics: empty-string AIS fields on miss, counted gate") {
+    val rows = graft.queries.Etl.geocodeMiss(spark, sf).collect()
+    val (miss, hit) = rows.partition(_.getLong(0) % 11 == 0)
+    assert(miss.nonEmpty && hit.nonEmpty)
+    // misses: empty-string AIS fields (not null), matched=0
+    assert(miss.forall(r => r.getString(2) == "" && r.getString(3) == ""
+      && r.getString(4) == "" && r.getInt(5) == 0))
+    // hits: populated fields, EWKT shape, matched=1
+    assert(hit.forall(r => r.getString(2).nonEmpty
+      && r.getString(4).startsWith("SRID=2272;POINT (") && r.getInt(5) == 1))
+    // the errors counter and its >5 gate are consistent on every row
+    val nMiss = rows.head.getLong(6)
+    assert(nMiss == miss.length.toLong)
+    assert(rows.forall(r => r.getLong(6) == nMiss
+      && r.getInt(7) == (if (nMiss > 5) 1 else 0)))
+  }
+
   test("schemaDiff statuses") {
     val prod = spark.range(1).select($"id", lit("x").as("a"), lit(1.0).as("b"))
     val staging = spark.range(1).select($"id", lit(2).as("a"), lit("new").as("c"))
