@@ -195,6 +195,17 @@ object Dedup {
   // ---- SimHash (60-bit) + hamming ≤ 3 via 4×15-bit chunk pigeonhole -------
   private val SIMBITS = 60; private val CHUNKS = 4; private val CB = SIMBITS / CHUNKS
 
+  /** Chunk-bucket document-frequency cap — the [[MaxShingleDf]] pattern
+    * applied to the 15-bit pigeonhole join: a degenerate chunk value shared
+    * by k docs (think: millions of near-empty docs hashing to chunk 0)
+    * creates C(k,2) pairs inside one bucket. Buckets above the cap are
+    * dropped from BOTH join sides (identical HAVING in the oracle), bounding
+    * every bucket at C(cap,2) pairs — closing the last documented quadratic
+    * in the dedup family. Over-frequent chunk buckets carry ~no signal for
+    * hamming≤3 matching (they pair everything with everything).
+    */
+  val MaxChunkDf = 100
+
   def simhash(s: SparkSession, d: String): DataFrame = {
     val tok = corpus(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -212,11 +223,23 @@ object Dedup {
     val chunkStructs = (0 until CHUNKS).map(ci =>
       struct(lit(ci).as("ci"),
         shiftright(col("sim"), ci * CB).bitwiseAND((1L << CB) - 1).as("cv")))
+    // materialized once: feeds the bucket-df aggregation AND both join sides
     val chunked = sim.select(col("doc_id"), col("sim"),
         explode(array(chunkStructs: _*)).as("ch"))
       .select(col("doc_id"), col("sim"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    val a = chunked.toDF("a_id", "a_sim", "ci", "cv")
-    val b = chunked.toDF("b_id", "b_sim", "ci", "cv")
+      .localCheckpoint()
+    // each doc emits exactly one row per chunk index, so count(*) per
+    // (ci, cv) IS the bucket's document frequency (no countDistinct pass)
+    val stop = chunked.groupBy(col("ci"), col("cv"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxChunkDf)
+      .select(col("ci"), col("cv"))
+    // USING join moves (ci, cv) first; positional toDF below needs
+    // (doc_id, sim, ci, cv) — pin the order
+    val capped = chunked.join(broadcast(stop), Seq("ci", "cv"), "left_anti")
+      .select(col("doc_id"), col("sim"), col("ci"), col("cv"))
+    val a = capped.toDF("a_id", "a_sim", "ci", "cv")
+    val b = capped.toDF("b_id", "b_sim", "ci", "cv")
     a.join(b, Seq("ci", "cv")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
@@ -239,10 +262,14 @@ object Dedup {
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)),
        sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
        sims AS (SELECT doc_id, $simExpr AS sim FROM sums),
-       chunked AS ($chunks)
+       chunked AS ($chunks),
+       stop_buckets AS (SELECT ci, cv FROM chunked
+         GROUP BY ci, cv HAVING count(*) > $MaxChunkDf),
+       capped AS (SELECT * FROM chunked c WHERE NOT EXISTS
+         (SELECT 1 FROM stop_buckets s WHERE s.ci = c.ci AND s.cv = c.cv))
        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-       FROM chunked a JOIN chunked b
+       FROM capped a JOIN capped b
          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sim, b.sim)) <= 3
        ORDER BY a_id, b_id"""
