@@ -15,6 +15,20 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Fail at call time — not mid-job with an opaque ClassCastException —
+    * when the id/payload columns don't have the types the imperative
+    * samplers read positionally (getLong / getAs[Array[Byte]]).
+    */
+  private def requireIdPayload(df: DataFrame, idCol: String,
+                               payloadCol: String): Unit = {
+    val idT = df.schema(idCol).dataType
+    val pT = df.schema(payloadCol).dataType
+    require(idT == LongType,
+      s"$idCol must be LongType (bigint), got ${idT.simpleString} — cast it first")
+    require(pT == BinaryType,
+      s"$payloadCol must be BinaryType, got ${pT.simpleString}")
+  }
+
   /** Attach typed metadata to a binary payload column: byte length, md5,
     * magic-prefix sniff. Pure column expressions — metadata extraction
     * never leaves codegen, and at 100 TB it's a projection over the scan.
@@ -41,6 +55,7 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    frameSize: Int = 32, every: Int = 4): DataFrame = {
+    requireIdPayload(df, idCol, payloadCol)
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -82,6 +97,7 @@ object Multimodal {
   def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
                  stride: Int = 4): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    requireIdPayload(df, idCol, payloadCol)
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -111,6 +127,7 @@ object Multimodal {
     * downstream consumers end to end.
     */
   def decodeStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    requireIdPayload(df, idCol, payloadCol)
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),

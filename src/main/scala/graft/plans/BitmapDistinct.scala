@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.Bridge
@@ -31,9 +31,15 @@ case class BitmapDistinct(
     maxId: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(maxId > 0, s"maxId must be positive, got $maxId")
+
+  // int id columns (common surrogate-key type) are implicitly widened to
+  // long at analysis time instead of failing update()'s Long cast at runtime
+  // (return type inferred: AbstractDataType itself is sql-package-private)
+  override def inputTypes = Seq(LongType)
 
   override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
 
@@ -79,6 +85,8 @@ object BitmapDistinct {
 
   /** SQL builder: `graft_distinct_bitmap(idCol, maxIdLiteral)`. */
   private[graft] val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_distinct_bitmap expects (idCol, maxId), got ${children.length} argument(s)")
     val maxId = children(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

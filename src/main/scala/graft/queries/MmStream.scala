@@ -174,9 +174,14 @@ object MmStream {
            FROM documents,
                 UNNEST(range(0, CAST(ceil(length(text) / 4.0) AS BIGINT))) AS t(i)
            GROUP BY doc_id)
-         SELECT doc_id, CAST(length(out_text) AS INTEGER) AS out_len,
-           md5(out_text) AS out_md5
-         FROM sampled ORDER BY doc_id""",
+         -- LEFT join from documents: a zero-length payload produces no
+         -- UNNEST rows (the doc would vanish from sampled), but the Spark
+         -- side still emits (id, 0, md5 of empty) for it
+         SELECT d.doc_id,
+           CAST(length(coalesce(s.out_text, '')) AS INTEGER) AS out_len,
+           md5(coalesce(s.out_text, '')) AS out_md5
+         FROM documents d LEFT JOIN sampled s ON s.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "stream_window_agg" ->
       """SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS win_start,

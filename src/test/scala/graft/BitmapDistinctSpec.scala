@@ -41,4 +41,22 @@ class BitmapDistinctSpec extends AnyFunSuite {
     }
     assert(boom.getMessage != null)
   }
+
+  test("int id columns are implicitly widened, not runtime-cast-crashed") {
+    val df = Seq(1, 2, 2, 3).toDF("id") // IntegerType
+    val n = df.agg(BitmapDistinct.distinctCount($"id", 100)).as[Long].head()
+    assert(n == 3L)
+    df.createOrReplaceTempView("bd_int")
+    assert(spark.sql("SELECT graft_distinct_bitmap(id, 100) FROM bd_int")
+      .as[Long].head() == 3L)
+  }
+
+  test("one-arg sql call fails with a clear arity message") {
+    spark.range(3).createOrReplaceTempView("bd_arity")
+    val boom = intercept[Exception] {
+      spark.sql("SELECT graft_distinct_bitmap(id) FROM bd_arity").collect()
+    }
+    assert(boom.getMessage.contains("expects (idCol, maxId)"),
+      s"unexpected: ${boom.getMessage}")
+  }
 }

@@ -55,6 +55,32 @@ class MmStreamSpec extends AnyFunSuite {
     assert(id1.getInt(1) == 10)
   }
 
+  test("samplers validate id/payload types at call time, not mid-job") {
+    import org.apache.spark.sql.functions.{col, encode}
+    import spark.implicits._
+    val intId = Seq((1, "abc")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.resizeStub(intId, "id", "payload")
+    }
+    assert(e1.getMessage.contains("must be LongType"))
+    val strPayload = Seq((1L, "abc")).toDF("id", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(strPayload, "id", "payload")
+    }
+    assert(e2.getMessage.contains("must be BinaryType"))
+  }
+
+  test("resize stub emits (0, md5 of empty) for zero-length payloads") {
+    import org.apache.spark.sql.functions.{col, encode}
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "abcdefgh")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val out = Multimodal.resizeStub(df, "id", "payload", stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 0, 2L -> 2)) // empty doc present, not dropped
+  }
+
   test("decode stub: deterministic normalized histogram") {
     val bytes = Array[Byte](0, 0, 64, 127, -128, -1) // bins: 2,1,1? careful
     val df = Seq((1L, bytes)).toDF("id", "payload")
