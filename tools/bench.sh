@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Driver-facing bench entry point.
+#
+# Runs the sbt bench main and then re-prints the recorded BENCH_OUT.json
+# content as the FINAL stdout line. Rationale: sbt appends its own
+# "[success] Total time: ..." line to stdout AFTER the bench main's JSON
+# line, so a tail-parse of raw `sbt "runMain graft.Bench"` output sees the
+# sbt epilogue instead of the JSON (BENCH_r0{1..4}.json all recorded
+# "parsed": null because of this). Tail-parsing THIS script's output always
+# yields the bench JSON.
+#
+# Env (all optional, passed through to graft.Bench):
+#   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
+#   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name prefixes to run
+#   SPARK_GRAFT_BENCH_OUT   where the JSON artifact is written
+#   SPARK_GRAFT_CPUS        local[] parallelism override
+set -u
+cd "$(dirname "$0")/.."
+OUT="${SPARK_GRAFT_BENCH_OUT:-$PWD/BENCH_OUT.json}"
+export SPARK_GRAFT_BENCH_OUT="$OUT"
+
+sbt -batch "runMain graft.Bench"
+status=$?
+if [ $status -ne 0 ]; then
+  echo "bench.sh: sbt bench failed with status $status" >&2
+  exit $status
+fi
+if [ ! -s "$OUT" ]; then
+  echo "bench.sh: no bench artifact at $OUT" >&2
+  exit 1
+fi
+# the artifact is a single JSON object; emit it as one final line
+tr -d '\n' < "$OUT"
+echo
