@@ -41,6 +41,60 @@ object EtlOps {
     df.toDF(fixed.toIndexedSeq: _*)
   }
 
+  /** Parse the reference's column-mapping registry text — a Python dict
+    * literal, read via ast.literal_eval from an inline string or a file/S3
+    * key (postgres.py:651-668 _make_mapping_dict;
+    * example_column_mapping.txt) — into the Map [[applyColumnMapping]]
+    * takes. Accepts single- or double-quoted strings, \\-escapes inside
+    * them, arbitrary whitespace/tabs/newlines, and a trailing comma (all
+    * accepted by literal_eval). Anything that is not a flat str→str dict
+    * fails loudly, mirroring the reference's `assert type(...) == dict`.
+    */
+  def parseColumnMapping(text: String): Map[String, String] = {
+    val t = text.trim
+    require(t.startsWith("{") && t.endsWith("}"),
+      "column mapping must be a {...} dict literal")
+    val s = t.substring(1, t.length - 1)
+    def fail(pos: Int, what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"column mapping: expected $what at offset ${pos + 1}: " +
+          s"...${s.substring(math.max(0, pos - 10), math.min(s.length, pos + 10))}...")
+    def skipWs(i: Int): Int = { var j = i
+      while (j < s.length && s(j).isWhitespace) j += 1; j }
+    // one quoted string with \x escapes, either quote style
+    def readString(i: Int): (String, Int) = {
+      if (i >= s.length || (s(i) != '\'' && s(i) != '"'))
+        fail(i, "a quoted string")
+      val q = s(i); val sb = new StringBuilder; var j = i + 1
+      while (j < s.length && s(j) != q) {
+        if (s(j) == '\\' && j + 1 < s.length) { sb.append(s(j + 1)); j += 2 }
+        else { sb.append(s(j)); j += 1 }
+      }
+      if (j >= s.length) fail(i, s"a closing $q")
+      (sb.toString, j + 1)
+    }
+    var i = skipWs(0)
+    val pairs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (i < s.length) {
+      val (k, afterK) = readString(i)
+      i = skipWs(afterK)
+      if (i >= s.length || s(i) != ':') fail(i, "':'")
+      i = skipWs(i + 1)
+      val (v, afterV) = readString(i)
+      pairs += (k -> v)
+      i = skipWs(afterV)
+      if (i < s.length) {
+        if (s(i) != ',') fail(i, "',' or end of dict")
+        i = skipWs(i + 1) // trailing comma before '}' is fine (literal_eval)
+      }
+    }
+    // divergence from literal_eval (which last-wins silently): duplicate
+    // keys in a rename registry are an authoring error — fail loudly
+    val dupes = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dupes.isEmpty, s"duplicate mapping keys: ${dupes.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** Mapping-dict rename + exclude-fields (postgres.py:651-680, 859-865).
     * Unmapped columns pass through; excluded columns are dropped after rename.
     */

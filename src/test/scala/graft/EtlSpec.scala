@@ -102,6 +102,28 @@ class EtlSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("parseColumnMapping reads the reference registry format") {
+    // the example_column_mapping.txt shape: braces, tabs, single quotes
+    val text = "{\n    'objectid_x': 'objectid',\n\t'casenumber_x': 'casenumber',\n\t'posse_jobid_x': 'posse_jobid'\n}"
+    assert(EtlOps.parseColumnMapping(text) == Map(
+      "objectid_x" -> "objectid", "casenumber_x" -> "casenumber",
+      "posse_jobid_x" -> "posse_jobid"))
+    // double quotes, trailing comma, escapes, commas inside strings
+    assert(EtlOps.parseColumnMapping("""{"a": 'b', 'c,d': "e\'f",}""") ==
+      Map("a" -> "b", "c,d" -> "e'f"))
+    assert(EtlOps.parseColumnMapping("{}") == Map.empty[String, String])
+    // malformed shapes fail loudly
+    intercept[IllegalArgumentException](EtlOps.parseColumnMapping("not a dict"))
+    intercept[IllegalArgumentException](EtlOps.parseColumnMapping("{'a' 'b'}"))
+    intercept[IllegalArgumentException](EtlOps.parseColumnMapping("{'a': 'b', , 'c': 'd'}"))
+    intercept[IllegalArgumentException](EtlOps.parseColumnMapping("{'a': 'b', 'a': 'c'}"))
+    // parsed map drives the rename end to end
+    val df = Seq((1, "x")).toDF("objectid_x", "casenumber_x")
+    val out = EtlOps.applyColumnMapping(df,
+      EtlOps.parseColumnMapping("{'objectid_x': 'objectid'}"))
+    assert(out.columns.toSeq == Seq("objectid", "casenumber_x"))
+  }
+
   test("geocode miss semantics: empty-string AIS fields on miss, counted gate") {
     val rows = graft.queries.Etl.geocodeMiss(spark, sf).collect()
     val (miss, hit) = rows.partition(_.getLong(0) % 11 == 0)
