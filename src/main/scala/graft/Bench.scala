@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** Driver-run benchmark: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. Each query is executed once untimed (JIT/codegen
@@ -49,7 +50,44 @@ object Bench {
     // sentinel deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+
+    // Throughput scale probe: time ann_ivf on the bench corpus AND on a
+    // synthetic 10x copy of it (vec_ids shifted per copy so ids stay
+    // unique). With the fixed-size codebook/probe panel the work is N*K —
+    // the ratio should sit near 10; a corpus-proportional parameterization
+    // (the round-4 defect class, invisible at one sf) makes it ~100.
+    // Reported OUTSIDE "queries" so round-over-round per-query comparisons
+    // and the total stay unpolluted.
+    val runProbe = only.forall(_.exists(p => "scale10x".startsWith(p)))
+    val probeJson = if (!runProbe) "" else {
+      def best(d: String): Double = {
+        def run(): Boolean =
+          try { SparkEntry.queries("ann_ivf")(spark, d).count(); true }
+          catch { case _: Throwable => false }
+        run(); clearState(spark) // warm
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = run()
+          val t = (System.nanoTime() - t0) / 1e9
+          clearState(spark)
+          if (ok) t else -1.0
+        }
+        if (ts.exists(_ < 0)) -1.0 else ts.min
+      }
+      val scaleDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scale10x"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+      (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * stride)))
+        .reduce(_ unionByName _)
+        .repartition(8) // several files -> parallel scan, like real input
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      val baseSec = best(sfDir)
+      val scaledSec = best(scaleDir)
+      val ratio = if (baseSec > 0 && scaledSec > 0)
+        math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
+      s""","scale_probe":{"query":"ann_ivf","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""
     println(json)
     // stdout scraping is defeated by sbt's trailing "[success] ..." lines, so
     // the metric also lands in a file the driver can read directly: argv(0)
