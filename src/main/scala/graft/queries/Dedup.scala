@@ -144,6 +144,68 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- paragraph-level dedup report (CCNet/RefinedWeb boilerplate shape) --
+  /** Tokens per "paragraph" chunk. The corpus has no newlines, so the
+    * paragraph stand-in is consecutive fixed-size token windows; a real
+    * corpus would split on blank lines first — the hash/report pipeline
+    * downstream of the splitter is identical either way.
+    */
+  private val ParaTokens = 12
+
+  /** Per-document boilerplate report: how much of each doc is made of
+    * paragraphs seen in OTHER docs, and a ≥50% flag — the
+    * drop-mostly-duplicated-documents gate every crawl pipeline runs.
+    * Scale shape: only 60-bit paragraph hashes shuffle (never text), one
+    * hash-groupBy for global paragraph frequency + one doc-groupBy for the
+    * report — both with map-side partial aggregation. Planted exact copies
+    * share every chunk (dup_frac 1.0, flagged); the "dup "-prefixed
+    * near-dups shift tokens by one, so FIXED-window chunks never align —
+    * the documented blind spot of window chunking that the shingle-based
+    * family (ngram/minhash) exists to cover.
+    */
+  def paragraphReport(s: SparkSession, d: String): DataFrame = {
+    val toked = corpus(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nChunks = ceil(size(col("toks")).cast("double") / ParaTokens).cast("int")
+    val chunks = when(size(col("toks")) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens)))))
+      .otherwise(array().cast("array<string>"))
+    // distinct: within-doc repeats count once — and make count(*) the exact
+    // document frequency downstream (no countDistinct pass)
+    val paras = toked.select(col("doc_id"), explode(chunks).as("para"))
+      .select(col("doc_id"), md5Long(col("para")).as("ph"))
+      .distinct()
+      .localCheckpoint() // feeds the frequency agg AND the per-doc join
+    val dfreq = paras.groupBy(col("ph")).agg(count(lit(1)).as("df"))
+    paras.join(dfreq, "ph")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup"),
+        graft.core.Determinism.r4(
+          col("n_dup").cast("double") / col("n_paras")).as("dup_frac"),
+        (col("n_dup").cast("double") / col("n_paras") >= 0.5)
+          .cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private def paragraphSqlFor: String = {
+    val chunk = s"array_to_string(array_slice(ws, 1 + $ParaTokens * i, $ParaTokens * i + $ParaTokens), ' ')"
+    s"""WITH $corpusSql,
+       toked AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       paras AS (SELECT DISTINCT doc_id, ${md5LongSql(chunk)} AS ph
+         FROM toked,
+              UNNEST(range(0, CAST(ceil(len(ws) / ${ParaTokens}.0) AS BIGINT))) AS t(i)),
+       dfreq AS (SELECT ph, count(*) AS df FROM paras GROUP BY ph),
+       rep AS (SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM paras JOIN dfreq USING (ph) GROUP BY doc_id)
+       SELECT doc_id, n_paras, n_dup,
+         ${graft.core.Determinism.r4Sql("CAST(n_dup AS DOUBLE) / n_paras")} AS dup_frac,
+         CAST(CAST(n_dup AS DOUBLE) / n_paras >= 0.5 AS INTEGER) AS flagged
+       FROM rep ORDER BY doc_id"""
+  }
+
   // ---- MinHash (k=12) + LSH (4 bands × 3 rows) candidate pairs ------------
   private val K = 12; private val BANDS = 4; private val ROWS = K / BANDS
 
@@ -471,10 +533,12 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_embedding"     -> (embeddingDedup _)
+    "dedup_embedding"     -> (embeddingDedup _),
+    "dedup_paragraph"     -> (paragraphReport _)
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_paragraph" -> paragraphSqlFor,
     "dedup_drop_list" -> {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor

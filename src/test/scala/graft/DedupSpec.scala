@@ -130,6 +130,38 @@ class DedupSpec extends AnyFunSuite {
       s"expected verification to drop candidates at sf0.1: $ver1 vs $cand1")
   }
 
+  test("paragraph report: exact copies fully duplicated, shifted docs invisible") {
+    val rows = Dedup.queries("dedup_paragraph")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    val exactIds = rows.keys.filter(id =>
+      id >= Dedup.ExactOffset && id < Dedup.NearOffset)
+    assert(exactIds.nonEmpty)
+    for (id <- exactIds) {
+      val (n, dup, frac, fl) = rows(id)
+      assert(dup == n && frac == 1.0 && fl == 1, s"copy $id not fully dup")
+      assert(rows(id - Dedup.ExactOffset)._4 == 1, s"base of $id not flagged")
+    }
+    // the "dup "-prefix shifts every token by one: FULL windows never align
+    // (the documented blind spot the shingle family covers). Short tail
+    // chunks (1-2 tokens of a ~30-word vocab) can still collide across
+    // docs, so tiny 2-chunk docs may trip the 50% flag — but a near-dup is
+    // never FULLY duplicated, and no multi-chunk near-dup gets flagged.
+    val nearIds = rows.keys.filter(_ >= Dedup.NearOffset)
+    assert(nearIds.nonEmpty)
+    assert(nearIds.forall(id => rows(id)._2 < rows(id)._1),
+      "a shifted doc reported fully duplicated")
+    assert(nearIds.filter(id => rows(id)._1 > 2).forall(id => rows(id)._4 == 0),
+      "a multi-chunk shifted doc was flagged")
+    // the corpus carries natural near-dup pairs sharing long word spans
+    // (e.g. two docs with 7 of 8 identical 12-token windows at sf0.001) —
+    // the report must surface those too, not only the planted copies
+    val naturalFlagged = rows.keys.filter(id =>
+      id < Dedup.ExactOffset && id % 5 != 0 && rows(id)._1 > 2 && rows(id)._4 == 1)
+    assert(naturalFlagged.nonEmpty,
+      "no naturally-duplicated doc surfaced — report too weak")
+  }
+
   test("df-cap drops boilerplate shingles, keeps informative ones") {
     // shingle 999 is "boilerplate": present in 6 docs (> cap 5); shingle 1
     // is informative (2 docs). After the cap the boilerplate bucket must be
