@@ -243,7 +243,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- URL extraction + normalization + per-host stats --------------------
+  /** The crawl-pipeline URL pass: extract URLs, normalize (lowercase, strip
+    * scheme/www/query/trailing slash), and aggregate per host — the input
+    * to host-level dedup, crawl prioritization and robots/blocklist joins.
+    * URLs are planted deterministically (the corpus has none): one per doc,
+    * a second on every 3rd doc, the first repeated on every 7th (repeat
+    * counts as an instance but not a new doc). Pure regexp column math +
+    * one groupBy on the host — hosts are low-cardinality, so the
+    * countDistinct expansion stays small.
+    */
+  def urlStats(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val k = col("doc_id")
+    val url1 = concat(lit("https://Ex"), k % 50, lit(".Example.org/p/"), k, lit("/"))
+    val url2 = concat(lit("http://www.mirror"), k % 20, lit(".net/x?id="), k)
+    val planted = concat(
+      substring(col("text"), 1, 30), lit(" see "), url1,
+      when(k % 3 === 0, concat(lit(" and "), url2)).otherwise(lit("")),
+      when(k % 7 === 0, concat(lit(" again "), url1)).otherwise(lit("")))
+    val urls = doc.select(k.as("doc_id"),
+        explode(regexp_extract_all(planted, lit("https?://[^\\s]+"), lit(0)))
+          .as("url"))
+    val nurl = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("url")),
+      "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/$", "")
+    urls.select(col("doc_id"), regexp_extract(nurl, "^([^/]+)", 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_urls"        -> (urlStats _),
     "text_contamination" -> (contamination _),
     "text_entropy"     -> (entropy _),
     "text_repetition"  -> (repetition _),
@@ -261,6 +293,28 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_urls" ->
+      """WITH planted AS (SELECT doc_id,
+           substr(text, 1, 30) || ' see '
+             || 'https://Ex' || (doc_id % 50) || '.Example.org/p/' || doc_id || '/'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' and http://www.mirror' || (doc_id % 20) || '.net/x?id=' || doc_id
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' again https://Ex' || (doc_id % 50) || '.Example.org/p/' || doc_id || '/'
+                  ELSE '' END AS t
+           FROM documents),
+         urls AS (SELECT doc_id,
+             unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+           FROM planted),
+         norm AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url),
+               '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '') AS nurl
+           FROM urls)
+         SELECT regexp_extract(nurl, '^([^/]+)', 1) AS host,
+           count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         FROM norm GROUP BY host ORDER BY host""",
     "text_contamination" ->
       s"""WITH docs AS (SELECT doc_id, lower(text) AS text FROM documents),
          sh0 AS (${shinglesSql(5, "doc_id", "text", "docs")}),

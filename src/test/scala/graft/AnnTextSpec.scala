@@ -95,6 +95,23 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out == Seq("a", "😀", "b", "\n", "c"))
   }
 
+  test("text_urls: hosts normalized, repeats count as urls not docs") {
+    val rows = Text.queries("text_urls")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // normalization: all lowercase, no scheme, no www., no query strings
+    assert(rows.forall { case (h, _, _) =>
+      h == h.toLowerCase && !h.contains("://") && !h.startsWith("www.") &&
+        !h.contains("?") })
+    val (ex, mirror) = rows.partition(_._1.endsWith(".example.org"))
+    assert(ex.nonEmpty && mirror.nonEmpty)
+    assert(mirror.forall(_._1.matches("mirror\\d+\\.net")))
+    // every 7th doc repeats its url: instances strictly exceed docs overall
+    assert(ex.map(_._2).sum > ex.map(_._3).sum)
+    // a host never has more docs than url instances
+    assert(rows.forall { case (_, u, d) => u >= d })
+  }
+
   test("text_langid: vocabulary only contains english markers") {
     val rows = Text.queries("text_langid")(spark, sf).collect()
     assert(rows.nonEmpty)
