@@ -26,4 +26,19 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Gzip-compressed CSV export — the opendata/carto publish format
+    * (opendata.py:79-90 compress_csv gzips the written csv; opendata.py:336
+    * petl tocsv writes QUOTE_MINIMAL). Spark writes one `.csv.gz` part per
+    * partition, compressing inline rather than as the reference's separate
+    * re-read pass; `df.coalesce(n)` upstream picks the file count.
+    * `escape="` makes embedded quotes double (csv-standard, petl parity)
+    * instead of Spark's backslash default; quoting stays minimal.
+    */
+  def writeCsvGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("compression", "gzip")
+      .option("escape", "\"")
+      .csv(path)
 }

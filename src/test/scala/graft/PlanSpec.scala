@@ -51,8 +51,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("text/geom single-pass queries shuffle only for final ordering") {
+    // geom_reproject_poly included: the whole vertex-wise reprojection —
+    // tokenize, per-vertex LCC inverse, reassemble — is one in-row
+    // projection, so even reprojecting every polygon vertex never shuffles
     for (q <- Seq("text_fingerprint", "text_tokens", "geom_force_2d",
-      "geom_point_latlng", "mm_binary_meta")) {
+      "geom_point_latlng", "geom_reproject_poly", "mm_binary_meta")) {
       val p = plan(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles on hash: ${p.take(800)}")
     }

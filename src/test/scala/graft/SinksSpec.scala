@@ -46,4 +46,32 @@ class SinksSpec extends AnyFunSuite {
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
   }
+
+  test("gzip csv export round-trips risky fields and compresses on disk") {
+    import spark.implicits._
+    val path = "/tmp/graft_csv_gz"
+    val df = Seq(
+      (1L, "plain"), (2L, "has,comma"), (3L, "has \"quote\""), (4L, "line\nbreak"))
+      .toDF("id", "name")
+    Sinks.writeCsvGz(df.coalesce(1), path)
+    // the parts are real gzip members named .csv.gz
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".csv.gz")))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(parts.head))
+    val text = new String(in.readAllBytes(), "UTF-8"); in.close()
+    assert(text.startsWith("id,name\n"))
+    assert(text.contains("\"has,comma\""))       // quoted only when risky
+    assert(text.contains("\"has \"\"quote\"\"\"")) // embedded quotes doubled
+    assert(text.contains("1,plain\n"))           // plain fields unquoted
+    // and Spark reads its own export back losslessly
+    val back = spark.read
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true") // the planted \n-bearing field
+      .csv(path)
+      .select(col("id").cast("long"), col("name"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
 }
