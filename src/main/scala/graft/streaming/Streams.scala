@@ -88,6 +88,37 @@ object Streams {
     else
       events.dropDuplicates("event_id")
 
+  /** Streaming incremental upsert: the reference's scheduled extract→upsert
+    * load (high-watermark extraction feeding postgres.py:1092-1180's
+    * upsert) re-expressed as a Structured Streaming sink. `foreachBatch`
+    * is the Spark-first shape for merge sinks: the checkpoint makes each
+    * epoch replay-safe, the key-merge itself is idempotent, and the
+    * rename-replace swap (TableLifecycle) keeps readers off half-written
+    * tables. No stream-side state accumulates — the target table IS the
+    * state, so an arbitrarily long-lived ingest stream holds nothing in
+    * memory between batches.
+    */
+  def upsertStream(staging: DataFrame, targetPath: String, keys: Seq[String],
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    staging.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { // first batch: no target yet — merge into an empty frame
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          }
+        graft.sources.TableLifecycle.renameReplace(
+          graft.operators.EtlOps.upsert(existing, batch.toDF(), keys), targetPath)
+        ()
+      }
+      .start()
+
   /** Open a directory of event parquet files as a stream — the production
     * ingestion layout (`readStream.format("parquet")` watches the dir; new
     * files become micro-batches). The directory's files must already carry

@@ -205,6 +205,34 @@ class MmStreamSpec extends AnyFunSuite {
     assert(out.get("2024-01-01 00:00:00").contains(1L), out.toString)
   }
 
+  test("streaming upsert merges each micro-batch into the target (foreachBatch)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val src = "/tmp/graft_upsert_src"; val tgt = "/tmp/graft_upsert_tgt"
+    val cp = "/tmp/graft_upsert_cp"
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(src, tgt, tgt + "__old", tgt + "__staging", cp))
+      fs.delete(new Path(p), true)
+    // two files -> two micro-batches (maxFilesPerTrigger=1); file source
+    // orders by modification time, so keep the writes temporally separate
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1)).toDF("k", "v")
+      .coalesce(1).write.parquet(src)
+    Thread.sleep(150)
+    Seq((3L, 2), (4L, 2), (5L, 2), (6L, 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.streaming.Streams.upsertStream(stream, tgt, Seq("k"), cp)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(tgt).count() == 6) // keys merged, never duplicated
+    val out = spark.read.parquet(tgt).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // later batch wins on conflicting keys; unmatched earlier rows survive
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 2, 6L -> 2))
+    assert(q.recentProgress.length >= 2, "expected one epoch per staged file")
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     val e = graft.core.Tables.events(spark, sf)
     val stream = Streams.dedupEvents(
