@@ -145,6 +145,27 @@ object EtlOps {
                          zone: String = "America/New_York"): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, to_utc_timestamp(col(c), zone)))
 
+  /** Carto date-field preparation (carto_.py:339-351): JSON-schema type
+    * `date` (NOT timestamp) fields get " 00:00:00" appended and are
+    * localized as US/Eastern wall time so Carto renders the calendar date
+    * correctly; empty/null dates pass through as null (the reference maps
+    * them to None). DST-aware: the UTC instant is 05:00 in winter (EST)
+    * and 04:00 in summer (EDT).
+    */
+  def dateAtMidnightEastern(dateStr: Column,
+                            zone: String = "America/New_York"): Column =
+    to_utc_timestamp(
+      to_timestamp(concat(dateStr, lit(" 00:00:00")), "yyyy-MM-dd HH:mm:ss"),
+      zone)
+
+  /** Drop rows where EVERY column is null — the reference removes all-null
+    * rows when converting spreadsheet sheets to csv (sharepoint.py:118-126:
+    * xlsx exports commonly carry trailing blank rows). One codegen'd filter
+    * pass, no shuffle.
+    */
+  def dropAllNullRows(df: DataFrame): DataFrame =
+    df.filter(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
+
   /** Dead-letter routing (ago.py:320-348 writes rows that failed an AGO
     * batch to an error CSV for quarantine): tag every row with the named
     * checks it fails. Adds `qc_reasons` (failed check names, in declaration

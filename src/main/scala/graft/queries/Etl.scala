@@ -66,6 +66,21 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // Carto date-field localization (carto_.py:339-351): schema-type `date`
+  // fields get midnight appended and are localized as US/Eastern wall time;
+  // empty dates come through blank. The fixture's dates span years, so both
+  // EST (UTC 05:00) and EDT (UTC 04:00) instants are exercised; every 13th
+  // key is planted null to prove the None pass-through.
+  def dateLocalize(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val dateStr = when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    o.select(col("o_orderkey"),
+        coalesce(date_format(EtlOps.dateAtMidnightEastern(dateStr),
+          "yyyy-MM-dd HH:mm:ss"), lit("")).as("carto_ts"))
+      .orderBy("o_orderkey")
+  }
+
   // AGO row formatting ahead of an addFeatures POST: ASCII/quote-char
   // cleaning on text, esriFieldTypeDate → UTC epoch millis (naive values
   // read as Eastern wall time). Planted unicode + quote chars prove the
@@ -223,6 +238,7 @@ object Etl {
     "etl_schema_cast"     -> (schemaCast _),
     "etl_null_clean"      -> (nullClean _),
     "etl_tz_localize"     -> (tzLocalize _),
+    "etl_date_localize"   -> (dateLocalize _),
     "ago_format_row"      -> (agoFormatRow _),
     "etl_quarantine"      -> (quarantineQ _),
     "etl_incremental_watermark" -> (incrementalWatermark _),
@@ -294,6 +310,14 @@ object Etl {
          strftime(CAST((ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS utc_ts
          FROM events ORDER BY event_id""",
+    "etl_date_localize" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN ''
+              ELSE strftime(CAST((CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 00:00:00' AS TIMESTAMP)
+                     AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP),
+                   '%Y-%m-%d %H:%M:%S')
+         END AS carto_ts
+         FROM orders ORDER BY o_orderkey""",
     "etl_upsert" ->
       """WITH prod AS (
            SELECT o_orderkey, o_totalprice, 'prod' AS src FROM orders WHERE o_orderkey % 3 <> 0),

@@ -102,6 +102,27 @@ class EtlSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("dropAllNullRows removes only fully-null rows") {
+    val df = Seq[(Option[Int], Option[String])](
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None), (None, None))
+      .toDF("x", "y")
+    val out = EtlOps.dropAllNullRows(df).collect()
+    assert(out.length == 3) // only the all-null row dropped
+    assert(!out.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("dateAtMidnightEastern: EST and EDT dates map to 05:00/04:00 UTC") {
+    import org.apache.spark.sql.functions.{date_format, lit}
+    def utc(s: String): String = spark.range(1)
+      .select(date_format(EtlOps.dateAtMidnightEastern(lit(s)),
+        "yyyy-MM-dd HH:mm:ss")).collect().head.getString(0)
+    assert(utc("2024-01-15") == "2024-01-15 05:00:00") // EST
+    assert(utc("2024-07-15") == "2024-07-15 04:00:00") // EDT
+    assert(spark.range(1)
+      .select(EtlOps.dateAtMidnightEastern(lit(null).cast("string")))
+      .collect().head.isNullAt(0)) // empty date -> null pass-through
+  }
+
   test("parseColumnMapping reads the reference registry format") {
     // the example_column_mapping.txt shape: braces, tabs, single quotes
     val text = "{\n    'objectid_x': 'objectid',\n\t'casenumber_x': 'casenumber',\n\t'posse_jobid_x': 'posse_jobid'\n}"
