@@ -236,6 +236,81 @@ object Ann {
     rankTop(cand, CAND_TOPK)
   }
 
+  // ---- Product quantization (PQ) + asymmetric distance (ADC) --------------
+  private val PQ_S = 8         // subspaces over the 64-dim vectors
+  private val PQ_SUBDIM = 8    // dims per subspace
+  private val PQ_K = 16        // codebook entries per subspace (fixed hash panel)
+  private val PQ_SHORTLIST = 20 // ADC shortlist size fed to the exact rerank
+
+  /** PQ-encoded approximate inner-product search — the standard
+    * billion-scale two-stage shape: (1) each corpus vector is stored as
+    * PQ_S small codes (512 bytes → 8), and a probe scores every neighbor by
+    * summing per-subspace lookup-table entries (asymmetric distance, ADC)
+    * WITHOUT touching the vector; (2) the ADC top-PQ_SHORTLIST per probe is
+    * re-scored with the exact dot product (rerank) — quantization only has
+    * to keep the true neighbors inside the shortlist, not rank them.
+    * Shapes at 100 TB: the codebook and probe LUT are tiny broadcasts
+    * (both FIXED-size hash panels), encoding is one map pass, ADC scoring
+    * joins the code relation to the broadcast LUT (N×PQ_S rows, no N²),
+    * and the exact rerank touches only probes×shortlist vectors.
+    *
+    * Determinism: partial dot products fold left-to-right (dotSeq), are
+    * floor-scaled to longs (the bucketsOf trick), and the ADC sum
+    * accumulates LONGS — grouped doubles have no defined order, longs are
+    * exact in any order, so scores are bit-identical across engines.
+    */
+  def pq(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val cents = withN.join(broadcast(panel(withN, "pq:", PQ_K)), "vec_id")
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    def subvec(v: Column, sub: Column) =
+      slice(v, sub * PQ_SUBDIM + 1, lit(PQ_SUBDIM))
+    val subs = explode(sequence(lit(0), lit(PQ_S - 1))).as("sub")
+    // encode: per (vector, subspace) the centroid with the best sub-dot
+    val pairs = withN.select(col("vec_id"), col("v"), subs)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        Dedup.dotSeq(subvec(col("v"), col("sub")),
+          subvec(col("cv"), col("sub"))).as("subdot"))
+    val bySub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("subdot").desc, col("cent_id"))
+    val codes = pairs.withColumn("crk", row_number().over(bySub))
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("cent_id").as("code"))
+    // probe LUT: probe × subspace × centroid partial dots, floor-scaled
+    val lut = withN.join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), subs)
+      .join(broadcast(cents), lit(true))
+      .select(col("probe_id"), col("sub"), col("cent_id").as("code"),
+        floor(Dedup.dotSeq(subvec(col("pv"), col("sub")),
+          subvec(col("cv"), col("sub"))) * 1e9).cast("long").as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("pdot")).as("iscore"))
+    // stage 1: ADC shortlist (bounded heap, no sort of the full scored set)
+    val shortlist = graft.plans.TopK.perKey(scored, Seq("probe_id"),
+      Seq(col("iscore").desc, col("neighbor_id").asc), PQ_SHORTLIST)
+      .select(col("probe_id"), col("neighbor_id"))
+    // stage 2: exact rerank of probes×shortlist only
+    val probeVecs = withN
+      .join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val reranked = withN.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CAND_TOPK)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        graft.core.Determinism.r4(col("dot")).as("dot"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Recall@k evaluation: per probe, how many of the exact top-k (from the
     * brute-force pass) the LSH index recovered — the quality gauge every
     * approximate index needs shipped alongside it ("measure, don't guess").
@@ -272,6 +347,7 @@ object Ann {
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
+    "ann_pq"         -> (pq _),
     "ann_recall"     -> (recallEval _),
     "ann_recall_ivf" -> (recallEvalIvf _)
   )
@@ -318,7 +394,55 @@ object Ann {
                   ELSE 0 END) AS bucket
        FROM pdots GROUP BY vec_id)"""
 
+  /** SQL twin of the PQ pipeline (codebook → codes → LUT → ADC sum). */
+  private def pqSql: String = {
+    def sl(v: String) = s"array_slice($v, sp.sub * $PQ_SUBDIM + 1, sp.sub * $PQ_SUBDIM + $PQ_SUBDIM)"
+    s"""pq_ids AS (SELECT vec_id FROM vecs
+         ORDER BY ${md5LongSql("concat('pq:', vec_id)")}, vec_id LIMIT $PQ_K),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+         WHERE vec_id IN (SELECT vec_id FROM pq_ids)),
+       subspaces AS (SELECT CAST(s AS INTEGER) AS sub FROM range(0, $PQ_S) t(s)),
+       pairs AS (SELECT x.vec_id, sp.sub, c.cent_id,
+           ${Dedup.dotSeqSql(s"${sl("x.v")}", s"${sl("c.cv")}")} AS subdot
+         FROM vecs x, subspaces sp, cents c),
+       codes AS (SELECT vec_id AS neighbor_id, sub, cent_id AS code
+         FROM (SELECT vec_id, sub, cent_id,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY subdot DESC, cent_id) AS crk
+               FROM pairs) WHERE crk = 1),
+       lut AS (SELECT p.vec_id AS probe_id, sp.sub, c.cent_id AS code,
+           CAST(floor(${Dedup.dotSeqSql(s"${sl("p.v")}", s"${sl("c.cv")}")}
+                * 1000000000.0) AS BIGINT) AS pdot
+         FROM vecs p, subspaces sp, cents c
+         WHERE p.vec_id IN (SELECT vec_id FROM probe_ids)),
+       adc AS (SELECT l.probe_id, c.neighbor_id,
+           CAST(sum(l.pdot) AS BIGINT) AS iscore
+         FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         WHERE l.probe_id <> c.neighbor_id
+         GROUP BY 1, 2),
+       shortlist AS (SELECT probe_id, neighbor_id
+         FROM (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY iscore DESC, neighbor_id) AS srk
+               FROM adc) WHERE srk <= $PQ_SHORTLIST),
+       reranked AS (SELECT s.probe_id, s.neighbor_id,
+           ${Dedup.dotSeqSql("pv.v", "nv.v")} AS dot
+         FROM shortlist s
+         JOIN vecs pv ON pv.vec_id = s.probe_id
+         JOIN vecs nv ON nv.vec_id = s.neighbor_id),
+       pq_ranked AS (SELECT probe_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dot DESC, neighbor_id) AS rk
+         FROM reranked)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""WITH $vecsSql, $probeIdsSql,
+         $pqSql
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("dot")} AS dot
+         FROM pq_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_recall" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
          $bucketsSqlFragment,
