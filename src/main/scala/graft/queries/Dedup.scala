@@ -209,9 +209,16 @@ object Dedup {
   // ---- MinHash (k=12) + LSH (4 bands × 3 rows) candidate pairs ------------
   private val K = 12; private val BANDS = 4; private val ROWS = K / BANDS
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, bucket) LSH banding of a (doc_id, text) relation — the
+    * stored minhash INDEX of a corpus. Factored out so the pair query and
+    * the incremental new-batch check share one definition.
+    */
+  private[queries] def bandedFrom(docs: DataFrame): DataFrame = {
     // one md5 per shingle; K signature slots via linear permutations
-    val sh = shingleHashes(s, d).select(col("doc_id"), h30(col("sh")).as("h"))
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("sh0"))
+      .select(col("doc_id"), h30(md5Long(col("sh0"))).as("h"))
     val pp = permParams(K)
     val sig = sh.groupBy(col("doc_id")).agg(
       min(minhashPerm(col("h"), pp(0)._1, pp(0)._2)).as("s0"),
@@ -222,11 +229,14 @@ object Dedup {
         (0 until ROWS).map(r => col(s"s${b * ROWS + r}").cast("string")): _*))
       struct(lit(b).as("band"), key.as("bucket"))
     }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // materialized once: both self-join sides would otherwise recompute the
     // full shingle → signature → banding pipeline
-    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint()
+    val banded = bandedFrom(corpus(s, d)).localCheckpoint()
     val a = banded.toDF("a_id", "band", "bucket")
     val b = banded.toDF("b_id", "band", "bucket")
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
@@ -234,25 +244,86 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  private def minhashLshSqlFor: String = {
+  // ---- incremental dedup: new batch vs the stored corpus index ------------
+  /** Planted-id offset for the incoming batch. */
+  val NewOffset: Long = 3000000000000L
+
+  /** Check an INCOMING batch against the existing corpus WITHOUT re-pairing
+    * the corpus — the shape incremental ingestion takes at 100 TB: the
+    * corpus banding is a stored index (computed once, here recomputed for
+    * the oracle's sake), the new batch is tiny, its banded buckets
+    * BROADCAST against the index, and no corpus self-join ever runs.
+    * Planted batch: every 4th doc arrives again verbatim (must match its
+    * original), every 4th+1 arrives word-reversed (novel text — reversed
+    * word order shares no 3-gram shingles).
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+    val again = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + NewOffset).as("doc_id"), col("text"))
+    val novel = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + NewOffset).as("doc_id"),
+        array_join(reverse(tokens(col("text"))), " ").as("text"))
+    val newB = spread(again.unionByName(novel)).localCheckpoint()
+    val index = bandedFrom(corpus(s, d))
+      .toDF("idx_id", "band", "bucket")
+    val nb = bandedFrom(newB).toDF("new_id", "band", "bucket")
+    val m = index.join(broadcast(nb), Seq("band", "bucket"))
+      .groupBy(col("new_id")).agg(min(col("idx_id")).as("match_id"))
+    newB.select(col("doc_id").as("new_id"))
+      .join(m, Seq("new_id"), "left")
+      .select(col("new_id"),
+        col("match_id").isNotNull.cast("int").as("matched"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+      .orderBy("new_id")
+  }
+
+  /** SQL twin of [[bandedFrom]]: CTE chain `{p}_sh0 … {p}_banded` over a
+    * (doc_id, text) CTE named `table`.
+    */
+  private def bandedSqlCtes(p: String, table: String): String = {
     val pp = permParams(K)
     val mins = (0 until K).map(i =>
       s"min(${minhashPermSql("h", pp(i)._1, pp(i)._2)}) AS s$i").mkString(", ")
     val bands = (0 until BANDS).map { b =>
       val key = (0 until ROWS).map(r => s"CAST(s${b * ROWS + r} AS VARCHAR)")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS bucket FROM sigs"
+      s"SELECT doc_id, $b AS band, md5($key) AS bucket FROM ${p}_sigs"
     }.mkString(" UNION ALL ")
+    s"""${p}_sh0 AS (${shinglesSql(3, "doc_id", "text", table)}),
+       ${p}_sh AS (SELECT doc_id, ${md5LongSql("sh")} % ${MinhashP} AS h FROM ${p}_sh0),
+       ${p}_sigs AS (SELECT doc_id, $mins FROM ${p}_sh GROUP BY doc_id),
+       ${p}_banded AS ($bands)"""
+  }
+
+  private def minhashLshSqlFor: String =
     s"""WITH $corpusSql,
-       sh0 AS (${shinglesSql(3, "doc_id", "text", "corpus")}),
-       sh AS (SELECT doc_id, ${md5LongSql("sh")} % ${MinhashP} AS h FROM sh0),
-       sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       banded AS ($bands)
+       ${bandedSqlCtes("mh", "corpus")}
        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       FROM banded a JOIN banded b
+       FROM mh_banded a JOIN mh_banded b
          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        ORDER BY a_id, b_id"""
-  }
+
+  private def incrementalSqlFor: String =
+    s"""WITH $corpusSql,
+       newb AS (
+         SELECT doc_id + $NewOffset AS doc_id, lower(text) AS text
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id + $NewOffset,
+           array_to_string(list_reverse(string_split(lower(text), ' ')), ' ')
+         FROM documents WHERE doc_id % 4 = 1),
+       ${bandedSqlCtes("idx", "corpus")},
+       ${bandedSqlCtes("nb", "newb")},
+       m AS (SELECT n.doc_id AS new_id, min(i.doc_id) AS match_id
+         FROM nb_banded n JOIN idx_banded i
+           ON i.band = n.band AND i.bucket = n.bucket
+         GROUP BY 1)
+       SELECT nb.doc_id AS new_id,
+         CAST(m.match_id IS NOT NULL AS INTEGER) AS matched,
+         coalesce(m.match_id, -1) AS match_id
+       FROM newb nb LEFT JOIN m ON m.new_id = nb.doc_id
+       ORDER BY new_id"""
 
   // ---- SimHash (60-bit) + hamming ≤ 3 via 4×15-bit chunk pigeonhole -------
   private val SIMBITS = 60; private val CHUNKS = 4; private val CB = SIMBITS / CHUNKS
@@ -534,11 +605,13 @@ object Dedup {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embeddingDedup _),
-    "dedup_paragraph"     -> (paragraphReport _)
+    "dedup_paragraph"     -> (paragraphReport _),
+    "dedup_incremental"   -> (incremental _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_paragraph" -> paragraphSqlFor,
+    "dedup_incremental" -> incrementalSqlFor,
     "dedup_drop_list" -> {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor

@@ -162,6 +162,22 @@ class DedupSpec extends AnyFunSuite {
       "no naturally-duplicated doc surfaced — report too weak")
   }
 
+  test("incremental: re-arrived docs match their original, reversed docs are novel") {
+    val rows = Dedup.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val (again, novel) = rows.partition(r => (r._1 - Dedup.NewOffset) % 4 == 0)
+    assert(again.nonEmpty && novel.nonEmpty)
+    // verbatim re-arrivals: identical text => identical signature => same
+    // buckets; min matched id is the original (or a smaller exact dup of it)
+    assert(again.forall { case (id, m, mid) =>
+      m == 1 && mid <= id - Dedup.NewOffset })
+    assert(again.exists { case (id, _, mid) => mid == id - Dedup.NewOffset })
+    // word-reversal destroys every 3-gram: novel docs overwhelmingly miss
+    val novelMatched = novel.count(_._2 == 1)
+    assert(novelMatched.toDouble / novel.size < 0.1,
+      s"$novelMatched of ${novel.size} reversed docs matched the index")
+  }
+
   test("df-cap drops boilerplate shingles, keeps informative ones") {
     // shingle 999 is "boilerplate": present in 6 docs (> cap 5); shingle 1
     // is informative (2 docs). After the cap the boilerplate bucket must be
