@@ -66,6 +66,27 @@ object Etl {
       .orderBy("event_id")
   }
 
+  // SCD2 history construction: turn a change-event stream into versioned
+  // validity intervals — the warehouse-standard alternative to the
+  // reference's wholesale truncate/upsert replacement (each entity keeps
+  // every state with [valid_from, valid_to) and an is_current marker).
+  // version and the interval end share ONE window sort (same partition +
+  // order), so the whole build is a single shuffle on the entity key.
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("next_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   // Carto date-field localization (carto_.py:339-351): schema-type `date`
   // fields get midnight appended and are localized as US/Eastern wall time;
   // empty dates come through blank. The fixture's dates span years, so both
@@ -239,6 +260,7 @@ object Etl {
     "etl_null_clean"      -> (nullClean _),
     "etl_tz_localize"     -> (tzLocalize _),
     "etl_date_localize"   -> (dateLocalize _),
+    "etl_scd2_history"    -> (scd2History _),
     "ago_format_row"      -> (agoFormatRow _),
     "etl_quarantine"      -> (quarantineQ _),
     "etl_incremental_watermark" -> (incrementalWatermark _),
@@ -310,6 +332,17 @@ object Etl {
          strftime(CAST((ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP),
                   '%Y-%m-%d %H:%M:%S') AS utc_ts
          FROM events ORDER BY event_id""",
+    "etl_scd2_history" ->
+      """SELECT user_id, version, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'),
+                  '9999-12-31 00:00:00') AS valid_to,
+         CAST(next_ts IS NULL AS INTEGER) AS is_current
+         FROM (SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+               FROM events)
+         ORDER BY user_id, version""",
     "etl_date_localize" ->
       """SELECT o_orderkey,
          CASE WHEN o_orderkey % 13 = 0 THEN ''

@@ -61,6 +61,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_scd2_history: one window node, one hash shuffle (shared sort)") {
+    val p = plan("etl_scd2_history")
+    assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).length <= 1
+      || p.split("\\bWindow\\b").length - 1 <= 2, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange: ${p.take(1500)}")
+  }
+
   test("q1: aggregation is partial (map-side combine) before the exchange") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
