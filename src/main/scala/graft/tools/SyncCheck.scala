@@ -1,0 +1,32 @@
+package graft.tools
+
+/** Drift guard: asserts SparkEntry.queries, SparkEntry.oracleSql and the
+  * SURVEY.md §2 inventory agree key-for-key. The round-3 verdict flagged §2
+  * staleness; this makes the check one `runMain graft.tools.SyncCheck` away.
+  */
+object SyncCheck {
+  def surveyKeys(path: String = "SURVEY.md"): Set[String] = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toVector
+    val s2 = lines.dropWhile(!_.startsWith("## §2")).tail.takeWhile(!_.startsWith("## §3"))
+    s2.filter(_.startsWith("| "))
+      .map(_.stripPrefix("| ").takeWhile(c => c != ' ' && c != '|'))
+      .filter(k => k.nonEmpty && k != "query" && k != "---")
+      .toSet
+  }
+
+  def main(args: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    val s = surveyKeys()
+    println(s"SYNC queries=${q.size} oracles=${o.size} survey=${s.size}")
+    def d(a: Set[String], b: Set[String], label: String): Boolean = {
+      val m = (a -- b).toSeq.sorted
+      if (m.nonEmpty) println(s"DRIFT $label: ${m.mkString(",")}")
+      m.isEmpty
+    }
+    val ok = d(q, o, "queries-without-oracle") & d(o, q, "oracle-without-query") &
+      d(q, s, "queries-not-in-survey") & d(s, q, "survey-not-implemented")
+    println(if (ok) "SYNC_OK" else "SYNC_DRIFT")
+    if (!ok) sys.exit(1)
+  }
+}
