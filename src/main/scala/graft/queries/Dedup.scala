@@ -594,7 +594,35 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** URL-keyed keep-first dedup — the cheapest web-corpus dedup pass (one
+    * crawl of a page per normalized URL survives, regardless of text
+    * drift between fetches). URLs are planted deterministically so the
+    * normalizer does the real work: even docs carry the canonical form,
+    * odd docs the same page behind scheme-case/WWW/query-string/trailing-
+    * slash noise; the shared key is doc_id % 111, so ~n/111 docs collapse
+    * per URL. Normalization chain ≡ text_urls (lower → strip scheme →
+    * strip www. → strip query → strip trailing slash).
+    * Scale: shuffles only (normalized-url, doc_id) — one groupBy on the
+    * url key, never text; skewed hot URLs are bounded by crawl dedup
+    * upstream, and the agg is partial (map-side combine) regardless.
+    */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    val raw = when(k % 2 === 0,
+        concat(lit("https://site"), k % 37, lit(".example.com/page/"), k % 111))
+      .otherwise(concat(lit("HTTPS://WWW.Site"), k % 37, lit(".Example.com/page/"),
+        k % 111, lit("/?utm_source="), k))
+    val nurl = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(raw),
+      "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/$", "")
+    documents(s, d).select(k.as("doc_id"), nurl.as("nurl"))
+      .groupBy(col("nurl"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("nurl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url"           -> (urlDedup _),
     "dedup_cluster_stats" -> (clusterStats _),
     "dedup_drop_list"     -> (dropList _),
     "dedup_minhash_verified" -> (minhashVerified _),
@@ -610,6 +638,21 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+             THEN 'https://site' || (doc_id % 37) || '.example.com/page/' || (doc_id % 111)
+             ELSE 'HTTPS://WWW.Site' || (doc_id % 37) || '.Example.com/page/'
+                  || (doc_id % 111) || '/?utm_source=' || doc_id
+           END AS raw
+           FROM documents),
+         norm AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(raw),
+               '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '') AS nurl
+           FROM planted)
+         SELECT nurl, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM norm GROUP BY nurl ORDER BY nurl""",
     "dedup_paragraph" -> paragraphSqlFor,
     "dedup_incremental" -> incrementalSqlFor,
     "dedup_drop_list" -> {

@@ -253,7 +253,34 @@ object Etl {
       .select("c_custkey", "c_name", "nation_name", "n_regionkey")
       .orderBy("c_custkey")
 
+  /** AGO addFeatures batch assignment (ago.py:604-616, 859-883): rows are
+    * POSTed in arrival order in batches of batch_size (500), with one
+    * final partial batch per stream. Here the "streams" are deterministic
+    * shards (the reference runs one sequential stream; a 1000-executor
+    * uploader runs one stream PER TASK, which is exactly what a global
+    * row_number could not express without collapsing to one partition —
+    * so the shard key is the scale design, not a concession). Emits the
+    * per-batch manifest the uploader would log: size, id bounds, partial
+    * flag.
+    */
+  val AgoBatchSize = 500L
+
+  def agoBatchSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d).select(col("event_id"),
+      (col("event_id") % 4).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rn - 1) div $AgoBatchSize"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
+      .withColumn("is_partial", (col("n_rows") < AgoBatchSize).cast("int"))
+      .orderBy("shard", "batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ago_batch_split"     -> (agoBatchSplit _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
     "etl_schema_cast"     -> (schemaCast _),
@@ -274,6 +301,16 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "ago_batch_split" ->
+      s"""WITH ranked AS (SELECT event_id, CAST(event_id % 4 AS INTEGER) AS shard,
+             row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) AS rn
+           FROM events),
+         b AS (SELECT shard, (rn - 1) // $AgoBatchSize AS batch_id, event_id
+           FROM ranked)
+         SELECT shard, batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+           min(event_id) AS first_id, max(event_id) AS last_id,
+           CAST(count(*) < $AgoBatchSize AS INTEGER) AS is_partial
+         FROM b GROUP BY shard, batch_id ORDER BY shard, batch_id""",
     "etl_header_sanitize" ->
       """SELECT n_nationkey AS objectid, n_name, n_regionkey AS region_key
          FROM nation ORDER BY objectid""",

@@ -58,9 +58,70 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** Sequence packing: documents are concatenated in deterministic order
+    * and split into fixed SeqLen-token training sequences — each doc gets
+    * the (seq_id, offset) where its tokens land. Packing is per shard
+    * (doc_id hash), the way a real fleet packs: a GLOBAL order would be one
+    * window partition = one task at 100 TB, while per-shard packing is an
+    * embarrassingly parallel window per shard with one shuffle on the shard
+    * key. offset = running token sum before the doc; a doc crossing a
+    * SeqLen boundary spans sequences (reported via n_seqs).
+    */
+  val SeqLen = 2048L
+  val PackShards = 8
+
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).select(col("doc_id"),
+      (col("doc_id") % PackShards).cast("int").as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    doc.withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"off div $SeqLen").as("seq_id"),
+        (col("off") % SeqLen).as("offset_in_seq"),
+        // sequences this doc touches: boundary crossings + 1 (empty docs
+        // occupy zero tokens but are attributed to the sequence at offset)
+        (expr(s"(off + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) div $SeqLen")
+          - expr(s"off div $SeqLen") + 1L).as("n_seqs"))
+      .orderBy("shard", "doc_id")
+  }
+
+  /** Temperature-scaled mixture (the pretraining-mix reweighting knob):
+    * source i's effective weight is n_i^α (α = 0.5), i.e. rare sources are
+    * upsampled RELATIVE to abundant ones. The per-source keep rate is
+    * r_i = n_i^(α-1) scaled so the rarest source keeps 100%:
+    * rate_i = sqrt(n_min/n_i). Selection is the deterministic md5 coin
+    * against floor(10000·rate).
+    *
+    * Engine-parity note: α is 0.5 ON PURPOSE — IEEE-754 specifies sqrt
+    * exactly (correctly rounded), unlike pow, so both engines compute
+    * bit-identical rates and the floor can never straddle an ulp.
+    */
+  def temperature(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("source"))
+    val counts = doc.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r", sqrt(col("n_docs").cast("double")) / col("n_docs").cast("double"))
+    // rmax belongs to the smallest source → it samples at 10000 bps exactly
+    val norm = counts.agg(max(col("r")).as("rmax"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("rate_bps",
+        floor(col("r") / col("rmax") * 10000.0).cast("long"))
+    val sel = doc.join(broadcast(rates.select(col("source"), col("rate_bps"))), "source")
+      .filter(md5Long(concat(lit("temp:"), col("doc_id"))) % 10000L < col("rate_bps"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sel"))
+    rates.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate_bps"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_mixture"      -> (mixture _),
-    "sample_token_budget" -> (tokenBudget _)
+    "sample_token_budget" -> (tokenBudget _),
+    "sample_pack"         -> (pack _),
+    "sample_temperature"  -> (temperature _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +143,39 @@ object Sampling {
            FROM toks)
          SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM cum WHERE cum_tokens - n_tokens < $TokenBudget
-         ORDER BY source, doc_id"""
+         ORDER BY source, doc_id""",
+    "sample_pack" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cum AS (SELECT *,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS off
+           FROM toks)
+         SELECT shard, doc_id, n_tokens,
+           off // $SeqLen AS seq_id,
+           off % $SeqLen AS offset_in_seq,
+           (off + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) // $SeqLen
+             - off // $SeqLen + 1 AS n_seqs
+         FROM cum ORDER BY shard, doc_id""",
+    "sample_temperature" ->
+      s"""WITH src AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS source
+           FROM documents),
+         counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sqrt(CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS r
+           FROM src GROUP BY source),
+         norm AS (SELECT max(r) AS rmax FROM counts),
+         rates AS (SELECT source, n_docs,
+             CAST(floor(r / rmax * 10000.0) AS BIGINT) AS rate_bps
+           FROM counts, norm),
+         sel AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_sel
+           FROM src s JOIN rates rt ON rt.source = s.source
+           WHERE ${md5LongSql("'temp:' || doc_id")} % 10000 < rt.rate_bps
+           GROUP BY s.source)
+         SELECT r2.source, r2.n_docs, r2.rate_bps,
+           COALESCE(sel.n_sel, CAST(0 AS BIGINT)) AS n_sel
+         FROM rates r2 LEFT JOIN sel ON sel.source = r2.source
+         ORDER BY r2.source"""
   )
 }

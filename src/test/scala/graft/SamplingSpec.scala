@@ -55,6 +55,49 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack: offsets tile each shard's token stream; boundaries span") {
+    val rows = Sampling.queries("sample_pack")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // in-sequence offset always fits; every doc touches >= 1 sequence
+    assert(rows.forall { case (_, _, _, _, off, nseq) =>
+      off >= 0 && off < Sampling.SeqLen && nseq >= 1 })
+    for ((shard, docs) <- rows.groupBy(_._1)) {
+      val ordered = docs.sortBy(_._2)
+      // contiguous packing: each doc starts where the previous one ended
+      var cum = 0L
+      for ((_, _, n, seqId, offIn, nSeqs) <- ordered) {
+        assert(seqId == cum / Sampling.SeqLen && offIn == cum % Sampling.SeqLen,
+          s"shard $shard: expected offset $cum")
+        // span count = boundary crossings + 1
+        val lastTok = cum + math.max(n, 1L) - 1
+        assert(nSeqs == lastTok / Sampling.SeqLen - cum / Sampling.SeqLen + 1)
+        cum += n
+      }
+    }
+  }
+
+  test("temperature: rarest source keeps 100%; rates follow sqrt weights") {
+    val rows = Sampling.queries("sample_temperature")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 4)
+    val minDocs = rows.map(_._2).min
+    for ((_, nDocs, rate, nSel) <- rows) {
+      assert(nSel <= nDocs)
+      if (nDocs == minDocs) assert(rate == 10000L)
+      // rate_bps = floor(10000 * r / r_max), r = sqrt(n)/n, r_max from the
+      // rarest source — same IEEE ops in the same order as the query
+      val r = math.sqrt(nDocs.toDouble) / nDocs
+      val rMax = math.sqrt(minDocs.toDouble) / minDocs
+      val expect = math.floor(r / rMax * 10000.0).toLong
+      assert(rate == expect, s"n=$nDocs rate=$rate expect=$expect")
+      // selection tracks the rate (md5 coin is uniform): 15% slack
+      val expected = nDocs * rate / 10000.0
+      assert(math.abs(nSel - expected) < math.max(20.0, nDocs * 0.15))
+    }
+  }
+
   test("contamination: benchmark docs match every one of their shingles") {
     val rows = graft.queries.Text.queries("text_contamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
