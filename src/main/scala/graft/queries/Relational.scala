@@ -313,7 +313,57 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  // q27: staged conversion funnel (view → click → purchase) — each stage's
+  // entry is the user's earliest qualifying event STRICTLY after their
+  // previous stage entry, the product-analytics "ordered funnel". Three
+  // aggregates all keyed on user_id: one co-partitioning serves every
+  // stage join (AQE reuses the exchange), and only (user_id, ts) pairs
+  // shuffle — never props/payload columns.
+  def q27Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit(2).as("stage"), col("n_users")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).select(lit(3).as("stage"), col("n_users")))
+    val top = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .select(col("stage"), col("n_users"),
+        graft.core.Determinism.r4(
+          col("n_users").cast("double") / col("n_top").cast("double")).as("conv"))
+      .orderBy("stage")
+  }
+
+  // q28: weekly cohort retention — users bucketed by first-seen week, then
+  // (cohort, week_offset) distinct-user counts: the standard retention
+  // triangle. date_trunc('week') is ISO-Monday in both engines; offsets are
+  // exact 604800-second multiples so integer division is lossless.
+  def q28Retention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val active = e.distinct()
+    active.join(first, "user_id")
+      .select(col("cohort"),
+        expr("(CAST(wk AS LONG) - CAST(cohort AS LONG)) div 604800")
+          .as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_funnel"        -> (q27Funnel _),
+    "q28_retention"     -> (q28Retention _),
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q23_anti_above_avg" -> (q23AntiAboveAvg _),
     "q25_window_suite"  -> (q25WindowSuite _),
@@ -339,6 +389,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         counts AS (
+           SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+           UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+           UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3)
+         SELECT stage, n_users,
+           ${graft.core.Determinism.r4Sql(
+             "CAST(n_users AS DOUBLE) / CAST((SELECT n_users FROM counts WHERE stage = 1) AS DOUBLE)")} AS conv
+         FROM counts ORDER BY stage""",
+    "q28_retention" ->
+      """WITH wks AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         first AS (SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, wk FROM wks)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           (CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(f.cohort) AS BIGINT))
+             // 604800 AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM active a JOIN first f ON f.user_id = a.user_id
+         GROUP BY 1, 2 ORDER BY cohort, week_offset""",
     "q22_grouping_sets" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
                      ELSE o_orderstatus END AS status,

@@ -274,7 +274,77 @@ object Text {
       .orderBy("host")
   }
 
+  /** Corpus-wide boilerplate line removal (RefinedWeb/CCNet-style line
+    * dedup): lines whose document frequency exceeds LineDfCap are dropped
+    * from every doc, and the cleaned text is re-assembled in line order.
+    * Planted structure (the corpus has no newlines): every doc gets a
+    * universal footer (df = N, removed), every 3rd doc a shared promo
+    * header (df ≈ N/3, removed), other docs a unique header (kept); the
+    * body is the doc's own text (kept).
+    *
+    * Scale shape: the df pass shuffles 60-bit LINE HASHES only; the
+    * boilerplate set (hashes with df > cap — small by construction: there
+    * are few corpus-wide repeated lines) broadcasts back, and kept line
+    * INDICES shuffle to rebuild. Text itself crosses the network exactly
+    * once, in the final co-located doc_id join — the inherent cost of a
+    * corpus rewrite.
+    */
+  val LineDfCap = 10L
+
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    def plantedOf(c: Column) = concat_ws("\n",
+      when(k % 3 === 0, lit("click here to subscribe to our newsletter"))
+        .otherwise(concat(lit("intro "), k)),
+      substring(c, 1, 80),
+      lit("copyright example corp all rights reserved"))
+    val doc = documents(s, d).select(k, plantedOf(col("text")).as("t"))
+    val lines = doc.select(k,
+        posexplode(split(col("t"), "\n", -1)).as(Seq("idx", "line")))
+      .select(k, col("idx"), md5Long(col("line")).as("h"))
+    val boiler = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > LineDfCap).select("h")
+    val keptIdx = lines.join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy(k).agg(sort_array(collect_list(col("idx"))).as("keep"))
+    doc.join(keptIdx, Seq("doc_id"), "left")
+      .withColumn("arr", split(col("t"), "\n", -1))
+      .withColumn("keep", coalesce(col("keep"), array().cast("array<int>")))
+      .select(k,
+        size(col("arr")).cast("long").as("n_lines"),
+        (size(col("arr")) - size(col("keep"))).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("arr"), (_, i) => array_contains(col("keep"), i)), "\n"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style rule filter (Raffel et al. 2020 §2.2 heuristics, the subset
+    * expressible over this corpus): curly-brace code leak, "javascript"
+    * boilerplate, "lorem ipsum" placeholder, minimum word count. Pure
+    * column math — one codegen'd projection pass; the planted taints make
+    * each rule fire on a disjoint, known doc subset.
+    */
+  def c4Filter(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    val planted = concat(col("text"),
+      when(k % 11 === 0, lit(" { var cfg = 1; }")).otherwise(lit("")),
+      when(k % 13 === 0, lit(" please enable javascript to view")).otherwise(lit("")),
+      when(k % 17 === 0, lit(" lorem ipsum dolor sit amet")).otherwise(lit("")))
+    val doc = documents(s, d).select(k, planted.as("t"))
+    doc.select(k,
+        col("t").contains("{").cast("int").as("has_brace"),
+        col("t").contains("javascript").cast("int").as("has_js"),
+        col("t").contains("lorem ipsum").cast("int").as("has_lorem"),
+        (size(tokens(col("t"))) < 20).cast("int").as("too_short"))
+      .withColumn("keep",
+        (col("has_brace") + col("has_js") + col("has_lorem") + col("too_short") === 0)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup"  -> (lineDedup _),
+    "text_c4_filter"   -> (c4Filter _),
     "text_urls"        -> (urlStats _),
     "text_contamination" -> (contamination _),
     "text_entropy"     -> (entropy _),
@@ -293,6 +363,48 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_line_dedup" ->
+      s"""WITH planted AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'click here to subscribe to our newsletter'
+                 ELSE 'intro ' || doc_id END)
+           || chr(10) || substr(text, 1, 80)
+           || chr(10) || 'copyright example corp all rights reserved' AS t
+           FROM documents),
+         lines AS (SELECT doc_id,
+             generate_subscripts(string_split(t, chr(10)), 1) - 1 AS idx,
+             unnest(string_split(t, chr(10))) AS ln
+           FROM planted),
+         hashed AS (SELECT doc_id, idx, ln, ${md5LongSql("ln")} AS h FROM lines),
+         boiler AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > $LineDfCap),
+         kept AS (SELECT doc_id, idx, ln FROM hashed
+           WHERE h NOT IN (SELECT h FROM boiler)),
+         rebuilt AS (SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY idx) AS clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         sized AS (SELECT p.doc_id,
+             CAST(len(string_split(p.t, chr(10))) AS BIGINT) AS n_lines,
+             COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             COALESCE(r.clean, '') AS clean
+           FROM planted p LEFT JOIN rebuilt r ON r.doc_id = p.doc_id)
+         SELECT doc_id, n_lines, n_lines - n_kept AS n_removed,
+           md5(clean) AS clean_hash
+         FROM sized ORDER BY doc_id""",
+    "text_c4_filter" ->
+      """WITH planted AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 11 = 0 THEN ' { var cfg = 1; }' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' please enable javascript to view' ELSE '' END
+           || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END AS t
+           FROM documents),
+         flags AS (SELECT doc_id,
+             CAST(contains(t, '{') AS INTEGER) AS has_brace,
+             CAST(contains(t, 'javascript') AS INTEGER) AS has_js,
+             CAST(contains(t, 'lorem ipsum') AS INTEGER) AS has_lorem,
+             CAST(len(string_split(lower(t), ' ')) < 20 AS INTEGER) AS too_short
+           FROM planted)
+         SELECT doc_id, has_brace, has_js, has_lorem, too_short,
+           CAST(has_brace + has_js + has_lorem + too_short = 0 AS INTEGER) AS keep
+         FROM flags ORDER BY doc_id""",
     "text_urls" ->
       """WITH planted AS (SELECT doc_id,
            substr(text, 1, 30) || ' see '

@@ -225,4 +225,34 @@ class AnnTextSpec extends AnyFunSuite {
       } else assert(!got.contains(id))
     }
   }
+
+  test("line dedup: universal footer always removed, promo header only on 3rd docs") {
+    val rows = Text.queries("text_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // 3 planted lines per doc; the footer (df = N) is removed everywhere;
+    // the shared promo header (df = N/3 > cap) additionally on 3rd docs
+    assert(rows.forall(_._2 == 3L))
+    assert(rows.forall { case (id, _, removed, _) =>
+      removed == (if (id % 3 == 0) 2L else 1L) })
+    // non-3rd docs keep their unique "intro <id>" line, so their cleaned
+    // text is globally unique; 3rd docs keep only the 80-char body, which
+    // CAN collide across docs — assert exactly that split
+    val (third, rest) = rows.partition(_._1 % 3 == 0)
+    assert(rest.map(_._4).distinct.length == rest.length)
+    assert(third.map(_._4).distinct.length >= third.length * 9 / 10)
+  }
+
+  test("c4 filter: each rule fires exactly on its planted subset") {
+    val rows = Text.queries("text_c4_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    for ((id, brace, js, lorem, short, keep) <- rows) {
+      assert(brace == (if (id % 11 == 0) 1 else 0), s"doc $id brace")
+      assert(js == (if (id % 13 == 0) 1 else 0), s"doc $id js")
+      assert(lorem == (if (id % 17 == 0) 1 else 0), s"doc $id lorem")
+      assert(keep == (if (brace + js + lorem + short == 0) 1 else 0))
+    }
+    assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
+  }
 }

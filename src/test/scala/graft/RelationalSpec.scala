@@ -110,4 +110,44 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(got == expected)
   }
+
+  test("q27 funnel: stage counts shrink monotonically; ordering is strict") {
+    val rows = Relational.queries("q27_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // a funnel can only narrow
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(0)._3 == 1.0 && rows.forall(_._3 <= 1.0))
+    // strictness: a user whose ONLY click precedes every view must not
+    // count as stage 2 — recompute stage 2 driver-side and compare
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byUser = ev.groupBy(_._1)
+    val stage2 = byUser.count { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      views.nonEmpty && es.exists(e => e._2 == "click" && e._3 > views.min)
+    }
+    assert(rows(1)._2 == stage2.toLong)
+  }
+
+  test("q28 retention: offset 0 is every cohort's peak; offsets non-negative") {
+    val rows = Relational.queries("q28_retention")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    for ((cohort, offs) <- rows.groupBy(_._1)) {
+      val at0 = offs.find(_._2 == 0L)
+      // every user is active in their own first week, so offset 0 exists
+      // and no later week of that cohort can exceed it
+      assert(at0.isDefined, s"cohort $cohort missing offset 0")
+      assert(offs.forall(_._3 <= at0.get._3), s"cohort $cohort retention > 100%")
+    }
+    // cohort users are disjoint: total offset-0 users = distinct users
+    val users = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == users)
+  }
 }
