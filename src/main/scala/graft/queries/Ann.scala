@@ -324,6 +324,13 @@ object Ann {
   def recallEvalIvf(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, ivf(s, d))
 
+  /** Recall@k gate for the PQ index — the third index ships with its own
+    * measured recall too (ADC quantization error is exactly what this
+    * catches: the shortlist+rerank must keep true neighbors in reach).
+    */
+  def recallEvalPq(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, pq(s, d))
+
   /** Single-probe recall — kept for the spec's strict-improvement gate. */
   private[graft] def recallEvalSingleProbe(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, lshImpl(s, d, multiprobe = false))
@@ -349,7 +356,8 @@ object Ann {
     "ann_ivf"        -> (ivf _),
     "ann_pq"         -> (pq _),
     "ann_recall"     -> (recallEval _),
-    "ann_recall_ivf" -> (recallEvalIvf _)
+    "ann_recall_ivf" -> (recallEvalIvf _),
+    "ann_recall_pq"  -> (recallEvalPq _)
   )
 
   private val vecsSql =
@@ -483,6 +491,29 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(lshk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN lshk
            ON lshk.probe_id = bf.probe_id AND lshk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_recall_pq" ->
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql,
+         $pqSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         pqk AS (SELECT probe_id, neighbor_id FROM pq_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(pqk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(pqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN pqk
+           ON pqk.probe_id = bf.probe_id AND pqk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_ivf" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,

@@ -189,6 +189,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring duplication report at SubN-token sliding-window
+    * granularity (the hashed approximation of Lee et al. 2021's
+    * suffix-array ExactSubstr): a window duplicated ANYWHERE in another
+    * doc is caught regardless of token alignment — the "dup "-prefixed
+    * near-dups that [[paragraphReport]]'s fixed windows provably miss are
+    * flagged here (asserted side by side in DedupSpec).
+    *
+    * Scale shape: strictly linear — windows hash to 60 bits, df is one
+    * hash-keyed agg (map-side partial), the per-doc report one hash join
+    * back; there is NO pair join anywhere, so no df cap is needed. The
+    * explode factor (≈ tokens per doc) prices the operator honestly: at
+    * 100 TB this runs as one shuffle of ~N_tokens longs.
+    */
+  val SubN = 10
+
+  def substringReport(s: SparkSession, d: String): DataFrame = {
+    val toked = corpus(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // shinglesFromTokens is already per-doc DISTINCT → count(*) is exact df
+    val wins = toked.select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), SubN)).as("w"))
+      .select(col("doc_id"), md5Long(col("w")).as("h"))
+      .localCheckpoint() // feeds the df agg AND the per-doc join
+    val dfreq = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    wins.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        graft.core.Determinism.r4(
+          col("n_dup").cast("double") / col("n_windows")).as("dup_frac"),
+        (col("n_dup").cast("double") / col("n_windows") >= 0.5)
+          .cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private def substringSqlFor: String =
+    s"""WITH $corpusSql,
+       sh0 AS (${shinglesSql(SubN, "doc_id", "text", "corpus")}),
+       wins AS (SELECT doc_id, ${md5LongSql("sh")} AS h FROM sh0),
+       dfreq AS (SELECT h, count(*) AS df FROM wins GROUP BY h),
+       rep AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM wins w JOIN dfreq f ON f.h = w.h GROUP BY w.doc_id)
+       SELECT doc_id, n_windows, n_dup,
+         ${graft.core.Determinism.r4Sql(
+           "CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE)")} AS dup_frac,
+         CAST(CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE) >= 0.5
+           AS INTEGER) AS flagged
+       FROM rep ORDER BY doc_id"""
+
   private def paragraphSqlFor: String = {
     val chunk = s"array_to_string(array_slice(ws, 1 + $ParaTokens * i, $ParaTokens * i + $ParaTokens), ' ')"
     s"""WITH $corpusSql,
@@ -634,6 +684,7 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embeddingDedup _),
     "dedup_paragraph"     -> (paragraphReport _),
+    "dedup_substring"     -> (substringReport _),
     "dedup_incremental"   -> (incremental _)
   )
 
@@ -654,6 +705,7 @@ object Dedup {
          SELECT nurl, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM norm GROUP BY nurl ORDER BY nurl""",
     "dedup_paragraph" -> paragraphSqlFor,
+    "dedup_substring" -> substringSqlFor,
     "dedup_incremental" -> incrementalSqlFor,
     "dedup_drop_list" -> {
       // the minhash pair query, reduced to its distinct higher ids

@@ -226,6 +226,15 @@ class AnnTextSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_recall_pq: the PQ index ships a per-probe recall gate") {
+    val rows = graft.queries.Ann.queries("ann_recall_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10) // one row per probe-panel member
+    assert(rows.forall { case (_, n, rec) => n >= 0 && n <= 3 && rec >= 0 && rec <= 1 })
+    val avg = rows.map(_._3).sum / rows.length
+    assert(avg >= 0.15, s"PQ recall@3 collapsed: $avg")
+  }
+
   test("line dedup: universal footer always removed, promo header only on 3rd docs") {
     val rows = Text.queries("text_line_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

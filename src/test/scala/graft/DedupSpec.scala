@@ -210,6 +210,34 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(_._3 >= 2))
   }
 
+  test("substring windows catch the shifted near-dups fixed chunks miss") {
+    def byId(name: String) = Dedup.queries(name)(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val para = byId("dedup_paragraph")
+    val sub = byId("dedup_substring")
+    val nearIds = sub.keySet.filter(_ >= Dedup.NearOffset)
+    assert(nearIds.nonEmpty)
+    // every original 10-gram survives verbatim inside its near-dup, so the
+    // sliding report flags every single one...
+    for (id <- nearIds)
+      assert(sub(id) >= 0.5, s"substring missed near-dup $id (${sub(id)})")
+    // ...while the "dup "-prefix shifts every token so fixed windows only
+    // match by boundary coincidence (short tail chunks like a trailing
+    // one-token "a" DO collide — that noise is exactly why the sliding
+    // variant exists). The separation holds in aggregate:
+    val paraMean = nearIds.toSeq.map(para).sum / nearIds.size
+    val subMean = nearIds.toSeq.map(sub).sum / nearIds.size
+    assert(paraMean < 0.1 && subMean > 0.8,
+      s"separation collapsed: para=$paraMean sub=$subMean")
+    val paraFlagged = nearIds.count(id => para(id) >= 0.5)
+    assert(paraFlagged <= nearIds.size / 5,
+      s"fixed windows flagged $paraFlagged of ${nearIds.size} shifted near-dups")
+    // exact copies are fully duplicated under both reports
+    val exactIds = sub.keySet.filter(k => k >= Dedup.ExactOffset && k < Dedup.NearOffset)
+    assert(exactIds.nonEmpty)
+    assert(exactIds.forall(id => sub(id) == 1.0 && para(id) == 1.0))
+  }
+
   test("dedup shuffles hashes/buckets, never full text (plan check)") {
     val plan = Dedup.queries("dedup_exact")(spark, sf)
       .queryExecution.optimizedPlan.toString
