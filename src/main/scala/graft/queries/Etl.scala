@@ -279,7 +279,52 @@ object Etl {
       .orderBy("shard", "batch_id")
   }
 
+  /** Single-pass dataset profile — the pre-load report a loader prints
+    * before committing a staging table (rows, nulls, distincts, typed
+    * min/max per column; the generalization of the reference's row-count
+    * and null checks). ONE scan computes every stat (one aggregate node,
+    * map-side partial), then a driver-free `stack` unpivots the 1-row
+    * result into the per-column report. Floats are 2-dp-floored before
+    * formatting so both engines render identical strings; every 13th
+    * status is planted NULL to prove the null counters.
+    */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val status = when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+      .otherwise(col("o_orderstatus"))
+    val src = o.select(col("o_orderkey").as("k"), status.as("status"),
+      col("o_totalprice").as("price"), col("o_orderdate").as("dt"))
+    def r2fmt(c: org.apache.spark.sql.Column) =
+      format_string("%.2f", floor(c * 100.0 + 0.5) / 100.0)
+    val agg = src.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("k").isNull.cast("long")).as("k_nulls"),
+      countDistinct(col("k")).as("k_dist"),
+      min(col("k")).cast("string").as("k_min"),
+      max(col("k")).cast("string").as("k_max"),
+      sum(col("status").isNull.cast("long")).as("s_nulls"),
+      countDistinct(col("status")).as("s_dist"),
+      min(col("status")).as("s_min"), max(col("status")).as("s_max"),
+      sum(col("price").isNull.cast("long")).as("p_nulls"),
+      countDistinct(col("price")).as("p_dist"),
+      r2fmt(min(col("price"))).as("p_min"), r2fmt(max(col("price"))).as("p_max"),
+      sum(col("dt").isNull.cast("long")).as("d_nulls"),
+      countDistinct(col("dt")).as("d_dist"),
+      date_format(min(col("dt")), "yyyy-MM-dd").as("d_min"),
+      date_format(max(col("dt")), "yyyy-MM-dd").as("d_max"))
+    agg.selectExpr("n_rows", """stack(4,
+        'o_orderkey',    k_nulls, k_dist, k_min, k_max,
+        'o_orderstatus', s_nulls, s_dist, s_min, s_max,
+        'o_totalprice',  p_nulls, p_dist, p_min, p_max,
+        'o_orderdate',   d_nulls, d_dist, d_min, d_max
+      ) AS (col_name, n_nulls, n_distinct, min_val, max_val)""")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_profile"         -> (profile _),
     "ago_batch_split"     -> (agoBatchSplit _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
@@ -301,6 +346,33 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_profile" ->
+      """WITH src AS (SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS status,
+           o_totalprice AS price, o_orderdate AS dt FROM orders),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_dist,
+           CAST(min(k) AS VARCHAR) AS k_min, CAST(max(k) AS VARCHAR) AS k_max,
+           CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+           CAST(count(DISTINCT status) AS BIGINT) AS s_dist,
+           min(status) AS s_min, max(status) AS s_max,
+           CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+           CAST(count(DISTINCT price) AS BIGINT) AS p_dist,
+           printf('%.2f', floor(min(price) * 100.0 + 0.5) / 100.0) AS p_min,
+           printf('%.2f', floor(max(price) * 100.0 + 0.5) / 100.0) AS p_max,
+           CAST(sum(CASE WHEN dt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+           CAST(count(DISTINCT dt) AS BIGINT) AS d_dist,
+           strftime(min(dt), '%Y-%m-%d') AS d_min,
+           strftime(max(dt), '%Y-%m-%d') AS d_max
+         FROM src)
+         SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+           SELECT 'o_orderkey' AS col_name, n_rows, k_nulls AS n_nulls,
+             k_dist AS n_distinct, k_min AS min_val, k_max AS max_val FROM a
+           UNION ALL SELECT 'o_orderstatus', n_rows, s_nulls, s_dist, s_min, s_max FROM a
+           UNION ALL SELECT 'o_totalprice', n_rows, p_nulls, p_dist, p_min, p_max FROM a
+           UNION ALL SELECT 'o_orderdate', n_rows, d_nulls, d_dist, d_min, d_max FROM a)
+         ORDER BY col_name""",
     "ago_batch_split" ->
       s"""WITH ranked AS (SELECT event_id, CAST(event_id % 4 AS INTEGER) AS shard,
              row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) AS rn

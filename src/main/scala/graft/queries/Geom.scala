@@ -121,9 +121,11 @@ object Geom {
   // of any shape; db2.py:821-880 copy_rows_transformed streams whole tables
   // through it). One of each non-point shape class per key; both the
   // geographic (4326) and the nudged web-mercator (3857) renderings ship.
-  def reprojectPoly(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d)
-    val k = c("c_custkey")
+  /** One-of-each-shape-class WKT fixture (shared by reprojectPoly and
+    * extentQ): POLYGON / MULTIPOLYGON / LINESTRING / MULTILINESTRING per
+    * key mod 4, all in EPSG:2272 feet.
+    */
+  private def shapeWkt(k: Column): Column = {
     val x = xi(k); val y = yi(k)
     def p(cx: Column, cy: Column) = concat(str(cx), lit(" "), str(cy))
     val ringA = concat(p(x, y), lit(", "), p(x + 200L, y), lit(", "),
@@ -134,16 +136,46 @@ object Geom {
     val seg1 = concat(p(x, y), lit(", "), p(x + 150L, y + 150L), lit(", "),
       p(x + 300L, y + 100L))
     val seg2 = concat(p(x, y + 50L), lit(", "), p(x + 150L, y + 200L))
-    val wkt = when(k % 4 === 0, concat(lit("POLYGON (("), ringA, lit("))")))
+    when(k % 4 === 0, concat(lit("POLYGON (("), ringA, lit("))")))
       .when(k % 4 === 1, concat(lit("MULTIPOLYGON ((("), ringA, lit(")), (("),
         ringB, lit(")))")))
       .when(k % 4 === 2, concat(lit("LINESTRING ("), seg1, lit(")")))
       .otherwise(concat(lit("MULTILINESTRING (("), seg1, lit("), ("), seg2,
         lit("))")))
+  }
+
+  def reprojectPoly(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val wkt = shapeWkt(k)
     c.select(k.as("id"), geomTypeOf(wkt).as("geom_type"),
         reprojectVerts2272(wkt).as("wkt_4326"),
         reprojectVerts2272Merc(wkt).as("wkt_3857"))
       .orderBy("id")
+  }
+
+  // Layer extent: the per-shape-class bounding box AGO publishes with a
+  // feature layer (the service's `extent`/`fullExtent` property every
+  // layer create/overwrite recomputes). Per-row min/max stay IN-ROW over
+  // the vertex array (no explode — array_min/array_max on the parsed
+  // coordinate list), then one tiny groupBy on the shape class: at any
+  // corpus size only 4×(4 doubles) cross the shuffle.
+  def extentQ(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val wkt = shapeWkt(k)
+    val nums = transform(
+      regexp_extract_all(wkt, lit("-?\\d+\\.?\\d*"), lit(0)), _.cast("double"))
+    val xs = filter(nums, (_, i) => i % 2 === 0)
+    val ys = filter(nums, (_, i) => i % 2 === 1)
+    c.select(geomTypeOf(wkt).as("geom_type"),
+        array_min(xs).as("rxmin"), array_max(xs).as("rxmax"),
+        array_min(ys).as("rymin"), array_max(ys).as("rymax"))
+      .groupBy(col("geom_type"))
+      .agg(count(lit(1)).as("n_geoms"),
+        min(col("rxmin")).as("xmin"), min(col("rymin")).as("ymin"),
+        max(col("rxmax")).as("xmax"), max(col("rymax")).as("ymax"))
+      .orderBy("geom_type")
   }
 
   // WKT → Esri-JSON geometry objects for AGO upsert (ago.py:361-430,
@@ -252,6 +284,7 @@ object Geom {
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
+    "geom_extent"         -> (extentQ _),
     "geom_reproject_poly" -> (reprojectPoly _),
     "geom_esri_rings"     -> (esriRings _),
     "geom_validity_check" -> (validityCheck _),
@@ -337,6 +370,31 @@ object Geom {
             round(lng * pi() * 6378137.0 / 180.0 + (-0.20), 1) AS merc_x,
             round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 + 1.18, 1) AS merc_y
           FROM deg ORDER BY id"""
+    },
+    "geom_extent" -> {
+      val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"
+      val ringA = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 200)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 200)")} || ', ' || ${pSql(xiSql, yiSql)}"
+      val ringB = s"${pSql(s"($xiSql + 1000)", s"($yiSql + 1000)")} || ', ' || ${pSql(s"($xiSql + 1200)", s"($yiSql + 1000)")} || ', ' || ${pSql(s"($xiSql + 1000)", s"($yiSql + 1200)")} || ', ' || ${pSql(s"($xiSql + 1000)", s"($yiSql + 1000)")}"
+      val seg1 = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 150)", s"($yiSql + 150)")} || ', ' || ${pSql(s"($xiSql + 300)", s"($yiSql + 100)")}"
+      val seg2 = s"${pSql(xiSql, s"($yiSql + 50)")} || ', ' || ${pSql(s"($xiSql + 150)", s"($yiSql + 200)")}"
+      s"""WITH src AS (SELECT c_custkey AS id, CASE
+             WHEN c_custkey % 4 = 0 THEN 'POLYGON ((' || $ringA || '))'
+             WHEN c_custkey % 4 = 1 THEN 'MULTIPOLYGON (((' || $ringA || ')), ((' || $ringB || ')))'
+             WHEN c_custkey % 4 = 2 THEN 'LINESTRING (' || $seg1 || ')'
+             ELSE 'MULTILINESTRING ((' || $seg1 || '), (' || $seg2 || '))'
+           END AS wkt
+         FROM customer),
+         nums AS (SELECT id,
+             trim(regexp_extract(wkt, '^\\s*([A-Z]+)', 1)) AS geom_type,
+             generate_subscripts(arr, 1) AS i, CAST(unnest(arr) AS DOUBLE) AS v
+           FROM (SELECT id, wkt,
+             regexp_extract_all(wkt, '-?\\d+\\.?\\d*') AS arr FROM src))
+         SELECT geom_type, CAST(count(DISTINCT id) AS BIGINT) AS n_geoms,
+           min(CASE WHEN i % 2 = 1 THEN v END) AS xmin,
+           min(CASE WHEN i % 2 = 0 THEN v END) AS ymin,
+           max(CASE WHEN i % 2 = 1 THEN v END) AS xmax,
+           max(CASE WHEN i % 2 = 0 THEN v END) AS ymax
+         FROM nums GROUP BY geom_type ORDER BY geom_type"""
     },
     "geom_reproject_poly" -> {
       val r6 = graft.core.Determinism.r6Sql _

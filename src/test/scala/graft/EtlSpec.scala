@@ -187,6 +187,27 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == graft.core.Tables.events(spark, sf).count())
   }
 
+  test("profile: one-pass per-column stats match driver-side recomputation") {
+    val rows = graft.queries.Etl.queries("etl_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+    val o = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = o.length.toLong
+    assert(rows.values.forall(_._1 == n))
+    // key column: dense, no nulls, all distinct
+    val k = rows("o_orderkey")
+    assert(k._2 == 0L && k._3 == n && k._4 == o.map(_._1).min.toString)
+    // status: exactly the planted %13 nulls; distincts among surviving values
+    val sKept = o.filter(_._1 % 13 != 0).map(_._2)
+    val st = rows("o_orderstatus")
+    assert(st._2 == o.count(_._1 % 13 == 0).toLong)
+    assert(st._3 == sKept.distinct.length.toLong)
+    assert(st._4 == sKept.min && st._5 == sKept.max)
+  }
+
   test("schemaDiff statuses") {
     val prod = spark.range(1).select($"id", lit("x").as("a"), lit(1.0).as("b"))
     val staging = spark.range(1).select($"id", lit(2).as("a"), lit("new").as("c"))

@@ -189,4 +189,21 @@ class GeomSpec extends AnyFunSuite {
     val m = one(reprojectVerts2272Merc(lit("LINESTRING (2694444 235902, 2704444 245902)")))
     assert(m.matches("LINESTRING \\(-?\\d+\\.\\d -?\\d+\\.\\d, -?\\d+\\.\\d -?\\d+\\.\\d\\)"), m)
   }
+
+  test("extent: one box per shape class, bounded by the fixture's coordinate field") {
+    val rows = graft.queries.Geom.queries("geom_extent")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("LINESTRING", "MULTILINESTRING", "MULTIPOLYGON", "POLYGON"))
+    // every geometry counted exactly once across the four classes
+    val total = graft.core.Tables.customer(spark, TestSpark.sf).count()
+    assert(rows.map(_._2).sum == total)
+    // xi ∈ [2.4e6, 3.4e6), yi ∈ [2e5, 5e5); shape offsets add ≤ 1200
+    for ((t, _, xmin, ymin, xmax, ymax) <- rows) {
+      assert(xmin >= 2400000 && xmax < 3400000 + 1201, s"$t x [$xmin,$xmax]")
+      assert(ymin >= 200000 && ymax < 500000 + 1201, s"$t y [$ymin,$ymax]")
+      assert(xmin <= xmax && ymin <= ymax)
+    }
+  }
 }
