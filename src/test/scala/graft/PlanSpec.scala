@@ -100,4 +100,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("windowed round-5 ops never collapse to a single global partition") {
+    // sequence packing, batch split and SCD2 all window per shard/entity —
+    // a missing partitionBy would compile to Exchange SinglePartition and
+    // serialize the whole corpus through one task at 100 TB
+    for (q <- Seq("sample_pack", "ago_batch_split", "etl_scd2_history",
+      "sample_token_budget", "dedup_substring"))
+      assert(!plan(q).contains("SinglePartition"), s"$q has a global window")
+  }
+
+  test("q27 funnel: stage joins are keyed, the top-count join broadcasts") {
+    val p = plan("q27_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the 1-row stage-1 count reaches every row via a broadcast, and the
+    // per-stage user joins stay hash joins on user_id
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+  }
+
+  test("geom_extent: vertex min/max stay in-row (no explode/generate)") {
+    val p = plan("geom_extent")
+    assert(!p.contains("Generate"), p.take(1500))
+  }
 }
