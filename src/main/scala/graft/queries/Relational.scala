@@ -361,7 +361,43 @@ object Relational {
       .orderBy("cohort", "week_offset")
   }
 
+  // q29: trailing time-RANGE window (1h moving average per user) — the
+  // range-frame window family (RANGE BETWEEN n PRECEDING), distinct from
+  // every ROWS-frame op above: the frame is defined by the ORDER-BY value,
+  // so same-second peers always aggregate together regardless of row
+  // order. Decimal-exact sum / count keeps the average bit-identical
+  // across engines whatever order the frame is folded in.
+  def q29MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        graft.core.Determinism.r4(
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+          .as("avg_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // q30: ratio-to-report — each order's share of its status group's total.
+  // The whole-partition frame (partitionBy, NO orderBy): one shuffle, no
+  // sort-for-frame at all; the group total is computed once per partition.
+  def q30RatioToReport(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val w = Window.partitionBy(col("o_orderstatus"))
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+        graft.core.Determinism.r4(
+          col("o_totalprice")
+            / sum(col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double"))
+          .as("share"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_moving_avg"    -> (q29MovingAvg _),
+    "q30_ratio_to_report" -> (q30RatioToReport _),
     "q27_funnel"        -> (q27Funnel _),
     "q28_retention"     -> (q28Retention _),
     "q22_grouping_sets" -> (q22GroupingSets _),
@@ -389,6 +425,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_moving_avg" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+         SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           ${graft.core.Determinism.r4Sql(
+             "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w)")} AS avg_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q30_ratio_to_report" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+           ${graft.core.Determinism.r4Sql(
+             "o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_orderstatus) AS DOUBLE)")} AS share
+         FROM orders ORDER BY o_orderkey""",
     "q27_funnel" ->
       s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
              WHERE event_type = 'view' GROUP BY user_id),

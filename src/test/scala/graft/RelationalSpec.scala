@@ -111,6 +111,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q29 moving avg: RANGE frame matches a driver-side recomputation") {
+    val got = Relational.queries("q29_moving_avg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts").cast("long"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    for ((uid, eid, n, avg) <- got.take(500)) {
+      val mine = byUser(uid)
+      val sec = mine.find(_._2 == eid).get._3
+      val frame = mine.filter(e => e._3 >= sec - 3600 && e._3 <= sec)
+      assert(frame.length.toLong == n, s"user $uid event $eid frame size")
+      val exact = frame.map(e => BigDecimal(e._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / frame.length
+      assert(math.abs(avg - exact) < 1e-4, s"user $uid event $eid avg")
+    }
+  }
+
+  test("q30 ratio-to-report: shares reconstruct each status group's total") {
+    val got = Relational.queries("q30_ratio_to_report")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // r4 rounds sub-5e-5 shares to 0, so the floor is inclusive
+    assert(got.forall { case (_, _, s) => s >= 0 && s <= 1 })
+    val o = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val totals = o.groupBy(_._2).view.mapValues(
+      _.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble).toMap
+    for ((k, st, share) <- got.take(500)) {
+      val price = o.find(_._1 == k).get._3
+      assert(math.abs(share - price / totals(st)) < 1e-4, s"order $k share")
+    }
+  }
+
   test("q27 funnel: stage counts shrink monotonically; ordering is strict") {
     val rows = Relational.queries("q27_funnel")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
