@@ -162,6 +162,14 @@ object Advanced {
     graft.streaming.Streams.sessionizeStateful(events(s, d), gapSec = 1800L)
       .orderBy("user_id")
 
+  /** Spark 4 transformWithState running totals in batch mode (same code
+    * path as the stream; RocksDB-backed readStream parity in StreamSpec),
+    * oracle = one GROUP BY with the identical cent-exact arithmetic.
+    */
+  def streamRunningTotals(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.runningTotals(events(s, d))
+      .orderBy("user_id")
+
   // ---- custom bitmap-distinct aggregate, oracle-checked -------------------
   /** Distinct users per event type via the [[graft.plans.BitmapDistinct]]
     * TypedImperativeAggregate: per-partition bitmaps OR-merge across one
@@ -188,7 +196,8 @@ object Advanced {
     "skew_salted_join"  -> (skewSaltedJoin _),
     "q16_topk_perkey"   -> (topkPerKey _),
     "q21_topk_rewrite"  -> (topkRewrite _),
-    "stream_sessionize" -> (streamSessionize _)
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_running_totals" -> (streamRunningTotals _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +276,11 @@ object Advanced {
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 2
          ORDER BY o_custkey, o_orderkey""",
-    "stream_sessionize" -> Relational.oracles("q13_sessionize")
+    "stream_sessionize" -> Relational.oracles("q13_sessionize"),
+    "stream_running_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

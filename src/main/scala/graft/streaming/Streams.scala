@@ -7,6 +7,39 @@ import org.apache.spark.sql.functions._
 // access them — codegen cannot touch private nested classes.
 case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 case class SessState(n_sessions: Long, n_events: Long, last_sec: Long)
+case class RunEvent(user_id: Long, value: Double)
+case class RunTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+/** Per-user running totals on Spark 4's `transformWithState` API (the
+  * successor to flatMapGroupsWithState: named state variables, TTL
+  * support, RocksDB-backed). State is one ValueState[RunTotals] per user;
+  * each (micro-)batch folds its rows and emits the updated totals.
+  *
+  * Determinism: values accumulate as exact cent-longs (2-dp HALF_UP, the
+  * same rounding Spark's cast-to-decimal(18,2) applies), so fold order —
+  * which transformWithState does not define — cannot change the sum.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RunEvent, RunTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var totals: ValueState[RunTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[RunTotals]("totals",
+      org.apache.spark.sql.Encoders.product[RunTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RunEvent],
+                               tv: TimerValues): Iterator[RunTotals] = {
+    var st = if (totals.exists()) totals.get() else RunTotals(key, 0L, 0L)
+    for (r <- rows) {
+      val cents = (BigDecimal(r.value)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+      st = RunTotals(key, st.n_events + 1L, st.sum_cents + cents)
+    }
+    totals.update(st)
+    Iterator.single(st)
+  }
+}
 
 /** Structured Streaming operators (SURVEY.md §2 "streaming") with exact
   * batch twins. The transformation logic lives here ONCE and is applied to
@@ -154,6 +187,34 @@ object Streams {
     * late-data exactness would need event buffering until the watermark —
     * deliberately out of scope for this state-size-bounded operator.
     */
+  /** Per-user running totals via [[RunningTotalsProcessor]]. Works on a
+    * batch frame (the driver query — transformWithState has a batch
+    * execution path) and on a readStream frame (parity in StreamSpec,
+    * where the RocksDB state store backs the named state).
+    */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires the RocksDB state store (the default
+    // HDFS-backed provider cannot host named state variables) — in batch
+    // AND stream mode. Session-level, runtime-settable; documented side
+    // effect like Tables.events' nanosAsLong.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The StateStoreCoordinator RPC endpoint is registered when the
+    // StreamingQueryManager is constructed; a purely-batch session never
+    // touches it and RocksDB's executor-side snapshot reporting then fails
+    // on the missing endpoint. Touch the manager so batch-mode
+    // transformWithState sees the same driver endpoint a stream would.
+    spark.streams.active
+    events.select(col("user_id"), col("value")).as[RunEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_cents")
+  }
+
   def sessionizeStateful(events: DataFrame, gapSec: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

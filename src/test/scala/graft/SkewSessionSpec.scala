@@ -46,6 +46,32 @@ class SkewSessionSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("transformWithState running totals: stream equals batch equals groupBy") {
+    val staged = Streams.stageEventsDir(spark, sf, "/tmp/graft_stream_events3")
+    val stream = Streams.runningTotals(Streams.eventsStream(spark, staged))
+    val q = stream.writeStream.format("memory")
+      .queryName("run_totals_test").outputMode("update")
+      .option("checkpointLocation", "/tmp/graft_tws_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode emits the running state; the final row per user is the total
+    val got = spark.table("run_totals_test")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("sum_cents")).as("sum_cents"))
+      .orderBy("user_id").collect().map(_.toString)
+    val batch = graft.queries.Advanced.queries("stream_running_totals")(spark, sf)
+      .collect().map(_.toString)
+    assert(got.sameElements(batch),
+      s"stream ${got.take(3).mkString(",")} vs batch ${batch.take(3).mkString(",")}")
+    // and the stateful fold equals a plain aggregation of the same input
+    val agg = graft.core.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+      .orderBy("user_id").collect().map(_.toString)
+    assert(batch.sameElements(agg))
+  }
+
   test("stateful streaming sessionization equals the batch sessionizer") {
     val staged = Streams.stageEventsDir(spark, sf, "/tmp/graft_stream_events2")
     val stream = Streams.sessionizeStateful(
