@@ -48,6 +48,9 @@ class SkewSessionSpec extends AnyFunSuite {
 
   test("transformWithState running totals: stream equals batch equals groupBy") {
     val staged = Streams.stageEventsDir(spark, sf, "/tmp/graft_stream_events3")
+    // memory sink cannot recover from a prior run's checkpoint — start clean
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_tws_ckpt"))
     val stream = Streams.runningTotals(Streams.eventsStream(spark, staged))
     val q = stream.writeStream.format("memory")
       .queryName("run_totals_test").outputMode("update")
