@@ -62,6 +62,35 @@ object MmStream {
       .orderBy("doc_id")
   }
 
+  /** Leading-chunk fingerprint near-dup detection over binary payloads —
+    * the cheap first-pass media dedup (identical headers/leading frames,
+    * different tails: re-encodes, appended metadata, truncated uploads).
+    * head_fp = md5 of the first 32 payload bytes buckets the corpus; a
+    * bucket-scoped self-join emits pairs whose heads agree but whose full
+    * hashes differ. Planted: every 6th doc reappears with one byte
+    * appended (same head, different content). Same scale shape as the
+    * dedup family: only 32-byte-hash buckets join, never payloads.
+    */
+  val MmNearOffset = 3000000000000L
+
+  def mmDedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val base = doc.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val near = doc.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + MmNearOffset).as("doc_id"),
+        encode(concat(col("text"), lit("x")), "utf-8").as("payload"))
+    val fp = spread(base.unionByName(near))
+      .select(col("doc_id"),
+        md5(substring(col("payload"), 1, 32)).as("head_fp"),
+        md5(col("payload")).as("full_md5"))
+    val a = fp.toDF("a_id", "head_fp", "a_md5")
+    val b = fp.toDF("b_id", "head_fp", "b_md5")
+    a.join(b, Seq("head_fp"))
+      .filter(col("a_id") < col("b_id") && col("a_md5") =!= col("b_md5"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   // tumbling-window agg (batch twin; stream parity in StreamSpec)
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
     Streams.windowAgg(events(s, d), withWatermark = false)
@@ -107,6 +136,7 @@ object MmStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> (binaryMeta _),
+    "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_frame_sample"   -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
@@ -118,6 +148,19 @@ object MmStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup_prefix" ->
+      s"""WITH allp AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + $MmNearOffset, text || 'x' FROM documents
+           WHERE doc_id % 6 = 0),
+         fp AS (SELECT doc_id, md5(substr(text, 1, 32)) AS head_fp,
+             md5(text) AS full_md5 FROM allp)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM fp a JOIN fp b
+           ON a.head_fp = b.head_fp AND a.doc_id < b.doc_id
+          AND a.full_md5 <> b.full_md5
+         ORDER BY a_id, b_id""",
     "mm_binary_meta" ->
       """SELECT doc_id,
          octet_length(encode(text)) AS byte_len,

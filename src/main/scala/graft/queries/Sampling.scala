@@ -117,7 +117,25 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Round-robin source interleaving — the training-order pass after
+    * selection: assign every doc a global order index such that
+    * consecutive training rows rotate across sources (no long same-source
+    * runs, the property batch-construction wants). order = (rank-1)·S +
+    * source, with rank a per-source window: one shuffle on the source key,
+    * and the index is deterministic and dense per source.
+    */
+  def interleave(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    doc.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("source"),
+        ((col("rk") - 1).cast("long") * 4 + col("source")).as("order_index"))
+      .orderBy("order_index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_interleave"   -> (interleave _),
     "sample_mixture"      -> (mixture _),
     "sample_token_budget" -> (tokenBudget _),
     "sample_pack"         -> (pack _),
@@ -125,6 +143,14 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_interleave" ->
+      """WITH src AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS source
+           FROM documents),
+         ranked AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+           FROM src)
+         SELECT doc_id, source, (rk - 1) * 4 + source AS order_index
+         FROM ranked ORDER BY order_index""",
     "sample_mixture" -> {
       val rateSql = MixRates.toSeq.sorted
         .map { case (k, v) => s"WHEN doc_id % 4 = $k THEN $v" }.mkString(" ")

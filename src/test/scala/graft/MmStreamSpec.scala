@@ -246,4 +246,18 @@ class MmStreamSpec extends AnyFunSuite {
     val got = spark.table("dedup_test").count()
     assert(got == e.count(), "every duplicated event_id must appear exactly once")
   }
+
+  test("mm prefix dedup: every planted append-variant pairs with its original") {
+    val pairs = graft.queries.MmStream.queries("mm_dedup_prefix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = ids.filter(_ % 6 == 0)
+      .map(id => (id, id + graft.queries.MmStream.MmNearOffset)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(pairs),
+      s"missing ${(planted -- pairs).take(3)}")
+    // pairs are ordered and never self-referential; non-planted pairs are
+    // genuine shared-prefix collisions between distinct payloads
+    assert(pairs.forall { case (a, b) => a < b })
+  }
 }

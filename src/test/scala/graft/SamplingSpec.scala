@@ -55,6 +55,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("interleave: global order rotates sources, indices unique and consistent") {
+    val rows = Sampling.queries("sample_interleave")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // order index encodes its source (round-robin rotation) and is unique
+    assert(rows.forall { case (_, src, idx) => idx % 4 == src })
+    assert(rows.map(_._3).distinct.length == rows.length)
+    // within a source, doc order is preserved and ranks are dense
+    for ((src, docs) <- rows.groupBy(_._2)) {
+      val ordered = docs.sortBy(_._3)
+      assert(ordered.map(_._1).toSeq == docs.map(_._1).sorted.toSeq,
+        s"source $src order broken")
+      assert(ordered.map(_._3 / 4).toSeq == (0L until docs.length.toLong))
+    }
+  }
+
   test("pack: offsets tile each shard's token stream; boundaries span") {
     val rows = Sampling.queries("sample_pack")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
