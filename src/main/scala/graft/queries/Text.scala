@@ -179,6 +179,41 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- unigram-LM surprisal scoring (CCNet-style quality filter) ----------
+  /** Per-doc average surprisal (bits/token) under the corpus's own unigram
+    * model — the language-model quality signal corpus filters bucket on
+    * (CCNet trains KenLM; the unigram model is its first-order term).
+    * Rare-token-heavy docs score high. Every 9th doc gets a planted
+    * singleton token ("zzqx<id>") to prove the rare-token path.
+    *
+    * Scale: the vocabulary agg is one token-keyed shuffle; the frequency
+    * table is vocab-sized (≪ corpus) and broadcasts back for map-side
+    * scoring — tokens cross the network once. Float policy: per-token
+    * surprisal 6-dp-floor-rounded, summed as exact DECIMAL (the entropy
+    * recipe), so libm ulp differences can't move the result.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    val planted = when(k % 9 === 0, concat(col("text"), lit(" zzqx"), k))
+      .otherwise(col("text"))
+    val toks = documents(s, d)
+      .select(k, explode(tokens(planted)).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    toks.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+      .select(k, graft.core.Determinism.r6(
+        log2(col("n_total").cast("double") / col("cnt").cast("double")))
+        .as("surprisal"))
+      .groupBy(k)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal").cast("decimal(28,6)")).cast("double").as("ssum"))
+      .select(k, col("n_tokens"),
+        graft.core.Determinism.r4(col("ssum") / col("n_tokens"))
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   // ---- n-gram repetition ratios (Gopher-style quality filter) -------------
   /** Per-doc word-bigram repetition: duplicate-bigram fraction and
     * top-bigram mass — the repetition signals large-scale corpus filters
@@ -343,6 +378,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"    -> (lmScore _),
     "text_line_dedup"  -> (lineDedup _),
     "text_c4_filter"   -> (c4Filter _),
     "text_urls"        -> (urlStats _),
@@ -363,6 +399,26 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' zzqx' || doc_id
+                ELSE text END AS t
+           FROM documents),
+         toks AS (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
+           FROM planted),
+         nn AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM nn GROUP BY tok),
+         total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
+         scored AS (SELECT doc_id,
+             ${graft.core.Determinism.r6Sql(
+               "log2(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))")} AS surprisal
+           FROM nn JOIN freq USING (tok), total),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) AS ssum
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           ${graft.core.Determinism.r4Sql("ssum / n_tokens")} AS bits_per_token
+         FROM agg ORDER BY doc_id""",
     "text_line_dedup" ->
       s"""WITH planted AS (SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'click here to subscribe to our newsletter'

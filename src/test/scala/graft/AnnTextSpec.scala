@@ -252,6 +252,22 @@ class AnnTextSpec extends AnyFunSuite {
     assert(third.map(_._4).distinct.length >= third.length * 9 / 10)
   }
 
+  test("lm score: planted singleton tokens raise surprisal; scores are sane") {
+    val rows = Text.queries("text_lm_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // bits/token of a unigram model is bounded by log2(total tokens)
+    val maxBits = math.log(rows.map(_._2).sum.toDouble * 4) / math.log(2)
+    assert(rows.forall { case (_, n, b) => n > 0 && b > 0 && b < maxBits })
+    // a frequency-1 token carries ~log2(N) bits: docs carrying one must
+    // average higher surprisal than the rest of the corpus
+    val (planted, rest) = rows.partition(_._1 % 9 == 0)
+    assert(planted.nonEmpty && rest.nonEmpty)
+    val pm = planted.map(_._3).sum / planted.length
+    val rm = rest.map(_._3).sum / rest.length
+    assert(pm > rm, s"planted mean $pm not above rest mean $rm")
+  }
+
   test("c4 filter: each rule fires exactly on its planted subset") {
     val rows = Text.queries("text_c4_filter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
