@@ -323,7 +323,44 @@ object Etl {
       .orderBy("col_name")
   }
 
+  /** CDC apply: merge an ordered change feed (I/U/D with sequence numbers)
+    * into a base table — the log-shipping generalization of etl_upsert
+    * (which replaces whole rows) and etl_scd2_history (which keeps every
+    * version): per key only the HIGHEST-sequence change wins, a 'D'
+    * tombstone deletes, 'I' inserts a new key. Planted feed: every 4th
+    * key updated (+10), every 20th updated twice (seq 2 wins, +20), every
+    * 5th-not-4th deleted, every 9th key re-inserted far above the key
+    * space. Shape: one window over the (small) change feed keyed+ordered,
+    * then ONE full-outer hash join on the key — base never shuffles twice.
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val base = o.select(k.as("key"), col("o_totalprice").as("price"))
+    val u1 = o.filter(k % 4 === 0).select(k.as("key"), lit(1L).as("seq"),
+      lit("U").as("op"), (col("o_totalprice") + 10.0).as("new_price"))
+    val u2 = o.filter(k % 20 === 0).select(k.as("key"), lit(2L).as("seq"),
+      lit("U").as("op"), (col("o_totalprice") + 20.0).as("new_price"))
+    val del = o.filter(k % 5 === 0 && k % 4 =!= 0).select(k.as("key"),
+      lit(1L).as("seq"), lit("D").as("op"), lit(null).cast("double").as("new_price"))
+    val ins = o.filter(k % 9 === 0).select((k + 10000000L).as("key"),
+      lit(1L).as("seq"), lit("I").as("op"), lit(1.0).as("new_price"))
+    val changes = u1.unionByName(u2).unionByName(del).unionByName(ins)
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc, col("op"))
+    val last = changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("key", "op", "new_price")
+    base.join(last, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("new_price"), col("price")).as("price"),
+        when(col("op").isNull, "kept").when(col("op") === "U", "updated")
+          .otherwise("inserted").as("status"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_apply"       -> (cdcApply _),
     "etl_profile"         -> (profile _),
     "ago_batch_split"     -> (agoBatchSplit _),
     "etl_header_sanitize" -> (headerSanitize _),
@@ -346,6 +383,32 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+         changes AS (
+           SELECT o_orderkey AS key, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+             o_totalprice + 10.0 AS new_price FROM orders WHERE o_orderkey % 4 = 0
+           UNION ALL
+           SELECT o_orderkey, 2, 'U', o_totalprice + 20.0 FROM orders
+           WHERE o_orderkey % 20 = 0
+           UNION ALL
+           SELECT o_orderkey, 1, 'D', NULL FROM orders
+           WHERE o_orderkey % 5 = 0 AND o_orderkey % 4 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 1, 'I', 1.0 FROM orders
+           WHERE o_orderkey % 9 = 0),
+         last AS (SELECT key, op, new_price FROM (
+             SELECT key, op, new_price,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC, op) AS rn
+             FROM changes) WHERE rn = 1)
+         SELECT COALESCE(b.key, l.key) AS key,
+           COALESCE(l.new_price, b.price) AS price,
+           CASE WHEN l.op IS NULL THEN 'kept'
+                WHEN l.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS status
+         FROM base b FULL OUTER JOIN last l ON l.key = b.key
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY key""",
     "etl_profile" ->
       """WITH src AS (SELECT o_orderkey AS k,
            CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS status,

@@ -187,6 +187,31 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == graft.core.Tables.events(spark, sf).count())
   }
 
+  test("cdc apply: last-wins updates, tombstone deletes, inserts appear") {
+    val rows = graft.queries.Etl.queries("etl_cdc_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byKey = rows.map(r => r._1 -> r).toMap
+    val o = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    for ((k, p) <- o) {
+      if (k % 20 == 0)      // two updates — the seq-2 one must win
+        assert(byKey(k) == ((k, p + 20.0, "updated")), s"key $k")
+      else if (k % 4 == 0)
+        assert(byKey(k) == ((k, p + 10.0, "updated")), s"key $k")
+      else if (k % 5 == 0)  // tombstoned
+        assert(!byKey.contains(k), s"key $k not deleted")
+      else
+        assert(byKey(k) == ((k, p, "kept")), s"key $k")
+      if (k % 9 == 0)
+        assert(byKey(k + 10000000L) == ((k + 10000000L, 1.0, "inserted")))
+    }
+    // row accounting: base − deletes + inserts
+    val expected = o.length - o.count(x => x._1 % 5 == 0 && x._1 % 4 != 0) +
+      o.count(_._1 % 9 == 0)
+    assert(rows.length == expected)
+  }
+
   test("profile: one-pass per-column stats match driver-side recomputation") {
     val rows = graft.queries.Etl.queries("etl_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
