@@ -178,6 +178,42 @@ object Geom {
       .orderBy("geom_type")
   }
 
+  /** Grid-bucketed spatial containment join: points → zone bboxes via a
+    * 50 000 ft grid. Each zone expands to the grid cells it covers (tiny
+    * broadcast), each point computes its cell ONCE (two integer divs), and
+    * the join is EQUI on (cx, cy) with an exact bbox residual — the
+    * scalable alternative to a non-equi range join, whose candidate set is
+    * bounded by cell occupancy instead of |points|×|zones|. Zones are 24
+    * deterministic bboxes wider (50 000) than their stride (37 000), so
+    * they overlap and points legitimately land in multiple zones.
+    */
+  val GridCell = 50000L
+
+  def gridJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val pts = c.select(k.as("id"),
+      xi(k).cast("long").as("x"), yi(k).cast("long").as("y"))
+    val zones = s.range(24).select(col("id").as("zone_id"),
+      (lit(2400000L) + col("id") * 37000L).as("xmin"),
+      (lit(2400000L) + col("id") * 37000L + 50000L).as("xmax"),
+      (lit(200000L) + (col("id") % 6) * 45000L).as("ymin"),
+      (lit(200000L) + (col("id") % 6) * 45000L + 60000L).as("ymax"))
+    val zcells = zones
+      .withColumn("cx", explode(sequence(
+        expr(s"xmin div $GridCell"), expr(s"xmax div $GridCell"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"ymin div $GridCell"), expr(s"ymax div $GridCell"))))
+    pts.withColumn("cx", expr(s"x div $GridCell"))
+      .withColumn("cy", expr(s"y div $GridCell"))
+      .join(broadcast(zcells), Seq("cx", "cy"))
+      .filter(col("x") >= col("xmin") && col("x") < col("xmax") &&
+        col("y") >= col("ymin") && col("y") < col("ymax"))
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("zone_id")
+  }
+
   // WKT → Esri-JSON geometry objects for AGO upsert (ago.py:361-430,
   // 674-758): one of each shape class per key, with planted EMPTY points.
   def esriRings(s: SparkSession, d: String): DataFrame = {
@@ -285,6 +321,7 @@ object Geom {
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
     "geom_extent"         -> (extentQ _),
+    "geom_grid_join"      -> (gridJoin _),
     "geom_reproject_poly" -> (reprojectPoly _),
     "geom_esri_rings"     -> (esriRings _),
     "geom_validity_check" -> (validityCheck _),
@@ -371,6 +408,26 @@ object Geom {
             round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 + 1.18, 1) AS merc_y
           FROM deg ORDER BY id"""
     },
+    "geom_grid_join" ->
+      s"""WITH pts AS (SELECT c_custkey AS id,
+             CAST($xiSql AS BIGINT) AS x, CAST($yiSql AS BIGINT) AS y
+           FROM customer),
+         zones AS (SELECT j AS zone_id,
+             2400000 + j * 37000 AS xmin, 2400000 + j * 37000 + 50000 AS xmax,
+             200000 + (j % 6) * 45000 AS ymin,
+             200000 + (j % 6) * 45000 + 60000 AS ymax
+           FROM range(0, 24) t(j)),
+         zcells AS (SELECT zone_id, xmin, xmax, ymin, ymax,
+             unnest(range(xmin // $GridCell, xmax // $GridCell + 1)) AS cx
+           FROM zones),
+         zcells2 AS (SELECT zone_id, xmin, xmax, ymin, ymax, cx,
+             unnest(range(ymin // $GridCell, ymax // $GridCell + 1)) AS cy
+           FROM zcells)
+         SELECT z.zone_id, CAST(count(*) AS BIGINT) AS n_points
+         FROM pts p JOIN zcells2 z
+           ON p.x // $GridCell = z.cx AND p.y // $GridCell = z.cy
+         WHERE p.x >= z.xmin AND p.x < z.xmax AND p.y >= z.ymin AND p.y < z.ymax
+         GROUP BY z.zone_id ORDER BY z.zone_id""",
     "geom_extent" -> {
       val pSql = (cx: String, cy: String) => s"$cx || ' ' || $cy"
       val ringA = s"${pSql(xiSql, yiSql)} || ', ' || ${pSql(s"($xiSql + 200)", yiSql)} || ', ' || ${pSql(xiSql, s"($yiSql + 200)")} || ', ' || ${pSql(xiSql, yiSql)}"

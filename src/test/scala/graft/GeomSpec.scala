@@ -190,6 +190,27 @@ class GeomSpec extends AnyFunSuite {
     assert(m.matches("LINESTRING \\(-?\\d+\\.\\d -?\\d+\\.\\d, -?\\d+\\.\\d -?\\d+\\.\\d\\)"), m)
   }
 
+  test("grid join: zone counts equal a brute-force containment recomputation") {
+    val got = graft.queries.Geom.queries("geom_grid_join")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => ((k * 7919) % 1000000 + 2400000, (k * 104729) % 300000 + 200000))
+    val expected = (0 until 24).map { j =>
+      val (xmin, xmax) = (2400000L + j * 37000L, 2400000L + j * 37000L + 50000L)
+      val (ymin, ymax) = (200000L + (j % 6) * 45000L, 200000L + (j % 6) * 45000L + 60000L)
+      j.toLong -> pts.count(p =>
+        p._1 >= xmin && p._1 < xmax && p._2 >= ymin && p._2 < ymax).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected)
+    // the grid turns containment into an EQUI join: broadcast hash, never
+    // a nested loop over |points|x|zones|
+    val plan = graft.queries.Geom.queries("geom_grid_join")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("extent: one box per shape class, bounded by the fixture's coordinate field") {
     val rows = graft.queries.Geom.queries("geom_extent")(spark, TestSpark.sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
