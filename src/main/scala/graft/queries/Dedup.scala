@@ -644,6 +644,16 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** SEMANTIC clustering: the same connected-component resolution run over
+    * the embedding near-dup graph instead of the lexical MinHash one — the
+    * "semantic dedup" pass (SemDeDup-style) that collapses paraphrases and
+    * re-encodes sharing no n-grams. Pure composition: LSH-blocked cosine
+    * pairs (dedup_embedding) feed the pointer-doubling resolver; every
+    * scale property of both pieces carries over unchanged.
+    */
+  def semanticResolve(s: SparkSession, d: String): DataFrame =
+    resolveKeepMin(embeddingDedup(s, d)).orderBy("id")
+
   /** URL-keyed keep-first dedup — the cheapest web-corpus dedup pass (one
     * crawl of a page per normalized URL survives, regardless of text
     * drift between fetches). URLs are planted deterministically so the
@@ -685,6 +695,7 @@ object Dedup {
     "dedup_embedding"     -> (embeddingDedup _),
     "dedup_paragraph"     -> (paragraphReport _),
     "dedup_substring"     -> (substringReport _),
+    "dedup_semantic_resolve" -> (semanticResolve _),
     "dedup_incremental"   -> (incremental _)
   )
 
@@ -745,6 +756,17 @@ object Dedup {
          JOIN cnt cb ON cb.doc_id = b_id
          WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
          ORDER BY a_id, b_id"""
+    },
+    "dedup_semantic_resolve" -> {
+      val pairs = embeddingDedupSql
+      s"""WITH RECURSIVE pairs AS ($pairs),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+         SELECT id, min(label) AS label FROM walk GROUP BY id ORDER BY id"""
     },
     "dedup_resolve" -> {
       val pairs = minhashLshSqlFor

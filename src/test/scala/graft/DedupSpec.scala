@@ -210,6 +210,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(_._3 >= 2))
   }
 
+  test("semantic resolve: scaled-copy vectors collapse into their original's cluster") {
+    val labels = Dedup.queries("dedup_semantic_resolve")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // labels are cluster minima: label(x) <= x and label is itself in the map
+    assert(labels.forall { case (id, l) => l <= id && labels(l) == l })
+    // the planted scaled copies (vec_id % 10 == 0, +ExactOffset) are
+    // cosine-1 to their originals: both ends must share a label
+    val planted = labels.keySet.filter(_ >= Dedup.ExactOffset)
+    assert(planted.nonEmpty)
+    for (p <- planted; orig = p - Dedup.ExactOffset if labels.contains(orig))
+      assert(labels(p) == labels(orig), s"copy $p split from $orig")
+  }
+
   test("substring windows catch the shifted near-dups fixed chunks miss") {
     def byId(name: String) = Dedup.queries(name)(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
