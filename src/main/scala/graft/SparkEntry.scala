@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.Geom.queries ++ graft.queries.Dedup.queries ++
       graft.queries.Ann.queries ++ graft.queries.Text.queries ++
       graft.queries.MmStream.queries ++ graft.queries.Advanced.queries ++
-      graft.queries.Ingest.queries ++ graft.queries.Sampling.queries
+      graft.queries.Ingest.queries ++ graft.queries.Sampling.queries ++
+      graft.queries.Graph.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.Geom.oracles ++ graft.queries.Dedup.oracles ++
       graft.queries.Ann.oracles ++ graft.queries.Text.oracles ++
       graft.queries.MmStream.oracles ++ graft.queries.Advanced.oracles ++
-      graft.queries.Ingest.oracles ++ graft.queries.Sampling.oracles
+      graft.queries.Ingest.oracles ++ graft.queries.Sampling.oracles ++
+      graft.queries.Graph.oracles
 }

@@ -359,7 +359,50 @@ object Etl {
       .orderBy("key")
   }
 
+  /** Order-independent table fingerprints — the "did the load produce
+    * byte-identical data" verification the reference approximates with row
+    * counts (postgres.py:719-760 verify_count; carto_.py row-count gate).
+    * A checksum catches what a count cannot: silently corrupted values,
+    * duplicated-then-dropped rows, column transposition.
+    *
+    * Per table: rows serialize to a canonical string (doubles as exact
+    * cents, timestamps as epoch seconds — never engine-formatted floats or
+    * timestamp strings), hash to the shared 60-bit md5, then combine with
+    * BOTH an XOR (order-independent, but blind to duplicate pairs) and an
+    * exact decimal sum (order-independent AND duplicate-sensitive; emitted
+    * as digits since DECIMAL output is hash-fragile). Scale shape: the
+    * hash is map-side; the aggregation is partially combined, so the one
+    * shuffle carries 32 partial rows per table regardless of input size.
+    */
+  def checksum(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c * 100.0 + 0.5).cast("long")
+    val rows =
+      customer(s, d).select(lit("customer").as("table_name"), md5Long(concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")), col("c_mktsegment"))).as("h"))
+      .unionAll(orders(s, d).select(lit("orders").as("table_name"), md5Long(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        // NTZ → (UTC-session) timestamp → epoch seconds; matches the
+        // oracle's epoch() on the same naive value
+        cents(col("o_totalprice")), col("o_orderdate").cast("timestamp").cast("long"),
+        col("o_orderpriority"))).as("h")))
+      .unionAll(lineitem(s, d).select(lit("lineitem").as("table_name"), md5Long(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        cents(col("l_quantity")), cents(col("l_extendedprice")),
+        cents(col("l_discount")), cents(col("l_tax")),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("timestamp").cast("long"))).as("h")))
+    rows.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_sig"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_checksum"        -> (checksum _),
     "etl_cdc_apply"       -> (cdcApply _),
     "etl_profile"         -> (profile _),
     "ago_batch_split"     -> (agoBatchSplit _),
@@ -383,6 +426,28 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_checksum" -> {
+      import graft.functions.HashFunctions.md5LongSql
+      def cents(e: String) = s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"
+      val cust = md5LongSql("concat_ws('|', c_custkey, c_name, c_nationkey, " +
+        s"${cents("c_acctbal")}, c_mktsegment)")
+      val ord = md5LongSql("concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+        s"${cents("o_totalprice")}, CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderpriority)")
+      val li = md5LongSql("concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+        s"${cents("l_quantity")}, ${cents("l_extendedprice")}, ${cents("l_discount")}, " +
+        s"${cents("l_tax")}, l_returnflag, l_linestatus, " +
+        "CAST(floor(epoch(l_shipdate)) AS BIGINT))")
+      s"""WITH rows_h AS (
+           SELECT 'customer' AS table_name, $cust AS h FROM customer
+           UNION ALL
+           SELECT 'orders', $ord FROM orders
+           UNION ALL
+           SELECT 'lineitem', $li FROM lineitem)
+         SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS xor_sig,
+           CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_sig
+         FROM rows_h GROUP BY table_name ORDER BY table_name"""
+    },
     "etl_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
          changes AS (

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Graph analytics over the trade graph (SURVEY.md §2 "Graph analytics").
+  *
+  * Both queries follow the aggregate-then-analyze shape that makes graph
+  * work tractable at 100 TB: the expensive, distributed step is deriving
+  * the edge relation from the fact table (lineitem ⋈ orders ⋈ customer ⋈
+  * supplier — at scale a multi-TB shuffle Catalyst plans with broadcast
+  * dims), and the iterative analytics then run on the AGGREGATED graph,
+  * whose size is bounded by the entity domain (nations² here), not the
+  * fact-row count. For graphs whose edge set itself is huge (social-scale),
+  * the same joins apply but each iteration's rank join is a repartition
+  * join on src — the loop below is written against DataFrames, so that case
+  * needs no rewrite, only bigger shuffles.
+  *
+  * Determinism: PageRank runs in scaled-integer arithmetic (1e-12 rank
+  * units, integer div) — float damping would accumulate engine-specific
+  * ulps across iterations; integers cannot.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // 1.0 of rank mass, in 1e-12 units
+  val Iters = 3
+
+  /** Directed trade edges: customer nation → supplier nation, deduplicated.
+    * The heavy distributed join; everything downstream is entity-domain
+    * sized.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+
+  /** PageRank (damping 0.85, fixed [[Iters]] iterations, no dangling-mass
+    * redistribution) over the nation trade graph. rank' = 0.15 +
+    * 0.85 · Σ_in rank/deg, all in 1e-12 integer units: contribution uses
+    * integer div, damping is (85·x) div 100 — bit-identical in any engine.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val verts = nation(s, d).select(col("n_nationkey").as("id"), col("n_name"))
+    val edges = tradeEdges(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val r0 = verts.select(col("id"), lit(Scale).as("r"))
+    val rN = (1 to Iters).foldLeft(r0) { (ranks, _) =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(Scale * 15 / 100) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    verts.join(rN, "id")
+      .select(col("id"), col("n_name"), col("r").as("rank_scaled"))
+      .orderBy("id")
+  }
+
+  /** Per-nation triangle participation in the UNDIRECTED trade graph:
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c (each triangle found exactly
+    * once), then each triangle credited to all three corners. On the
+    * aggregated graph the join is trivial; on a raw co-occurrence graph the
+    * same three-way self-join is the standard distributed algorithm — there
+    * the a<b<c orientation is what bounds wedge fan-out by the LOWER of the
+    * two endpoint degrees.
+    */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("pa"),
+        greatest(col("src"), col("dst")).as("pb"))
+      .filter(col("pa") < col("pb")).distinct()
+    val e1 = und.select(col("pa").as("a"), col("pb").as("b"))
+    val e2 = und.select(col("pa").as("b"), col("pb").as("c"))
+    val e3 = und.select(col("pa").as("a"), col("pb").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val perNode = tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nation(s, d).select(col("n_nationkey").as("id"), col("n_name"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank"  -> (pagerank _),
+    "graph_triangles" -> (triangles _)
+  )
+
+  private val edgesSql =
+    """SELECT DISTINCT c.c_nationkey AS src, sp.s_nationkey AS dst
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier sp ON sp.s_suppkey = l.l_suppkey"""
+
+  /** One PageRank iteration as SQL: previous ranks CTE `prev` → next. */
+  private def iterSql(prev: String, next: String): String =
+    s"""$next AS (
+         SELECT v.id,
+           CAST(${Scale * 15 / 100} + (85 * CAST(COALESCE(s.c, 0) AS BIGINT)) // 100
+             AS BIGINT) AS r
+         FROM v LEFT JOIN (
+           SELECT e.dst AS id, CAST(sum(p.r // dg.deg) AS BIGINT) AS c
+           FROM edges e
+           JOIN $prev p ON p.id = e.src
+           JOIN deg dg ON dg.src = e.src
+           GROUP BY e.dst) s ON s.id = v.id)"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH edges AS ($edgesSql),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         v AS (SELECT n_nationkey AS id, n_name FROM nation),
+         r0 AS (SELECT id, CAST($Scale AS BIGINT) AS r FROM v),
+         ${(1 to Iters).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         SELECT v.id, v.n_name, r$Iters.r AS rank_scaled
+         FROM v JOIN r$Iters ON r$Iters.id = v.id ORDER BY v.id""",
+    "graph_triangles" ->
+      s"""WITH edges AS ($edgesSql),
+         und AS (SELECT DISTINCT least(src, dst) AS pa, greatest(src, dst) AS pb
+           FROM edges WHERE src <> dst),
+         tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+           FROM und e1
+           JOIN und e2 ON e2.pa = e1.pb
+           JOIN und e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         per_node AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT a AS id FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY id)
+         SELECT n.n_nationkey AS id, n.n_name,
+           COALESCE(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+         FROM nation n LEFT JOIN per_node p ON p.id = n.n_nationkey
+         ORDER BY id"""
+  )
+}

@@ -134,7 +134,15 @@ object MmStream {
       .orderBy("click_day")
   }
 
+  /** Watermark drop audit (Streams.lateDataAudit): 500-event triggers,
+    * 300 s allowed lateness over the events table — the pre-deployment
+    * answer to "how much data would this watermark delay drop".
+    */
+  def streamLateData(s: SparkSession, d: String): DataFrame =
+    Streams.lateDataAudit(events(s, d), batchSize = 500L, delaySec = 300L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data"  -> (streamLateData _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_frame_sample"   -> (frameSample _),
@@ -148,6 +156,21 @@ object MmStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_late_data" ->
+      """WITH e AS (SELECT event_id // 500 AS batch,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         pb AS (SELECT batch, max(sec) AS bmax FROM e GROUP BY batch),
+         wm AS (SELECT batch,
+             max(bmax) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 300 AS wm_raw
+           FROM pb)
+         SELECT e.batch,
+           max(COALESCE(wm_raw, -1)) AS wm_sec,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm_raw IS NOT NULL AND sec < wm_raw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         FROM e JOIN wm ON wm.batch = e.batch
+         GROUP BY e.batch ORDER BY e.batch""",
     "mm_dedup_prefix" ->
       s"""WITH allp AS (
            SELECT doc_id, text FROM documents

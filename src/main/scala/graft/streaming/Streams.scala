@@ -215,6 +215,39 @@ object Streams {
       .toDF("user_id", "n_events", "sum_cents")
   }
 
+  /** Watermark drop audit — predicts, at trigger granularity, what
+    * Structured Streaming's `numRowsDroppedByWatermark` metric would read
+    * for a given delay before the stream is ever deployed. Spark advances
+    * the event-time watermark between triggers to max(event time seen) −
+    * delay, and stateful operators then drop rows older than it; this
+    * replays that exact rule over a batch table whose arrival order is the
+    * monotone event_id: batch n's watermark = max event time over batches
+    * < n, minus delay (batch 0 has none — everything is on time).
+    *
+    * Scale shape: the only global window runs over the PER-BATCH maxima —
+    * cardinality ∝ number of triggers, not events — and the tiny watermark
+    * table broadcasts back onto the events for the per-row classification,
+    * so the full-size side never reshuffles beyond the per-batch partial
+    * aggregation.
+    */
+  def lateDataAudit(events: DataFrame, batchSize: Long, delaySec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(expr(s"event_id div $batchSize").as("batch"),
+      col("ts").cast("long").as("sec"))
+    val perBatch = e.groupBy(col("batch")).agg(max(col("sec")).as("bmax"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = perBatch.select(col("batch"),
+      (max(col("bmax")).over(w) - delaySec).as("wm_raw"))
+    e.join(broadcast(wm), "batch")
+      .groupBy(col("batch"))
+      .agg(max(coalesce(col("wm_raw"), lit(-1L))).as("wm_sec"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("wm_raw").isNotNull && col("sec") < col("wm_raw"), 1L)
+          .otherwise(0L)).as("n_late"))
+      .orderBy("batch")
+  }
+
   def sessionizeStateful(events: DataFrame, gapSec: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -233,6 +233,21 @@ class EtlSpec extends AnyFunSuite {
     assert(st._4 == sKept.min && st._5 == sKept.max)
   }
 
+  test("checksum: value-sensitive where a row count is blind") {
+    val out = graft.queries.Etl.queries("etl_checksum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set("customer", "lineitem", "orders"))
+    // counts agree with the tables themselves
+    assert(out("customer")._1 == graft.core.Tables.customer(spark, sf).count())
+    assert(out("lineitem")._1 == graft.core.Tables.lineitem(spark, sf).count())
+    // deterministic across runs (order independence of xor + decimal sum)
+    val again = graft.queries.Etl.queries("etl_checksum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out == again)
+    // signatures are value-level: the three tables cannot collide
+    assert(out.values.map(_._3).toSet.size == 3)
+  }
+
   test("schemaDiff statuses") {
     val prod = spark.range(1).select($"id", lit("x").as("a"), lit(1.0).as("b"))
     val staging = spark.range(1).select($"id", lit(2).as("a"), lit("new").as("c"))

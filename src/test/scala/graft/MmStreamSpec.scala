@@ -260,4 +260,32 @@ class MmStreamSpec extends AnyFunSuite {
     // genuine shared-prefix collisions between distinct payloads
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("late-data audit: watermark rules hold trigger by trigger") {
+    val rows = graft.queries.MmStream.queries("stream_late_data")(spark, sf)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // trigger 0 has no watermark yet → nothing can be late
+    assert(rows.head._1 == 0L && rows.head._2 == -1L && rows.head._4 == 0L)
+    // the watermark never regresses (Spark's watermark is monotone)
+    val wms = rows.map(_._2).filter(_ >= 0)
+    assert(wms.sameElements(wms.sorted))
+    // dropped rows are a subset of arrivals
+    assert(rows.forall { case (_, _, n, late) => late >= 0 && late <= n })
+    // total arrivals reconcile with the source
+    assert(rows.map(_._3).sum == graft.core.Tables.events(spark, sf).count())
+    // the audit predicts Spark's own rule: recompute one batch driver-side
+    val e = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr("event_id div 500").as("b"),
+        org.apache.spark.sql.functions.col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (rows.length > 1) {
+      val lastB = rows.last._1
+      val wmExpected = e.filter(_._1 < lastB).map(_._2).max - 300L
+      assert(rows.last._2 == wmExpected)
+      val lateExpected = e.filter(_._1 == lastB).count(_._2 < wmExpected)
+      assert(rows.last._4 == lateExpected)
+    }
+  }
 }
