@@ -350,7 +350,33 @@ object Ann {
       .orderBy("probe_id")
   }
 
+  /** One distributed Lloyd (k-means) update over the IVF codebook: every
+    * vector is assigned to its nearest centroid (the exact ivfCells coarse
+    * assignment), then the step emits the per-(cell, dim) sufficient
+    * statistics (Σx as 6-dp-floored DECIMAL sum, member count) — what every
+    * distributed k-means computes per iteration; the driver-side divide
+    * that yields the new centroid coordinate is deferred, which keeps the
+    * output engine-exact (no cross-engine double division) AND mirrors how
+    * a real implementation ships partial aggregates to the reducer.
+    * Codebook stays CENT_COUNT at any corpus size, so the output is a
+    * constant K·dims rows and each iteration is one N·K map pass plus one
+    * partially-aggregated shuffle of (cell, dim) keys.
+    */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val (assignment, _) = ivfCells(withN)
+    val elems = vecs(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    elems.join(assignment, "vec_id")
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.core.Determinism.dsum(
+          graft.core.Determinism.r6(col("x"))).as("sum_val"))
+      .orderBy("cell", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans_step" -> (kmeansStep _),
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
@@ -444,7 +470,36 @@ object Ann {
          FROM reranked)"""
   }
 
+  /** SQL twin of the ivfCells coarse assignment (same CTE chain as the
+    * ann_ivf oracle's head — kept verbatim so the two stay provably the
+    * same quantizer).
+    */
+  private def ivfAssignSql =
+    s"""cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+           WHERE vec_id IN (SELECT vec_id FROM cent_ids)),
+       sims AS (SELECT x.vec_id, c.cent_id,
+           ${Dedup.dotSeqSql("x.v", "c.cv")}
+             / sqrt(nx.nrm * nc.nrm) AS csim
+         FROM vecs x
+         CROSS JOIN cents c
+         JOIN norms nx ON nx.vec_id = x.vec_id
+         JOIN norms nc ON nc.vec_id = c.cent_id),
+       ranked AS (SELECT vec_id, cent_id, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS crk
+         FROM sims),
+       assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1)"""
+
   val oracles: Map[String, String] = Map(
+    "ann_kmeans_step" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $centIdsSql,
+         $ivfAssignSql
+         SELECT a.cell, CAST(e.i - 1 AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(floor(e.x * 1000000.0 + 0.5) / 1000000.0
+             AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+         FROM elems e JOIN assignment a ON a.vec_id = e.vec_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "ann_pq" ->
       s"""WITH $vecsSql, $probeIdsSql,
          $pqSql

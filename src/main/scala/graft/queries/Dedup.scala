@@ -681,7 +681,55 @@ object Dedup {
       .orderBy("nurl")
   }
 
+  // ---- Bloom-filter membership against a banned-content list --------------
+  /** Bloom geometry: m bits, k hash probes. At production scale m is sized
+    * ~10 bits/key for ~1% FP; the k probe positions per key are md5-derived
+    * so both engines compute identical filters.
+    */
+  val BloomM = 65536L
+  val BloomK = 3
+
+  private def bloomPos(h: Column, i: Int): Column =
+    md5Long(concat(lit(s"bloom$i:"), h)) % BloomM
+
+  /** Bloom-filter drop-list screening — the constant-space membership
+    * primitive for "is this document's content hash on the banned list"
+    * when the list is too big to hash-join per batch. The banned set
+    * (planted: every doc_id % 7 == 0, keyed by CONTENT hash so renamed
+    * copies still match) sets k=3 md5-derived bit positions; every corpus
+    * doc probes its own 3 positions and is a bloom member iff all are set.
+    * Emits the per-doc probe count plus the exact verdict, making false
+    * positives (bloom=1, exact=0) auditable — false NEGATIVES are
+    * structurally impossible, which BloomSpec pins.
+    *
+    * Scale shape: the filter here is a DISTINCT (bit) relation (≤ k·|list|
+    * rows, ≤ m distinct) broadcast to the probe side — semantically
+    * identical to broadcasting the m/8-byte bitmap a production build
+    * would use (`spark.util.sketch.BloomFilter`), but replayable in SQL
+    * for the oracle gate. The corpus side is map-side probe generation +
+    * one groupBy on doc_id; the corpus text itself never shuffles.
+    */
+  def bloomFilter(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).select(col("doc_id"), md5Long(col("text")).as("h"))
+    val drop = doc.filter(col("doc_id") % 7 === 0)
+    val bits = (0 until BloomK).map(i => drop.select(bloomPos(col("h"), i).as("bit")))
+      .reduce(_ unionAll _).distinct()
+    val probes = doc.select(col("doc_id"),
+      explode(array((0 until BloomK).map(i => bloomPos(col("h"), i)): _*)).as("bit"))
+    val hits = probes.join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bits_hit"))
+    val dropHashes = drop.select(col("h")).distinct().withColumn("exact", lit(1))
+    doc.join(hits, Seq("doc_id"), "left")
+      .join(broadcast(dropHashes), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bits_hit"), lit(0L)).as("n_bits_hit"),
+        (coalesce(col("n_bits_hit"), lit(0L)) === BloomK).cast("int").as("bloom_member"),
+        coalesce(col("exact"), lit(0)).as("exact_member"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
     "dedup_cluster_stats" -> (clusterStats _),
     "dedup_drop_list"     -> (dropList _),
@@ -700,6 +748,25 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_bloom_filter" -> {
+      def pos(i: Int) = md5LongSql(s"concat('bloom$i:', h)") + s" % $BloomM"
+      val bitUnion = (0 until BloomK)
+        .map(i => s"SELECT ${pos(i)} AS bit FROM drop_h").mkString(" UNION ALL ")
+      val probeUnion = (0 until BloomK)
+        .map(i => s"SELECT doc_id, ${pos(i)} AS bit FROM doc").mkString(" UNION ALL ")
+      s"""WITH doc AS (SELECT doc_id, ${md5LongSql("text")} AS h FROM documents),
+         drop_h AS (SELECT DISTINCT h FROM doc WHERE doc_id % 7 = 0),
+         bits AS (SELECT DISTINCT bit FROM ($bitUnion)),
+         probes AS ($probeUnion),
+         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+           FROM probes WHERE bit IN (SELECT bit FROM bits) GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(nb, 0) AS n_bits_hit,
+           CAST(COALESCE(nb, 0) = $BloomK AS INTEGER) AS bloom_member,
+           CAST(d.h IN (SELECT h FROM drop_h) AS INTEGER) AS exact_member
+         FROM doc d LEFT JOIN hits ON hits.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     "dedup_url" ->
       """WITH planted AS (SELECT doc_id,
            CASE WHEN doc_id % 2 = 0

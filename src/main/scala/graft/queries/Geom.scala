@@ -72,6 +72,38 @@ object Geom {
   }
 
   // 4326 → 3857 web-mercator projection, rounded to 0.1 m for libm parity.
+  /** Bing-maps quadkey tiling at zoom [[QuadZoom]] — the standard spatial
+    * bucketing key for map-reduce geo work (one string key per tile whose
+    * PREFIX is the parent tile at every coarser zoom, so a groupBy on
+    * substr(quadkey, 1, z) re-aggregates to any zoom without re-tiling).
+    * Points project to Web-Mercator via the same mercX/mercY legs as
+    * geom_reproject_merc (rounded to 0.1 m first — the proven cross-engine
+    * anchor), then tile indices interleave bit-wise into the base-4 key.
+    * Pure map-side column math + one aggregation on the tile key.
+    */
+  val QuadZoom = 10
+
+  def quadkey(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val lon = ((k * 7919L)   % 3600000L).cast("double") / 10000.0 - 180.0
+    val lat = ((k * 104729L) % 1600000L).cast("double") / 10000.0 - 80.0
+    val L = math.Pi * 6378137.0 // half the Web-Mercator world extent, meters
+    val n = 1 << QuadZoom
+    val base = c.select(
+      floor((round(mercX(lon), 1) + L) / (2 * L) * n).cast("long").as("tx"),
+      floor((lit(L) - round(mercY(lat), 1)) / (2 * L) * n).cast("long").as("ty"))
+    val digits = (1 to QuadZoom).map { level =>
+      val sh = QuadZoom - level
+      (shiftright(col("ty"), sh).bitwiseAND(lit(1L)) * 2L +
+        shiftright(col("tx"), sh).bitwiseAND(lit(1L))).cast("string")
+    }
+    base.withColumn("quadkey", concat(digits: _*))
+      .groupBy(col("quadkey"), col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("quadkey")
+  }
+
   def reprojectMerc(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val k = c("c_custkey")
@@ -317,6 +349,7 @@ object Geom {
     "geom_promote_multi"  -> (promoteMultiQ _),
     "geom_strip_srid"     -> (stripSrid _),
     "geom_point_latlng"   -> (pointLatLng _),
+    "geom_quadkey"        -> (quadkey _),
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
@@ -380,6 +413,23 @@ object Geom {
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 1) AS DOUBLE) / 10000.0 - 180.0 AS lng,
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 2) AS DOUBLE) / 10000.0 - 80.0 AS lat
          FROM src ORDER BY id""",
+    "geom_quadkey" -> {
+      val mx = """round((((c_custkey * 7919) % 3600000) / 10000.0 - 180.0)
+               * pi() * 6378137.0 / 180.0, 1)"""
+      val my = """round(ln(tan((90.0 + (((c_custkey * 104729) % 1600000) / 10000.0 - 80.0))
+               * pi() / 360.0)) * 6378137.0, 1)"""
+      val n = 1 << QuadZoom
+      val digits = (1 to QuadZoom).map { level =>
+        val sh = QuadZoom - level
+        s"CAST(((ty >> $sh) & 1) * 2 + ((tx >> $sh) & 1) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH tiles AS (SELECT
+           CAST(floor(($mx + pi() * 6378137.0) / (2 * pi() * 6378137.0) * $n) AS BIGINT) AS tx,
+           CAST(floor((pi() * 6378137.0 - $my) / (2 * pi() * 6378137.0) * $n) AS BIGINT) AS ty
+         FROM customer)
+         SELECT $digits AS quadkey, tx, ty, CAST(count(*) AS BIGINT) AS n_points
+         FROM tiles GROUP BY quadkey, tx, ty ORDER BY quadkey"""
+    },
     "geom_reproject_merc" ->
       """SELECT c_custkey AS id,
          round((((c_custkey * 7919) % 3600000) / 10000.0 - 180.0)

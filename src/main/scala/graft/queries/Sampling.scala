@@ -134,7 +134,57 @@ object Sampling {
       .orderBy("order_index")
   }
 
+  // ---- DSIR-style importance scoring ---------------------------------------
+  /** Hashed-feature bucket count for the importance model — constant
+    * regardless of corpus size, so the per-bucket weight table is always a
+    * tiny broadcast.
+    */
+  val DsirBuckets = 4096L
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) scoring:
+    * rank raw documents by how target-like they are under two hashed-unigram
+    * language models. Target = the `lang = 'en'` stratum; raw = the whole
+    * corpus. Each token hashes into one of [[DsirBuckets]] buckets; a
+    * bucket's weight is log2(p_target / p_raw) with Laplace smoothing, and a
+    * doc's score is its mean token weight — positive means
+    * more-target-like-than-average.
+    *
+    * Determinism: counts are exact integers; the single log2 per BUCKET
+    * (never per token) is 6-dp-floored before the per-doc DECIMAL sum — the
+    * [[graft.core.Determinism]] recipe that keeps libm out of the
+    * accumulation. Scale shape: token hashing is map-side; the two count
+    * aggregations shuffle only (bucket) keys into a 4096-row table that
+    * broadcasts back onto the token stream; the final per-doc sum shuffles
+    * (doc_id, weight) — the corpus text never moves twice.
+    */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Determinism
+    val doc = documents(s, d)
+    val toks = doc.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"),
+        (md5Long(concat(lit("dsir:"), col("tok"))) % DsirBuckets).as("b"))
+      .localCheckpoint() // two consumers: bucket counts + per-doc scoring
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("b"), Determinism.r6(
+        log2(((col("ct") + 1L).cast("double") * (col("nr") + DsirBuckets).cast("double"))
+          / ((col("cr") + 1L).cast("double") * (col("nt") + DsirBuckets).cast("double"))))
+        .as("w"))
+    toks.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), Determinism.dsum(col("w")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        Determinism.r4(col("wsum") / col("n_tokens")).as("score_per_token"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir"         -> (dsir _),
     "sample_interleave"   -> (interleave _),
     "sample_mixture"      -> (mixture _),
     "sample_token_budget" -> (tokenBudget _),
@@ -143,6 +193,28 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             ${md5LongSql("'dsir:' || tok")} % $DsirBuckets AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> ''),
+         counts AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM toks GROUP BY b),
+         totals AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+         weights AS (SELECT b, ${graft.core.Determinism.r6Sql(
+               s"log2((CAST(ct + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE)) / " +
+               s"(CAST(cr + 1 AS DOUBLE) * CAST(nt + $DsirBuckets AS DOUBLE)))")} AS w
+           FROM counts, totals),
+         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum
+           FROM toks JOIN weights USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           ${graft.core.Determinism.r4Sql("wsum / n_tokens")} AS score_per_token
+         FROM scored ORDER BY doc_id""",
     "sample_interleave" ->
       """WITH src AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS source
            FROM documents),

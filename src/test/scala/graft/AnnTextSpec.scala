@@ -280,4 +280,20 @@ class AnnTextSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
   }
+  test("kmeans step: sufficient statistics reconcile with the corpus") {
+    val rows = graft.queries.Ann.queries("ann_kmeans_step")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // constant output size: K cells x 64 dims, every cell non-empty
+    val cells = rows.map(_._1).distinct
+    assert(rows.length == cells.length * 64)
+    assert(rows.forall(_._3 > 0))
+    // within a cell the member count is the same at every dim
+    for ((_, grp) <- rows.groupBy(_._1))
+      assert(grp.map(_._3).distinct.length == 1)
+    // total membership at any one dim equals the corpus size
+    val n = graft.core.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(rows.filter(_._2 == 0).map(_._3).sum == n)
+    // centroid coordinates (sum/n) stay in the data range [-1, 1]
+    assert(rows.forall { case (_, _, cnt, sv) => math.abs(sv / cnt) <= 1.0 + 1e-6 })
+  }
 }

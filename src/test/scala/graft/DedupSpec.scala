@@ -258,4 +258,17 @@ class DedupSpec extends AnyFunSuite {
     // the aggregate key is the 60-bit hash; text is pruned before exchange
     assert(plan.contains("conv"), plan.take(1500))
   }
+  test("bloom filter: zero false negatives; planted list fully flagged") {
+    val rows = graft.queries.Dedup.queries("dedup_bloom_filter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // a Bloom filter can never miss a true member
+    assert(rows.forall { case (_, _, bloom, exact) => exact == 0 || bloom == 1 })
+    // every planted banned doc is an exact member
+    assert(rows.filter(_._1 % 7 == 0).forall(_._4 == 1))
+    // probe counts are within [0, k]
+    assert(rows.forall { case (_, nb, _, _) => nb >= 0 && nb <= graft.queries.Dedup.BloomK })
+    // members hit exactly k bits
+    assert(rows.forall { case (_, nb, bloom, _) => (bloom == 1) == (nb == graft.queries.Dedup.BloomK) })
+  }
 }

@@ -227,4 +227,27 @@ class GeomSpec extends AnyFunSuite {
       assert(xmin <= xmax && ymin <= ymax)
     }
   }
+  test("quadkey: base-4 keys, prefix = parent tile, counts reconcile") {
+    val rows = graft.queries.Geom.queries("geom_quadkey")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val z = graft.queries.Geom.QuadZoom
+    assert(rows.forall(_._1.length == z))
+    assert(rows.forall(_._1.forall(c => c >= '0' && c <= '3')))
+    // tile indices in range and the key decodes back to (tx, ty)
+    for ((qk, tx, ty, _) <- rows) {
+      assert(tx >= 0 && tx < (1L << z) && ty >= 0 && ty < (1L << z))
+      var (dx, dy) = (0L, 0L)
+      for (c <- qk) { val d = c - '0'; dx = dx * 2 + (d & 1); dy = dy * 2 + (d >> 1) }
+      assert(dx == tx && dy == ty, s"$qk decodes to ($dx,$dy) not ($tx,$ty)")
+    }
+    // every customer lands in exactly one tile
+    assert(rows.map(_._4).sum == graft.core.Tables.customer(spark, TestSpark.sf).count())
+    // prefix aggregation = tiling at zoom-2 coarser (the pyramid property)
+    val byPrefix = rows.groupBy(_._1.take(z - 2)).view
+      .mapValues(_.map(_._4).sum).toMap
+    val byShift = rows.groupBy(t => (t._2 >> 2, t._3 >> 2)).view
+      .mapValues(_.map(_._4).sum).toMap
+    assert(byPrefix.values.toSeq.sorted == byShift.values.toSeq.sorted)
+  }
 }

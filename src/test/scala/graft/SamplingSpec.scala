@@ -126,4 +126,21 @@ class SamplingSpec extends AnyFunSuite {
     // and matches never exceed a doc's own shingle count
     assert(rows.forall { case (_, nsh, ncon, _) => ncon <= nsh })
   }
+  test("dsir: target-language docs score above the rest on average") {
+    val scores = Sampling.queries("sample_dsir")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scores.nonEmpty && scores.forall(_._2 > 0))
+    val langs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val (en, rest) = scores.partition(s => langs(s._1) == "en")
+    val enAvg = en.map(_._3).sum / en.length
+    val restAvg = rest.map(_._3).sum / rest.length
+    assert(enAvg > restAvg,
+      s"importance scoring failed to separate: en=$enAvg rest=$restAvg")
+    // determinism (the r6-floor + DECIMAL-sum recipe)
+    val again = Sampling.queries("sample_dsir")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scores == again)
+  }
 }
