@@ -123,4 +123,49 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("geom_extent")
     assert(!p.contains("Generate"), p.take(1500))
   }
+
+  test("bloom filter: bit set and drop hashes broadcast; corpus text never shuffles") {
+    val p = plan("dedup_bloom_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    // the final per-doc aggregation shuffles doc_id/hash keys only
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text.*"),
+      "document text crosses an exchange")
+  }
+
+  test("dsir: weight table broadcast back onto tokens; no text in exchanges") {
+    val p = plan("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*text.*"),
+      "document text crosses an exchange")
+  }
+
+  test("kmeans step: partial aggregation before the (cell,dim) exchange") {
+    val p = plan("ann_kmeans_step")
+    // partial_count/partial_sum markers prove map-side combine
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || p.matches("(?s).*HashAggregate.*partial.*"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quadkey: one aggregation, no joins at all") {
+    val p = plan("geom_quadkey")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrdered"),
+      "tiling must not serialize through one partition")
+  }
+
+  test("checksum: partial aggregation; only 60-bit hashes cross the exchange") {
+    val p = plan("etl_checksum")
+    assert(!p.matches("(?s).*Exchange hashpartitioning[^\\n]*c_name.*"),
+      "raw column values cross an exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph queries: iterative joins stay hash/broadcast, never cartesian") {
+    for (q <- Seq("graph_pagerank", "graph_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
 }
