@@ -681,6 +681,32 @@ object Dedup {
       .orderBy("nurl")
   }
 
+  /** Policy-grade dedup resolution: within each near-dup component keep the
+    * BEST member, not the arbitrary lowest id — here "best" is longest text
+    * (most content preserved), doc_id ascending as the tie-break, the usual
+    * production keep policy (quality scores slot into the same window).
+    * Pure composition: the pointer-doubling component labels join the
+    * corpus lengths, and one row_number window per component picks the
+    * keeper. Adds exactly one (label)-keyed shuffle on the (tiny) resolved
+    * membership relation — the corpus-sized inputs were already reduced by
+    * the LSH candidate stage.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = resolveKeepMin(minhashLsh(s, d))
+    val lens = corpus(s, d)
+      .select(col("doc_id").as("id"), length(col("text")).cast("long").as("n_chars"))
+    val members = labels.join(lens, "id")
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n_chars").desc, col("id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("label"))
+      .agg(max(when(col("rk") === 1, col("id"))).as("keep_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("label")
+  }
+
   // ---- Bloom-filter membership against a banned-content list --------------
   /** Bloom geometry: m bits, k hash probes. At production scale m is sized
     * ~10 bits/key for ~1% FP; the k probe positions per key are md5-derived
@@ -729,6 +755,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best"     -> (keepBest _),
     "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
     "dedup_cluster_stats" -> (clusterStats _),
@@ -748,6 +775,27 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshSqlFor),
+         $corpusSql,
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+         members AS (SELECT l.id, l.label, CAST(len(c.text) AS BIGINT) AS n_chars
+           FROM labels l JOIN corpus c ON c.doc_id = l.id),
+         ranked AS (SELECT id, label, n_chars,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY n_chars DESC, id) AS rk
+           FROM members)
+         SELECT label,
+           max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+           max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM ranked GROUP BY label ORDER BY label""",
     "dedup_bloom_filter" -> {
       def pos(i: Int) = md5LongSql(s"concat('bloom$i:', h)") + s" % $BloomM"
       val bitUnion = (0 until BloomK)

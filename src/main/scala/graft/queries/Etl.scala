@@ -401,7 +401,25 @@ object Etl {
       .orderBy("table_name")
   }
 
+  /** Column-level pseudonymization for sharing derived tables: identifying
+    * names become salted-hash surrogate tokens (same input → same token, so
+    * joins across anonymized extracts still line up — the property ad-hoc
+    * random ids destroy), and the quasi-identifier balance generalizes to
+    * its 100-unit bucket (k-anonymity-style coarsening). Pure map-side
+    * column math; the text-level complement is text_pii_scrub.
+    */
+  def anonymize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    customer(s, d).select(col("c_custkey"),
+        concat(lit("cust_"),
+          md5Long(concat(lit("anon:"), col("c_name")))).as("name_token"),
+        (floor(col("c_acctbal") / 100.0) * 100.0).as("acctbal_bucket"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_anonymize"       -> (anonymize _),
     "etl_checksum"        -> (checksum _),
     "etl_cdc_apply"       -> (cdcApply _),
     "etl_profile"         -> (profile _),
@@ -426,6 +444,13 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_anonymize" ->
+      s"""SELECT c_custkey,
+         'cust_' || ${graft.functions.HashFunctions.md5LongSql("'anon:' || c_name")}
+           AS name_token,
+         floor(c_acctbal / 100.0) * 100.0 AS acctbal_bucket,
+         c_mktsegment
+         FROM customer ORDER BY c_custkey""",
     "etl_checksum" -> {
       import graft.functions.HashFunctions.md5LongSql
       def cents(e: String) = s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"

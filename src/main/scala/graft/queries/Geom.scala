@@ -83,6 +83,58 @@ object Geom {
     */
   val QuadZoom = 10
 
+  // ---- grid-bucketed k-nearest-neighbor join --------------------------------
+  val KnnK = 3
+  val KnnProbes = 20
+
+  /** Bounded-window kNN join: for a FIXED panel of probe points, the k
+    * nearest other points searching the probe's 3×3 block of 10° grid cells
+    * — the "k nearest within radius" spatial primitive (geocoder reverse
+    * lookup, nearest-station assignment). The window bound is part of the
+    * semantics: unbounded exact kNN needs expanding re-search for isolated
+    * probes, which is a driver loop, not a plan — production pipelines
+    * bound the radius for exactly this reason.
+    *
+    * Scale shape: the probe panel is constant-size (like the ANN family's
+    * — corpus-independent), fans out ×9 cells, and BROADCASTS onto the
+    * cell-bucketed corpus: an equi join on the cell key, exact distance +
+    * per-probe row_number after. The corpus is scanned once and never
+    * self-joins.
+    */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val pts = c.select(k.as("id"),
+        (((k * 7919L)   % 3600000L).cast("double") / 10000.0 - 180.0).as("lon"),
+        (((k * 104729L) % 1600000L).cast("double") / 10000.0 - 80.0).as("lat"))
+      .withColumn("cx", floor(col("lon") / 10.0).cast("int"))
+      .withColumn("cy", floor(col("lat") / 10.0).cast("int"))
+    val probeIds = pts.select(col("id"))
+      .orderBy(graft.functions.HashFunctions.md5Long(
+        concat(lit("knn:"), col("id"))), col("id"))
+      .limit(KnnProbes)
+    val off = Seq(-1, 0, 1)
+    val probeCells = pts.join(probeIds, "id")
+      .select(col("id").as("probe_id"), col("lon").as("plon"),
+        col("lat").as("plat"),
+        explode(array(off.flatMap(dx => off.map(dy =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))): _*))
+          .as("cell"))
+      .select(col("probe_id"), col("plon"), col("plat"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val cand = pts.join(broadcast(probeCells), Seq("cx", "cy"))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("d2",
+        (col("lon") - col("plon")) * (col("lon") - col("plon"))
+          + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
+      .select(col("probe_id"), col("rk"), col("id").as("neighbor_id"),
+        graft.core.Determinism.r6(col("d2")).as("d2"))
+      .orderBy("probe_id", "rk")
+  }
+
   def quadkey(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val k = c("c_custkey")
@@ -350,6 +402,7 @@ object Geom {
     "geom_strip_srid"     -> (stripSrid _),
     "geom_point_latlng"   -> (pointLatLng _),
     "geom_quadkey"        -> (quadkey _),
+    "geom_knn_join"       -> (knnJoin _),
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
@@ -413,6 +466,35 @@ object Geom {
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 1) AS DOUBLE) / 10000.0 - 180.0 AS lng,
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 2) AS DOUBLE) / 10000.0 - 80.0 AS lat
          FROM src ORDER BY id""",
+    "geom_knn_join" ->
+      s"""WITH pts AS (SELECT c_custkey AS id,
+             ((c_custkey * 7919) % 3600000) / 10000.0 - 180.0 AS lon,
+             ((c_custkey * 104729) % 1600000) / 10000.0 - 80.0 AS lat
+           FROM customer),
+         cells AS (SELECT id, lon, lat,
+             CAST(floor(lon / 10.0) AS INTEGER) AS cx,
+             CAST(floor(lat / 10.0) AS INTEGER) AS cy FROM pts),
+         probe_ids AS (SELECT id FROM pts
+           ORDER BY ${graft.functions.HashFunctions.md5LongSql("'knn:' || id")}, id
+           LIMIT $KnnProbes),
+         probe_cells AS (SELECT p.id AS probe_id, p.lon AS plon, p.lat AS plat,
+             p.cx + dx.d AS cx, p.cy + dy.d AS cy
+           FROM cells p,
+                (VALUES (-1), (0), (1)) dx(d),
+                (VALUES (-1), (0), (1)) dy(d)
+           WHERE p.id IN (SELECT id FROM probe_ids)),
+         cand AS (SELECT pc.probe_id, c.id AS neighbor_id,
+             (c.lon - pc.plon) * (c.lon - pc.plon)
+               + (c.lat - pc.plat) * (c.lat - pc.plat) AS d2
+           FROM probe_cells pc
+           JOIN cells c ON c.cx = pc.cx AND c.cy = pc.cy AND c.id <> pc.probe_id),
+         ranked AS (SELECT probe_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY d2, neighbor_id) AS rk
+           FROM cand)
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r6Sql("d2")} AS d2
+         FROM ranked WHERE rk <= $KnnK ORDER BY probe_id, rk""",
     "geom_quadkey" -> {
       val mx = """round((((c_custkey * 7919) % 3600000) / 10000.0 - 180.0)
                * pi() * 6378137.0 / 180.0, 1)"""

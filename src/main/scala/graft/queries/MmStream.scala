@@ -141,8 +141,15 @@ object MmStream {
   def streamLateData(s: SparkSession, d: String): DataFrame =
     Streams.lateDataAudit(events(s, d), batchSize = 500L, delaySec = 300L)
 
+  /** Per-type lateness distribution under the same 500-event/300 s
+    * watermark model (Streams.latenessStats).
+    */
+  def streamLatenessStats(s: SparkSession, d: String): DataFrame =
+    Streams.latenessStats(events(s, d), batchSize = 500L, delaySec = 300L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data"  -> (streamLateData _),
+    "stream_lateness_stats" -> (streamLatenessStats _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_frame_sample"   -> (frameSample _),
@@ -156,6 +163,26 @@ object MmStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_lateness_stats" -> {
+      val r4 = graft.core.Determinism.r4Sql _
+      s"""WITH e AS (SELECT event_type, event_id // 500 AS batch,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         pb AS (SELECT batch, max(sec) AS bmax FROM e GROUP BY batch),
+         wm AS (SELECT batch,
+             max(bmax) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 300 AS wm_raw
+           FROM pb),
+         j AS (SELECT event_type,
+             CASE WHEN wm_raw IS NOT NULL AND sec < wm_raw
+                  THEN CAST(wm_raw - sec AS DOUBLE) END AS late_by
+           FROM e JOIN wm USING (batch))
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(late_by) AS BIGINT) AS n_late,
+           COALESCE(${r4("quantile_cont(late_by, 0.5)")}, -1.0) AS p50_late_sec,
+           COALESCE(${r4("quantile_cont(late_by, 0.95)")}, -1.0) AS p95_late_sec
+         FROM j GROUP BY event_type ORDER BY event_type"""
+    },
     "stream_late_data" ->
       """WITH e AS (SELECT event_id // 500 AS batch,
              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -248,6 +248,37 @@ object Streams {
       .orderBy("batch")
   }
 
+  /** Companion to [[lateDataAudit]]: per event-type lateness DISTRIBUTION
+    * (how far behind the watermark do this type's rows arrive) — the
+    * number that decides whether to widen the delay or drop the data.
+    * Same trigger-granularity watermark; late rows measure wm − event_time
+    * and the exact interpolated p50/p95 per type come out (−1 when a type
+    * is never late). One broadcast of the per-trigger watermark table, one
+    * aggregation by type.
+    */
+  def latenessStats(events: DataFrame, batchSize: Long, delaySec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Determinism.r4
+    val e = events.select(col("event_type"),
+      expr(s"event_id div $batchSize").as("batch"),
+      col("ts").cast("long").as("sec"))
+    val perBatch = e.groupBy(col("batch")).agg(max(col("sec")).as("bmax"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = perBatch.select(col("batch"),
+      (max(col("bmax")).over(w) - delaySec).as("wm_raw"))
+    e.join(broadcast(wm), "batch")
+      .withColumn("late_by",
+        when(col("wm_raw").isNotNull && col("sec") < col("wm_raw"),
+          (col("wm_raw") - col("sec")).cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_by")).as("n_late"),
+        coalesce(r4(percentile(col("late_by"), lit(0.5))), lit(-1.0)).as("p50_late_sec"),
+        coalesce(r4(percentile(col("late_by"), lit(0.95))), lit(-1.0)).as("p95_late_sec"))
+      .orderBy("event_type")
+  }
+
   def sessionizeStateful(events: DataFrame, gapSec: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -271,4 +271,21 @@ class DedupSpec extends AnyFunSuite {
     // members hit exactly k bits
     assert(rows.forall { case (_, nb, bloom, _) => (bloom == 1) == (nb == graft.queries.Dedup.BloomK) })
   }
+  test("keep best: longest member wins, ties fall back to lowest id") {
+    val rows = graft.queries.Dedup.queries("dedup_keep_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // label is the component minimum, so the keeper can never be below it
+    assert(rows.forall { case (label, keep, _, _) => keep >= label })
+    // every cluster that resolve produces has >= 2 members
+    assert(rows.forall(_._4 >= 2))
+    // exact-copy pairs tie on length -> lowest id keeps; near-dup pairs
+    // ("dup " prefix, 4 chars longer) -> the planted copy keeps. Both
+    // policies must be exercised by the fixture.
+    val near = graft.queries.Dedup.NearOffset
+    assert(rows.exists { case (label, keep, _, n) => n == 2 && keep == label })
+    assert(rows.exists { case (label, keep, _, n) => n == 2 && keep == label + near })
+    // keeper length is the cluster max -> strictly positive
+    assert(rows.forall(_._3 > 0))
+  }
 }

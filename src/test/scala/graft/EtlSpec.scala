@@ -256,4 +256,24 @@ class EtlSpec extends AnyFunSuite {
     assert(m == Map("id" -> "match", "a" -> "type_mismatch",
       "b" -> "missing_in_staging", "c" -> "missing_in_prod"))
   }
+  test("anonymize: join-stable tokens, generalized quasi-identifiers") {
+    val out = graft.queries.Etl.queries("etl_anonymize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val raw = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == raw.length)
+    val rawMap = raw.map(r => r._1 -> r).toMap
+    for ((id, tok, bucket, _) <- out) {
+      val (_, name, bal) = rawMap(id)
+      // token leaks nothing of the original name
+      assert(tok.startsWith("cust_") && !tok.contains(name))
+      // bucket generalizes: floor to the containing 100-unit band
+      assert(bucket % 100.0 == 0.0 && bucket <= bal && bal < bucket + 100.0)
+    }
+    // deterministic (join-stable across extracts)
+    val again = graft.queries.Etl.queries("etl_anonymize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.sameElements(again))
+  }
 }

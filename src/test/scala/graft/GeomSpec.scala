@@ -250,4 +250,33 @@ class GeomSpec extends AnyFunSuite {
       .mapValues(_.map(_._4).sum).toMap
     assert(byPrefix.values.toSeq.sorted == byShift.values.toSeq.sorted)
   }
+  test("knn join: ranked, distance-sorted, matches in-window brute force") {
+    val rows = graft.queries.Geom.queries("geom_knn_join")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((probe, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      // ranks are 1..n contiguous, distances non-decreasing
+      assert(grp.map(_._2).toSeq == (1 to grp.length).toSeq, s"probe $probe ranks")
+      assert(grp.map(_._4).toSeq == grp.map(_._4).sorted.toSeq)
+      assert(grp.map(_._3).distinct.length == grp.length)
+      assert(grp.length <= graft.queries.Geom.KnnK)
+    }
+    // brute-force one probe inside its 3x3 10-degree window
+    val pts = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey")).collect()
+      .map(_.getLong(0))
+      .map { k =>
+        val lon = (k * 7919L % 3600000L).toDouble / 10000.0 - 180.0
+        val lat = (k * 104729L % 1600000L).toDouble / 10000.0 - 80.0
+        (k, lon, lat, math.floor(lon / 10.0).toInt, math.floor(lat / 10.0).toInt)
+      }
+    val probe = rows.head._1
+    val p = pts.find(_._1 == probe).get
+    val expected = pts
+      .filter(q => q._1 != probe && math.abs(q._4 - p._4) <= 1 && math.abs(q._5 - p._5) <= 1)
+      .map(q => (q._1, (q._2 - p._2) * (q._2 - p._2) + (q._3 - p._3) * (q._3 - p._3)))
+      .sortBy(t => (t._2, t._1)).take(graft.queries.Geom.KnnK).map(_._1).toSeq
+    assert(rows.filter(_._1 == probe).sortBy(_._2).map(_._3).toSeq == expected)
+  }
 }

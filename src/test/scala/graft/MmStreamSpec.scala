@@ -288,4 +288,17 @@ class MmStreamSpec extends AnyFunSuite {
       assert(rows.last._4 == lateExpected)
     }
   }
+  test("lateness stats: percentiles only when late rows exist; totals reconcile") {
+    val rows = graft.queries.MmStream.queries("stream_lateness_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, late, _, _) => late >= 0 && late <= n })
+    // sentinel iff no late rows; otherwise a real, ordered distribution
+    for ((_, _, late, p50, p95) <- rows) {
+      if (late == 0) assert(p50 == -1.0 && p95 == -1.0)
+      else { assert(p50 >= 0 && p95 >= p50) }
+    }
+    assert(rows.map(_._2).sum == graft.core.Tables.events(spark, sf).count())
+  }
 }
