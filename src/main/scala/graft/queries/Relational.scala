@@ -395,7 +395,52 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // q31: fixed-width value histogram — the profile/monitoring primitive
+  // (price distribution drift between loads). Bucket index is pure integer
+  // arithmetic, so the whole query is one partially-aggregated groupBy; the
+  // tail bucket is clamped so outliers can't fan the key space.
+  val HistWidth = 25000.0
+  val HistBuckets = 20
+
+  def q31Histogram(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.select(least(floor(col("o_totalprice") / HistWidth),
+        lit(HistBuckets - 1L)).cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  // q32: per-group Pearson correlation from EXACT sufficient statistics:
+  // the five sums accumulate as r4-floored DECIMALs (order-independent),
+  // and only the final scalar formula touches doubles — so both engines
+  // compute corr from bit-identical inputs. The same one-pass shape
+  // (partial aggregation, five columns) computes covariance/regression
+  // slopes at any scale.
+  def q32Corr(s: SparkSession, d: String): DataFrame = {
+    def d4(c: Column) = (floor(c * 10000.0 + 0.5) / 10000.0).cast("decimal(28,4)")
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d4(col("x"))).cast("double").as("sx"),
+        sum(d4(col("y"))).cast("double").as("sy"),
+        sum(d4(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d4(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d4(col("y") * col("y"))).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        graft.core.Determinism.r6(
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_histogram"     -> (q31Histogram _),
+    "q32_corr"          -> (q32Corr _),
     "q29_moving_avg"    -> (q29MovingAvg _),
     "q30_ratio_to_report" -> (q30RatioToReport _),
     "q27_funnel"        -> (q27Funnel _),
@@ -425,6 +470,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_histogram" ->
+      s"""SELECT CAST(least(floor(o_totalprice / $HistWidth), ${HistBuckets - 1})
+           AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q32_corr" -> {
+      def d4(e: String) =
+        s"CAST(floor(($e) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))"
+      s"""WITH st AS (SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(${d4("l_quantity")}) AS DOUBLE) AS sx,
+             CAST(sum(${d4("l_extendedprice")}) AS DOUBLE) AS sy,
+             CAST(sum(${d4("l_quantity * l_extendedprice")}) AS DOUBLE) AS sxy,
+             CAST(sum(${d4("l_quantity * l_quantity")}) AS DOUBLE) AS sxx,
+             CAST(sum(${d4("l_extendedprice * l_extendedprice")}) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ${graft.core.Determinism.r6Sql(
+             "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")}
+             AS corr
+         FROM st ORDER BY l_returnflag"""
+    },
     "q29_moving_avg" ->
       s"""WITH e AS (SELECT user_id, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)

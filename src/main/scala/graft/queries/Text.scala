@@ -377,7 +377,50 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- collocation extraction: top bigrams by pointwise mutual information
+  /** Bigrams rarer than this are skipped — PMI is noise-dominated at tiny
+    * counts (a hapax pair maxes the statistic by construction).
+    */
+  val CollocMinCount = 5L
+  val CollocTopK = 20
+
+  /** Collocation mining: the corpus's most-associated adjacent word pairs
+    * by PMI = log2(N·c_xy / (c_x·c_y)) — the classic phrase-detection pass
+    * (tokenizer vocab curation, quality-signal n-grams). Bigram generation
+    * is in-row array math (no self-join: position i pairs with i+1 inside
+    * the token array); unigram and bigram counts are two partially-
+    * aggregated shuffles of hashes-free small keys; the single log2 per
+    * DISTINCT bigram is 6-dp-floored. Top-k by (PMI, pair) is a bounded
+    * TakeOrdered, never a global sort.
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(filter(tokens(col("text")), t => t =!= "").as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTotal = uni.agg(sum(col("cw")).as("n"))
+    val bi = toks.select(explode(when(size(col("ws")) > 1,
+        transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= CollocMinCount)
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("cxy"),
+        // cast-then-multiply: long×long products overflow at corpus scale
+        graft.core.Determinism.r6(
+          log2(col("n").cast("double") * col("cxy").cast("double")
+            / (col("c1").cast("double") * col("c2").cast("double")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> (collocations _),
     "text_lm_score"    -> (lmScore _),
     "text_line_dedup"  -> (lineDedup _),
     "text_c4_filter"   -> (c4Filter _),
@@ -399,6 +442,24 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_collocations" ->
+      s"""WITH wsrc AS (SELECT list_filter(string_split(lower(text), ' '),
+             t -> t <> '') AS ws FROM documents),
+         ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+           FROM (SELECT unnest(ws) AS w FROM wsrc) GROUP BY w),
+         tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM ucnt),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+           FROM wsrc, UNNEST(range(1, len(ws))) t(i)),
+         bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+           FROM bi GROUP BY w1, w2 HAVING count(*) >= $CollocMinCount)
+         SELECT b.w1, b.w2, b.cxy,
+           ${graft.core.Determinism.r6Sql(
+             "log2(CAST(n AS DOUBLE) * CAST(cxy AS DOUBLE) / " +
+             "(CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)))")} AS pmi
+         FROM bcnt b
+         JOIN ucnt u1 ON u1.w = b.w1
+         JOIN ucnt u2 ON u2.w = b.w2, tot
+         ORDER BY pmi DESC, b.w1, b.w2 LIMIT $CollocTopK""",
     "text_lm_score" ->
       s"""WITH planted AS (SELECT doc_id,
            CASE WHEN doc_id % 9 = 0 THEN text || ' zzqx' || doc_id

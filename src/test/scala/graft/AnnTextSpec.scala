@@ -296,4 +296,27 @@ class AnnTextSpec extends AnyFunSuite {
     // centroid coordinates (sum/n) stay in the data range [-1, 1]
     assert(rows.forall { case (_, _, cnt, sv) => math.abs(sv / cnt) <= 1.0 + 1e-6 })
   }
+  test("collocations: PMI-ranked, count-thresholded, matches brute force") {
+    val rows = graft.queries.Text.queries("text_collocations")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= graft.queries.Text.CollocMinCount))
+    // descending PMI with the declared tie-break
+    val key = rows.map(t => (-t._4, t._1, t._2)).toSeq
+    assert(key == key.sorted, "output not in (pmi desc, w1, w2) order")
+    // brute-force PMI on the driver reproduces the exact top rows
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val bi = toks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= graft.queries.Text.CollocMinCount)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = bi.toSeq.map { case ((a, b), c) =>
+      (a, b, c, r6(math.log(n.toDouble * c / (uni(a).toDouble * uni(b))) / math.log(2.0)))
+    }.sortBy(t => (-t._4, t._1, t._2)).take(graft.queries.Text.CollocTopK)
+    assert(rows.toSeq == expect)
+  }
 }

@@ -190,4 +190,40 @@ class RelationalSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.filter(_._2 == 0L).map(_._3).sum == users)
   }
+  test("q31 histogram: buckets clamp and reconcile with the table") {
+    val rows = graft.queries.Relational.queries("q31_histogram")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, _, _) =>
+      b >= 0 && b < graft.queries.Relational.HistBuckets })
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(rows.map(_._2).sum == orders.length.toLong)
+    // driver-side recomputation of one bucket's count
+    val w = graft.queries.Relational.HistWidth
+    val last = graft.queries.Relational.HistBuckets - 1
+    val byBucket = orders.groupBy(p => math.min(math.floor(p / w).toInt, last))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.forall { case (b, n, _) => byBucket(b) == n })
+  }
+
+  test("q32 corr: bounded, deterministic, matches driver-side recomputation") {
+    val rows = graft.queries.Relational.queries("q32_corr")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    for ((flag, n, corr) <- rows) {
+      val g = li.filter(_._1 == flag)
+      assert(g.length.toLong == n)
+      val xs = g.map(_._2); val ys = g.map(_._3)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val ref = cov / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum
+        * ys.map(y => (y - my) * (y - my)).sum)
+      assert(math.abs(corr - ref) < 1e-6, s"$flag: $corr vs $ref")
+    }
+  }
 }
