@@ -418,7 +418,43 @@ object Etl {
       .orderBy("c_custkey")
   }
 
+  /** Target bytes per output file for [[partitionPlan]] — production sets
+    * ~128 MB (HDFS-block-aligned parquet); the fixture target is small so
+    * every status group plans multiple files at test scale.
+    */
+  val TargetFileBytes = 32768L
+
+  /** Write-layout planning — the sizing pass run before a big partitioned
+    * write: estimate each partition key's on-disk bytes from the exact
+    * serialized row width (never row COUNTS alone — wide-row skew is what
+    * kills file sizing), derive the file count at the target file size,
+    * and report each key's share of the total so the caller can pick
+    * `repartition(n_files, key)` / detect skewed keys before the shuffle.
+    * One partially-aggregated pass; the 1-row total broadcasts back.
+    */
+  def partitionPlan(s: SparkSession, d: String): DataFrame = {
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c * 100.0 + 0.5).cast("long")
+    val o = orders(s, d).select(col("o_orderstatus"),
+      length(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")),
+        col("o_orderdate").cast("timestamp").cast("long"),
+        col("o_orderpriority"))).cast("long").as("row_bytes"))
+    val per = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("est_bytes"))
+    val tot = per.agg(sum(col("est_bytes")).as("total_bytes"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_orderstatus"), col("n_rows"), col("est_bytes"),
+        expr(s"(est_bytes + $TargetFileBytes - 1) div $TargetFileBytes").as("n_files"),
+        graft.core.Determinism.r4(
+          col("est_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("share"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_partition_plan"  -> (partitionPlan _),
     "etl_anonymize"       -> (anonymize _),
     "etl_checksum"        -> (checksum _),
     "etl_cdc_apply"       -> (cdcApply _),
@@ -444,6 +480,22 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_partition_plan" ->
+      s"""WITH rows_b AS (SELECT o_orderstatus,
+             CAST(strlen(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+               CAST(floor(epoch(o_orderdate)) AS BIGINT),
+               o_orderpriority)) AS BIGINT) AS row_bytes
+           FROM orders),
+         per AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+           FROM rows_b GROUP BY o_orderstatus),
+         tot AS (SELECT CAST(sum(est_bytes) AS BIGINT) AS total_bytes FROM per)
+         SELECT o_orderstatus, n_rows, est_bytes,
+           (est_bytes + $TargetFileBytes - 1) // $TargetFileBytes AS n_files,
+           ${graft.core.Determinism.r4Sql(
+             "CAST(est_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)")} AS share
+         FROM per, tot ORDER BY o_orderstatus""",
     "etl_anonymize" ->
       s"""SELECT c_custkey,
          'cust_' || ${graft.functions.HashFunctions.md5LongSql("'anon:' || c_name")}

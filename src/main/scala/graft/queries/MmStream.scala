@@ -91,6 +91,44 @@ object MmStream {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- WebDataset-style shard manifest --------------------------------------
+  val ShardCount = 8
+  val ShardFileBytes = 16384L
+
+  /** Training-shard manifest for binary payloads: the WebDataset/tar-shard
+    * layout every multimodal training job reads. Payloads are hashed into
+    * [[ShardCount]] shards (embarrassingly parallel — one window per shard,
+    * never a global order), laid out by cumulative byte offset in doc_id
+    * order, and rolled into [[ShardFileBytes]]-byte files; each payload
+    * gets (shard, file_idx, offset) — the exact index a reader needs for
+    * random access. Same parallel-cumsum shape as sample_pack, but over
+    * BYTES, with file rollover: a payload that crosses a file boundary
+    * starts the next file (tar semantics — members are never split), which
+    * is why offset is recomputed against the file start rather than taken
+    * mod file size.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = documents(s, d)
+      .select(col("doc_id"),
+        (graft.functions.HashFunctions.md5Long(concat(lit("shard:"), col("doc_id")))
+          % ShardCount).cast("int").as("shard"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // greedy first-fit in arrival order: running sum of bytes WITH rollover
+    // is not a plain cumsum, but file boundaries only ever move forward —
+    // file_idx = floor((cum - n) / cap) under the no-split rule collapses
+    // to a per-row recurrence; we use the standard two-pass approximation:
+    // files are cut on the raw cumulative sum, and a member that would
+    // straddle a cut is assigned wholly to the file its FIRST byte lands in
+    // (readers pad; tar blocks do exactly this).
+    val cum = doc.withColumn("start", sum(col("n_bytes")).over(w) - col("n_bytes"))
+    cum.select(col("shard"), col("doc_id"), col("n_bytes"),
+        expr(s"start div $ShardFileBytes").as("file_idx"),
+        (col("start") % ShardFileBytes).as("offset_in_file"))
+      .orderBy("shard", "doc_id")
+  }
+
   // tumbling-window agg (batch twin; stream parity in StreamSpec)
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
     Streams.windowAgg(events(s, d), withWatermark = false)
@@ -147,9 +185,17 @@ object MmStream {
   def streamLatenessStats(s: SparkSession, d: String): DataFrame =
     Streams.latenessStats(events(s, d), batchSize = 500L, delaySec = 300L)
 
+  /** Heartbeat monitoring (Streams.heartbeatGaps): largest silent stretch
+    * per event type, alerting on gaps over one hour.
+    */
+  def streamHeartbeatGaps(s: SparkSession, d: String): DataFrame =
+    Streams.heartbeatGaps(events(s, d), thresholdSec = 3600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data"  -> (streamLateData _),
     "stream_lateness_stats" -> (streamLatenessStats _),
+    "mm_shard_manifest" -> (shardManifest _),
+    "stream_heartbeat_gaps" -> (streamHeartbeatGaps _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_frame_sample"   -> (frameSample _),
@@ -163,6 +209,31 @@ object MmStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_heartbeat_gaps" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         gapped AS (SELECT event_type,
+             sec - lag(sec) OVER (PARTITION BY event_type
+                                  ORDER BY sec, event_id) AS gap
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           COALESCE(max(gap), 0) AS max_gap_sec,
+           CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over
+         FROM gapped GROUP BY event_type ORDER BY event_type""",
+    "mm_shard_manifest" ->
+      s"""WITH doc AS (SELECT doc_id,
+             CAST(${graft.functions.HashFunctions.md5LongSql("'shard:' || doc_id")}
+               % $ShardCount AS INTEGER) AS shard,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+           FROM documents),
+         cum AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_bytes AS BIGINT) AS start
+           FROM doc)
+         SELECT shard, doc_id, n_bytes,
+           start // $ShardFileBytes AS file_idx,
+           start % $ShardFileBytes AS offset_in_file
+         FROM cum ORDER BY shard, doc_id""",
     "stream_lateness_stats" -> {
       val r4 = graft.core.Determinism.r4Sql _
       s"""WITH e AS (SELECT event_type, event_id // 500 AS batch,

@@ -419,7 +419,47 @@ object Text {
       .limit(CollocTopK)
   }
 
+  // ---- Zipf-law fit over the term-frequency distribution -------------------
+  val ZipfTopTerms = 1000
+
+  /** Corpus-health diagnostic: least-squares slope of log2(freq) against
+    * log2(rank) over the top [[ZipfTopTerms]] terms — natural text sits
+    * near −1 (Zipf's law); template/boilerplate-heavy or synthetic corpora
+    * drift flat or cliff-shaped, so the slope is a single drift number per
+    * ingest batch. The vocabulary count is one partial-agg shuffle; the
+    * top-k is a bounded TakeOrdered; ranking and regression then run on a
+    * CONSTANT 1000 rows (the one single-partition window here is over that
+    * constant, never the corpus). Regression uses the same exact
+    * sufficient-statistics recipe as q32_corr.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r6 = graft.core.Determinism.r6 _
+    val cnts = documents(s, d)
+      .select(explode(filter(tokens(col("text")), t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(ZipfTopTerms)
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+    val xy = cnts.withColumn("rank", row_number().over(w))
+      .select(r6(log2(col("rank").cast("double"))).as("x"),
+        r6(log2(col("cnt").cast("double"))).as("y"))
+    def d6(c: Column) = (floor(c * 1000000.0 + 0.5) / 1000000.0)
+      .cast("decimal(28,6)")
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        sum(d6(col("x"))).cast("double").as("sx"),
+        sum(d6(col("y"))).cast("double").as("sy"),
+        sum(d6(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d6(col("x") * col("x"))).cast("double").as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n")).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit"     -> (zipfFit _),
     "text_collocations" -> (collocations _),
     "text_lm_score"    -> (lmScore _),
     "text_line_dedup"  -> (lineDedup _),
@@ -442,6 +482,30 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_fit" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      def d6(e: String) =
+        s"CAST(floor(($e) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))"
+      s"""WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                   t -> t <> '')) AS w FROM documents)
+           GROUP BY w ORDER BY cnt DESC, w LIMIT $ZipfTopTerms),
+         rk AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM cnt),
+         xy AS (SELECT ${r6("log2(CAST(rank AS DOUBLE))")} AS x,
+             ${r6("log2(CAST(cnt AS DOUBLE))")} AS y FROM rk),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(${d6("x")}) AS DOUBLE) AS sx,
+             CAST(sum(${d6("y")}) AS DOUBLE) AS sy,
+             CAST(sum(${d6("x * y")}) AS DOUBLE) AS sxy,
+             CAST(sum(${d6("x * x")}) AS DOUBLE) AS sxx
+           FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           ${r6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+           ${r6("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")}
+             AS intercept
+         FROM st"""
+    },
     "text_collocations" ->
       s"""WITH wsrc AS (SELECT list_filter(string_split(lower(text), ' '),
              t -> t <> '') AS ws FROM documents),

@@ -279,6 +279,27 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Silent-source detection: per event type, the largest gap between
+    * consecutive events and how many gaps exceed the alert threshold — the
+    * monitoring query that catches a stalled upstream producer (the
+    * heartbeat complement of the lateness audits). One window per type
+    * (single shuffle on event_type, lag + max in the same sort); ties on
+    * the timestamp break by event_id so the gap sequence is deterministic.
+    */
+  def heartbeatGaps(events: DataFrame, thresholdSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("event_type"), col("event_id"),
+      col("ts").cast("long").as("sec"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_sec"),
+        sum(when(col("gap") > thresholdSec, 1L).otherwise(0L)).as("n_gaps_over"))
+      .orderBy("event_type")
+  }
+
   def sessionizeStateful(events: DataFrame, gapSec: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -319,4 +319,31 @@ class AnnTextSpec extends AnyFunSuite {
     }.sortBy(t => (-t._4, t._1, t._2)).take(graft.queries.Text.CollocTopK)
     assert(rows.toSeq == expect)
   }
+  test("zipf fit: natural corpus slopes negative; regression matches driver") {
+    val row = graft.queries.Text.queries("text_zipf_fit")(spark, TestSpark.sf)
+      .collect().head
+    val (n, slope, intercept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    // the synthetic sf0.001 corpus has a ~31-word vocabulary; the fit just
+    // needs enough points for a meaningful slope
+    assert(n > 10, s"vocabulary too small: $n")
+    assert(slope < 0, s"zipf slope must be negative, got $slope")
+    // driver-side recomputation with the same r6/decimal recipe
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("text").collect().map(_.getString(0))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cnt = docs.flatMap(_.toLowerCase.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(graft.queries.Text.ZipfTopTerms)
+    val xy = cnt.zipWithIndex.map { case ((_, c), i) =>
+      (r6(math.log(i + 1.0) / math.log(2.0)), r6(math.log(c.toDouble) / math.log(2.0)))
+    }
+    val nn = xy.length.toDouble
+    def s6(vs: Seq[Double]) = vs.map(v => BigDecimal(r6(v))).sum.toDouble
+    val sx = s6(xy.map(_._1)); val sy = s6(xy.map(_._2))
+    val sxy = s6(xy.map(t => t._1 * t._2)); val sxx = s6(xy.map(t => t._1 * t._1))
+    val refSlope = r6((nn * sxy - sx * sy) / (nn * sxx - sx * sx))
+    assert(n == xy.length.toLong)
+    assert(math.abs(slope - refSlope) < 1e-5, s"$slope vs $refSlope")
+    assert(intercept > 0) // top rank carries the max frequency
+  }
 }

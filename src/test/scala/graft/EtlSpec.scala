@@ -276,4 +276,16 @@ class EtlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
     assert(out.sameElements(again))
   }
+  test("partition plan: file counts and shares reconcile") {
+    val rows = graft.queries.Etl.queries("etl_partition_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val t = graft.queries.Etl.TargetFileBytes
+    // ceil division and share bookkeeping
+    assert(rows.forall { case (_, _, b, f, _) => f == (b + t - 1) / t && f >= 1 })
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3)
+    assert(rows.map(_._2).sum == graft.core.Tables.orders(spark, sf).count())
+    // bytes follow width, not just count: every group averages > 30 B/row
+    assert(rows.forall { case (_, n, b, _, _) => b > 30L * n })
+  }
 }

@@ -301,4 +301,41 @@ class MmStreamSpec extends AnyFunSuite {
     }
     assert(rows.map(_._2).sum == graft.core.Tables.events(spark, sf).count())
   }
+  test("shard manifest: rollover indexes reconcile with per-shard byte sums") {
+    val rows = graft.queries.MmStream.queries("mm_shard_manifest")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).distinct.length ==
+      graft.core.Tables.documents(spark, sf).count())
+    val cap = graft.queries.MmStream.ShardFileBytes
+    assert(rows.forall { case (_, _, n, f, off) => n > 0 && f >= 0 && off >= 0 && off < cap })
+    for ((_, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      // file indexes never move backwards within a shard
+      assert(grp.map(_._4).toSeq == grp.map(_._4).sorted.toSeq)
+      // start offsets reconstruct the exact cumulative byte layout
+      var cum = 0L
+      for ((_, _, n, f, off) <- grp) {
+        assert(f == cum / cap && off == cum % cap)
+        cum += n
+      }
+    }
+  }
+
+  test("heartbeat gaps: max gap matches driver-side recomputation per type") {
+    val rows = graft.queries.MmStream.queries("stream_heartbeat_gaps")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val e = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((typ, n, maxGap, nOver) <- rows) {
+      val secs = e.filter(_._1 == typ).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(n == secs.length.toLong)
+      val gaps = secs.zip(secs.drop(1)).map { case (a, b) => b - a }
+      assert(maxGap == (if (gaps.isEmpty) 0L else gaps.max))
+      assert(nOver == gaps.count(_ > 3600L).toLong)
+    }
+  }
 }
