@@ -81,6 +81,38 @@ object Ann {
     rankTop(scored, TOPK)
   }
 
+  /** Similarity threshold for [[rangeSearch]] — range queries return ALL
+    * neighbors at least this similar, however many there are (the dual of
+    * top-k, for "find every candidate above the match bar" workloads:
+    * retrieval filtering, dedup candidate listing).
+    */
+  val RangeTau = 0.25
+
+  /** Range similarity search: every (probe, neighbor) pair with cosine ≥
+    * [[RangeTau]], exact. Same broadcast-probes/corpus-never-shuffled shape
+    * as bruteforce, but the threshold filter replaces the bounded heap —
+    * output size is data-dependent by definition, so the operator keeps the
+    * full scored relation out of any sort and orders only the survivors.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+      .join(all, "vec_id")
+      .localCheckpoint()
+    val probes = norms.join(broadcast(panel(norms, "probe:", PROBE_COUNT)), "vec_id")
+      .toDF("probe_id", "pnrm", "pv")
+    val corpus = norms.toDF("neighbor_id", "cnrm", "cv")
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosCols(
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
+        col("pnrm"), col("cnrm")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.core.Determinism.r4(col("cos")).as("cos"))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   /** Per-probe top-k + rank: the bounded-heap TopK operator cuts the scored
     * relation to k rows per probe WITHOUT sorting it (Spark's own
     * WindowGroupLimit still sorts the full input before limiting); the
@@ -376,6 +408,7 @@ object Ann {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range_search" -> (rangeSearch _),
     "ann_kmeans_step" -> (kmeansStep _),
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
@@ -622,6 +655,19 @@ object Ann {
          FROM bf LEFT JOIN ivfk
            ON ivfk.probe_id = bf.probe_id AND ivfk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
+    "ann_range_search" ->
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql,
+         dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id)
+         SELECT probe_id, neighbor_id, ${graft.core.Determinism.r4Sql("cos")} AS cos
+         FROM scored WHERE cos >= $RangeTau ORDER BY probe_id, neighbor_id""",
     "ann_bruteforce" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql,
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -135,6 +135,57 @@ object Geom {
       .orderBy("probe_id", "rk")
   }
 
+  /** Shoelace area + perimeter of parsed WKT polygon rings — the measure
+    * pass a geo pipeline runs after reprojection (zoning acreage, parcel
+    * stats). Vertices come out of the WKT by the same regexp walk the
+    * extent/esri ops use; the shoelace terms are exact integers (integer
+    * test coords) summed as DECIMAL so partition order can never flip a
+    * bit, and perimeter accumulates 6-dp-floored edge lengths the same
+    * exact way. Mixed fixture: even keys are axis-parallel rectangles
+    * (integer edges), odd keys right triangles (irrational hypotenuse —
+    * the sqrt path is genuinely exercised).
+    *
+    * Scale shape: explode is per-ring-vertex (bounded by ring size), the
+    * one shuffle is the per-id re-aggregation; geom_extent shows the
+    * in-row alternative — this op explodes because edges need ADJACENT
+    * vertex pairs, which the in-row form expresses less clearly.
+    */
+  def polygonArea(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val (x0, y0) = (xi(k), yi(k))
+    val (w0, h0) = (k % 50L + 1L, k % 37L + 2L)
+    def pt(x: Column, y: Column) = concat(str(x), lit(" "), str(y))
+    val rect = concat(lit("POLYGON (("), pt(x0, y0), lit(", "),
+      pt(x0 + w0, y0), lit(", "), pt(x0 + w0, y0 + h0), lit(", "),
+      pt(x0, y0 + h0), lit(", "), pt(x0, y0), lit("))"))
+    val tri = concat(lit("POLYGON (("), pt(x0, y0), lit(", "),
+      pt(x0 + w0, y0), lit(", "), pt(x0, y0 + h0), lit(", "),
+      pt(x0, y0), lit("))"))
+    val wkt = when(k % 2 === 0, rect).otherwise(tri)
+    val nums = transform(
+      regexp_extract_all(wkt, lit("-?\\d+\\.?\\d*"), lit(0)), _.cast("double"))
+    val verts = c.select(k.as("id"), geomTypeOf(wkt).as("geom_type"),
+        // size/2 via Column./ is a DOUBLE divide — cast back for sequence()
+        nums.as("ns"),
+        explode(sequence(lit(0), (size(nums) / 2).cast("int") - 2)).as("i"))
+      .select(col("id"), col("geom_type"),
+        element_at(col("ns"), col("i") * 2 + 1).as("x1"),
+        element_at(col("ns"), col("i") * 2 + 2).as("y1"),
+        element_at(col("ns"), col("i") * 2 + 3).as("x2"),
+        element_at(col("ns"), col("i") * 2 + 4).as("y2"))
+    val term = (col("x1") * col("y2") - col("x2") * col("y1"))
+      .cast("decimal(38,0)")
+    val edge = sqrt((col("x2") - col("x1")) * (col("x2") - col("x1"))
+      + (col("y2") - col("y1")) * (col("y2") - col("y1")))
+    verts.groupBy(col("id"), col("geom_type"))
+      .agg(
+        (abs(sum(term).cast("double")) / 2.0).as("area"),
+        graft.core.Determinism.r4(graft.core.Determinism.dsum(
+          graft.core.Determinism.r6(edge))).as("perimeter"))
+      .orderBy("id")
+  }
+
   def quadkey(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val k = c("c_custkey")
@@ -403,6 +454,7 @@ object Geom {
     "geom_point_latlng"   -> (pointLatLng _),
     "geom_quadkey"        -> (quadkey _),
     "geom_knn_join"       -> (knnJoin _),
+    "geom_polygon_area"   -> (polygonArea _),
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
@@ -466,6 +518,40 @@ object Geom {
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 1) AS DOUBLE) / 10000.0 - 180.0 AS lng,
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 2) AS DOUBLE) / 10000.0 - 80.0 AS lat
          FROM src ORDER BY id""",
+    "geom_polygon_area" -> {
+      val x0 = "((c_custkey * 7919) % 1000000 + 2400000)"
+      val y0 = "((c_custkey * 104729) % 300000 + 200000)"
+      val w0 = "(c_custkey % 50 + 1)"
+      val h0 = "(c_custkey % 37 + 2)"
+      s"""WITH shapes AS (SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 2 = 0 THEN
+             'POLYGON ((' || $x0 || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || $y0 || '))'
+           ELSE
+             'POLYGON ((' || $x0 || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || $y0 || ', '
+               || $x0 || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || $y0 || '))'
+           END AS wkt FROM customer),
+         nums AS (SELECT id, 'POLYGON' AS geom_type,
+             list_transform(regexp_extract_all(wkt, '-?\\d+\\.?\\d*'),
+               t -> CAST(t AS DOUBLE)) AS ns
+           FROM shapes),
+         edges AS (SELECT id, geom_type,
+             ns[i * 2 + 1] AS x1, ns[i * 2 + 2] AS y1,
+             ns[i * 2 + 3] AS x2, ns[i * 2 + 4] AS y2
+           FROM nums, UNNEST(range(0, len(ns) // 2 - 1)) t(i))
+         SELECT id, geom_type,
+           abs(CAST(sum(CAST(x1 * y2 - x2 * y1 AS DECIMAL(38,0))) AS DOUBLE)) / 2.0
+             AS area,
+           ${graft.core.Determinism.r4Sql(
+             "CAST(sum(CAST(floor(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)")}
+             AS perimeter
+         FROM edges GROUP BY id, geom_type ORDER BY id"""
+    },
     "geom_knn_join" ->
       s"""WITH pts AS (SELECT c_custkey AS id,
              ((c_custkey * 7919) % 3600000) / 10000.0 - 180.0 AS lon,

@@ -346,4 +346,21 @@ class AnnTextSpec extends AnyFunSuite {
     assert(math.abs(slope - refSlope) < 1e-5, s"$slope vs $refSlope")
     assert(intercept > 0) // top rank carries the max frequency
   }
+  test("range search: exactly the above-threshold slice of exact scoring") {
+    val rows = graft.queries.Ann.queries("ann_range_search")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= graft.queries.Ann.RangeTau))
+    assert(rows.forall(t => t._1 != t._2))
+    // when both endpoints are probes the pair appears in both directions
+    val probes = rows.map(_._1).toSet
+    val asSet = rows.map(t => (t._1, t._2)).toSet
+    for ((p, n, _) <- rows if probes.contains(n))
+      assert(asSet.contains((n, p)), s"missing reverse of ($p,$n)")
+    // every bruteforce top-k hit above the threshold must be found
+    val bf = graft.queries.Ann.queries("ann_bruteforce")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    for ((p, n, c) <- bf if c >= graft.queries.Ann.RangeTau)
+      assert(asSet.contains((p, n)), s"bruteforce hit ($p,$n,$c) missing")
+  }
 }

@@ -279,4 +279,23 @@ class GeomSpec extends AnyFunSuite {
       .sortBy(t => (t._2, t._1)).take(graft.queries.Geom.KnnK).map(_._1).toSeq
     assert(rows.filter(_._1 == probe).sortBy(_._2).map(_._3).toSeq == expected)
   }
+  test("polygon area: shoelace reproduces closed-form rectangle/triangle measures") {
+    val rows = graft.queries.Geom.queries("geom_polygon_area")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(_._2 == "POLYGON"))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    for ((id, _, area, perim) <- rows) {
+      val w = (id % 50 + 1).toDouble; val h = (id % 37 + 2).toDouble
+      if (id % 2 == 0) {
+        assert(area == w * h, s"rect $id area $area != ${w * h}")
+        assert(perim == r4(2 * (r6(w) + r6(h))), s"rect $id perimeter $perim")
+      } else {
+        assert(area == w * h / 2.0, s"tri $id area $area != ${w * h / 2}")
+        val expect = r4(BigDecimal(r6(w)).toDouble + BigDecimal(r6(h)).toDouble
+          + r6(math.sqrt(w * w + h * h)))
+        assert(math.abs(perim - expect) < 1e-9, s"tri $id perimeter $perim vs $expect")
+      }
+    }
+  }
 }
