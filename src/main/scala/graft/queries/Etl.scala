@@ -453,7 +453,83 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** Schema inference over string-typed staged columns — what the reference
+    * delegates to a hand-maintained JSON schema (postgres.py:449-559), run
+    * the other way: scan the strings, count which type each value parses
+    * as, and infer the STRICTEST type every row satisfies (one dirty value
+    * demotes the column to text — silent coercion is how bad loads hide).
+    * The staged fixture covers all verdicts: a key column (→ bigint), a
+    * clean decimal (→ double), the same decimal with planted 'N/A's
+    * (→ text, the fallback path), an ISO date (→ date) and free text.
+    * One aggregate node over regexp flags + a stack unpivot — the
+    * etl_profile shape.
+    */
+  def typeInfer(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    // exact-cents decimal rendering (never engine double-formatting):
+    // cents < 2^53 so the /100 double divide is exact before truncation
+    val priceStr = concat((cents / 100).cast("long").cast("string"),
+      lit("."), lpad((cents % 100L).cast("string"), 2, "0"))
+    val staged = o.select(
+      col("o_orderkey").cast("string").as("c_key"),
+      priceStr.as("c_price"),
+      when(col("o_orderkey") % 13 === 0, lit("N/A")).otherwise(priceStr).as("c_price_dirty"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_date"),
+      col("o_orderpriority").as("c_text"))
+    val intRe = "^-?[0-9]+$"
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+    def stats(c: String) = Seq(
+      count(lit(1)).as(s"${c}_n"),
+      sum(when(col(c).rlike(intRe), 1L).otherwise(0L)).as(s"${c}_int"),
+      sum(when(col(c).rlike(numRe), 1L).otherwise(0L)).as(s"${c}_num"),
+      sum(when(col(c).rlike(dateRe), 1L).otherwise(0L)).as(s"${c}_date"))
+    val cols = Seq("c_key", "c_price", "c_price_dirty", "c_date", "c_text")
+    val aggs = cols.flatMap(stats)
+    val wide = staged.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_int, ${c}_num, ${c}_date").mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.length}, $stacked) AS (column_name, n_rows, n_int, n_num, n_date)"))
+      .select(col("column_name"), col("n_rows"), col("n_int"), col("n_num"), col("n_date"),
+        when(col("n_int") === col("n_rows"), "bigint")
+          .when(col("n_num") === col("n_rows"), "double")
+          .when(col("n_date") === col("n_rows"), "date")
+          .otherwise("text").as("inferred_type"))
+      .orderBy("column_name")
+  }
+
+  /** Referential-integrity gate — the FK-orphan complement of the
+    * row-count/null checks (a load that drops parents silently strands
+    * children). Each check is ONE anti-join aggregated to a verdict row;
+    * orphans are planted (every 97th lineitem key shifted out of range) so
+    * both the firing and the clean path are exercised.
+    */
+  def fkCheck(s: SparkSession, d: String): DataFrame = {
+    val liKeys = lineitem(s, d).select(
+      when(col("l_orderkey") % 97 === 0, col("l_orderkey") + 1000000000000L)
+        .otherwise(col("l_orderkey")).as("k"))
+    val oKeys = orders(s, d).select(col("o_orderkey").as("k"))
+    val custRef = orders(s, d).select(col("o_custkey").cast("long").as("k"))
+    val custKeys = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+    def check(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          coalesce(min(col("k")), lit(-1L)).as("min_orphan"))
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk_check"), col("n_child_rows"),
+          col("n_orphans"), col("min_orphan"))
+    }
+    check("lineitem.orderkey->orders", liKeys, oKeys)
+      .unionAll(check("orders.custkey->customer", custRef, custKeys))
+      .orderBy("fk_check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_type_infer"      -> (typeInfer _),
+    "etl_fk_check"        -> (fkCheck _),
     "etl_partition_plan"  -> (partitionPlan _),
     "etl_anonymize"       -> (anonymize _),
     "etl_checksum"        -> (checksum _),
@@ -480,6 +556,54 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_type_infer" -> {
+      val price =
+        """(CAST(floor(floor(o_totalprice * 100.0 + 0.5) / 100) AS BIGINT)
+           || '.' || lpad(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 100
+                          AS VARCHAR), 2, '0'))"""
+      val intRe = "^-?[0-9]+$"
+      val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+      val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+      def stats(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN regexp_matches($c, '$intRe') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           CAST(sum(CASE WHEN regexp_matches($c, '$numRe') THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+           CAST(sum(CASE WHEN regexp_matches($c, '$dateRe') THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+           FROM staged"""
+      val cols = Seq("c_key", "c_price", "c_price_dirty", "c_date", "c_text")
+      s"""WITH staged AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS c_key,
+           $price AS c_price,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'N/A' ELSE $price END AS c_price_dirty,
+           strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+           o_orderpriority AS c_text
+         FROM orders),
+         st AS (${cols.map(stats).mkString(" UNION ALL ")})
+         SELECT column_name, n_rows, n_int, n_num, n_date,
+           CASE WHEN n_int = n_rows THEN 'bigint'
+                WHEN n_num = n_rows THEN 'double'
+                WHEN n_date = n_rows THEN 'date'
+                ELSE 'text' END AS inferred_type
+         FROM st ORDER BY column_name"""
+    },
+    "etl_fk_check" ->
+      """WITH li_child AS (SELECT CASE WHEN l_orderkey % 97 = 0
+             THEN l_orderkey + 1000000000000 ELSE l_orderkey END AS k
+           FROM lineitem),
+         li_orphans AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans,
+             COALESCE(min(k), -1) AS min_orphan
+           FROM li_child WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+         cust_orphans AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans,
+             COALESCE(min(CAST(o_custkey AS BIGINT)), -1) AS min_orphan
+           FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         SELECT 'lineitem.orderkey->orders' AS fk_check,
+           (SELECT CAST(count(*) AS BIGINT) FROM li_child) AS n_child_rows,
+           n_orphans, min_orphan FROM li_orphans
+         UNION ALL
+         SELECT 'orders.custkey->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           n_orphans, min_orphan FROM cust_orphans
+         ORDER BY fk_check""",
     "etl_partition_plan" ->
       s"""WITH rows_b AS (SELECT o_orderstatus,
              CAST(strlen(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,

@@ -183,7 +183,22 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test holdout: the md5 coin buckets every doc
+    * into 80/10/10 splits that are stable under corpus growth — a doc keeps
+    * its split when new data arrives (the property row_number()-based
+    * splits lack), which is what keeps eval sets uncontaminated across
+    * refreshes. Pure map-side classification.
+    */
+  def holdout(s: SparkSession, d: String): DataFrame = {
+    val coin = md5Long(concat(lit("split:"), col("doc_id"))) % 100L
+    documents(s, d).select(col("doc_id"),
+        when(coin < 80, "train").when(coin < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_holdout"      -> (holdout _),
     "sample_dsir"         -> (dsir _),
     "sample_interleave"   -> (interleave _),
     "sample_mixture"      -> (mixture _),
@@ -193,6 +208,12 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_holdout" ->
+      s"""SELECT doc_id,
+         CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 80 THEN 'train'
+              WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "sample_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang,
              ${md5LongSql("'dsir:' || tok")} % $DsirBuckets AS b

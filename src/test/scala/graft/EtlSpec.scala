@@ -288,4 +288,36 @@ class EtlSpec extends AnyFunSuite {
     // bytes follow width, not just count: every group averages > 30 B/row
     assert(rows.forall { case (_, n, b, _, _) => b > 30L * n })
   }
+  test("type infer: every verdict class exercised; counts reconcile") {
+    val rows = graft.queries.Etl.queries("etl_type_infer")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(rows.keySet == Set("c_key", "c_price", "c_price_dirty", "c_date", "c_text"))
+    val n = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.values.forall(_._1 == n))
+    assert(rows("c_key")._5 == "bigint")
+    assert(rows("c_price")._5 == "double")
+    assert(rows("c_price_dirty")._5 == "text") // one 'N/A' demotes the column
+    assert(rows("c_date")._5 == "date")
+    assert(rows("c_text")._5 == "text")
+    // int parses are a subset of numeric parses everywhere
+    assert(rows.values.forall { case (_, i, num, _, _) => i <= num })
+    // the dirty column fails exactly the planted rows
+    val planted = graft.core.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 13 === 0).count()
+    assert(rows("c_price_dirty")._3 == n - planted)
+  }
+
+  test("fk check: planted orphans counted, clean reference passes") {
+    val rows = graft.queries.Etl.queries("etl_fk_check")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = rows("lineitem.orderkey->orders")
+    val cu = rows("orders.custkey->customer")
+    val planted = graft.core.Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") % 97 === 0).count()
+    assert(li._2 == planted && planted > 0)
+    assert(li._3 >= 1000000000000L) // first offender is a shifted key (key 0 → exactly 1e12)
+    assert(cu._2 == 0L && cu._3 == -1L) // clean check: no orphans, sentinel
+    assert(li._1 == graft.core.Tables.lineitem(spark, sf).count())
+  }
 }

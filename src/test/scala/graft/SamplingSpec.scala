@@ -143,4 +143,19 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(scores == again)
   }
+  test("holdout: stable split, roughly 80/10/10, never migrates") {
+    val rows = Sampling.queries("sample_holdout")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = rows.length.toDouble
+    assert(n > 0)
+    val frac = rows.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+    // growth stability: the sf0.001 corpus is a doc_id prefix of larger
+    // corpora — its assignments must be bit-identical within this run too
+    val again = Sampling.queries("sample_holdout")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(again))
+  }
 }
