@@ -88,7 +88,7 @@ object Bench {
       // no 3-gram shingles with each other (a verbatim copy would make the
       // whole table one dup cluster and measure the data, not the operator)
       val doc = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("lang"))
       val dStride = doc.agg(max("doc_id")).head().getLong(0) + 1L
       (0 until 10).map { i =>
         import org.apache.spark.sql.functions.{array_join, concat, slice, split}
@@ -96,7 +96,7 @@ object Bench {
         val rot = if (i == 0) col("text") else array_join(
           concat(slice(toks, i + 1, 100000), slice(toks, 1, i)), " ")
         doc.select((col("doc_id") + lit(i * dStride)).as("doc_id"),
-          rot.as("text"))
+          rot.as("text"), col("lang"))
       }.reduce(_ unionByName _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
@@ -109,7 +109,10 @@ object Bench {
       }
       val ann = probeOf("ann_ivf")
       val mh = probeOf("dedup_minhash_lsh")
-      s""","scale_probe":$ann,"scale_probes":[$ann,$mh]"""
+      // third probe class: token-proportional broadcast-model scoring
+      // (dsir's weight table must stay CONSTANT-size while tokens grow 10x)
+      val ds = probeOf("sample_dsir")
+      s""","scale_probe":$ann,"scale_probes":[$ann,$mh,$ds]"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""
     println(json)

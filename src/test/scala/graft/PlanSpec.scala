@@ -168,4 +168,38 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
     }
   }
+
+  test("knn join: probe cells broadcast onto the bucketed corpus") {
+    val p = plan("geom_knn_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sharded/windowed new ops never collapse to one partition") {
+    // per-shard byte packing and per-type gap scans must keep their
+    // partitionBy — a silent global window is the 100 TB failure mode
+    for (q <- Seq("mm_shard_manifest", "stream_heartbeat_gaps"))
+      assert(!plan(q).contains("SinglePartition"), s"$q has a global window")
+  }
+
+  test("fk check: verdicts come from anti joins, not distinct-collect") {
+    val p = plan("etl_fk_check")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("map-side classifiers stay shuffle-free") {
+    // holdout and anonymize are pure projections: any exchange before the
+    // final ordering means the classification stopped being map-side
+    for (q <- Seq("sample_holdout", "etl_anonymize")) {
+      val p = plan(q)
+      val body = p.split("TakeOrdered").last // ordering for output is fine
+      assert(!body.contains("Exchange hashpartitioning"), s"$q shuffles: ${p.take(1200)}")
+    }
+  }
+
+  test("collocations/zipf: only the 1-row totals cross a broadcast") {
+    for (q <- Seq("text_collocations", "text_zipf_fit"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+  }
 }
