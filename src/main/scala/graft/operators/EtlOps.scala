@@ -294,6 +294,38 @@ object EtlOps {
     * calls an HTTP geocoder per row; at scale the lookup is a dimension
     * table and the enrichment is a broadcast hash join.
     */
+  /** Row-level diff between two snapshots of the same table — the
+    * value-level complement of [[schemaDiff]] (which compares shape) and
+    * [[rowCountCheck]] (which compares size): per key, is the row added,
+    * removed, changed, or unchanged between loads. ONE null-safe full
+    * outer hash join on the key; non-key columns compare with <=> folded
+    * into a single predicate, so the operator is generic over any column
+    * set. Both inputs must share the key columns; compared columns are the
+    * intersection of the remaining ones.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    val compared = old.columns.filterNot(keys.contains)
+      .intersect(neu.columns.filterNot(keys.contains)).toSeq
+    require(compared.nonEmpty, "snapshotDiff needs at least one non-key column in common")
+    val o = old.select((keys ++ compared).map(col): _*).toDF(
+      keys ++ compared.map("old_" + _): _*)
+    val n = neu.select((keys ++ compared).map(col): _*).toDF(
+      keys ++ compared.map("new_" + _): _*)
+    // presence must come from the join side, not value nullability (a
+    // legitimately-NULL column would read as "absent"): a literal marker
+    // column per side survives the full outer join unambiguously
+    val om = o.withColumn("_old_present", lit(1))
+    val nm = n.withColumn("_new_present", lit(1))
+    val j = om.join(nm, keys, "full_outer")
+    val changed = compared.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.select(keys.map(col) :+
+      when(col("_old_present").isNull, "added")
+        .when(col("_new_present").isNull, "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged").as("diff_status"): _*)
+  }
+
   def enrichLookup(fact: DataFrame, lookup: DataFrame,
                    keys: Seq[(String, String)]): DataFrame = {
     val cond = keys.map { case (f, l) => fact(f) === lookup(l) }.reduce(_ && _)

@@ -527,7 +527,29 @@ object Etl {
       .orderBy("fk_check")
   }
 
+  /** Snapshot diff (EtlOps.snapshotDiff) between the orders table and a
+    * planted next-day load: every 31st row removed, every 41st key added
+    * out-of-range, every 7th price changed — all four verdicts exercised.
+    * The report aggregates the per-row statuses plus each status's first
+    * key so the firing rows are addressable.
+    */
+  def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+    val neu = o.filter(col("k") % 31 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("price") + 5.0).otherwise(col("price")).as("price"),
+        col("prio"))
+      .unionAll(o.filter(col("k") % 41 === 0)
+        .select((col("k") + 2000000000000L).as("k"), col("price"), col("prio")))
+    EtlOps.snapshotDiff(o, neu, Seq("k"))
+      .groupBy(col("diff_status"))
+      .agg(count(lit(1)).as("n_rows"), min(col("k")).as("first_key"))
+      .orderBy("diff_status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff"   -> (snapshotDiffQ _),
     "etl_type_infer"      -> (typeInfer _),
     "etl_fk_check"        -> (fkCheck _),
     "etl_partition_plan"  -> (partitionPlan _),
@@ -556,6 +578,29 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderpriority AS prio FROM orders),
+         neu AS (
+           SELECT k, CASE WHEN k % 7 = 0 THEN price + 5.0 ELSE price END AS price,
+             prio
+           FROM old WHERE k % 31 <> 0
+           UNION ALL
+           SELECT k + 2000000000000, price, prio FROM old WHERE k % 41 = 0),
+         j AS (SELECT COALESCE(o.k, n.k) AS k,
+             o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+             (o.price IS DISTINCT FROM n.price)
+               OR (o.prio IS DISTINCT FROM n.prio) AS changed
+           FROM old o FULL OUTER JOIN neu n ON n.k = o.k),
+         st AS (SELECT k,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN changed THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+           FROM j)
+         SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS first_key
+         FROM st GROUP BY diff_status ORDER BY diff_status""",
     "etl_type_infer" -> {
       val price =
         """(CAST(floor(floor(o_totalprice * 100.0 + 0.5) / 100) AS BIGINT)

@@ -395,6 +395,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // q33: sweep-line peak concurrency — "how many 5-minute event intervals
+  // overlap at the worst moment, per type and day" (connection/session
+  // capacity planning). Classic interval analytics without an interval
+  // self-join: each event emits a +1 at its start and a −1 at its end, and
+  // a running sum per (type, day) partition — ends sort before starts at
+  // the same instant, so touching intervals don't double-count. Both
+  // engines use the default RANGE frame, so tied instants share one
+  // cumulative value deterministically.
+  val ConcurrencySpanSec = 300L
+
+  def q33Concurrency(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("ts").cast("long").as("sec"))
+    val pts = e.select(col("event_type"), col("day"), col("sec").as("t"), lit(1L).as("delta"))
+      .unionAll(e.select(col("event_type"), col("day"),
+        (col("sec") + ConcurrencySpanSec).as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t"), col("delta"))
+    pts.withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("load")).as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_events"))
+      .orderBy("event_type", "day")
+  }
+
   // q31: fixed-width value histogram — the profile/monitoring primitive
   // (price distribution drift between loads). Bucket index is pure integer
   // arithmetic, so the whole query is one partially-aggregated groupBy; the
@@ -440,6 +466,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_histogram"     -> (q31Histogram _),
+    "q33_concurrency"   -> (q33Concurrency _),
     "q32_corr"          -> (q32Corr _),
     "q29_moving_avg"    -> (q29MovingAvg _),
     "q30_ratio_to_report" -> (q30RatioToReport _),
@@ -470,6 +497,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_concurrency" ->
+      s"""WITH e AS (SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         pts AS (SELECT event_type, day, sec AS t, CAST(1 AS BIGINT) AS delta FROM e
+                 UNION ALL
+                 SELECT event_type, day, sec + $ConcurrencySpanSec, CAST(-1 AS BIGINT) FROM e),
+         run AS (SELECT event_type, day,
+             sum(delta) OVER (PARTITION BY event_type, day
+                              ORDER BY t, delta) AS load
+           FROM pts)
+         SELECT event_type, day,
+           CAST(max(load) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_events
+         FROM run GROUP BY event_type, day ORDER BY event_type, day""",
     "q31_histogram" ->
       s"""SELECT CAST(least(floor(o_totalprice / $HistWidth), ${HistBuckets - 1})
            AS INTEGER) AS bucket,

@@ -320,4 +320,28 @@ class EtlSpec extends AnyFunSuite {
     assert(cu._2 == 0L && cu._3 == -1L) // clean check: no orphans, sentinel
     assert(li._1 == graft.core.Tables.lineitem(spark, sf).count())
   }
+  test("snapshot diff: all four verdicts, counts match the planted edits") {
+    val rows = graft.queries.Etl.queries("etl_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    val keys = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows("removed")._1 == keys.count(_ % 31 == 0))
+    assert(rows("added")._1 == keys.count(_ % 41 == 0))
+    // changed = %7 keys that survived the removal
+    assert(rows("changed")._1 == keys.count(k => k % 7 == 0 && k % 31 != 0))
+    assert(rows.values.map(_._1).sum ==
+      keys.length + keys.count(_ % 41 == 0)) // every key classified once
+    assert(rows("added")._2 >= 2000000000000L)
+  }
+
+  test("snapshotDiff operator: NULL column values never read as absent") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "v")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "v")
+    val m = EtlOps.snapshotDiff(old, neu, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // row 1: NULL -> NULL is UNCHANGED (presence via markers, not values)
+    assert(m == Map(1L -> "unchanged", 2L -> "changed"))
+  }
 }

@@ -226,4 +226,25 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(corr - ref) < 1e-6, s"$flag: $corr vs $ref")
     }
   }
+  test("q33 concurrency: peak matches a driver-side sweep for one partition") {
+    val rows = graft.queries.Relational.queries("q33_concurrency")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall { case (peak, n) => peak >= 1 && peak <= n })
+    // recompute the busiest (type, day) exactly
+    val ((typ, day), (peak, _)) = rows.maxBy(_._2._1)
+    val span = graft.queries.Relational.ConcurrencySpanSec
+    val secs = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"),
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      .collect().filter(r => r.getString(0) == typ && r.getString(1) == day)
+      .map(_.getLong(2))
+    val pts = (secs.map(s => (s, 1)) ++ secs.map(s => (s + span, -1)))
+      .sortBy(t => (t._1, t._2))
+    var cur = 0L; var best = 0L
+    for ((_, d) <- pts) { cur += d; best = math.max(best, cur) }
+    assert(peak == best, s"($typ,$day): $peak vs swept $best")
+  }
 }
