@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_distinct_bitmap"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_distinct_bitmap"),
       BitmapDistinct.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_build"),
+      new ExpressionInfo(classOf[BitmapBuild].getName, "graft_bitmap_build"),
+      BitmapBuild.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_test"),
+      new ExpressionInfo(classOf[BitmapTest].getName, "graft_bitmap_test"),
+      BitmapTest.builder))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
@@ -43,6 +51,10 @@ object GraftExtensions {
       .registerFunction(spark, "graft_dot", dotBuilder)
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_distinct_bitmap", BitmapDistinct.builder)
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_bitmap_build", BitmapBuild.builder)
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_bitmap_test", BitmapTest.builder)
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

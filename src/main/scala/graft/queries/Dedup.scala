@@ -754,7 +754,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Production twin of [[bloomFilter]]: identical verdicts, but the filter
+    * is a REAL m-bit bitmap — built distributed by the graft_bitmap_build
+    * custom aggregate (partials OR-merge; m/8 bytes cross the exchange
+    * regardless of list size) and probed by the graft_bitmap_test codegen
+    * expression inside the corpus scan's whole-stage loop after a 1-row
+    * broadcast. This is the constant-space artifact a 100 TB screening
+    * pass ships; the relation-join formulation above exists for SQL-oracle
+    * replay, and both run against the SAME DuckDB oracle, so their
+    * equivalence is itself oracle-checked every round.
+    */
+  def bloomFilterBitmap(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{BitmapBuild, BitmapTest}
+    val doc = documents(s, d).select(col("doc_id"), md5Long(col("text")).as("h"))
+    val drop = doc.filter(col("doc_id") % 7 === 0)
+    val bitmap = drop
+      .select(explode(array((0 until BloomK).map(i => bloomPos(col("h"), i)): _*)).as("bit"))
+      .agg(BitmapBuild.bitmap(col("bit"), BloomM.toInt).as("bmp"))
+    val dropHashes = drop.select(col("h")).distinct().withColumn("exact", lit(1))
+    doc.crossJoin(broadcast(bitmap))
+      .select(col("doc_id"), col("h"),
+        (0 until BloomK).map(i =>
+          BitmapTest.test(col("bmp"), bloomPos(col("h"), i)).cast("long"))
+          .reduce(_ + _).as("n_bits_hit"))
+      .join(broadcast(dropHashes), Seq("h"), "left")
+      .select(col("doc_id"), col("n_bits_hit"),
+        (col("n_bits_hit") === BloomK).cast("int").as("bloom_member"),
+        coalesce(col("exact"), lit(0)).as("exact_member"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_bitmap"  -> (bloomFilterBitmap _),
     "dedup_keep_best"     -> (keepBest _),
     "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
@@ -796,6 +827,27 @@ object Dedup {
            max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM ranked GROUP BY label ORDER BY label""",
+    // the bitmap-aggregate twin answers the SAME question — one oracle
+    // gates both formulations (their equivalence is thereby oracle-checked)
+    "dedup_bloom_bitmap" -> {
+      def pos(i: Int) = md5LongSql(s"concat('bloom$i:', h)") + s" % $BloomM"
+      val bitUnion = (0 until BloomK)
+        .map(i => s"SELECT ${pos(i)} AS bit FROM drop_h").mkString(" UNION ALL ")
+      val probeUnion = (0 until BloomK)
+        .map(i => s"SELECT doc_id, ${pos(i)} AS bit FROM doc").mkString(" UNION ALL ")
+      s"""WITH doc AS (SELECT doc_id, ${md5LongSql("text")} AS h FROM documents),
+         drop_h AS (SELECT DISTINCT h FROM doc WHERE doc_id % 7 = 0),
+         bits AS (SELECT DISTINCT bit FROM ($bitUnion)),
+         probes AS ($probeUnion),
+         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+           FROM probes WHERE bit IN (SELECT bit FROM bits) GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(nb, 0) AS n_bits_hit,
+           CAST(COALESCE(nb, 0) = $BloomK AS INTEGER) AS bloom_member,
+           CAST(d.h IN (SELECT h FROM drop_h) AS INTEGER) AS exact_member
+         FROM doc d LEFT JOIN hits ON hits.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     "dedup_bloom_filter" -> {
       def pos(i: Int) = md5LongSql(s"concat('bloom$i:', h)") + s" % $BloomM"
       val bitUnion = (0 until BloomK)
