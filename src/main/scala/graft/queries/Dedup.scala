@@ -224,6 +224,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The ExactSubstr REMOVAL pass (Lee et al. 2022) that
+    * [[substringReport]] only reports: every token covered by a duplicated
+    * [[SubN]]-token window (duplicated = the window text occurs ≥2 times
+    * anywhere in the corpus, including within one doc) is cut, and the doc
+    * is rebuilt from the survivors — emitted as (kept count, md5 of the
+    * rebuilt text) so the full text never leaves the executors. Windows
+    * here are POSITIONAL (not the report's per-doc-distinct set): removal
+    * needs every occurrence. Scale shape: window hashes shuffle once for
+    * the frequency count, covered positions are (doc, pos) pairs bounded
+    * by dup coverage, and the rebuild is one per-doc aggregation — no
+    * pair join anywhere, same linearity as the report.
+    */
+  def substringScrub(s: SparkSession, d: String): DataFrame = {
+    val toked = corpus(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+    val nWins = size(col("ws")) - (SubN - 1)
+    val wins = toked.select(col("doc_id"),
+        explode(when(nWins > 0, transform(sequence(lit(0), nWins - 1),
+          i => struct(i.as("i"), md5Long(concat_ws(" ",
+            (0 until SubN).map(j => element_at(col("ws"), i + j + 1)): _*)).as("h"))))
+          .otherwise(array().cast("array<struct<i:int,h:bigint>>"))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+      .localCheckpoint() // feeds the frequency agg AND the coverage join
+    val dups = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val covered = wins.join(dups, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SubN - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("pos"))).as("cov"))
+    toked.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("cov"))).cast("long").as("n_kept"),
+        md5(array_join(
+          filter(col("ws"), (_, i) => !array_contains(col("cov"), i)), " "))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   private def substringSqlFor: String =
     s"""WITH $corpusSql,
        sh0 AS (${shinglesSql(SubN, "doc_id", "text", "corpus")}),
@@ -786,6 +826,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_bloom_bitmap"  -> (bloomFilterBitmap _),
+    "dedup_substring_scrub" -> (substringScrub _),
     "dedup_keep_best"     -> (keepBest _),
     "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
@@ -827,6 +868,28 @@ object Dedup {
            max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM ranked GROUP BY label ORDER BY label""",
+    "dedup_substring_scrub" ->
+      s"""WITH $corpusSql,
+         toked AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         wins AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+             ${md5LongSql(s"array_to_string(array_slice(ws, i, i + ${SubN - 1}), ' ')")} AS h
+           FROM toked, UNNEST(range(1, len(ws) - ${SubN - 2})) t(i)),
+         dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         covered AS (SELECT DISTINCT w.doc_id, w.i - 1 + CAST(u AS INTEGER) AS pos
+           FROM wins w JOIN dups USING (h), UNNEST(range(0, $SubN)) t(u)),
+         toks AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+             unnest(ws) AS tok FROM toked),
+         kept AS (SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN covered c
+             ON c.doc_id = t.doc_id AND c.pos = t.pos
+           WHERE c.pos IS NULL),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(tk.ws) AS BIGINT) AS n_tokens,
+           COALESCE(reb.n_kept, 0) AS n_kept,
+           md5(COALESCE(reb.clean, '')) AS clean_md5
+         FROM toked tk LEFT JOIN reb USING (doc_id) ORDER BY tk.doc_id""",
     // the bitmap-aggregate twin answers the SAME question — one oracle
     // gates both formulations (their equivalence is thereby oracle-checked)
     "dedup_bloom_bitmap" -> {

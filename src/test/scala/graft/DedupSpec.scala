@@ -288,4 +288,27 @@ class DedupSpec extends AnyFunSuite {
     // keeper length is the cluster max -> strictly positive
     assert(rows.forall(_._3 > 0))
   }
+  test("substring scrub: planted exact copies are fully cut; clean docs intact") {
+    val rows = graft.queries.Dedup.queries("dedup_substring_scrub")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, kept, _) => kept >= 0 && kept <= n })
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    val byId = rows.map(r => r._1 -> r).toMap
+    val exact = graft.queries.Dedup.ExactOffset
+    for ((id, n, kept, md5) <- rows if id >= exact && id < graft.queries.Dedup.NearOffset) {
+      // a planted exact copy duplicates EVERY window with its original:
+      // docs longer than one window lose everything
+      if (n >= graft.queries.Dedup.SubN) {
+        assert(kept == 0, s"copy $id kept $kept of $n")
+        assert(md5 == emptyMd5)
+        // and the original is equally scrubbed
+        val orig = byId(id - exact)
+        assert(orig._3 == 0, s"original ${id - exact} kept ${orig._3}")
+      }
+    }
+    // docs with no duplicated window keep every token (md5 differs from empty)
+    assert(rows.exists { case (id, n, kept, _) => kept == n && n > 0 })
+  }
 }
