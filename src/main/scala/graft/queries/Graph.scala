@@ -92,9 +92,48 @@ object Graph {
       .orderBy("id")
   }
 
+  val BfsSource = 0
+  val BfsHops = 3
+
+  /** Multi-iteration BFS hop distances from nation [[BfsSource]] over the
+    * UNDIRECTED trade graph — the fixed-frontier form of distributed
+    * shortest paths: each iteration relaxes dist(v) = min(dist(v),
+    * min_{u→v} dist(u)+1) with one join + one aggregate, so [[BfsHops]]
+    * iterations is a fixed plan (no driver-side convergence loop — the
+    * pagerank/resolve ops show the converging variant). Unreached nodes
+    * report −1.
+    */
+  def shortestPath(s: SparkSession, d: String): DataFrame = {
+    val verts = nation(s, d).select(col("n_nationkey").as("id"), col("n_name"))
+    val edges = tradeEdges(s, d)
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val d0 = verts.select(col("id"),
+      when(col("id") === BfsSource, 0L).otherwise(lit(null).cast("long")).as("dist"))
+    val dN = (1 to BfsHops).foldLeft(d0) { (dist, _) =>
+      val relaxed = und
+        .join(dist.withColumnRenamed("id", "src").withColumnRenamed("dist", "sd"), "src")
+        .filter(col("sd").isNotNull)
+        .select(col("dst").as("id"), (col("sd") + 1L).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      // explicit NULL cases: engines disagree on whether least() skips
+      // NULLs, so never rely on it
+      dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+    }
+    verts.join(dN, "id")
+      .select(col("id"), col("n_name"), coalesce(col("dist"), lit(-1L)).as("hops"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (pagerank _),
-    "graph_triangles" -> (triangles _)
+    "graph_triangles" -> (triangles _),
+    "graph_shortest_path" -> (shortestPath _)
   )
 
   private val edgesSql =
@@ -117,7 +156,32 @@ object Graph {
            JOIN deg dg ON dg.src = e.src
            GROUP BY e.dst) s ON s.id = v.id)"""
 
+  /** One BFS relaxation as SQL: `prev` dist CTE → `next`. */
+  private def bfsIterSql(prev: String, next: String): String =
+    s"""$next AS (
+         SELECT d.id,
+           CASE WHEN d.dist IS NULL THEN r.cand
+                WHEN r.cand IS NULL THEN d.dist
+                ELSE least(d.dist, r.cand) END AS dist
+         FROM $prev d LEFT JOIN (
+           SELECT u.dst AS id, CAST(min(p.dist + 1) AS BIGINT) AS cand
+           FROM und u JOIN $prev p ON p.id = u.src
+           WHERE p.dist IS NOT NULL
+           GROUP BY u.dst) r ON r.id = d.id)"""
+
   val oracles: Map[String, String] = Map(
+    "graph_shortest_path" ->
+      s"""WITH edges AS ($edgesSql),
+         und AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM edges
+             UNION ALL SELECT dst, src FROM edges)
+           WHERE src <> dst),
+         v AS (SELECT n_nationkey AS id, n_name FROM nation),
+         d0 AS (SELECT id, CASE WHEN id = $BfsSource
+             THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM v),
+         ${(1 to BfsHops).map(i => bfsIterSql(s"d${i - 1}", s"d$i")).mkString(",\n")}
+         SELECT v.id, v.n_name, COALESCE(d$BfsHops.dist, -1) AS hops
+         FROM v JOIN d$BfsHops ON d$BfsHops.id = v.id ORDER BY v.id""",
     "graph_pagerank" ->
       s"""WITH edges AS ($edgesSql),
          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),

@@ -191,11 +191,30 @@ object MmStream {
   def streamHeartbeatGaps(s: SparkSession, d: String): DataFrame =
     Streams.heartbeatGaps(events(s, d), thresholdSec = 3600L)
 
+  /** Spark's NATIVE session_window operator (the engine-provided gap
+    * sessionizer Structured Streaming merges incrementally) — q13 is the
+    * hand-rolled lag/cumsum twin; this exercises the built-in, whose gap
+    * semantics are exact event-time MICROSECONDS (a 1800.000001 s gap
+    * splits), so the oracle compares at micros, not seconds. Session
+    * boundaries come back as the window struct; emitted as epoch micros.
+    */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data"  -> (streamLateData _),
     "stream_lateness_stats" -> (streamLatenessStats _),
     "mm_shard_manifest" -> (shardManifest _),
     "stream_heartbeat_gaps" -> (streamHeartbeatGaps _),
+    "stream_session_window" -> (streamSessionWindow _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_frame_sample"   -> (frameSample _),
@@ -209,6 +228,23 @@ object MmStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         lagged AS (SELECT user_id, us, v,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         sess AS (SELECT user_id, us, v,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM lagged)
+         SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "stream_heartbeat_gaps" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

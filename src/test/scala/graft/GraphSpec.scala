@@ -73,4 +73,31 @@ class GraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!triPlan.contains("CartesianProduct"))
   }
+  test("shortest path: source at 0, triangle inequality over edges, -1 beyond horizon") {
+    val rows = graft.queries.Graph.queries("graph_shortest_path")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.length == 25)
+    val dist = rows.toMap
+    assert(dist(graft.queries.Graph.BfsSource) == 0L)
+    assert(rows.forall { case (_, h) => h == -1L || (h >= 0 && h <= graft.queries.Graph.BfsHops) })
+    // the dense sf0.001 trade graph reaches everything within 3 hops
+    assert(rows.count(_._2 >= 1) > 0)
+    // relaxation invariant: adjacent reached nodes differ by at most 1 hop
+    val edges = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .join(graft.core.Tables.supplier(spark, sf),
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .select(org.apache.spark.sql.functions.col("c_nationkey").as("src"),
+        org.apache.spark.sql.functions.col("s_nationkey").as("dst"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+      .filter(e => e._1 != e._2)
+    for ((a, b) <- edges; (x, y) = (dist(a), dist(b)))
+      if (x >= 0 && y >= 0) assert(math.abs(x - y) <= 1, s"edge ($a,$b): $x vs $y")
+  }
 }

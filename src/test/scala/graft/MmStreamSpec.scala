@@ -338,4 +338,22 @@ class MmStreamSpec extends AnyFunSuite {
       assert(nOver == gaps.count(_ > 3600L).toLong)
     }
   }
+  test("native session_window agrees with the manual lag/cumsum sessionizer") {
+    val rows = graft.queries.MmStream.queries("stream_session_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // windows are [start, last+gap): end - start >= gap, sessions per user
+    // are disjoint and ordered
+    val gapUs = 1800L * 1000000L
+    assert(rows.forall { case (_, s, e, _) => e - s >= gapUs })
+    for ((_, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      for (w <- grp.sliding(2) if w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        assert(b._2 > a._3 - gapUs, s"overlapping sessions: $a $b")
+      }
+    }
+    // event count reconciles
+    assert(rows.map(_._4).sum == graft.core.Tables.events(spark, sf).count())
+  }
 }
