@@ -303,17 +303,25 @@ object Dedup {
     * stored minhash INDEX of a corpus. Factored out so the pair query and
     * the incremental new-batch check share one definition.
     */
-  private[queries] def bandedFrom(docs: DataFrame): DataFrame = {
+  /** (doc_id, s0..s{K-1}) minhash signatures of a (doc_id, text) relation
+    * — factored from [[bandedFrom]] so the calibration query can compare
+    * slot agreement without re-deriving the signature definition.
+    */
+  private[queries] def sigsFrom(docs: DataFrame): DataFrame = {
     // one md5 per shingle; K signature slots via linear permutations
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("sh0"))
       .select(col("doc_id"), h30(md5Long(col("sh0"))).as("h"))
     val pp = permParams(K)
-    val sig = sh.groupBy(col("doc_id")).agg(
+    sh.groupBy(col("doc_id")).agg(
       min(minhashPerm(col("h"), pp(0)._1, pp(0)._2)).as("s0"),
       (1 until K).map(i =>
         min(minhashPerm(col("h"), pp(i)._1, pp(i)._2)).as(s"s$i")): _*)
+  }
+
+  private[queries] def bandedFrom(docs: DataFrame): DataFrame = {
+    val sig = sigsFrom(docs)
     val bandStructs = (0 until BANDS).map { b =>
       val key = md5(concat_ws(",",
         (0 until ROWS).map(r => col(s"s${b * ROWS + r}").cast("string")): _*))
@@ -331,6 +339,52 @@ object Dedup {
     val b = banded.toDF("b_id", "band", "bucket")
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Sketch calibration: for every LSH candidate pair, the signature-slot
+    * agreement estimate (fraction of the K minhash slots that agree — the
+    * statistic whose expectation IS the Jaccard similarity) next to the
+    * exact shingle Jaccard and the absolute error. This is the measurement
+    * that justifies a (K, bands, rows) configuration before trusting it on
+    * 100 TB: estimator bias/variance over REAL candidates, not theory.
+    * Cost is bounded by the candidate count like minhashVerified — exact
+    * scoring touches only candidate docs' shingles.
+    */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val pairs = bandedFrom(c).localCheckpoint().toDF("a_id", "band", "bucket")
+      .join(bandedFrom(c).toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sig = sigsFrom(c).localCheckpoint()
+    val eq = (0 until K).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = pairs
+      .join(sig.toDF("a_id" +: (0 until K).map(i => s"a_s$i"): _*), "a_id")
+      .join(sig.toDF("b_id" +: (0 until K).map(i => s"b_s$i"): _*), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(eq.cast("double") / K).as("est_sim"))
+    val shall = c
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("sh0"))
+      .select(col("doc_id"), md5Long(col("sh0")).as("fh"))
+      .localCheckpoint()
+    val cnt = shall.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = est.select(col("a_id"), col("b_id"))
+      .join(shall.toDF("a_id", "fh"), "a_id")
+      .join(shall.toDF("b_id", "fh"), Seq("b_id", "fh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(cnt.toDF("a_id", "na"), "a_id")
+      .join(cnt.toDF("b_id", "nb"), "b_id")
+      .withColumn("true_jaccard", graft.core.Determinism.r4(
+        coalesce(col("i"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("i"), lit(0L)))))
+      .select(col("a_id"), col("b_id"), col("est_sim"), col("true_jaccard"),
+        graft.core.Determinism.r4(abs(col("est_sim") - col("true_jaccard")))
+          .as("abs_err"))
       .orderBy("a_id", "b_id")
   }
 
@@ -827,6 +881,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_bloom_bitmap"  -> (bloomFilterBitmap _),
     "dedup_substring_scrub" -> (substringScrub _),
+    "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_keep_best"     -> (keepBest _),
     "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
@@ -868,6 +923,39 @@ object Dedup {
            max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM ranked GROUP BY label ORDER BY label""",
+    "dedup_minhash_calibration" -> {
+      val eqSum = (0 until K)
+        .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $corpusSql,
+         ${bandedSqlCtes("mh", "corpus")},
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM mh_banded a JOIN mh_banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         est AS (SELECT p.a_id, p.b_id,
+             ${graft.core.Determinism.r4Sql(s"CAST($eqSum AS DOUBLE) / $K")} AS est_sim
+           FROM pairs p
+           JOIN mh_sigs sa ON sa.doc_id = p.a_id
+           JOIN mh_sigs sb ON sb.doc_id = p.b_id),
+         shall AS (SELECT DISTINCT doc_id, ${md5LongSql("sh")} AS fh FROM mh_sh0),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shall GROUP BY doc_id),
+         inter AS (SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS i
+           FROM pairs p
+           JOIN shall a ON a.doc_id = p.a_id
+           JOIN shall b ON b.doc_id = p.b_id AND b.fh = a.fh
+           GROUP BY p.a_id, p.b_id),
+         scored AS (SELECT e.a_id, e.b_id, e.est_sim,
+             ${graft.core.Determinism.r4Sql(
+               "CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0))")}
+               AS true_jaccard
+           FROM est e
+           LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+           JOIN cnt ca ON ca.doc_id = e.a_id
+           JOIN cnt cb ON cb.doc_id = e.b_id)
+         SELECT a_id, b_id, est_sim, true_jaccard,
+           ${graft.core.Determinism.r4Sql("abs(est_sim - true_jaccard)")} AS abs_err
+         FROM scored ORDER BY a_id, b_id"""
+    },
     "dedup_substring_scrub" ->
       s"""WITH $corpusSql,
          toked AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),

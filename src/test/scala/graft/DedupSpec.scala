@@ -311,4 +311,22 @@ class DedupSpec extends AnyFunSuite {
     // docs with no duplicated window keep every token (md5 differs from empty)
     assert(rows.exists { case (id, n, kept, _) => kept == n && n > 0 })
   }
+  test("minhash calibration: estimator is unbiased-ish and errors bounded") {
+    val rows = graft.queries.Dedup.queries("dedup_minhash_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, e, t, _) =>
+      e >= 0 && e <= 1 && t >= 0 && t <= 1 })
+    // planted exact copies must score 1.0 on BOTH estimator and truth
+    // originals paired with THEIR verbatim copy (a < offset keeps out the
+    // exact-copy-vs-near-copy pairs whose ids also differ by ExactOffset)
+    val exact = rows.filter(r => r._1 < graft.queries.Dedup.ExactOffset
+      && r._2 == r._1 + graft.queries.Dedup.ExactOffset)
+    assert(exact.nonEmpty)
+    assert(exact.forall(r => r._3 == 1.0 && r._4 == 1.0 && r._5 == 0.0))
+    // the K=12 estimator quantizes to 1/12 steps: mean |err| over real
+    // candidates stays under two slots' width
+    val meanErr = rows.map(_._5).sum / rows.length
+    assert(meanErr < 2.0 / 12.0, s"mean abs err $meanErr")
+  }
 }
