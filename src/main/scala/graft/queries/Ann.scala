@@ -113,6 +113,40 @@ object Ann {
       .orderBy("probe_id", "neighbor_id")
   }
 
+  /** Filtered vector search — exact top-k restricted to neighbors sharing
+    * the probe's metadata label (the "filtered ANN" shape every vector
+    * store exposes: predicate + similarity). The filter rides INSIDE the
+    * broadcast join condition, so non-matching neighbors are dropped
+    * before any scoring and the corpus still never shuffles; with a
+    * selective predicate this does strictly less work than unfiltered
+    * search (pre-filtering, not post-filtering — post would k-starve
+    * selective predicates).
+    */
+  def filterSearch(s: SparkSession, d: String): DataFrame = {
+    val v = graft.core.Tables.spread(embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"),
+      col("label").cast("int").as("label")))
+    val norms = v.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+      .join(v, "vec_id").localCheckpoint() // vec_id, nrm, v, label
+    val probes = norms.join(broadcast(panel(norms, "probe:", PROBE_COUNT)), "vec_id")
+      .toDF("probe_id", "pnrm", "pv", "plabel")
+    val corpus = norms.toDF("neighbor_id", "cnrm", "cv", "clabel")
+    val scored = corpus.join(broadcast(probes),
+        col("probe_id") =!= col("neighbor_id") && col("clabel") === col("plabel"))
+      .withColumn("cos", cosCols(
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
+        col("pnrm"), col("cnrm")))
+      .select(col("probe_id"), col("plabel").as("label"),
+        col("neighbor_id"), col("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= CAND_TOPK)
+      .select(col("probe_id"), col("label"), col("rk"), col("neighbor_id"),
+        graft.core.Determinism.r4(col("cos")).as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Per-probe top-k + rank: the bounded-heap TopK operator cuts the scored
     * relation to k rows per probe WITHOUT sorting it (Spark's own
     * WindowGroupLimit still sorts the full input before limiting); the
@@ -409,6 +443,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_range_search" -> (rangeSearch _),
+    "ann_filter_search" -> (filterSearch _),
     "ann_kmeans_step" -> (kmeansStep _),
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
@@ -655,6 +690,28 @@ object Ann {
          FROM bf LEFT JOIN ivfk
            ON ivfk.probe_id = bf.probe_id AND ivfk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
+    "ann_filter_search" ->
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql,
+         lab AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+         dots AS (SELECT p.vec_id AS probe_id, lp.label, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p
+           JOIN lab lp ON lp.vec_id = p.vec_id
+           JOIN vecs c ON c.vec_id <> p.vec_id
+           JOIN lab lc ON lc.vec_id = c.vec_id AND lc.label = lp.label
+           WHERE p.vec_id IN (SELECT vec_id FROM probe_ids)),
+         scored AS (SELECT probe_id, label, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         ranked AS (SELECT probe_id, label, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT probe_id, label, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("cos")} AS cos
+         FROM ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_range_search" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql,
          dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

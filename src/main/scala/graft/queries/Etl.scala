@@ -548,7 +548,31 @@ object Etl {
       .orderBy("diff_status")
   }
 
+  /** Primary-key uniqueness gate — the verification the upsert/delete
+    * operators assume and nothing yet checked: planted duplicates (every
+    * 53rd order re-appended) must surface as dup keys with their
+    * multiplicity, and a clean key column must pass. One count-per-key
+    * aggregate per check, partially combined; only (key) pairs shuffle.
+    */
+  def pkCheck(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey").as("k"))
+    val dirty = o.unionAll(o.filter(col("k") % 53 === 0))
+    val clean = customer(s, d).select(col("c_custkey").as("k"))
+    def check(name: String, keys: DataFrame): DataFrame =
+      keys.groupBy(col("k")).agg(count(lit(1)).as("m"))
+        .agg(sum(col("m")).as("n_rows"),
+          count(lit(1)).as("n_distinct_keys"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max(col("m")).as("max_multiplicity"))
+        .select(lit(name).as("pk_check"), col("n_rows"),
+          col("n_distinct_keys"), col("n_dup_keys"), col("max_multiplicity"))
+    check("orders_staged.o_orderkey", dirty)
+      .unionAll(check("customer.c_custkey", clean))
+      .orderBy("pk_check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pk_check"        -> (pkCheck _),
     "etl_snapshot_diff"   -> (snapshotDiffQ _),
     "etl_type_infer"      -> (typeInfer _),
     "etl_fk_check"        -> (fkCheck _),
@@ -578,6 +602,24 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_pk_check" ->
+      """WITH dirty AS (SELECT o_orderkey AS k FROM orders
+           UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 53 = 0),
+         d AS (SELECT k, count(*) AS m FROM dirty GROUP BY k),
+         c AS (SELECT c_custkey AS k, count(*) AS m FROM customer GROUP BY k)
+         SELECT 'customer.c_custkey' AS pk_check,
+           CAST(sum(m) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_keys,
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+           CAST(max(m) AS BIGINT) AS max_multiplicity
+         FROM c
+         UNION ALL
+         SELECT 'orders_staged.o_orderkey',
+           CAST(sum(m) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(m) AS BIGINT)
+         FROM d
+         ORDER BY pk_check""",
     "etl_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS price,
              o_orderpriority AS prio FROM orders),

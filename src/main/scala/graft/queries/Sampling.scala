@@ -197,7 +197,28 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Class balancing: downsample every language stratum to the size of the
+    * rarest one — the classifier-training prep that stops the majority
+    * class from dominating. Selection within a stratum is by salted-hash
+    * rank (deterministic, corpus-order-independent — row_number over an
+    * arrival order would reshuffle on every repartition); the per-stratum
+    * minimum is a 1-row broadcast. One window per stratum, one shuffle.
+    */
+  def balanced(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).select(col("doc_id"), col("lang"))
+    val minN = doc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5Long(concat(lit("bal:"), col("doc_id"))), col("doc_id"))
+    doc.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("rk") <= col("min_n"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced"     -> (balanced _),
     "sample_holdout"      -> (holdout _),
     "sample_dsir"         -> (dsir _),
     "sample_interleave"   -> (interleave _),
@@ -208,6 +229,15 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_balanced" ->
+      s"""WITH ranked AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${md5LongSql("'bal:' || doc_id")}, doc_id) AS rk
+           FROM documents),
+         mn AS (SELECT min(n) AS min_n FROM
+           (SELECT lang, count(*) AS n FROM documents GROUP BY lang))
+         SELECT doc_id, lang FROM ranked, mn
+         WHERE rk <= min_n ORDER BY doc_id""",
     "sample_holdout" ->
       s"""SELECT doc_id,
          CASE WHEN ${md5LongSql("'split:' || doc_id")} % 100 < 80 THEN 'train'

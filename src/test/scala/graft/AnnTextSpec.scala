@@ -363,4 +363,22 @@ class AnnTextSpec extends AnyFunSuite {
     for ((p, n, c) <- bf if c >= graft.queries.Ann.RangeTau)
       assert(asSet.contains((p, n)), s"bruteforce hit ($p,$n,$c) missing")
   }
+  test("filter search: neighbors share the probe's label; subset of unfiltered scoring") {
+    val rows = Ann.queries("ann_filter_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS INT) AS label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the predicate held: probe and every neighbor share the label
+    assert(rows.forall { case (p, l, _, n, _) => labels(p) == l && labels(n) == l })
+    // pre-filtering can never return a neighbor that beats the unfiltered
+    // top-1 (it scores a subset of the same corpus)
+    val bf1 = Ann.queries("ann_bruteforce")(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.forall { case (p, _, _, _, c) => c <= bf1(p) + 1e-9 })
+    // ranks contiguous per probe
+    for ((_, grp) <- rows.groupBy(_._1))
+      assert(grp.map(_._3).sorted.toSeq == (1 to grp.length).toSeq)
+  }
 }

@@ -344,4 +344,19 @@ class EtlSpec extends AnyFunSuite {
     // row 1: NULL -> NULL is UNCHANGED (presence via markers, not values)
     assert(m == Map(1L -> "unchanged", 2L -> "changed"))
   }
+  test("pk check: planted duplicates surface, clean key passes") {
+    val rows = graft.queries.Etl.queries("etl_pk_check")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val keys = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val staged = rows("orders_staged.o_orderkey")
+    val planted = keys.count(_ % 53 == 0)
+    assert(staged._1 == keys.length + planted)
+    assert(staged._2 == keys.length.toLong)
+    assert(staged._3 == planted && planted > 0)
+    assert(staged._4 == 2L)
+    val clean = rows("customer.c_custkey")
+    assert(clean._3 == 0L && clean._4 == 1L && clean._1 == clean._2)
+  }
 }

@@ -158,4 +158,18 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.sameElements(again))
   }
+  test("balanced: every stratum lands exactly at the rarest stratum's size") {
+    val rows = Sampling.queries("sample_balanced")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val full = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val minN = full.groupBy(_._2).map(_._2.length).min
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.values.forall(_ == minN), s"$byLang != $minN")
+    assert(byLang.keySet == full.map(_._2).toSet)
+    // deterministic: repeat run selects the identical docs
+    val again = Sampling.queries("sample_balanced")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(again))
+  }
 }
