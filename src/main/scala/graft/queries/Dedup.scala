@@ -353,8 +353,11 @@ object Dedup {
     */
   def minhashCalibration(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val pairs = bandedFrom(c).localCheckpoint().toDF("a_id", "band", "bucket")
-      .join(bandedFrom(c).toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
+    // one banding materialization feeds BOTH self-join sides (same shape
+    // as minhashLsh — a second bandedFrom would re-run the full pipeline)
+    val banded = bandedFrom(c).localCheckpoint()
+    val pairs = banded.toDF("a_id", "band", "bucket")
+      .join(banded.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     val sig = sigsFrom(c).localCheckpoint()
