@@ -234,6 +234,10 @@ object MmStream {
          lagged AS (SELECT user_id, us, v,
              lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
          sess AS (SELECT user_id, us, v,
+             -- > not >=: Spark MERGES an exact-gap pair (session windows
+             -- behave closed at the end boundary) — pinned empirically by
+             -- MmStreamSpec's boundary test, since this is precisely the
+             -- one-microsecond edge a seconds-grain fixture never hits
              sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us

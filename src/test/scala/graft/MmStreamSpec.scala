@@ -356,4 +356,20 @@ class MmStreamSpec extends AnyFunSuite {
     // event count reconciles
     assert(rows.map(_._4).sum == graft.core.Tables.events(spark, sf).count())
   }
+  test("session_window boundary: an exact-gap pair MERGES; one us more splits") {
+    import org.apache.spark.sql.functions.{col, session_window, timestamp_micros, count, lit}
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    def sessions(deltaUs: Long): Long = {
+      val df = Seq(1000000000000L, 1000000000000L + deltaUs).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"))
+      df.groupBy(session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1))).count()
+    }
+    // exactly the gap -> still merged (closed end boundary); one
+    // microsecond beyond -> split. The stream_session_window oracle
+    // mirrors this with a strict > on the micros diff.
+    assert(sessions(gapUs) == 1L)
+    assert(sessions(gapUs + 1) == 2L)
+  }
 }
