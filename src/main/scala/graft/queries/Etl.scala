@@ -571,7 +571,36 @@ object Etl {
       .orderBy("pk_check")
   }
 
+  /** Dead-column report — the drop-candidate complement of etl_profile:
+    * classify every column as all_null, constant (one non-null value), or
+    * ok. Legacy wide tables carry dozens of dead columns; finding them
+    * BEFORE a 100 TB migration is how the target schema gets thinner.
+    * Planted: a constant literal and an all-null column ride along with
+    * two live ones. Same single-aggregate + stack shape as etl_profile.
+    */
+  def deadColumn(s: SparkSession, d: String): DataFrame = {
+    val staged = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      lit("databridge").as("c_source_system"),
+      lit(null).cast("string").as("c_legacy_notes"))
+    val cols = Seq("o_orderkey", "o_orderstatus", "c_source_system", "c_legacy_notes")
+    def stats(c: String) = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"))
+    val aggs = cols.flatMap(stats)
+    val stacked = cols.map(c => s"'$c', ${c}_nn, ${c}_nd").mkString(", ")
+    orders(s, d).agg(count(lit(1)).as("n")).crossJoin(
+        staged.agg(aggs.head, aggs.tail: _*))
+      .select(col("n"), expr(
+        s"stack(${cols.length}, $stacked) AS (column_name, n_nonnull, n_distinct)"))
+      .select(col("column_name"), col("n_nonnull"), col("n_distinct"),
+        when(col("n_nonnull") === 0, "all_null")
+          .when(col("n_distinct") === 1 && col("n_nonnull") === col("n"), "constant")
+          .otherwise("ok").as("verdict"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dead_column"     -> (deadColumn _),
     "etl_pk_check"        -> (pkCheck _),
     "etl_snapshot_diff"   -> (snapshotDiffQ _),
     "etl_type_infer"      -> (typeInfer _),
@@ -602,6 +631,27 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_dead_column" ->
+      """WITH staged AS (SELECT o_orderkey, o_orderstatus,
+             'databridge' AS c_source_system,
+             CAST(NULL AS VARCHAR) AS c_legacy_notes
+           FROM orders),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+         st AS (
+           SELECT 'o_orderkey' AS column_name,
+             CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM staged
+           UNION ALL SELECT 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM staged
+           UNION ALL SELECT 'c_source_system', CAST(count(c_source_system) AS BIGINT),
+             CAST(count(DISTINCT c_source_system) AS BIGINT) FROM staged
+           UNION ALL SELECT 'c_legacy_notes', CAST(count(c_legacy_notes) AS BIGINT),
+             CAST(count(DISTINCT c_legacy_notes) AS BIGINT) FROM staged)
+         SELECT column_name, n_nonnull, n_distinct,
+           CASE WHEN n_nonnull = 0 THEN 'all_null'
+                WHEN n_distinct = 1 AND n_nonnull = n THEN 'constant'
+                ELSE 'ok' END AS verdict
+         FROM st, n ORDER BY column_name""",
     "etl_pk_check" ->
       """WITH dirty AS (SELECT o_orderkey AS k FROM orders
            UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 53 = 0),

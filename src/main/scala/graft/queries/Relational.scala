@@ -421,6 +421,30 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  // q34: Gini coefficient of order value per status group — the inequality
+  // statistic monitoring pipelines track for concentration drift (one
+  // customer dominating a segment). Exact rank formula
+  // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values: the rank
+  // is one window per group, both sums accumulate as r4-floored DECIMALs,
+  // and doubles appear only in the final scalar — the q32 recipe.
+  def q34Gini(s: SparkSession, d: String): DataFrame = {
+    def d4(c: Column) = (floor(c * 10000.0 + 0.5) / 10000.0).cast("decimal(38,4)")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("i"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d4(col("o_totalprice"))).cast("double").as("sx"),
+        sum(d4(col("i") * col("o_totalprice"))).cast("double").as("six"))
+      .select(col("o_orderstatus"), col("n").cast("long").as("n_orders"),
+        graft.core.Determinism.r6(
+          lit(2.0) * col("six") / (col("n") * col("sx"))
+            - (col("n") + 1.0) / col("n")).as("gini"))
+      .orderBy("o_orderstatus")
+  }
+
   // q31: fixed-width value histogram — the profile/monitoring primitive
   // (price distribution drift between loads). Bucket index is pure integer
   // arithmetic, so the whole query is one partially-aggregated groupBy; the
@@ -467,6 +491,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_histogram"     -> (q31Histogram _),
     "q33_concurrency"   -> (q33Concurrency _),
+    "q34_gini"          -> (q34Gini _),
     "q32_corr"          -> (q32Corr _),
     "q29_moving_avg"    -> (q29MovingAvg _),
     "q30_ratio_to_report" -> (q30RatioToReport _),
@@ -497,6 +522,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_gini" -> {
+      def d4(e: String) =
+        s"CAST(floor(($e) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(38,4))"
+      s"""WITH ranked AS (SELECT o_orderstatus, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+           FROM orders),
+         st AS (SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(${d4("o_totalprice")}) AS DOUBLE) AS sx,
+             CAST(sum(${d4("i * o_totalprice")}) AS DOUBLE) AS six
+           FROM ranked GROUP BY o_orderstatus)
+         SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+           ${graft.core.Determinism.r6Sql(
+             "2.0 * six / (n * sx) - (n + 1.0) / n")} AS gini
+         FROM st ORDER BY o_orderstatus"""
+    },
     "q33_concurrency" ->
       s"""WITH e AS (SELECT event_type,
              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -359,4 +359,12 @@ class EtlSpec extends AnyFunSuite {
     val clean = rows("customer.c_custkey")
     assert(clean._3 == 0L && clean._4 == 1L && clean._1 == clean._2)
   }
+  test("dead column report: planted dead columns classified, live ones pass") {
+    val rows = graft.queries.Etl.queries("etl_dead_column")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows("c_legacy_notes")._3 == "all_null" && rows("c_legacy_notes")._1 == 0L)
+    assert(rows("c_source_system")._3 == "constant" && rows("c_source_system")._2 == 1L)
+    assert(rows("o_orderkey")._3 == "ok")
+    assert(rows("o_orderstatus")._3 == "ok")
+  }
 }

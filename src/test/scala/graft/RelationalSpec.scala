@@ -247,4 +247,21 @@ class RelationalSpec extends AnyFunSuite {
     for ((_, d) <- pts) { cur += d; best = math.max(best, cur) }
     assert(peak == best, s"($typ,$day): $peak vs swept $best")
   }
+  test("q34 gini: bounded, deterministic, matches driver-side recomputation") {
+    val rows = graft.queries.Relational.queries("q34_gini")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, g) => g >= 0.0 - 1e-9 && g < 1.0 })
+    val o = graft.core.Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for ((st, n, gini) <- rows) {
+      val xs = o.filter(_._1 == st).sortBy(t => (t._2, t._3)).map(_._2)
+      assert(n == xs.length.toLong)
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val ref = 2.0 * six / (xs.length * sx) - (xs.length + 1.0) / xs.length
+      assert(math.abs(gini - ref) < 1e-4, s"$st: $gini vs $ref")
+    }
+  }
 }
