@@ -599,7 +599,34 @@ object Etl {
       .orderBy("column_name")
   }
 
+  /** Load-volume anomaly detection: day-over-day event counts with the
+    * relative change, flagged when the swing exceeds ±50% — the monitoring
+    * query that catches a silently-halved ingest or a doubled replay
+    * before it poisons downstream tables. The window runs over PER-DAY
+    * AGGREGATES (rows ∝ days, not events), so the lag is free at any
+    * volume; change is exact integer-derived arithmetic, r4-emitted.
+    */
+  def volumeAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("day"))
+    perDay.withColumn("prev_rows", lag(col("n_rows"), 1).over(w))
+      .select(col("day"), col("n_rows"),
+        coalesce(col("prev_rows"), lit(-1L)).as("prev_rows"),
+        graft.core.Determinism.r4(
+          when(col("prev_rows").isNull, 0.0)
+            .otherwise((col("n_rows") - col("prev_rows")).cast("double")
+              / col("prev_rows"))).as("rel_change"),
+        when(col("prev_rows").isNotNull
+            && abs((col("n_rows") - col("prev_rows")).cast("double")
+              / col("prev_rows")) > 0.5, 1).otherwise(0).as("anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_volume_anomaly"  -> (volumeAnomaly _),
     "etl_dead_column"     -> (deadColumn _),
     "etl_pk_check"        -> (pkCheck _),
     "etl_snapshot_diff"   -> (snapshotDiffQ _),
@@ -631,6 +658,20 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_volume_anomaly" ->
+      s"""WITH per_day AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY day),
+         lagged AS (SELECT day, n_rows,
+             lag(n_rows) OVER (ORDER BY day) AS prev FROM per_day)
+         SELECT day, n_rows,
+           COALESCE(prev, -1) AS prev_rows,
+           ${graft.core.Determinism.r4Sql(
+             "CASE WHEN prev IS NULL THEN 0.0 " +
+             "ELSE CAST(n_rows - prev AS DOUBLE) / prev END")} AS rel_change,
+           CAST(prev IS NOT NULL
+             AND abs(CAST(n_rows - prev AS DOUBLE) / prev) > 0.5
+             AS INTEGER) AS anomaly
+         FROM lagged ORDER BY day""",
     "etl_dead_column" ->
       """WITH staged AS (SELECT o_orderkey, o_orderstatus,
              'databridge' AS c_source_system,

@@ -372,4 +372,23 @@ class MmStreamSpec extends AnyFunSuite {
     assert(sessions(gapUs) == 1L)
     assert(sessions(gapUs + 1) == 2L)
   }
+  test("native session_window equals its streaming run (readStream parity)") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_micros}
+    val batch = graft.queries.MmStream.queries("stream_session_window")(spark, sf)
+      .collect().map(_.toString).sorted
+    val se = Streams.eventsStream(spark, stagedEvents).withWatermark("ts", "1 hour")
+    val stream = se
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"), col("sum_value"))
+    val q = stream.writeStream.format("memory")
+      .queryName("session_window_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("session_window_test")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
 }
