@@ -625,7 +625,32 @@ object Etl {
       .orderBy("day")
   }
 
+  /** Backfill planning: diff the full calendar spine of a time-partitioned
+    * table against the day-partitions actually present and emit the
+    * missing days — the gap report that drives incremental backfills. The
+    * spine generates IN-ROW from the min/max bounds (one 1-row aggregate,
+    * sequence() + explode — never a driver-side date loop) and anti-joins
+    * the present-day set. Planted: two known days are dropped from the
+    * "loaded" table, so the plan must name exactly those.
+    */
+  def backfillPlan(s: SparkSession, d: String): DataFrame = {
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val loaded = events(s, d)
+      .filter(!day.isin("2024-01-05", "2024-01-17"))
+      .select(to_date(day).as("day"))
+    val present = loaded.distinct()
+    val bounds = events(s, d)
+      .agg(to_date(min(date_format(col("ts"), "yyyy-MM-dd"))).as("d0"),
+        to_date(max(date_format(col("ts"), "yyyy-MM-dd"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(present, Seq("day"), "left_anti")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("missing_day"))
+      .orderBy("missing_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_backfill_plan"   -> (backfillPlan _),
     "etl_volume_anomaly"  -> (volumeAnomaly _),
     "etl_dead_column"     -> (deadColumn _),
     "etl_pk_check"        -> (pkCheck _),
@@ -658,6 +683,19 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_backfill_plan" ->
+      """WITH days AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+           FROM events),
+         present AS (SELECT DISTINCT day FROM days
+           WHERE day NOT IN ('2024-01-05', '2024-01-17')),
+         bounds AS (SELECT CAST(min(day) AS DATE) AS d0,
+             CAST(max(day) AS DATE) AS d1 FROM days),
+         spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day FROM bounds)
+         SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
+         FROM spine s
+         WHERE strftime(s.day, '%Y-%m-%d') NOT IN (SELECT day FROM present)
+         ORDER BY missing_day""",
     "etl_volume_anomaly" ->
       s"""WITH per_day AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY day),

@@ -367,4 +367,9 @@ class EtlSpec extends AnyFunSuite {
     assert(rows("o_orderkey")._3 == "ok")
     assert(rows("o_orderstatus")._3 == "ok")
   }
+  test("backfill plan: exactly the planted missing days, in order") {
+    val rows = graft.queries.Etl.queries("etl_backfill_plan")(spark, sf)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("2024-01-05", "2024-01-17"))
+  }
 }
