@@ -1,13 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit, max}
 
 /** Driver-run benchmark: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. Each query is executed once untimed (JIT/codegen
   * warm-up + file-index population — on a long-lived cluster these costs
-  * amortize to zero) and then timed three times, reporting the best run
-  * (single-JVM local mode sees multi-second GC/OS stalls often enough
-  * that two samples can both be hit).
+  * amortize to zero) and then timed SPARK_GRAFT_BENCH_BEST times (default
+  * 3), reporting the best run: single-JVM local mode sees multi-second
+  * GC/OS stalls often enough that two samples can both be hit, and on a
+  * shared box (the driver's re-run) even more are — the r5 driver artifact
+  * showed 2-4× phantom regressions on queries whose committed same-code
+  * times never moved. Raise the variable on noisy hosts.
   *
   * Between runs every persisted block (localCheckpoint RDDs from the dedup
   * family) is dropped: without this, ~100 query executions of leftover
@@ -19,6 +21,10 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
+
+  /** Best-of-N sample count (N timed runs after one warm-up). */
+  private val bestOf: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,7 +40,7 @@ object Bench {
       def run(): Boolean =
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       run(); clearState(spark) // warm
-      val times = (1 to 3).map { _ =>
+      val times = (1 to bestOf).map { _ =>
         val t0 = System.nanoTime()
         val ok = run()
         val t = (System.nanoTime() - t0) / 1e9
@@ -67,7 +73,7 @@ object Bench {
           try { SparkEntry.queries(q)(spark, d).count(); true }
           catch { case _: Throwable => false }
         run(); clearState(spark) // warm
-        val ts = (1 to 3).map { _ =>
+        val ts = (1 to bestOf).map { _ =>
           val t0 = System.nanoTime()
           val ok = run()
           val t = (System.nanoTime() - t0) / 1e9
@@ -76,30 +82,12 @@ object Bench {
         }
         if (ts.exists(_ < 0)) -1.0 else ts.min
       }
+      // 10x id-disjoint copies of every probed table, duplicate fraction /
+      // join fan-out / vertex degree held constant (see ScaleCorpus — doc
+      // copies are token-salted so they share NO shingles; the r5 rotation
+      // scheme made copies a near-dup clique and polluted the lsh probe)
       val scaleDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scale10x"
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
-      (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * stride)))
-        .reduce(_ unionByName _)
-        .repartition(8) // several files -> parallel scan, like real input
-        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
-      // 10x documents with the duplicate FRACTION held constant: each copy
-      // rotates the token array by its copy index, so copies share almost
-      // no 3-gram shingles with each other (a verbatim copy would make the
-      // whole table one dup cluster and measure the data, not the operator)
-      val doc = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"), col("lang"))
-      val dStride = doc.agg(max("doc_id")).head().getLong(0) + 1L
-      (0 until 10).map { i =>
-        import org.apache.spark.sql.functions.{array_join, concat, slice, split}
-        val toks = split(col("text"), " ", -1)
-        val rot = if (i == 0) col("text") else array_join(
-          concat(slice(toks, i + 1, 100000), slice(toks, 1, i)), " ")
-        doc.select((col("doc_id") + lit(i * dStride)).as("doc_id"),
-          rot.as("text"), col("lang"))
-      }.reduce(_ unionByName _)
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+      graft.tools.ScaleCorpus.build(spark, sfDir, scaleDir)
       def probeOf(q: String): String = {
         val baseSec = best(q, sfDir)
         val scaledSec = best(q, scaleDir)
@@ -112,7 +100,19 @@ object Bench {
       // third probe class: token-proportional broadcast-model scoring
       // (dsir's weight table must stay CONSTANT-size while tokens grow 10x)
       val ds = probeOf("sample_dsir")
-      s""","scale_probe":$ann,"scale_probes":[$ann,$mh,$ds]"""
+      // fourth: the one corpus REWRITE that shuffles text — by design
+      // exactly once; a super-linear ratio here would mean a second pass
+      val ld = probeOf("text_line_dedup")
+      // fifth: iterative graph analytics on the RAW sf-proportional edge
+      // set (not the nation-aggregated graph) — guards the degree-bounded
+      // fan-out claim in Graph.scala at a scale where it actually binds
+      val gr = probeOf("graph_pagerank_raw")
+      // relational/ETL anchors: a second scale point for the heavy core so
+      // super-linear regressions surface before a real cluster would
+      val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
+        "etl_cdc_apply", "etl_profile").map(probeOf)
+      val all = (Seq(ann, mh, ds, ld, gr) ++ anchors).mkString(",")
+      s""","scale_probe":$ann,"scale_probes":[$all]"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""
     println(json)

@@ -298,10 +298,12 @@ object EtlOps {
     * value-level complement of [[schemaDiff]] (which compares shape) and
     * [[rowCountCheck]] (which compares size): per key, is the row added,
     * removed, changed, or unchanged between loads. ONE null-safe full
-    * outer hash join on the key; non-key columns compare with <=> folded
-    * into a single predicate, so the operator is generic over any column
-    * set. Both inputs must share the key columns; compared columns are the
-    * intersection of the remaining ones.
+    * outer hash join on the key — `<=>` on the key columns too, so a row
+    * whose key is NULL in both snapshots matches ITSELF (plain equality
+    * would report it added + removed); non-key columns compare with <=>
+    * folded into a single predicate, so the operator is generic over any
+    * column set. Both inputs must share the key columns; compared columns
+    * are the intersection of the remaining ones.
     */
   def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
     val compared = old.columns.filterNot(keys.contains)
@@ -316,10 +318,10 @@ object EtlOps {
     // column per side survives the full outer join unambiguously
     val om = o.withColumn("_old_present", lit(1))
     val nm = n.withColumn("_new_present", lit(1))
-    val j = om.join(nm, keys, "full_outer")
+    val j = om.join(nm, keys.map(k => om(k) <=> nm(k)).reduce(_ && _), "full_outer")
     val changed = compared.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduce(_ || _)
-    j.select(keys.map(col) :+
+    j.select(keys.map(k => coalesce(om(k), nm(k)).as(k)) :+
       when(col("_old_present").isNull, "added")
         .when(col("_new_present").isNull, "removed")
         .when(changed, "changed")

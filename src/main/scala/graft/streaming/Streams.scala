@@ -191,24 +191,33 @@ object Streams {
     * batch frame (the driver query — transformWithState has a batch
     * execution path) and on a readStream frame (parity in StreamSpec,
     * where the RocksDB state store backs the named state).
+    *
+    * The returned frame is bound to a conf-cloned session: callers of
+    * memory-sink streams read results via `result.sparkSession.table(...)`
+    * (the sink's temp view registers in the session that starts the query).
     */
   def runningTotals(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // transformWithState requires the RocksDB state store (the default
     // HDFS-backed provider cannot host named state variables) — in batch
-    // AND stream mode. Session-level, runtime-settable; documented side
-    // effect like Tables.events' nanosAsLong.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // AND stream mode. The provider conf is session-level, so the plan is
+    // rebound to a conf-cloned session rather than mutating the caller's:
+    // an in-place conf.set would silently switch the state-store backend —
+    // and hence checkpoint compatibility — of every LATER streaming query
+    // in the session (r5 ADVICE).
+    val scoped = org.apache.spark.sql.graft.SessionScope.rebindToClone(
+      events.toDF(),
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val spark = scoped.sparkSession
+    import spark.implicits._
     // The StateStoreCoordinator RPC endpoint is registered when the
     // StreamingQueryManager is constructed; a purely-batch session never
     // touches it and RocksDB's executor-side snapshot reporting then fails
     // on the missing endpoint. Touch the manager so batch-mode
     // transformWithState sees the same driver endpoint a stream would.
     spark.streams.active
-    events.select(col("user_id"), col("value")).as[RunEvent]
+    scoped.select(col("user_id"), col("value")).as[RunEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())

@@ -344,6 +344,17 @@ class EtlSpec extends AnyFunSuite {
     // row 1: NULL -> NULL is UNCHANGED (presence via markers, not values)
     assert(m == Map(1L -> "unchanged", 2L -> "changed"))
   }
+
+  test("snapshotDiff operator: NULL keys match themselves (null-safe join)") {
+    import spark.implicits._
+    val old = Seq((Option(1L), "x"), (Option.empty[Long], "y")).toDF("k", "v")
+    val neu = Seq((Option(1L), "x"), (Option.empty[Long], "z")).toDF("k", "v")
+    val m = EtlOps.snapshotDiff(old, neu, Seq("k")).collect()
+      .map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    // the NULL-key row pairs with itself via <=> — changed (y→z), never
+    // the added+removed double-count plain equality produced (r5 ADVICE)
+    assert(m == Map(Option(1L) -> "unchanged", None -> "changed"))
+  }
   test("pk check: planted duplicates surface, clean key passes") {
     val rows = graft.queries.Etl.queries("etl_pk_check")(spark, sf)
       .collect().map(r => r.getString(0) ->

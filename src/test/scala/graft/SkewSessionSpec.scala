@@ -51,14 +51,23 @@ class SkewSessionSpec extends AnyFunSuite {
     // memory sink cannot recover from a prior run's checkpoint — start clean
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File("/tmp/graft_tws_ckpt"))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val stream = Streams.runningTotals(Streams.eventsStream(spark, staged))
+    // the RocksDB provider override is scoped to the rebound clone — the
+    // caller's session must keep its original provider (r5 ADVICE: an
+    // in-place set silently re-backed every later streaming query)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      == prevProvider)
+    assert(stream.sparkSession ne spark)
     val q = stream.writeStream.format("memory")
       .queryName("run_totals_test").outputMode("update")
       .option("checkpointLocation", "/tmp/graft_tws_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    // update mode emits the running state; the final row per user is the total
-    val got = spark.table("run_totals_test")
+    // update mode emits the running state; the final row per user is the
+    // total. The memory sink registers its view in the session that ran the
+    // query — the scoped clone, not the suite session.
+    val got = stream.sparkSession.table("run_totals_test")
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"), max(col("sum_cents")).as("sum_cents"))
       .orderBy("user_id").collect().map(_.toString)
