@@ -279,6 +279,55 @@ object Etl {
       .orderBy("shard", "batch_id")
   }
 
+  /** AGO upsert routing (ago/ago.py:760-887) — the reference's most-used
+    * sync mode. Each staged CSV row is classified against the LIVE layer
+    * by primary key: no live match → an "add" (addFeatures), a match → an
+    * "update" with the live side's objectid SWAPPED onto the row (the CSV
+    * objectid is ignored — updateFeatures matches on the live objectid),
+    * and when the live layer holds TWO features for one PK the reference
+    * deletes the second one returned, modeled here as the higher objectid
+    * (>2 raises in the reference — the fixture plants at most 2).
+    *
+    * The reference runs one query_features HTTP call per row; at scale the
+    * classification is ONE shuffle hash join staged⋈live on the PK plus a
+    * per-PK dup-rank window on the live side — both linear, both
+    * partitioned by the same key, no broadcast of the corpus-sized layer.
+    *
+    * Fixture: live = customers minus every %10==3 PK (those staged rows
+    * route to adds), objectid = 2·pk+1; every %97==0 live PK carries a
+    * planted duplicate feature (objectid 2·pk+2) that must surface as a
+    * delete. Output = the manifest the uploader would POST, one row per
+    * staged row plus one per dup-delete.
+    */
+  def agoUpsertRoute(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = customer(s, d)
+    val liveBase = c.filter(col("c_custkey") % 10 =!= 3)
+      .select(col("c_custkey").as("pk"),
+        (col("c_custkey") * 2 + 1).as("objectid"))
+    val livePlantedDup = c.filter(col("c_custkey") % 10 =!= 3 &&
+        col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("pk"),
+        (col("c_custkey") * 2 + 2).as("objectid"))
+    val live = liveBase.unionByName(livePlantedDup)
+    val w = Window.partitionBy(col("pk")).orderBy(col("objectid"))
+    val ranked = live.withColumn("rk", row_number().over(w))
+    val first = ranked.filter(col("rk") === 1)
+      .select(col("pk"), col("objectid").as("live_oid"))
+    val dups = ranked.filter(col("rk") === 2)
+      .select(col("pk"), col("objectid").as("del_oid"))
+    val staged = c.select(col("c_custkey").as("pk"), col("c_name").as("payload"))
+    staged.join(first, Seq("pk"), "left")
+      .select(col("pk"),
+        when(col("live_oid").isNull, lit("add")).otherwise(lit("update")).as("action"),
+        coalesce(col("live_oid"), lit(-1L)).as("ago_objectid"),
+        col("payload"))
+      .unionByName(dups.select(col("pk"), lit("delete").as("action"),
+        col("del_oid").as("ago_objectid"),
+        lit(null).cast("string").as("payload")))
+      .orderBy("pk", "action")
+  }
+
   /** Single-pass dataset profile — the pre-load report a loader prints
     * before committing a staging table (rows, nulls, distincts, typed
     * min/max per column; the generalization of the reference's row-count
@@ -663,6 +712,7 @@ object Etl {
     "etl_cdc_apply"       -> (cdcApply _),
     "etl_profile"         -> (profile _),
     "ago_batch_split"     -> (agoBatchSplit _),
+    "ago_upsert_route"    -> (agoUpsertRoute _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
     "etl_schema_cast"     -> (schemaCast _),
@@ -928,6 +978,28 @@ object Etl {
            min(event_id) AS first_id, max(event_id) AS last_id,
            CAST(count(*) < $AgoBatchSize AS INTEGER) AS is_partial
          FROM b GROUP BY shard, batch_id ORDER BY shard, batch_id""",
+    "ago_upsert_route" ->
+      """WITH live AS (
+           SELECT c_custkey AS pk, c_custkey * 2 + 1 AS objectid
+           FROM customer WHERE c_custkey % 10 <> 3
+           UNION ALL
+           SELECT c_custkey AS pk, c_custkey * 2 + 2 AS objectid
+           FROM customer WHERE c_custkey % 10 <> 3 AND c_custkey % 97 = 0),
+         ranked AS (SELECT pk, objectid,
+             row_number() OVER (PARTITION BY pk ORDER BY objectid) AS rk
+           FROM live),
+         first_live AS (SELECT pk, objectid AS live_oid FROM ranked WHERE rk = 1),
+         dups AS (SELECT pk, objectid AS del_oid FROM ranked WHERE rk = 2),
+         staged AS (SELECT c_custkey AS pk, c_name AS payload FROM customer)
+         SELECT s.pk,
+           CASE WHEN f.live_oid IS NULL THEN 'add' ELSE 'update' END AS action,
+           COALESCE(f.live_oid, -1) AS ago_objectid, s.payload
+         FROM staged s LEFT JOIN first_live f ON s.pk = f.pk
+         UNION ALL
+         SELECT pk, 'delete' AS action, del_oid AS ago_objectid,
+           CAST(NULL AS VARCHAR) AS payload
+         FROM dups
+         ORDER BY pk, action""",
     "etl_header_sanitize" ->
       """SELECT n_nationkey AS objectid, n_name, n_regionkey AS region_key
          FROM nation ORDER BY objectid""",

@@ -355,6 +355,26 @@ class EtlSpec extends AnyFunSuite {
     // the added+removed double-count plain equality produced (r5 ADVICE)
     assert(m == Map(Option(1L) -> "unchanged", None -> "changed"))
   }
+  test("ago upsert route: adds/updates/dup-deletes with the live objectid swapped in") {
+    val rows = graft.queries.Etl.queries("ago_upsert_route")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keys = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val adds = rows.filter(_._2 == "add")
+    val upd = rows.filter(_._2 == "update")
+    val dels = rows.filter(_._2 == "delete")
+    // every %10==3 PK is absent from the live layer -> routed to adds
+    assert(adds.length == keys.count(_ % 10 == 3) && adds.forall(_._3 == -1L))
+    // every surviving PK updates, carrying the live (first) objectid 2pk+1
+    assert(upd.length == keys.count(_ % 10 != 3))
+    assert(upd.forall { case (pk, _, oid) => oid == 2 * pk + 1 })
+    // each planted dup live feature (2pk+2) surfaces exactly once as delete
+    assert(dels.map(_._1).sorted.sameElements(
+      keys.filter(k => k % 10 != 3 && k % 97 == 0).sorted))
+    assert(dels.forall { case (pk, _, oid) => oid == 2 * pk + 2 })
+    assert(dels.nonEmpty) // fixture actually exercises the dup-delete path
+  }
+
   test("pk check: planted duplicates surface, clean key passes") {
     val rows = graft.queries.Etl.queries("etl_pk_check")(spark, sf)
       .collect().map(r => r.getString(0) ->
