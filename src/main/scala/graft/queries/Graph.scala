@@ -130,8 +130,85 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Out-degree cap for the raw graph — the MaxShingleDf analog: a hub
+    * vertex keeps only its [[RawDegCap]] lowest-id out-edges, so no task
+    * ever enumerates an unbounded fan-out. The testdata's supplier
+    * vertices run ~485–590 distinct neighbors at sf0.01+/sf0.1, so the cap
+    * genuinely binds there (and no-ops at sf0.001) — trimming, not
+    * vertex-dropping, keeps the graph connected where stop-vertex
+    * semantics would have emptied it.
+    */
+  val RawDegCap = 500
+
+  /** Keep each src's `cap` smallest-dst out-edges — ONE row_number window
+    * per src partition (a single shuffle by src, the same key the rank
+    * join needs). Deterministic in any engine: ties cannot exist in a
+    * distinct edge list.
+    */
+  def capOutDegree(edges: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    edges.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** RAW sf-proportional co-occurrence edges: customer↔supplier pairs from
+    * lineitem ⋈ orders (NOT nation-aggregated — vertex count grows with
+    * the data), vertex ids disjoint by parity (customer 2k, supplier
+    * 2k+1), both directions, out-degree capped at [[RawDegCap]].
+    */
+  private def rawEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cv"), (col("l_suppkey") * 2 + 1).as("sv"))
+      .distinct()
+    val und = pairs.select(col("cv").as("src"), col("sv").as("dst"))
+      .unionAll(pairs.select(col("sv").as("src"), col("cv").as("dst")))
+    capOutDegree(und, RawDegCap)
+  }
+
+  /** PageRank over the RAW trade graph — same damping/iterations/integer
+    * arithmetic as [[pagerank]], but the vertex set is the sf-proportional
+    * customer ∪ supplier domain, so the iterative stages do real
+    * distributed work at bench scale (the nation-aggregated variant's
+    * loop runs on 25 rows): this is the measured form of the scale claims
+    * the aggregate version's scaladoc argues, probed at 10× in Bench.
+    *
+    * Shapes: the capped edge list is derived once and localCheckpointed
+    * (three iterations would otherwise re-run the join+distinct+window
+    * pipeline each pass); every iteration joins edges⋈ranks⋈deg on src —
+    * one co-partitioned shuffle key — then aggregates contributions by
+    * dst. Rank units are 1e-12 of mass like [[Scale]]; for vertex domains
+    * beyond ~1e6 a deployment would drop to 1e-9 units to keep
+    * 85·Σcontrib inside a long.
+    */
+  def pagerankRaw(s: SparkSession, d: String): DataFrame = {
+    val verts = customer(s, d).select((col("c_custkey") * 2).as("id"), lit("c").as("kind"))
+      .unionByName(supplier(s, d)
+        .select((col("s_suppkey") * 2 + 1).as("id"), lit("s").as("kind")))
+    val edges = rawEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val r0 = verts.select(col("id"), lit(Scale).as("r"))
+    val rN = (1 to Iters).foldLeft(r0) { (ranks, _) =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      verts.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(Scale * 15 / 100) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    verts.join(rN, "id")
+      .select(col("id"), col("kind"), col("r").as("rank_scaled"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (pagerank _),
+    "graph_pagerank_raw" -> (pagerankRaw _),
     "graph_triangles" -> (triangles _),
     "graph_shortest_path" -> (shortestPath _)
   )
@@ -189,6 +266,21 @@ object Graph {
          r0 AS (SELECT id, CAST($Scale AS BIGINT) AS r FROM v),
          ${(1 to Iters).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
          SELECT v.id, v.n_name, r$Iters.r AS rank_scaled
+         FROM v JOIN r$Iters ON r$Iters.id = v.id ORDER BY v.id""",
+    "graph_pagerank_raw" ->
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cv, l.l_suppkey * 2 + 1 AS sv
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         und0 AS (SELECT cv AS src, sv AS dst FROM pairs
+           UNION ALL SELECT sv AS src, cv AS dst FROM pairs),
+         edges AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+             FROM und0) WHERE rn <= $RawDegCap),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         v AS (SELECT c_custkey * 2 AS id, 'c' AS kind FROM customer
+           UNION ALL SELECT s_suppkey * 2 + 1 AS id, 's' AS kind FROM supplier),
+         r0 AS (SELECT id, CAST($Scale AS BIGINT) AS r FROM v),
+         ${(1 to Iters).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         SELECT v.id, v.kind, r$Iters.r AS rank_scaled
          FROM v JOIN r$Iters ON r$Iters.id = v.id ORDER BY v.id""",
     "graph_triangles" ->
       s"""WITH edges AS ($edgesSql),

@@ -24,6 +24,37 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("capOutDegree: hubs keep exactly cap lowest-dst edges, others untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    // hub 0 has 7 out-edges, vertex 1 has 2 — cap at 3
+    val edges = ((1L to 7L).map(d => (0L, d)) ++ Seq((1L, 5L), (1L, 9L)))
+      .toDF("src", "dst")
+    val capped = Graph.capOutDegree(edges, 3)
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(capped(0L) == Seq(1L, 2L, 3L)) // the cap keeps the LOWEST dst ids
+    assert(capped(1L) == Seq(5L, 9L))     // under-cap vertices keep everything
+  }
+
+  test("pagerank_raw: every customer+supplier vertex scored, ranks bounded") {
+    val rows = Graph.queries("graph_pagerank_raw")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nc = graft.core.Tables.customer(spark, sf).count()
+    val ns = graft.core.Tables.supplier(spark, sf).count()
+    assert(rows.length == nc + ns)
+    assert(rows.count(_._2 == "c") == nc && rows.count(_._2 == "s") == ns)
+    // vertex-id parity encodes the kind
+    assert(rows.forall(r => (r._1 % 2 == 0) == (r._2 == "c")))
+    // teleport floor and total-mass ceiling, as in the aggregate variant
+    assert(rows.forall(_._3 >= Graph.Scale * 15 / 100))
+    assert(rows.map(_._3).sum <= (nc + ns) * Graph.Scale)
+    // suppliers aggregate many customers' mass: the max supplier rank must
+    // exceed the max customer rank on this bipartite fixture
+    assert(rows.filter(_._2 == "s").map(_._3).max >
+      rows.filter(_._2 == "c").map(_._3).max)
+  }
+
   test("pagerank: rank concentrates where in-edges do") {
     val rows = Graph.queries("graph_pagerank")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
