@@ -328,6 +328,127 @@ object Etl {
       .orderBy("pk", "action")
   }
 
+  /** AGO server-side statistics extraction (ago.py:898-908, the
+    * `outStatistics` query parameter): instead of paging raw features, the
+    * feature service returns AGGREGATED rows and the client pages + merges
+    * them. Modeled as the two-level aggregation that shape IS in a
+    * distributed engine: the "server" leg pre-aggregates per
+    * (page, group) — page = resultOffset window of [[AgoPageSize]] ids —
+    * into mergeable partials (count / exact cents sum / min / max), and
+    * the "client" leg folds partials per group. Identical to Spark's own
+    * partial→final aggregate split, so the plan pattern is what a 1000-
+    * executor merge of per-shard server responses would run; n_pages
+    * reports how many server responses fed each group.
+    */
+  val AgoPageSize = 1000L
+
+  /** SDE metadata → typed DDL (db2/db2.py:101-266): the reference derives a
+    * staging CREATE TABLE from three catalog relations — information_schema
+    * column types (mapped through `{"character varying": "text"}`, the ESRI
+    * bookkeeping column `gdb_geomattr_data` dropped), geometry_columns
+    * (geom field + srid), and the SDE XML item definition whose
+    * `<HasM>/<HasZ>` flags suffix the st_geometrytype-derived type (ST_
+    * stripped, capitalized) into e.g. `geometry(PointMZ, 2272)`. The geom
+    * column is excluded from the generic map and appended last; datasets
+    * with no geometry row are plain tables; a geom dataset missing its XML
+    * definition defaults M/Z to false (the reference's first-run path).
+    *
+    * One deviation, documented: the reference emits non-geom columns in
+    * information_schema result order (unspecified); here they are
+    * alphabetical — any stable order yields equivalent DDL. The whole
+    * derivation is joins + string math over catalog-sized relations
+    * (thousands of rows for thousands of tables), grouped per dataset with
+    * an order-pinned aggregation — no driver loop, so planning DDL for an
+    * entire warehouse is one job.
+    *
+    * Fixture: 25 datasets from nation; every %3==2 key is a plain table,
+    * every %5==0 geom dataset lacks its XML row, M ⇔ key%5==1,
+    * Z ⇔ even key — all four suffix classes and both no-geom paths fire.
+    */
+  def sdeDdl(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey").cast("long").as("k"),
+      lower(regexp_replace(col("n_name"), " ", "_")).as("ds"))
+    val colsCatalog = n.select(col("ds"), col("k"), explode(array(
+        struct(lit("objectid").as("column_name"), lit("integer").as("data_type")),
+        struct(lit("name").as("column_name"), lit("character varying").as("data_type")),
+        struct(lit("acct").as("column_name"), lit("double precision").as("data_type")),
+        struct(lit("gdb_geomattr_data").as("column_name"), lit("bytea").as("data_type")),
+        struct(lit("shape").as("column_name"), lit("USER-DEFINED").as("data_type"))
+      )).as("c"))
+      .select(col("ds"), col("k"), col("c.column_name"), col("c.data_type"))
+      // plain tables have no shape column at all
+      .filter(!(col("column_name") === "shape" && col("k") % 3 === 2))
+    val geomCatalog = n.filter(col("k") % 3 =!= 2)
+      .select(col("ds"), lit("shape").as("geom_field"),
+        when(col("k") % 2 === 0, 2272L).otherwise(4326L).as("srid"),
+        element_at(array(lit("ST_POINT"), lit("ST_MULTIPOLYGON"),
+          lit("ST_LINESTRING"), lit("ST_POLYGON")), (col("k") % 4 + 1).cast("int"))
+          .as("st_type"),
+        col("k"))
+    val xmlCatalog = geomCatalog.filter(col("k") % 5 =!= 0)
+      .select(col("ds"), concat(lit("<HasM>"),
+        when(col("k") % 5 === 1, "true").otherwise("false"),
+        lit("</HasM><HasZ>"),
+        when(col("k") % 2 === 0, "true").otherwise("false"),
+        lit("</HasZ>")).as("definition"))
+
+    // the reference's regex: re.search(r"<HasM>\D*</HasM>") then 'true' in it
+    def flag(tag: String) = regexp_extract(col("definition"),
+      s"<$tag>[^<]*</$tag>", 0).contains("true")
+    val mz = xmlCatalog.select(col("ds"),
+      flag("HasM").as("m"), flag("HasZ").as("z"))
+    val geom = geomCatalog.join(mz, Seq("ds"), "left")
+      .select(col("ds"), col("geom_field"), col("srid"),
+        concat(
+          upper(substring(regexp_replace(col("st_type"), "^ST_", ""), 1, 1)),
+          lower(substring(regexp_replace(col("st_type"), "^ST_", ""), 2, 1000)),
+          when(coalesce(col("m"), lit(false)), "M").otherwise(""),
+          when(coalesce(col("z"), lit(false)), "Z").otherwise("")).as("geom_type"))
+
+    val generic = colsCatalog
+      .filter(col("column_name") =!= "gdb_geomattr_data")
+      .join(geom.select(col("ds"), col("geom_field")), Seq("ds"), "left")
+      .filter(col("geom_field").isNull || col("column_name") =!= col("geom_field"))
+      .select(col("ds"), lit(0).as("is_geom"), col("column_name"),
+        concat(col("column_name"), lit(" "),
+          when(col("data_type") === "character varying", "text")
+            .otherwise(col("data_type"))).as("frag"))
+    val geomFrag = geom.select(col("ds"), lit(1).as("is_geom"),
+      col("geom_field").as("column_name"),
+      concat(col("geom_field"), lit(" geometry("), col("geom_type"),
+        lit(", "), col("srid"), lit(")")).as("frag"))
+
+    generic.unionByName(geomFrag)
+      .groupBy(col("ds"))
+      .agg(count(lit(1)).as("n_cols"),
+        concat(lit("CREATE TABLE staging."), col("ds"), lit(" ("),
+          concat_ws(", ", transform(
+            array_sort(collect_list(struct(col("is_geom"), col("column_name"),
+              col("frag")))),
+            x => x.getField("frag"))), lit(")")).as("ddl"))
+      .join(geom.select(col("ds"), col("srid"), col("geom_type")), Seq("ds"), "left")
+      .select(col("ds"), col("n_cols"),
+        coalesce(col("srid"), lit(-1L)).as("srid"),
+        coalesce(col("geom_type"), lit("")).as("geom_type"), col("ddl"))
+      .orderBy("ds")
+  }
+
+  def agoOutstats(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      expr(s"event_id div $AgoPageSize").as("page"),
+      col("event_type"), col("value"))
+    val partials = e.groupBy(col("page"), col("event_type"))
+      .agg(count(lit(1)).as("pn"),
+        sum(((col("value").cast("decimal(18,2)")) * 100).cast("long")).as("psum"),
+        min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_rows"),
+        sum(col("psum")).as("sum_cents"),
+        min(col("pmin")).as("min_v"), max(col("pmax")).as("max_v"),
+        count(lit(1)).as("n_pages"))
+      .orderBy("event_type")
+  }
+
   /** Single-pass dataset profile — the pre-load report a loader prints
     * before committing a staging table (rows, nulls, distincts, typed
     * min/max per column; the generalization of the reference's row-count
@@ -713,6 +834,8 @@ object Etl {
     "etl_profile"         -> (profile _),
     "ago_batch_split"     -> (agoBatchSplit _),
     "ago_upsert_route"    -> (agoUpsertRoute _),
+    "ago_outstats"        -> (agoOutstats _),
+    "etl_sde_ddl"         -> (sdeDdl _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
     "etl_schema_cast"     -> (schemaCast _),
@@ -1000,6 +1123,66 @@ object Etl {
            CAST(NULL AS VARCHAR) AS payload
          FROM dups
          ORDER BY pk, action""",
+    "ago_outstats" ->
+      s"""WITH paged AS (SELECT event_id // $AgoPageSize AS page, event_type, value
+           FROM events),
+         partials AS (SELECT page, event_type,
+             CAST(count(*) AS BIGINT) AS pn,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS psum,
+             min(value) AS pmin, max(value) AS pmax
+           FROM paged GROUP BY page, event_type)
+         SELECT event_type, CAST(sum(pn) AS BIGINT) AS n_rows,
+           CAST(sum(psum) AS BIGINT) AS sum_cents,
+           min(pmin) AS min_v, max(pmax) AS max_v,
+           CAST(count(*) AS BIGINT) AS n_pages
+         FROM partials GROUP BY event_type ORDER BY event_type""",
+    "etl_sde_ddl" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+             lower(replace(n_name, ' ', '_')) AS ds FROM nation),
+         cols0 AS (SELECT ds, k, column_name, data_type FROM n
+           CROSS JOIN (VALUES ('objectid','integer'),('name','character varying'),
+             ('acct','double precision'),('gdb_geomattr_data','bytea'),
+             ('shape','USER-DEFINED')) AS c(column_name, data_type)
+           WHERE NOT (column_name = 'shape' AND k % 3 = 2)),
+         geomcat AS (SELECT ds, k, 'shape' AS geom_field,
+             CAST(CASE WHEN k % 2 = 0 THEN 2272 ELSE 4326 END AS BIGINT) AS srid,
+             (['ST_POINT','ST_MULTIPOLYGON','ST_LINESTRING','ST_POLYGON'])[k % 4 + 1]
+               AS st_type
+           FROM n WHERE k % 3 <> 2),
+         xmlcat AS (SELECT ds, '<HasM>' ||
+             CASE WHEN k % 5 = 1 THEN 'true' ELSE 'false' END ||
+             '</HasM><HasZ>' ||
+             CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END || '</HasZ>'
+             AS definition
+           FROM geomcat WHERE k % 5 <> 0),
+         mz AS (SELECT ds,
+             contains(regexp_extract(definition, '<HasM>[^<]*</HasM>', 0), 'true') AS m,
+             contains(regexp_extract(definition, '<HasZ>[^<]*</HasZ>', 0), 'true') AS z
+           FROM xmlcat),
+         geom AS (SELECT g.ds, g.geom_field, g.srid,
+             upper(substr(replace(g.st_type, 'ST_', ''), 1, 1)) ||
+             lower(substr(replace(g.st_type, 'ST_', ''), 2)) ||
+             CASE WHEN coalesce(m.m, false) THEN 'M' ELSE '' END ||
+             CASE WHEN coalesce(m.z, false) THEN 'Z' ELSE '' END AS geom_type
+           FROM geomcat g LEFT JOIN mz m ON m.ds = g.ds),
+         generic AS (SELECT c.ds, 0 AS is_geom, c.column_name,
+             c.column_name || ' ' || CASE WHEN c.data_type = 'character varying'
+               THEN 'text' ELSE c.data_type END AS frag
+           FROM cols0 c LEFT JOIN geom g ON g.ds = c.ds
+           WHERE c.column_name <> 'gdb_geomattr_data'
+             AND (g.geom_field IS NULL OR c.column_name <> g.geom_field)),
+         gfrag AS (SELECT ds, 1 AS is_geom, geom_field AS column_name,
+             geom_field || ' geometry(' || geom_type || ', ' || srid || ')' AS frag
+           FROM geom),
+         allc AS (SELECT * FROM generic UNION ALL SELECT * FROM gfrag),
+         agg AS (SELECT ds, CAST(count(*) AS BIGINT) AS n_cols,
+             'CREATE TABLE staging.' || ds || ' (' ||
+             string_agg(frag, ', ' ORDER BY is_geom, column_name) || ')' AS ddl
+           FROM allc GROUP BY ds)
+         SELECT a.ds, a.n_cols, COALESCE(g.srid, -1) AS srid,
+           COALESCE(g.geom_type, '') AS geom_type, a.ddl
+         FROM agg a LEFT JOIN geom g ON g.ds = a.ds
+         ORDER BY a.ds""",
     "etl_header_sanitize" ->
       """SELECT n_nationkey AS objectid, n_name, n_regionkey AS region_key
          FROM nation ORDER BY objectid""",
