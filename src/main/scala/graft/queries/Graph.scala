@@ -156,8 +156,16 @@ object Graph {
     * lineitem ⋈ orders (NOT nation-aggregated — vertex count grows with
     * the data), vertex ids disjoint by parity (customer 2k, supplier
     * 2k+1), both directions, out-degree capped at [[RawDegCap]].
+    *
+    * Returns (src, dst, deg) with deg = the capped out-degree, computed by
+    * a second window over the SAME hashpartitioning(src) the cap's
+    * row_number already paid for (max(rn) within the partition after the
+    * cap filter — no extra exchange). Attaching deg here instead of
+    * re-aggregating it per iteration is what lets the PageRank loop run
+    * with a single edges⋈ranks join.
     */
   private def rawEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -165,7 +173,11 @@ object Graph {
       .distinct()
     val und = pairs.select(col("cv").as("src"), col("sv").as("dst"))
       .unionAll(pairs.select(col("sv").as("src"), col("cv").as("dst")))
-    capOutDegree(und, RawDegCap)
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    und.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= RawDegCap)
+      .withColumn("deg", max(col("rn")).over(Window.partitionBy(col("src"))))
+      .drop("rn")
   }
 
   /** PageRank over the RAW trade graph — same damping/iterations/integer
@@ -175,31 +187,42 @@ object Graph {
     * loop runs on 25 rows): this is the measured form of the scale claims
     * the aggregate version's scaladoc argues, probed at 10× in Bench.
     *
-    * Shapes: the capped edge list is derived once and localCheckpointed
-    * (three iterations would otherwise re-run the join+distinct+window
-    * pipeline each pass); every iteration joins edges⋈ranks⋈deg on src —
-    * one co-partitioned shuffle key — then aggregates contributions by
-    * dst. Rank units are 1e-12 of mass like [[Scale]]; for vertex domains
-    * beyond ~1e6 a deployment would drop to 1e-9 units to keep
-    * 85·Σcontrib inside a long.
+    * Shapes: the capped (src, dst, deg) edge list is derived once,
+    * localCheckpointed ALREADY hashpartitioned by src (the cap window's
+    * partitioning survives the checkpoint — LogicalRDD preserves
+    * outputPartitioning), and the small vertex list is checkpointed too;
+    * each iteration is then ONE edges⋈ranks join whose edge side needs no
+    * exchange (only the vertex-sized rank relation shuffles) followed by a
+    * partially-aggregated contribution sum by dst (map-side combine means
+    * ~vertex-sized, not edge-sized, rows cross the network). Edge data
+    * crosses the network exactly once, at checkpoint build — the property
+    * the 10× probe guards. Rank units are 1e-12 of mass like [[Scale]];
+    * for vertex domains beyond ~1e6 a deployment would drop to 1e-9 units
+    * to keep 85·Σcontrib inside a long.
     */
   def pagerankRaw(s: SparkSession, d: String): DataFrame = {
     val verts = customer(s, d).select((col("c_custkey") * 2).as("id"), lit("c").as("kind"))
       .unionByName(supplier(s, d)
         .select((col("s_suppkey") * 2 + 1).as("id"), lit("s").as("kind")))
+      .localCheckpoint()
     val edges = rawEdges(s, d).localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val r0 = verts.select(col("id"), lit(Scale).as("r"))
     val rN = (1 to Iters).foldLeft(r0) { (ranks, _) =>
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      // checkpoint each iteration's (vertex-sized) rank relation: folding
+      // all three iterations into ONE tree duplicates the edge scan, and
+      // the dedup re-aliasing loses its preserved partitioning (the edge
+      // side then re-exchanges per iteration); a cut tree references the
+      // edge RDD once per job, so its partitioning is always reused —
+      // the same per-iteration materialization Pregel-style loops do
       verts.select(col("id")).join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(Scale * 15 / 100) +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
     }
     verts.join(rN, "id")
       .select(col("id"), col("kind"), col("r").as("rank_scaled"))

@@ -458,7 +458,50 @@ object Text {
           / col("n")).as("intercept"))
   }
 
+  // ---- per-source unigram KL divergence (corpus drift / domain shift) -----
+  /** KL(source ‖ corpus) in bits over the unigram token distribution — the
+    * standard drift / domain-shift monitor for a training-data mix: a
+    * source whose language diverges from the pooled corpus scores high, so
+    * mix regressions (a crawler bug, a new boilerplate flood) surface as a
+    * jump in one source's divergence. Every token seen in a source is by
+    * construction in the corpus, so no smoothing term is needed.
+    *
+    * Scale shape: tokens aggregate ONCE into the (source, token) relation;
+    * the corpus marginal re-aggregates those counts (vocab-sized input,
+    * never the corpus), the term join is token-keyed and co-partitioned,
+    * and the per-source totals are a sources-sized broadcast. Float
+    * policy: counts stay integral; each cnt·log2((cnt·N)/(ct·nt)) term is
+    * 6-dp-floor-rounded and summed as exact DECIMAL (the entropy recipe),
+    * with the log2 argument computed in doubles (the integer products can
+    * overflow a long at corpus scale; IEEE mul/div round identically in
+    * both engines).
+    */
+  def klDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val bySrc = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum(col("cnt")).as("ct"))
+    val totals = bySrc.groupBy(col("source")).agg(sum(col("cnt")).as("nt"))
+    val n = corpus.agg(sum(col("ct")).as("n"))
+    val terms = bySrc.join(corpus, "tok")
+      .join(broadcast(totals), "source").crossJoin(broadcast(n))
+      .select(col("source"), col("nt"),
+        graft.core.Determinism.r6(col("cnt").cast("double") *
+          log2((col("cnt").cast("double") * col("n").cast("double"))
+            / (col("ct").cast("double") * col("nt").cast("double"))))
+          .as("contrib"))
+    terms.groupBy(col("source"))
+      .agg(max(col("nt")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("contrib").cast("decimal(28,6)")).cast("double").as("csum"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        graft.core.Determinism.r4(col("csum") / col("n_tokens")).as("kl_bits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kl_drift"     -> (klDrift _),
     "text_zipf_fit"     -> (zipfFit _),
     "text_collocations" -> (collocations _),
     "text_lm_score"    -> (lmScore _),
@@ -482,6 +525,33 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_kl_drift" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      s"""WITH toks AS (SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+           FROM documents),
+         by_src AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+         corpus AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ct
+           FROM by_src GROUP BY 1),
+         totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS nt
+           FROM by_src GROUP BY 1),
+         nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus),
+         terms AS (SELECT b.source, t.nt,
+             ${r6("""CAST(b.cnt AS DOUBLE) *
+               log2((CAST(b.cnt AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                 / (CAST(c.ct AS DOUBLE) * CAST(t.nt AS DOUBLE)))""")} AS contrib
+           FROM by_src b
+           JOIN corpus c ON c.tok = b.tok
+           JOIN totals t ON t.source = b.source
+           CROSS JOIN nn)
+         SELECT source, max(nt) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ${graft.core.Determinism.r4Sql(
+             "CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) / max(nt)")}
+             AS kl_bits
+         FROM terms GROUP BY source ORDER BY source"""
+    },
     "text_zipf_fit" -> {
       val r6 = graft.core.Determinism.r6Sql _
       def d6(e: String) =

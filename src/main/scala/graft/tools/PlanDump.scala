@@ -16,6 +16,10 @@ object PlanDump {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[plandump] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same per-measurement hygiene as Bench: leftover checkpoint blocks
+      // from prior reps otherwise pile up and skew later timings
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(12000))
     spark.stop()

@@ -358,6 +358,32 @@ class AnnTextSpec extends AnyFunSuite {
     assert(math.abs(slope - refSlope) < 1e-5, s"$slope vs $refSlope")
     assert(intercept > 0) // top rank carries the max frequency
   }
+  test("kl drift: nonnegative, totals partition the corpus, matches independent recompute") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val rows = Text.queries("text_kl_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = toks.length.toDouble
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((src, nt, terms, kl) <- rows) {
+      val st = toks.filter(_._1 == src).map(_._2)
+      assert(nt == st.length.toLong, s"$src token total")
+      val cnts = st.groupBy(identity).view.mapValues(_.length).toMap
+      assert(terms == cnts.size.toLong, s"$src vocab size")
+      val ref = cnts.map { case (t, c) =>
+        c * (math.log(c * n / (corpus(t).toDouble * st.length)) / math.log(2.0))
+      }.sum / st.length
+      // KL >= 0 up to the 6-dp per-term rounding the determinism recipe pays
+      assert(kl >= -1e-3, s"$src negative KL $kl")
+      assert(math.abs(kl - ref) < 1e-3, s"$src: $kl vs recomputed $ref")
+    }
+    // per-source totals partition the corpus (every source is present)
+    assert(rows.map(_._2).sum == toks.length.toLong)
+  }
   test("range search: exactly the above-threshold slice of exact scoring") {
     val rows = graft.queries.Ann.queries("ann_range_search")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

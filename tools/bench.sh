@@ -14,6 +14,9 @@
 #   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name prefixes to run
 #   SPARK_GRAFT_BENCH_OUT   where the JSON artifact is written
 #   SPARK_GRAFT_CPUS        local[] parallelism override
+#   SPARK_GRAFT_BENCH_BEST  timed samples per query, best-of-N (default 3;
+#                           raise on shared/noisy hosts — the r5 driver
+#                           re-run showed 2-4x phantom spikes at N=3)
 set -u
 cd "$(dirname "$0")/.."
 OUT="${SPARK_GRAFT_BENCH_OUT:-$PWD/BENCH_OUT.json}"
