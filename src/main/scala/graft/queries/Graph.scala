@@ -229,9 +229,88 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Strong-trade edge threshold: a customer↔supplier pair is an edge only
+    * with ≥ this many lineitems between them, which fragments the dense
+    * co-occurrence graph into real component structure (157 components at
+    * sf0.1, one dense giant at sf0.001 — both shapes exercised).
+    */
+  val CcMinTrades = 3
+
+  /** Alternating large-star/small-star rounds; measured convergence on the
+    * thresholded graph is ≤ 4 rounds at every sf (sf0.01 needs exactly 4)
+    * and a converged star edge set is a fixpoint of both operators, so the
+    * fifth round is pure safety margin.
+    */
+  val CcRounds = 5
+
+  /** Connected components over the RAW strong-trade graph via alternating
+    * large-star / small-star (the MapReduce-scale CC algorithm — Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each round
+    * hangs every vertex's larger neighbors under its neighborhood minimum
+    * (large-star) then collapses the remaining chains (small-star),
+    * converging to one star per component rooted at the component minimum
+    * in O(log diameter) rounds. [[Dedup]]'s resolver pointer-doubles a
+    * parent TABLE (one row per vertex); this operates on the EDGE relation
+    * itself — the right shape when edges >> vertices and no parent fits
+    * per-vertex state, the other classic distributed-CC formulation.
+    *
+    * Scale shapes: every step is a key-grouped aggregate or a
+    * co-partitioned join on the current edge set (never a cross product);
+    * the neighborhood minimum is a partial-agged min, so hub fan-in
+    * combines map-side; each round's edge set is localCheckpointed — the
+    * per-iteration tree cut of [[pagerankRaw]] — so a round's plan
+    * references one RDD, not the whole prior chain. Determinism: every
+    * relation is a distinct SET of integer pairs; no floats anywhere.
+    *
+    * Output: one row per engaged vertex (id, kind, component label = the
+    * component's minimum vertex id, component size).
+    */
+  def ccRaw(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CcMinTrades)
+    val e0 = pairs
+      .select(greatest(col("c"), col("s")).as("u"), least(col("c"), col("s")).as("v"))
+      .distinct().localCheckpoint()
+    // the engaged vertex domain, pinned BEFORE the rounds mutate the edges
+    val verts = e0.select(col("u")).unionAll(e0.select(col("v").as("u")))
+      .distinct().localCheckpoint()
+    val stars = (1 to CcRounds).foldLeft(e0) { (e, _) =>
+      // large-star: symmetric neighborhoods; larger neighbors re-hang on
+      // the neighborhood minimum
+      val nl = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val ml = nl.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val el = nl.join(ml, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: edges now all point downward; collapse chains onto the
+      // local minimum
+      val ms = el.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      el.join(ms, "u").select(col("v").as("u"), col("m"))
+        .unionAll(ms.select(col("u"), col("m")))
+        .filter(col("u") =!= col("m"))
+        .select(col("u"), col("m").as("v")).distinct()
+        .localCheckpoint()
+    }
+    val lab = stars.select(col("u"), col("v").as("lbl"))
+    val labeled = verts.join(lab, Seq("u"), "left")
+      .select(col("u").as("id"),
+        when(col("u") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+        coalesce(col("lbl"), col("u")).as("component"))
+    val sizes = labeled.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+    labeled.join(sizes, "component")
+      .select(col("id"), col("kind"), col("component"), col("comp_size"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (pagerank _),
     "graph_pagerank_raw" -> (pagerankRaw _),
+    "graph_cc_raw"    -> (ccRaw _),
     "graph_triangles" -> (triangles _),
     "graph_shortest_path" -> (shortestPath _)
   )
@@ -255,6 +334,20 @@ object Graph {
            JOIN $prev p ON p.id = e.src
            JOIN deg dg ON dg.src = e.src
            GROUP BY e.dst) s ON s.id = v.id)"""
+
+  /** One large-star + small-star round as SQL: edge CTE `prev` → `es$i`.
+    * Mirrors [[ccRaw]]'s round body term for term.
+    */
+  private def ccRoundSql(prev: String, i: Int): String =
+    s"""nl$i AS MATERIALIZED (SELECT u, v FROM $prev UNION SELECT v, u FROM $prev),
+       ml$i AS MATERIALIZED (SELECT u, least(min(v), u) AS m FROM nl$i GROUP BY u),
+       el$i AS MATERIALIZED (SELECT DISTINCT n.v AS u, s.m AS v
+         FROM nl$i n JOIN ml$i s ON s.u = n.u
+         WHERE n.v > n.u AND n.v <> s.m),
+       ms$i AS MATERIALIZED (SELECT u, least(min(v), u) AS m FROM el$i GROUP BY u),
+       es$i AS MATERIALIZED (SELECT DISTINCT x.u, x.m AS v FROM (
+           SELECT n.v AS u, s.m FROM el$i n JOIN ms$i s ON s.u = n.u
+           UNION SELECT u, m FROM ms$i) x WHERE x.u <> x.m)"""
 
   /** One BFS relaxation as SQL: `prev` dist CTE → `next`. */
   private def bfsIterSql(prev: String, next: String): String =
@@ -305,6 +398,27 @@ object Graph {
          ${(1 to Iters).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
          SELECT v.id, v.kind, r$Iters.r AS rank_scaled
          FROM v JOIN r$Iters ON r$Iters.id = v.id ORDER BY v.id""",
+    // NOTE: every round CTE is AS MATERIALIZED — each references its
+    // predecessor more than once, and DuckDB's default inlining would
+    // re-evaluate the whole chain exponentially (~4^rounds scans).
+    "graph_cc_raw" ->
+      s"""WITH pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= $CcMinTrades),
+         e0 AS MATERIALIZED (SELECT DISTINCT greatest(c, s) AS u, least(c, s) AS v
+           FROM pairs),
+         verts AS MATERIALIZED (SELECT u FROM (
+           SELECT u FROM e0 UNION SELECT v AS u FROM e0)),
+         ${(1 to CcRounds).map(i => ccRoundSql(if (i == 1) "e0" else s"es${i - 1}", i))
+           .mkString(",\n")}
+         SELECT v.u AS id,
+           CASE WHEN v.u % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+           COALESCE(l.lbl, v.u) AS component,
+           CAST(count(*) OVER (PARTITION BY COALESCE(l.lbl, v.u)) AS BIGINT)
+             AS comp_size
+         FROM verts v LEFT JOIN (SELECT u, v AS lbl FROM es$CcRounds) l
+           ON l.u = v.u
+         ORDER BY id""",
     "graph_triangles" ->
       s"""WITH edges AS ($edgesSql),
          und AS (SELECT DISTINCT least(src, dst) AS pa, greatest(src, dst) AS pb

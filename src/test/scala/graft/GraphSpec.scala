@@ -83,6 +83,42 @@ class GraphSpec extends AnyFunSuite {
     assert(hiAvg >= loAvg, s"hi-indegree avg rank $hiAvg < lo $loAvg")
   }
 
+  test("cc_raw: labels equal an independent union-find; sizes consistent") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rows = Graph.queries("graph_cc_raw")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // rebuild the thresholded edge list independently
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val oo = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey")
+    val edges = li.join(oo, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= Graph.CcMinTrades)
+      .select("c", "s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(v => v -> find(v)).toMap
+    assert(rows.length == truth.size, "one row per engaged vertex")
+    for ((id, kind, comp, _) <- rows) {
+      assert(truth(id) == comp, s"vertex $id: label $comp vs union-find ${truth(id)}")
+      assert(kind == (if (id % 2 == 0) "c" else "s"))
+    }
+    // comp_size is consistent with the label partition and labels are roots
+    val byComp = rows.groupBy(_._3)
+    for ((comp, grp) <- byComp) {
+      assert(grp.forall(_._4 == grp.length.toLong), s"component $comp size")
+      assert(grp.map(_._1).min == comp, "label is the component minimum")
+    }
+  }
+
   test("triangles: triple-credit invariant and determinism") {
     val rows = Graph.queries("graph_triangles")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(2)))
