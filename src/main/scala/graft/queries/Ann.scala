@@ -438,6 +438,92 @@ object Ann {
       .orderBy("probe_id", "rk")
   }
 
+  // ---- IVF-PQ: coarse cells + residual product quantization -------------
+  /** IVF-PQ — the production billion-scale index shape (FAISS IndexIVFPQ):
+    * [[ivf]]'s coarse quantizer prunes the corpus to NPROBE cells, and
+    * within a cell each vector is stored as PQ codes of its RESIDUAL
+    * v − centroid(cell) (residuals cluster near the origin, so the same
+    * code budget quantizes them far more finely than raw vectors). A probe
+    * scores candidates as ⟨p, centroid⟩ + Σ_sub LUT[sub, code] — the
+    * coarse term plus the residual ADC sum — then exact-reranks its
+    * shortlist, composing both approximations it ships with recall gates
+    * for ([[recallEvalIvfPq]]).
+    *
+    * Shapes at 100 TB: everything the probe needs (probed-cell list,
+    * coarse terms, residual LUT) is a fixed-size broadcast (probes ×
+    * NPROBE × PQ_S × PQ_K rows); encoding is one map pass over the corpus
+    * (assignment join + broadcast centroids/codebook); candidate scoring
+    * joins the code relation to the broadcast LUT scoped by (cell, sub,
+    * code) — only vectors in probed cells produce rows. Determinism: the
+    * PQ recipe (left-fold dots, 1e9-floored longs, long sums).
+    */
+  def ivfpq(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val (assignment, probeCells) = ivfCells(withN)
+    val cents = withN.join(broadcast(panel(withN, "cent:", CENT_COUNT)), "vec_id")
+      .toDF("cell", "cv", "cnrm").drop("cnrm")
+    val resid = withN.join(assignment, "vec_id").join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    // residual codebook: the ivfpq: panel's own residuals (fixed PQ_K size)
+    val cb = resid.join(broadcast(panel(withN, "ivfpq:", PQ_K)), "vec_id")
+      .select(col("vec_id").as("cent_id"), col("rv").as("cbv"))
+    def subvec(v: Column, sub: Column) =
+      slice(v, sub * PQ_SUBDIM + 1, lit(PQ_SUBDIM))
+    val subs = explode(sequence(lit(0), lit(PQ_S - 1))).as("sub")
+    val cpairs = resid.select(col("vec_id"), col("cell"), col("rv"), subs)
+      .join(broadcast(cb), lit(true))
+      .select(col("vec_id"), col("cell"), col("sub"), col("cent_id"),
+        Dedup.dotSeq(subvec(col("rv"), col("sub")),
+          subvec(col("cbv"), col("sub"))).as("subdot"))
+    val bySub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("subdot").desc, col("cent_id"))
+    val codes = cpairs.withColumn("crk", row_number().over(bySub))
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("sub"),
+        col("cent_id").as("code"))
+    // probe side: per probed cell, the coarse term and the residual LUT
+    val probes = withN.join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val pres = probes.join(broadcast(probeCells), "probe_id")
+      .join(broadcast(cents), "cell")
+      .select(col("probe_id"), col("cell"),
+        zip_with(col("pv"), col("cv"), (a, b) => a - b).as("rp"),
+        floor(Dedup.dotSeq(col("pv"), col("cv")) * 1e9).cast("long").as("coarse"))
+    val lut = pres.select(col("probe_id"), col("cell"), col("coarse"), col("rp"), subs)
+      .join(broadcast(cb), lit(true))
+      .select(col("probe_id"), col("cell"), col("coarse"), col("sub"),
+        col("cent_id").as("code"),
+        floor(Dedup.dotSeq(subvec(col("rp"), col("sub")),
+          subvec(col("cbv"), col("sub"))) * 1e9).cast("long").as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg((max(col("coarse")) + sum(col("pdot"))).as("iscore"))
+    val shortlist = graft.plans.TopK.perKey(scored, Seq("probe_id"),
+      Seq(col("iscore").desc, col("neighbor_id").asc), PQ_SHORTLIST)
+      .select(col("probe_id"), col("neighbor_id"))
+    val reranked = withN.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CAND_TOPK)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        graft.core.Determinism.r4(col("dot")).as("dot"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Recall@k gate for the composed IVF-PQ index — the coarse pruning and
+    * the residual quantization each lose information; this measures the
+    * two losses composed.
+    */
+  def recallEvalIvfPq(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivfpq(s, d))
+
   /** Recall@k gate for the SQ8 index — fourth index, fourth shipped
     * recall measurement.
     */
@@ -516,6 +602,8 @@ object Ann {
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
     "ann_pq"         -> (pq _),
+    "ann_ivfpq"      -> (ivfpq _),
+    "ann_recall_ivfpq" -> (recallEvalIvfPq _),
     "ann_sq8"        -> (sq8 _),
     "ann_recall_sq8" -> (recallEvalSq8 _),
     "ann_recall"     -> (recallEval _),
@@ -605,6 +693,68 @@ object Ann {
            row_number() OVER (PARTITION BY probe_id
                               ORDER BY dot DESC, neighbor_id) AS rk
          FROM reranked)"""
+  }
+
+  /** SQL twin of the IVF-PQ pipeline (probed cells → residuals → residual
+    * codebook → codes → coarse+LUT → ADC → shortlist → exact rerank).
+    * Assumes vecs/norms/probe_ids/cent_ids + the ivfAssignSql chain
+    * (cents, ranked, assignment) are already in scope.
+    */
+  private def ivfpqSql: String = {
+    def sl(v: String) = s"array_slice($v, sp.sub * $PQ_SUBDIM + 1, sp.sub * $PQ_SUBDIM + $PQ_SUBDIM)"
+    s"""probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
+         FROM ranked WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+           AND crk <= $NPROBE),
+       ipq_ids AS (SELECT vec_id FROM vecs
+         ORDER BY ${md5LongSql("concat('ivfpq:', vec_id)")}, vec_id LIMIT $PQ_K),
+       resid AS (SELECT x.vec_id, a.cell,
+           list_transform(x.v, (e, i) -> e - cc.cv[i]) AS rv
+         FROM vecs x
+         JOIN assignment a ON a.vec_id = x.vec_id
+         JOIN cents cc ON cc.cent_id = a.cell),
+       cb AS (SELECT vec_id AS cent_id, rv AS cbv FROM resid
+         WHERE vec_id IN (SELECT vec_id FROM ipq_ids)),
+       subspaces AS (SELECT CAST(s AS INTEGER) AS sub FROM range(0, $PQ_S) t(s)),
+       cpairs AS (SELECT r.vec_id, r.cell, sp.sub, c.cent_id,
+           ${Dedup.dotSeqSql(sl("r.rv"), sl("c.cbv"))} AS subdot
+         FROM resid r, subspaces sp, cb c),
+       codes AS (SELECT vec_id AS neighbor_id, cell, sub, cent_id AS code
+         FROM (SELECT vec_id, cell, sub, cent_id,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY subdot DESC, cent_id) AS crk
+               FROM cpairs) WHERE crk = 1),
+       pres AS (SELECT pc.probe_id, pc.cell,
+           list_transform(p.v, (e, i) -> e - cc.cv[i]) AS rp,
+           CAST(floor(${Dedup.dotSeqSql("p.v", "cc.cv")} * 1000000000.0)
+             AS BIGINT) AS coarse
+         FROM probe_cells pc
+         JOIN vecs p ON p.vec_id = pc.probe_id
+         JOIN cents cc ON cc.cent_id = pc.cell),
+       lutq AS (SELECT pr.probe_id, pr.cell, pr.coarse, sp.sub,
+           c.cent_id AS code,
+           CAST(floor(${Dedup.dotSeqSql(sl("pr.rp"), sl("c.cbv"))}
+             * 1000000000.0) AS BIGINT) AS pdot
+         FROM pres pr, subspaces sp, cb c),
+       adcq AS (SELECT l.probe_id, c.neighbor_id,
+           CAST(max(l.coarse) + sum(l.pdot) AS BIGINT) AS iscore
+         FROM codes c JOIN lutq l
+           ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+         WHERE l.probe_id <> c.neighbor_id
+         GROUP BY 1, 2),
+       ipq_shortlist AS (SELECT probe_id, neighbor_id
+         FROM (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY iscore DESC, neighbor_id) AS srk
+               FROM adcq) WHERE srk <= $PQ_SHORTLIST),
+       ipq_reranked AS (SELECT s.probe_id, s.neighbor_id,
+           ${Dedup.dotSeqSql("pv.v", "nv.v")} AS dot
+         FROM ipq_shortlist s
+         JOIN vecs pv ON pv.vec_id = s.probe_id
+         JOIN vecs nv ON nv.vec_id = s.neighbor_id),
+       ipq_ranked AS (SELECT probe_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dot DESC, neighbor_id) AS rk
+         FROM ipq_reranked)"""
   }
 
   /** SQL twin of the SQ8 pipeline (symmetric scale → codes → integer
@@ -764,6 +914,37 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(pqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN pqk
            ON pqk.probe_id = bf.probe_id AND pqk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_ivfpq" ->
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,
+         $ivfAssignSql,
+         $ivfpqSql
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("dot")} AS dot
+         FROM ipq_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
+    "ann_recall_ivfpq" ->
+      s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $ivfAssignSql,
+         $ivfpqSql,
+         ipqk AS (SELECT probe_id, neighbor_id FROM ipq_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(ipqk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(ipqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN ipqk
+           ON ipqk.probe_id = bf.probe_id AND ipqk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_ivf" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,

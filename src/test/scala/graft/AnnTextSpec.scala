@@ -235,6 +235,32 @@ class AnnTextSpec extends AnyFunSuite {
     assert(avg >= 0.15, s"PQ recall@3 collapsed: $avg")
   }
 
+  test("ann_ivfpq: neighbors come from probed cells; recall ~ composed losses") {
+    val rows = graft.queries.Ann.queries("ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // ranks contiguous per probe
+    for ((_, grp) <- rows.groupBy(_._1))
+      assert(grp.map(_._2).sorted.toSeq == (1 to grp.length).toSeq)
+    // every neighbor's cell is one the probe actually probed — the IVF
+    // pruning contract survives the PQ stage
+    val (assignment, probeCells) = graft.queries.Ann.ivfCells(spark, sf)
+    val cellOf = assignment.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = probeCells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((p, _, n) <- rows)
+      assert(probed.contains((p, cellOf(n))), s"probe $p neighbor $n outside probed cells")
+    // recall floor: the composed index loses roughly the PRODUCT of the
+    // coarse-pruning and residual-quantization losses (ivf 0.27 × pq 0.40
+    // ≈ 0.11 measured at sf0.01) — a collapse to ~0 would mean the ADC or
+    // coarse term broke, not just quantization noise
+    val rec = graft.queries.Ann.queries("ann_recall_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.length == 10)
+    assert(rec.forall { case (_, n, r) => n >= 0 && n <= 3 && r >= 0 && r <= 1 })
+    val avg = rec.map(_._3).sum / rec.length
+    assert(avg >= 0.05, s"IVF-PQ recall@3 collapsed: $avg")
+  }
+
   test("ann_sq8: symmetric int8 codes preserve inner-product order (high recall)") {
     val rows = graft.queries.Ann.queries("ann_recall_sq8")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
