@@ -530,6 +530,109 @@ object Ann {
   def recallEvalSq8(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, sq8(s, d))
 
+  // ---- NN-descent: neighbor-of-neighbor graph refinement ------------------
+  private val NND_SAMPLE = 6 // per-vertex degree cap on the symmetrized graph
+  private[graft] val NND_ITERS = 3
+
+  /** NN-descent over a corpus-wide k-NN graph — the graph-refinement idiom
+    * behind every graph ANN index build (NN-Descent / k-NN-graph
+    * construction: "a neighbor of a neighbor is likely a neighbor"). Each
+    * of the [[NND_ITERS]] iterations symmetrizes the current graph, caps
+    * each vertex's sample at [[NND_SAMPLE]] edges (the ρK sampling every
+    * production NN-Descent applies — without it hub vertices make the
+    * two-hop join quadratic in their reverse degree), expands
+    * neighbor-of-neighbor candidates with one self-join, exactly rescores
+    * candidate pairs, and keeps the refined top-k per vertex.
+    *
+    * The seed graph unions TWO independent bucketings — the LSH cells (a
+    * quality seed) and a geometry-blind md5 hash ring (an exploration
+    * seed). One bucketing alone CANNOT work: a bucket partition is closed
+    * under the two-hop expansion (a neighbor's neighbors sit in the same
+    * bucket, already scored when the seed was built), so descent would
+    * converge instantly to the seed itself — measured, not guessed: the
+    * single-seed variant moved zero edges in round one. With two
+    * partitions a two-hop path crosses them and each round reaches
+    * genuinely new pairs (the spec asserts graph quality climbs every
+    * round).
+    *
+    * Scale shape: the graph relation is N·k rows (ids + one double — never
+    * vectors), each two-hop join is bounded at N·[[NND_SAMPLE]]² candidate
+    * pairs, and only candidates are ever exactly scored (corpus vectors are
+    * hash-joined to the candidate list by id; the corpus itself is never
+    * self-joined). The hash ring keeps ~8 vectors per cell at any corpus
+    * size (cell count scales with N; both engines derive it from the same
+    * count), so the seed build is linear too. Every stage is
+    * deterministic: cosines fold left-to-right, ties break on vertex id.
+    */
+  def nndescent(s: SparkSession, d: String): DataFrame =
+    rankTop(nndGraph(s, d, NND_ITERS)
+      .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+        col("cos")), CAND_TOPK)
+
+  /** The refined (src, dst, cos) graph after `iters` NN-descent rounds —
+    * exposed separately so the spec can measure the recall trajectory.
+    */
+  private[graft] def nndGraph(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+    // dual seed: LSH cells + an ~8-per-cell hash ring (cell count derived
+    // from the corpus count — a one-row broadcast, not a collect)
+    val ncnt = all.agg(count(lit(1)).as("n"))
+    val ring = all.select(col("vec_id")).crossJoin(broadcast(ncnt))
+      .select(col("vec_id"), (lit(-1L) -
+        md5Long(concat(lit("nnd:"), col("vec_id")))
+          % ceil(col("n") / 8.0).cast("long")).as("bucket"))
+    val seeds = bucketsOf(all).unionByName(ring)
+    // zero-norm guard as in the embedding dedup: cos would be NaN
+    val ok = all.join(norms, "vec_id").filter(col("nrm") > 0)
+    val cu = ok.toDF("u", "pv", "pn").localCheckpoint()
+    val cw = cu.toDF("w", "cv", "cn")
+    val a = seeds.toDF("src", "bucket")
+    val b = seeds.toDF("dst", "bucket")
+    // a pair sharing both cells would otherwise be scored twice
+    val seedPairs = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("w")).distinct()
+    val seedScored = seedPairs.join(cu, "u").join(cw, "w")
+      .select(col("u").as("src"), col("w").as("dst"), cosCols(
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
+        col("pn"), col("cn")).as("cos"))
+    // each round references the graph four times — truncate lineage per hop
+    var graph = graft.plans.TopK.perKey(seedScored, Seq("src"),
+        Seq(col("cos").desc, col("dst").asc), CAND_TOPK)
+      .select("src", "dst", "cos")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val und = graph.unionByName(graph.select(col("dst").as("src"),
+          col("src").as("dst"), col("cos")))
+        .distinct() // a pair present in both directions carries the same cos
+      val undCap = graft.plans.TopK.perKey(und, Seq("src"),
+          Seq(col("cos").desc, col("dst").asc), NND_SAMPLE)
+        .select("src", "dst")
+      val hop2 = undCap.toDF("u", "mid").join(undCap.toDF("mid", "w"), Seq("mid"))
+        .filter(col("u") =!= col("w"))
+        .select(col("u"), col("w"))
+      val cand = hop2.unionByName(graph.select(col("src").as("u"),
+          col("dst").as("w"))).distinct()
+      val rescored = cand.join(cu, "u").join(cw, "w")
+        .select(col("u").as("src"), col("w").as("dst"), cosCols(
+          graft.plans.DotProduct.dot(col("pv"), col("cv")),
+          col("pn"), col("cn")).as("cos"))
+      graph = graft.plans.TopK.perKey(rescored, Seq("src"),
+          Seq(col("cos").desc, col("dst").asc), CAND_TOPK)
+        .select("src", "dst", "cos")
+        .localCheckpoint()
+    }
+    graph
+  }
+
+  /** Recall@k gate for the refined graph, evaluated on the probe panel —
+    * one NN-descent iteration must recover more of the exact top-k than the
+    * bucket-local base graph alone (spec-asserted).
+    */
+  def recallEvalNnd(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, nndescent(s, d))
+
   /** Recall@k evaluation: per probe, how many of the exact top-k (from the
     * brute-force pass) the LSH index recovered — the quality gauge every
     * approximate index needs shipped alongside it ("measure, don't guess").
@@ -604,6 +707,8 @@ object Ann {
     "ann_pq"         -> (pq _),
     "ann_ivfpq"      -> (ivfpq _),
     "ann_recall_ivfpq" -> (recallEvalIvfPq _),
+    "ann_nndescent"  -> (nndescent _),
+    "ann_recall_nnd" -> (recallEvalNnd _),
     "ann_sq8"        -> (sq8 _),
     "ann_recall_sq8" -> (recallEvalSq8 _),
     "ann_recall"     -> (recallEval _),
@@ -786,6 +891,71 @@ object Ann {
                               ORDER BY dot DESC, neighbor_id) AS rk
          FROM sq_reranked)"""
 
+  /** SQL twin of the iterated NN-descent rounds (bucket-local base graph,
+    * then per round: symmetrize → degree cap → two-hop candidates → exact
+    * rescore → top-k). Assumes vecs/elems/norms + the buckets fragment are
+    * in scope. Multiply-referenced CTEs are MATERIALIZED — DuckDB
+    * otherwise inlines them per reference and the round chain re-evaluates
+    * multiplicatively (the graph_cc_raw lesson).
+    */
+  private def nndSql: String = {
+    val base =
+      s"""nnd_ring AS (SELECT vec_id, -1 -
+           (${md5LongSql("concat('nnd:', vec_id)")}
+             % CAST(ceil((SELECT count(*) FROM vecs) / 8.0) AS BIGINT)) AS bucket
+         FROM vecs),
+       nnd_seeds AS (SELECT vec_id, bucket FROM buckets
+         UNION ALL SELECT vec_id, bucket FROM nnd_ring),
+       nnd_pairs AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+         FROM nnd_seeds a
+         JOIN nnd_seeds b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       nnd_scored AS MATERIALIZED (SELECT p.u AS src, p.w AS dst,
+           ${Dedup.dotSeqSql("pu.v", "pw.v")} / sqrt(nu.nrm * nw.nrm) AS cos
+         FROM nnd_pairs p
+         JOIN vecs pu ON pu.vec_id = p.u
+         JOIN vecs pw ON pw.vec_id = p.w
+         JOIN norms nu ON nu.nrm > 0 AND nu.vec_id = p.u
+         JOIN norms nw ON nw.nrm > 0 AND nw.vec_id = p.w),
+       nnd_g0 AS MATERIALIZED (SELECT src, dst, cos
+         FROM (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos DESC, dst) AS rk
+               FROM nnd_scored) WHERE rk <= $CAND_TOPK)"""
+    val rounds = (1 to NND_ITERS).map { t =>
+      val p = s"nnd_g${t - 1}"
+      s"""nnd_und_$t AS (SELECT DISTINCT src, dst, cos FROM (
+           SELECT src, dst, cos FROM $p
+           UNION ALL SELECT dst, src, cos FROM $p)),
+       nnd_cap_$t AS MATERIALIZED (SELECT src, dst
+         FROM (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos DESC, dst) AS rk
+               FROM nnd_und_$t) WHERE rk <= $NND_SAMPLE),
+       nnd_cand_$t AS (SELECT DISTINCT u, w FROM (
+           SELECT a.src AS u, b.dst AS w FROM nnd_cap_$t a
+           JOIN nnd_cap_$t b ON b.src = a.dst WHERE b.dst <> a.src
+           UNION ALL SELECT src AS u, dst AS w FROM $p)),
+       nnd_resc_$t AS (SELECT c.u AS src, c.w AS dst,
+           ${Dedup.dotSeqSql("pu.v", "pw.v")} / sqrt(nu.nrm * nw.nrm) AS cos
+         FROM nnd_cand_$t c
+         JOIN vecs pu ON pu.vec_id = c.u
+         JOIN vecs pw ON pw.vec_id = c.w
+         JOIN norms nu ON nu.vec_id = c.u
+         JOIN norms nw ON nw.vec_id = c.w),
+       nnd_g$t AS MATERIALIZED (SELECT src, dst, cos
+         FROM (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos DESC, dst) AS rk
+               FROM nnd_resc_$t) WHERE rk <= $CAND_TOPK)"""
+    }.mkString(",\n       ")
+    s"""$base,
+       $rounds,
+       nnd_ranked AS (SELECT src AS probe_id, dst AS neighbor_id, cos,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst) AS rk
+         FROM nnd_g$NND_ITERS)"""
+  }
+
   /** SQL twin of the ivfCells coarse assignment (same CTE chain as the
     * ann_ivf oracle's head — kept verbatim so the two stay provably the
     * same quantizer).
@@ -945,6 +1115,37 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(ipqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN ipqk
            ON ipqk.probe_id = bf.probe_id AND ipqk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_nndescent" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql,
+         $bucketsSqlFragment,
+         $nndSql
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("cos")} AS cos
+         FROM nnd_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
+    "ann_recall_nnd" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $bucketsSqlFragment,
+         $nndSql,
+         nndk AS (SELECT probe_id, neighbor_id FROM nnd_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(nndk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(nndk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN nndk
+           ON nndk.probe_id = bf.probe_id AND nndk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_ivf" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,

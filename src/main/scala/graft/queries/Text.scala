@@ -500,7 +500,53 @@ object Text {
       .orderBy("source")
   }
 
+  // ---- hashed-feature linear quality classifier (fastText shape) ----------
+  private val ClfBuckets = 1024
+
+  /** Quality-classifier scoring with the hashing trick — the fastText-style
+    * linear filter production pipelines run over every document (score with
+    * a trained model, keep/drop on a threshold). Features are unigrams plus
+    * word bigrams hashed into [[ClfBuckets]] buckets; the weight vector is
+    * a bucket-indexed table joined in as a broadcast. The weights here are
+    * a deterministic md5-derived STAND-IN for trained parameters (the repo
+    * has no model artifact — same policy as the multimodal decode stubs);
+    * the pipeline shape is the real one: featurize in one map pass, join
+    * the constant-size weight table broadcast, partially aggregate integer
+    * weight sums per doc. Weights are integers in [-1000, 1000] and the
+    * per-doc sum stays a long, so the score is exact in any aggregation
+    * order; the only float op is one final division.
+    *
+    * Scale shape: the corpus text never shuffles — only (doc_id, bucket)
+    * pairs reach the map-side-combined aggregation; the weight table is
+    * [[ClfBuckets]] rows at any corpus size.
+    */
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).withColumn("toks", tokens(col("text")))
+    val nbi = size(col("toks")) - 1
+    val uni = doc.select(col("doc_id"), explode(col("toks")).as("f"))
+      .filter(col("f") =!= "")
+    // bigrams with multiplicity over the raw token array (repetition's rule)
+    val bi = doc.select(col("doc_id"),
+      explode(when(nbi > 0, transform(sequence(lit(0), nbi - 1),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("f"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), (md5Long(col("f")) % ClfBuckets).as("b"))
+    val weights = s.range(ClfBuckets).toDF("b")
+      .select(col("b"),
+        (md5Long(concat(lit("qw:"), col("b"))) % 2001 - 1000).as("w"))
+    feats.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("w")).as("w_sum"))
+      .select(col("doc_id"), col("n_feat"), col("w_sum"),
+        r4(col("w_sum").cast("double") / (col("n_feat") * 1000.0)).as("score"),
+        when(col("w_sum") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_score" -> (classifierScore _),
     "text_kl_drift"     -> (klDrift _),
     "text_zipf_fit"     -> (zipfFit _),
     "text_collocations" -> (collocations _),
@@ -525,6 +571,24 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_classifier_score" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(ws) AS f FROM docs),
+         bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f
+           FROM docs, UNNEST(range(1, len(ws))) AS t(i)),
+         feats AS (SELECT doc_id, ${md5LongSql("f")} % $ClfBuckets AS b
+           FROM (SELECT * FROM uni WHERE f <> '' UNION ALL SELECT * FROM bi)),
+         weights AS (SELECT b,
+             ${md5LongSql("concat('qw:', b)")} % 2001 - 1000 AS w
+           FROM range(0, $ClfBuckets) t(b)),
+         agg AS (SELECT doc_id, count(*) AS n_feat,
+             CAST(sum(w) AS BIGINT) AS w_sum
+           FROM feats JOIN weights USING (b) GROUP BY 1)
+         SELECT doc_id, n_feat, w_sum,
+           ${graft.core.Determinism.r4Sql("CAST(w_sum AS DOUBLE) / (n_feat * 1000.0)")} AS score,
+           CASE WHEN w_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM agg ORDER BY doc_id""",
     "text_kl_drift" -> {
       val r6 = graft.core.Determinism.r6Sql _
       s"""WITH toks AS (SELECT source,

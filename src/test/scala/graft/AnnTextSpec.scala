@@ -445,4 +445,51 @@ class AnnTextSpec extends AnyFunSuite {
     for ((_, grp) <- rows.groupBy(_._1))
       assert(grp.map(_._3).sorted.toSeq == (1 to grp.length).toSeq)
   }
+
+  test("nndescent: quality climbs every measured round; descent escapes the seed") {
+    def quality(iters: Int): (Double, Set[(Long, Long)]) = {
+      val rows = Ann.nndGraph(spark, sf, iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      (rows.map(_._3).sum / rows.length, rows.map(t => (t._1, t._2)).toSet)
+    }
+    val (q0, g0) = quality(0)
+    val (q1, g1) = quality(1)
+    val (q3, g3) = quality(Ann.NND_ITERS)
+    // the closure pitfall: a single-bucketing seed moves ZERO edges in round
+    // one — the dual seed must actually move some and improve the average
+    assert(g1 != g0, "round 1 did not change the graph (seed closure)")
+    assert(q1 > q0, s"round 1 did not improve quality: $q0 -> $q1")
+    assert(q3 > q1, s"rounds 2..${Ann.NND_ITERS} did not keep improving: $q1 -> $q3")
+    // the shipped query is exactly the rank-annotated final graph
+    val out = Ann.queries("ann_nndescent")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == g3)
+  }
+
+  test("classifier score: exact integer sums, threshold label, both classes") {
+    val rows = Text.queries("text_classifier_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    // label is exactly the sign of the integer sum; score is its scaled form
+    for ((_, nFeat, wSum, score, label) <- rows) {
+      assert(label == (if (wSum > 0) "keep" else "drop"))
+      val expect = math.floor(wSum.toDouble / (nFeat * 1000.0) * 1e4 + 0.5) / 1e4
+      assert(score == expect, s"score $score != $expect")
+      assert(math.abs(score) <= 1.0001) // weights in [-1000,1000] bound the mean
+    }
+    // a hash-derived weight table splits a natural corpus: both classes occur
+    val byLabel = rows.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(byLabel.getOrElse("keep", 0) > 0 && byLabel.getOrElse("drop", 0) > 0)
+    // n_feat = nonempty unigrams + bigrams-with-multiplicity, checked per doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nf = rows.map(t => t._1 -> t._2).toMap
+    for ((id, text) <- docs.take(50)) {
+      val toks = text.split(" ", -1)
+      val expect = toks.count(_.nonEmpty) + math.max(toks.length - 1, 0)
+      assert(nf(id) == expect, s"doc $id n_feat ${nf(id)} != $expect")
+    }
+  }
 }
