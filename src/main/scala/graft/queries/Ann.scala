@@ -559,10 +559,13 @@ object Ann {
     * vectors), each two-hop join is bounded at N·[[NND_SAMPLE]]² candidate
     * pairs, and only candidates are ever exactly scored (corpus vectors are
     * hash-joined to the candidate list by id; the corpus itself is never
-    * self-joined). The hash ring keeps ~8 vectors per cell at any corpus
-    * size (cell count scales with N; both engines derive it from the same
-    * count), so the seed build is linear too. Every stage is
-    * deterministic: cosines fold left-to-right, ties break on vertex id.
+    * self-joined). Both seed bucketings hold ~8 vectors per cell at any
+    * corpus size — the exploration ring by construction (cell count scales
+    * with N), the LSH side because its fixed 64 cells are sub-divided by a
+    * second hash ring (without that, in-cell pairs would grow as N²/64) —
+    * so the seed build is linear; cell counts derive from the same corpus
+    * count in both engines. Every stage is deterministic: cosines fold
+    * left-to-right, ties break on vertex id.
     */
   def nndescent(s: SparkSession, d: String): DataFrame =
     rankTop(nndGraph(s, d, NND_ITERS)
@@ -576,14 +579,24 @@ object Ann {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
-    // dual seed: LSH cells + an ~8-per-cell hash ring (cell count derived
-    // from the corpus count — a one-row broadcast, not a collect)
+    // dual seed: LSH cells + an ~8-per-cell hash ring (cell counts derived
+    // from the corpus count — a one-row broadcast, not a collect). The LSH
+    // cells are themselves SUB-DIVIDED by a second hash ring: the plane
+    // count is fixed (64 cells), so raw cells hold N/64 vectors and
+    // in-cell pair generation would grow quadratically with the corpus —
+    // the composite (cell, sub-ring) key caps expected occupancy at ~8 at
+    // any N (R = 1 below 512 vectors, so small fixtures are unaffected).
     val ncnt = all.agg(count(lit(1)).as("n"))
-    val ring = all.select(col("vec_id")).crossJoin(broadcast(ncnt))
+    val withN2 = all.select(col("vec_id")).crossJoin(broadcast(ncnt))
+    val ring = withN2
       .select(col("vec_id"), (lit(-1L) -
         md5Long(concat(lit("nnd:"), col("vec_id")))
           % ceil(col("n") / 8.0).cast("long")).as("bucket"))
-    val seeds = bucketsOf(all).unionByName(ring)
+    val subR = ceil(col("n") / 512.0).cast("long")
+    val lshSub = bucketsOf(all).crossJoin(broadcast(ncnt))
+      .select(col("vec_id"), (col("bucket") * subR +
+        md5Long(concat(lit("nnd2:"), col("vec_id"))) % subR).as("bucket"))
+    val seeds = lshSub.unionByName(ring)
     // zero-norm guard as in the embedding dedup: cos would be NaN
     val ok = all.join(norms, "vec_id").filter(col("nrm") > 0)
     val cu = ok.toDF("u", "pv", "pn").localCheckpoint()
@@ -904,7 +917,12 @@ object Ann {
            (${md5LongSql("concat('nnd:', vec_id)")}
              % CAST(ceil((SELECT count(*) FROM vecs) / 8.0) AS BIGINT)) AS bucket
          FROM vecs),
-       nnd_seeds AS (SELECT vec_id, bucket FROM buckets
+       nnd_lsh AS (SELECT vec_id,
+           bucket * CAST(ceil((SELECT count(*) FROM vecs) / 512.0) AS BIGINT) +
+           ${md5LongSql("concat('nnd2:', vec_id)")}
+             % CAST(ceil((SELECT count(*) FROM vecs) / 512.0) AS BIGINT) AS bucket
+         FROM buckets),
+       nnd_seeds AS (SELECT vec_id, bucket FROM nnd_lsh
          UNION ALL SELECT vec_id, bucket FROM nnd_ring),
        nnd_pairs AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
          FROM nnd_seeds a
