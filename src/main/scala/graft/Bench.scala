@@ -107,11 +107,15 @@ object Bench {
       // set (not the nation-aggregated graph) — guards the degree-bounded
       // fan-out claim in Graph.scala at a scale where it actually binds
       val gr = probeOf("graph_pagerank_raw")
+      // sixth: the NN-descent build — guards the composite-cell seed
+      // (raw fixed-count LSH cells would make seed pairs grow N²/64: at
+      // 10x vectors that reads ~25+, the linear seed stays ~O(10))
+      val nd = probeOf("ann_nndescent")
       // relational/ETL anchors: a second scale point for the heavy core so
       // super-linear regressions surface before a real cluster would
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile").map(probeOf)
-      val all = (Seq(ann, mh, ds, ld, gr) ++ anchors).mkString(",")
+      val all = (Seq(ann, mh, ds, ld, gr, nd) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""

@@ -56,6 +56,8 @@ object Ann {
     panel(vecs(s, d), "probe:", PROBE_COUNT).collect().map(_.getLong(0)).toSeq
   private[graft] def centPanelIds(s: SparkSession, d: String): Seq[Long] =
     panel(vecs(s, d), "cent:", CENT_COUNT).collect().map(_.getLong(0)).toSeq
+  private[graft] def entryPanelIds(s: SparkSession, d: String): Seq[Long] =
+    panel(vecs(s, d), "entry:", GS_ENTRIES).collect().map(_.getLong(0)).toSeq
 
   private def cosCols(dot: Column, na: Column, nb: Column): Column =
     dot / sqrt(na * nb)
@@ -646,6 +648,77 @@ object Ann {
   def recallEvalNnd(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, nndescent(s, d))
 
+  // ---- greedy beam search over the refined k-NN graph ---------------------
+  private[graft] val GS_ENTRIES = 4 // fixed entry-point panel
+  private[graft] val GS_BEAM = 4    // beam width
+  private[graft] val GS_HOPS = 3    // unrolled expansion rounds
+
+  /** Greedy beam search over the NN-descent graph — the query-time idiom of
+    * every graph ANN index (HNSW/NSG: hop from fixed entry points toward
+    * the probe, keeping a best-so-far pool). Entry points are a fixed
+    * salted-hash panel ([[GS_ENTRIES]] vertices); each of the [[GS_HOPS]]
+    * rounds takes the pool's top-[[GS_BEAM]] per probe, walks one hop on
+    * the symmetrized graph, exactly scores only the NOT-yet-visited
+    * candidates (the visited-set anti-join every implementation keeps),
+    * and merges them into the pool. Output is the pool's final top-k.
+    *
+    * Scale shape: the search never scans the corpus — per probe it touches
+    * ≤ [[GS_BEAM]]·deg new vertices per hop, joined to the graph relation
+    * by id; the probe panel and entry panel are constant-size broadcasts.
+    * At 100 TB the graph relation is the only large input and it is
+    * id-keyed (the HNSW trade: build cost amortized into a reusable
+    * navigable structure, per-query cost independent of N).
+    */
+  def graphSearch(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+    val withN = all.join(norms, "vec_id")
+    val ok = withN.filter(col("nrm") > 0)
+    val g = nndGraph(s, d, NND_ITERS)
+    val und = g.select("src", "dst")
+      .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    // panels select over the UNFILTERED corpus (the family's convention —
+    // keeps the salted-hash panel identical to every other ann_* query)
+    val probes = withN.join(broadcast(panel(all, "probe:", PROBE_COUNT)), "vec_id")
+      .toDF("probe_id", "pv", "pn").localCheckpoint()
+    val entries = all.select(col("vec_id"))
+      .join(broadcast(panel(all, "entry:", GS_ENTRIES)), "vec_id")
+      .select(col("vec_id").as("cand"))
+    val corpus = ok.toDF("cand", "cv", "cn")
+    // scores (probe, cand) pairs; drops the probe itself (cos 1 with itself)
+    def scoredPairs(pc: DataFrame): DataFrame = pc
+      .join(corpus, "cand")
+      .join(broadcast(probes), "probe_id")
+      .filter(col("cand") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand"), cosCols(
+        graft.plans.DotProduct.dot(col("pv"), col("cv")),
+        col("pn"), col("cn")).as("cos"))
+    var visited = scoredPairs(
+        entries.crossJoin(broadcast(probes.select("probe_id"))))
+      .localCheckpoint()
+    for (_ <- 1 to GS_HOPS) {
+      val beam = graft.plans.TopK.perKey(visited, Seq("probe_id"),
+          Seq(col("cos").desc, col("cand").asc), GS_BEAM)
+        .select("probe_id", "cand")
+      val nbrs = beam.join(und.toDF("cand", "nxt"), "cand")
+        .select(col("probe_id"), col("nxt").as("cand")).distinct()
+      val fresh = nbrs.join(visited.select("probe_id", "cand"),
+        Seq("probe_id", "cand"), "left_anti")
+      visited = visited.unionByName(scoredPairs(fresh)).localCheckpoint()
+    }
+    rankTop(visited.select(col("probe_id"),
+      col("cand").as("neighbor_id"), col("cos")), CAND_TOPK)
+  }
+
+  /** Recall@k gate for the graph search — bounded above by the graph's own
+    * quality ([[recallEvalNnd]]): search can only find what the navigable
+    * structure reaches.
+    */
+  def recallEvalGsearch(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, graphSearch(s, d))
+
   /** Recall@k evaluation: per probe, how many of the exact top-k (from the
     * brute-force pass) the LSH index recovered — the quality gauge every
     * approximate index needs shipped alongside it ("measure, don't guess").
@@ -722,6 +795,8 @@ object Ann {
     "ann_recall_ivfpq" -> (recallEvalIvfPq _),
     "ann_nndescent"  -> (nndescent _),
     "ann_recall_nnd" -> (recallEvalNnd _),
+    "ann_graph_search" -> (graphSearch _),
+    "ann_recall_gsearch" -> (recallEvalGsearch _),
     "ann_sq8"        -> (sq8 _),
     "ann_recall_sq8" -> (recallEvalSq8 _),
     "ann_recall"     -> (recallEval _),
@@ -974,6 +1049,56 @@ object Ann {
          FROM nnd_g$NND_ITERS)"""
   }
 
+  /** SQL twin of the beam search (entry panel → hop → visited-set
+    * anti-join → score fresh → merge, [[GS_HOPS]] unrolled rounds).
+    * Assumes the nndSql chain is in scope (uses its final nnd_g graph).
+    */
+  private def gsSql: String = {
+    val gT = s"nnd_g$NND_ITERS"
+    // pair score against fixed join aliases (pv/cv vectors, np/nc norms)
+    val sc = s"""${Dedup.dotSeqSql("pv.v", "cv.v")} / sqrt(np.nrm * nc.nrm)"""
+    val base =
+      s"""gs_entries AS (SELECT vec_id FROM vecs
+         ORDER BY ${md5LongSql("concat('entry:', vec_id)")}, vec_id LIMIT $GS_ENTRIES),
+       gs_und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM $gT UNION ALL SELECT dst, src FROM $gT)),
+       gs_v0 AS MATERIALIZED (SELECT p.vec_id AS probe_id, e.vec_id AS cand,
+           $sc AS cos
+         FROM gs_entries e CROSS JOIN probe_ids p
+         JOIN vecs pv ON pv.vec_id = p.vec_id
+         JOIN vecs cv ON cv.vec_id = e.vec_id
+         JOIN norms np ON np.vec_id = p.vec_id
+         JOIN norms nc ON nc.nrm > 0 AND nc.vec_id = e.vec_id
+         WHERE e.vec_id <> p.vec_id)"""
+    val hops = (1 to GS_HOPS).map { t =>
+      val p = s"gs_v${t - 1}"
+      s"""gs_beam_$t AS (SELECT probe_id, cand
+         FROM (SELECT probe_id, cand,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY cos DESC, cand) AS rk
+               FROM $p) WHERE rk <= $GS_BEAM),
+       gs_fresh_$t AS (SELECT DISTINCT b.probe_id, u.dst AS cand
+         FROM gs_beam_$t b JOIN gs_und u ON u.src = b.cand
+         WHERE u.dst <> b.probe_id
+           AND NOT EXISTS (SELECT 1 FROM $p v
+                           WHERE v.probe_id = b.probe_id AND v.cand = u.dst)),
+       gs_v$t AS MATERIALIZED (SELECT probe_id, cand, cos FROM $p
+         UNION ALL
+         SELECT f.probe_id, f.cand, $sc AS cos
+         FROM gs_fresh_$t f
+         JOIN vecs pv ON pv.vec_id = f.probe_id
+         JOIN vecs cv ON cv.vec_id = f.cand
+         JOIN norms np ON np.vec_id = f.probe_id
+         JOIN norms nc ON nc.nrm > 0 AND nc.vec_id = f.cand)"""
+    }.mkString(",\n       ")
+    s"""$base,
+       $hops,
+       gs_ranked AS (SELECT probe_id, cand AS neighbor_id, cos,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, cand) AS rk
+         FROM gs_v$GS_HOPS)"""
+  }
+
   /** SQL twin of the ivfCells coarse assignment (same CTE chain as the
     * ann_ivf oracle's head — kept verbatim so the two stay provably the
     * same quantizer).
@@ -1164,6 +1289,39 @@ object Ann {
            ${graft.core.Determinism.r4Sql(s"CAST(count(nndk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
          FROM bf LEFT JOIN nndk
            ON nndk.probe_id = bf.probe_id AND nndk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_graph_search" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
+         $bucketsSqlFragment,
+         $nndSql,
+         $gsSql
+         SELECT probe_id, rk, neighbor_id,
+           ${graft.core.Determinism.r4Sql("cos")} AS cos
+         FROM gs_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
+    "ann_recall_gsearch" ->
+      s"""WITH $vecsSql, $elemsSql, $normsSql, $probeIdsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $bucketsSqlFragment,
+         $nndSql,
+         $gsSql,
+         gsk AS (SELECT probe_id, neighbor_id FROM gs_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(gsk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(gsk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN gsk
+           ON gsk.probe_id = bf.probe_id AND gsk.neighbor_id = bf.neighbor_id
          GROUP BY 1 ORDER BY 1""",
     "ann_recall_ivf" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,

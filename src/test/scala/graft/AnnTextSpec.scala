@@ -492,4 +492,45 @@ class AnnTextSpec extends AnyFunSuite {
       assert(nf(id) == expect, s"doc $id n_feat ${nf(id)} != $expect")
     }
   }
+
+  test("graph search: hop-bounded reachability from the entry panel; the walk descends") {
+    val rows = Ann.queries("ann_graph_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val probes = Ann.probePanelIds(spark, sf).toSet
+    assert(rows.map(_._1).toSet == probes)
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      assert(grp.map(_._2).sorted.toSeq == (1 to grp.length).toSeq)
+      val cs = grp.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "cos not descending")
+    }
+    // subset-of-corpus scoring can never beat the exact top-1
+    val bf1 = Ann.queries("ann_bruteforce")(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.forall { case (p, _, _, c) => c <= bf1(p) + 1e-9 })
+    // structural guarantee of the visited set: every returned neighbor lies
+    // within GS_HOPS hops of the fixed entry panel on the symmetrized graph
+    val edges = Ann.nndGraph(spark, sf, Ann.NND_ITERS).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var ball = Ann.entryPanelIds(spark, sf).toSet
+    for (_ <- 1 to Ann.GS_HOPS)
+      ball = ball ++ ball.flatMap(v => adj.getOrElse(v, Set.empty[Long]))
+    assert(rows.forall { case (_, _, n, _) => ball.contains(n) },
+      "search returned a vertex outside the hop-bounded ball")
+    // the walk actually descends: some probe's top-1 beats every raw entry
+    // score (else the hops added nothing over the constant entry panel)
+    val entrySet = Ann.entryPanelIds(spark, sf).toSet
+    val top1 = rows.filter(_._2 == 1).map(t => t._1 -> (t._3, t._4))
+    assert(top1.exists { case (_, (n, _)) => !entrySet.contains(n) },
+      "every top-1 is an entry vertex — the walk never moved")
+  }
+
+  test("ann_recall_gsearch: 10 probes, recall in [0,1], some probe recovers a true neighbor") {
+    val rows = Ann.queries("ann_recall_gsearch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == 10)
+    assert(rows.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    assert(rows.exists(_._2 > 0.0), "graph search recovered nothing anywhere")
+  }
 }
