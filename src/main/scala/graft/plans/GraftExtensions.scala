@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bitmap_test"),
       new ExpressionInfo(classOf[BitmapTest].getName, "graft_bitmap_test"),
       BitmapTest.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_freq_sketch"),
+      MisraGries.builder))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
@@ -55,6 +59,8 @@ object GraftExtensions {
       .registerFunction(spark, "graft_bitmap_build", BitmapBuild.builder)
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_bitmap_test", BitmapTest.builder)
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_freq_sketch", MisraGries.builder)
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

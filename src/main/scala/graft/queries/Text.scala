@@ -562,8 +562,45 @@ object Text {
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
-    "text_pii_scrub"   -> (piiScrub _)
+    "text_pii_scrub"   -> (piiScrub _),
+    "text_heavy_hitters" -> (heavyHitters _)
   )
+
+  // ---- heavy hitters: Misra-Gries candidates + exact verification ---------
+  /** Counter budget for the frequent-items sketch. The exactness argument:
+    * MG with k counters guarantees every item of true frequency > n/(k+1)
+    * survives in the candidate set, and the per-source threshold
+    * (n div 50 + 1) strictly exceeds n/256 for every n ≥ 0 — so the
+    * verified output below is EXACTLY the frequent set, not an estimate.
+    */
+  private val HH_K = 255
+
+  /** Per-source frequent tokens (count ≥ 2% of the source's stream + 1) —
+    * the vocabulary-health monitor run before tokenizer training. Two-phase
+    * exact-via-sketch shape: (1) candidate pass, one [[graft.plans.MisraGries]]
+    * sketch per source — the token stream NEVER shuffles, only ≤ [[HH_K]]
+    * (item,count) pairs per source per partition cross the network;
+    * (2) verify pass, exact counts scoped to the candidate set by a
+    * broadcast semi-join — the full vocabulary never aggregates either.
+    * At 100 TB this replaces the full groupBy(token) (vocab-sized shuffle)
+    * with two token-stream scans and constant-size exchanges.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("source"),
+        explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+    val cands = toks.groupBy(col("source"))
+      .agg(graft.plans.MisraGries.candidates(col("tok"), HH_K).as("cand"),
+        count(lit(1)).as("n_tok"))
+    val candSet = cands.select(col("source"), col("n_tok"),
+      explode(col("cand")).as("tok"))
+    toks.join(broadcast(candSet), Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"), col("n_tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= expr("n_tok div 50") + lit(1))
+      .select(col("source"), col("tok"), col("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("tok"))
+  }
 
   private def markerSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -571,6 +608,16 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+           FROM documents),
+         tot AS (SELECT source, count(*) AS n_tok FROM toks GROUP BY source),
+         cnt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok)
+         SELECT c.source, c.tok, c.cnt
+         FROM cnt c JOIN tot t ON t.source = c.source
+         WHERE c.cnt >= t.n_tok // 50 + 1
+         ORDER BY c.source, c.cnt DESC, c.tok""",
     "text_classifier_score" ->
       s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
            FROM documents),
