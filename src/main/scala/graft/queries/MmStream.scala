@@ -91,6 +91,74 @@ object MmStream {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- perceptual-hash near-dup over binary payloads ------------------------
+  val PhashBlocks = 60       // 60-bit hash stays positive in a signed 64-bit
+  val PhashBandBits = 15     // 4 bands x 15 bits
+  val PhashHamMax = 8        // near-dup hamming threshold
+  val PhashMaxBand = 100     // band-bucket df cap (the MaxChunkDf idiom)
+  val MmPhashOffset = 4000000000000L
+
+  /** Block-mean perceptual hash near-dup detection — the media-dedup second
+    * pass after [[mmDedupPrefix]]'s exact-prefix first pass. The classic
+    * block-mean-value image hash applied to payload bytes: split the
+    * payload into [[PhashBlocks]] equal spans, bit b = (span b's mean byte
+    * > whole-payload mean byte), compared integer-exactly by cross-
+    * multiplication so no float ever enters the hash. A single-byte edit
+    * touches one span (plus, at worst, borderline bits through the global
+    * mean), so true near-dups land within [[PhashHamMax]] hamming bits;
+    * candidate generation bands the 60-bit hash into 4×15-bit buckets
+    * (the simhash band idiom) with the [[PhashMaxBand]] df cap so no
+    * bucket ever joins quadratically, and only candidates get the exact
+    * bit_count(xor) verify. Payload bytes ≡ text chars on this pure-ASCII
+    * corpus, which is what makes the hash DuckDB-recomputable (same
+    * argument as mm_feature_extract). Planted: every 7th doc reappears
+    * with ONE central character replaced — the single-block edit a
+    * perceptual hash must shrug off.
+    *
+    * Scale shape: one char-explode pass into (doc, block) partials (map-
+    * side combined), per-doc totals co-partitioned by doc_id, then ONLY
+    * 8-byte hashes travel to the banded join — payloads never shuffle.
+    */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).filter(length(col("text")) > 0)
+    val near = doc.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + MmPhashOffset).as("doc_id"),
+        expr("""concat(substr(text, 1, (length(text) + 1) div 2 - 1), '~',
+                substr(text, (length(text) + 1) div 2 + 1, length(text)))""")
+          .as("text"))
+    val all = spread(doc.select("doc_id", "text").unionByName(near))
+    val chars = all.select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(split(col("text"), "(?s)(?<=.)")).as(Seq("idx", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("n"),
+        expr(s"CAST(idx AS BIGINT) * $PhashBlocks div n").as("blk"),
+        ascii(col("ch")).cast("long").as("b"))
+    val blocks = chars.groupBy("doc_id", "blk")
+      .agg(sum(col("b")).as("bsum"), count(lit(1)).as("cnt"))
+    val tots = blocks.groupBy("doc_id")
+      .agg(sum(col("bsum")).as("tot"), sum(col("cnt")).as("ntot"))
+    val hashes = blocks.join(tots, "doc_id").groupBy("doc_id")
+      .agg(sum(expr("""CASE WHEN bsum * ntot > tot * cnt
+          THEN shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))
+          ELSE CAST(0 AS BIGINT) END""")).as("phash"))
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(bd =>
+        shiftrightunsigned(col("phash"), bd * PhashBandBits)
+          .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)).as(Seq("band", "bval")))
+    val okBuckets = bands.groupBy("band", "bval").count()
+      .filter(col("count") <= PhashMaxBand).select("band", "bval")
+    val inBuckets = bands.join(okBuckets, Seq("band", "bval"))
+    val a = inBuckets.toDF("band", "bval", "a_id", "ah")
+    val b = inBuckets.toDF("band", "bval", "b_id", "bh")
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ah", "bh").distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ah").bitwiseXOR(col("bh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- WebDataset-style shard manifest --------------------------------------
   val ShardCount = 8
   val ShardFileBytes = 16384L
@@ -217,6 +285,7 @@ object MmStream {
     "stream_session_window" -> (streamSessionWindow _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
+    "mm_phash_dedup"    -> (mmPhashDedup _),
     "mm_frame_sample"   -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
@@ -321,6 +390,41 @@ object MmStream {
          FROM fp a JOIN fp b
            ON a.head_fp = b.head_fp AND a.doc_id < b.doc_id
           AND a.full_md5 <> b.full_md5
+         ORDER BY a_id, b_id""",
+    "mm_phash_dedup" ->
+      s"""WITH allp AS (
+           SELECT doc_id, text FROM documents WHERE length(text) > 0
+           UNION ALL
+           SELECT doc_id + $MmPhashOffset,
+             concat(substr(text, 1, (length(text) + 1) // 2 - 1), '~',
+               substr(text, (length(text) + 1) // 2 + 1, length(text)))
+           FROM documents WHERE length(text) > 0 AND doc_id % 7 = 0),
+         chars AS (SELECT doc_id, length(text) AS n,
+             (i - 1) * $PhashBlocks // length(text) AS blk,
+             ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+           FROM allp, UNNEST(range(1, length(text) + 1)) AS t(i)),
+         blocks AS (SELECT doc_id, blk, sum(b) AS bsum, count(*) AS cnt
+           FROM chars GROUP BY 1, 2),
+         tots AS (SELECT doc_id, sum(bsum) AS tot, sum(cnt) AS ntot
+           FROM blocks GROUP BY 1),
+         hashes AS (SELECT b.doc_id,
+             CAST(sum(CASE WHEN b.bsum * t.ntot > t.tot * b.cnt
+               THEN CAST(1 AS BIGINT) << CAST(b.blk AS INTEGER)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+           FROM blocks b JOIN tots t USING (doc_id) GROUP BY 1),
+         bands AS (SELECT doc_id, phash, band,
+             (phash >> (band * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bval
+           FROM hashes, UNNEST([0, 1, 2, 3]) AS u(band)),
+         ok_buckets AS (SELECT band, bval FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= $PhashMaxBand),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.phash AS ah, b.phash AS bh
+           FROM bands a
+           JOIN ok_buckets o ON o.band = a.band AND o.bval = a.bval
+           JOIN bands b ON b.band = a.band AND b.bval = a.bval
+            AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(ah, bh)) <= $PhashHamMax
          ORDER BY a_id, b_id""",
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -261,6 +261,29 @@ class MmStreamSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("mm phash dedup: single-char edits land within the hamming budget") {
+    val got = graft.queries.MmStream.queries("mm_phash_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, h) => a < b && h >= 0 && h <= 8 })
+    // the planted single-block edits: most must be recovered (banding needs
+    // one of 4 bands intact — a borderline global-mean shift can lose a
+    // pair, so claim an aggregate with slack, not "every")
+    val ids = graft.core.Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = ids.filter(_ % 7 == 0)
+      .map(id => (id, id + graft.queries.MmStream.MmPhashOffset)).toSet
+    val pairSet = got.map(t => (t._1, t._2)).toSet
+    val recovered = planted.count(pairSet.contains)
+    assert(planted.nonEmpty &&
+      recovered.toDouble / planted.size > 0.5,
+      s"phash recovered only $recovered of ${planted.size} planted edits")
+    // and a planted pair that IS reported sits well inside the budget
+    val plantedHams = got.filter(t => planted.contains((t._1, t._2))).map(_._3)
+    assert(plantedHams.nonEmpty && plantedHams.max <= 8)
+  }
+
   test("late-data audit: watermark rules hold trigger by trigger") {
     val rows = graft.queries.MmStream.queries("stream_late_data")(spark, sf)
       .orderBy("batch").collect()
