@@ -167,4 +167,57 @@ class GraphSpec extends AnyFunSuite {
     for ((a, b) <- edges; (x, y) = (dist(a), dist(b)))
       if (x >= 0 && y >= 0) assert(math.abs(x - y) <= 1, s"edge ($a,$b): $x vs $y")
   }
+
+  test("kcorePeel: cascading removal eats a pendant path, keeps the cycle") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1 plus a path 4-5-6-7 hanging off it
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val peeled = (1 to 3).foldLeft(e)((x, _) => Graph.kcorePeel(x, 2))
+    val kept = peeled.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L), s"2-core should be the cycle, got $kept")
+    // one round only removes the degree-1 frontier (7), not the whole path:
+    // the cascade is what the iteration is for
+    val once = Graph.kcorePeel(e, 2)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(once.contains(5L) && !once.contains(7L))
+  }
+
+  test("kcore: min-degree property holds and the round count is a fixpoint") {
+    val rows = Graph.queries("graph_kcore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every surviving vertex meets the core threshold — the defining property
+    assert(rows.forall(_._3 >= Graph.KcoreK))
+    assert(rows.forall(r => (r._1 % 2 == 0) == (r._2 == "c")))
+    // KcoreRounds reaches the true fixpoint: one further peel is a no-op
+    val eN = Graph.kcoreEdges(spark, sf)
+    assert(Graph.kcorePeel(eN, Graph.KcoreK).count() == eN.count())
+    val again = Graph.queries("graph_kcore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sameElements(again)) // determinism
+  }
+
+  test("cosim: ranks contiguous per src, jaccard bounded, symmetric commons") {
+    val rows = Graph.queries("graph_cosim")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._5 >= 0 && r._5 <= 1000000L))
+    assert(rows.forall(r => r._4 >= Graph.CosimMinCommon))
+    val bySrc = rows.groupBy(_._1)
+    for ((_, rs) <- bySrc) {
+      assert(rs.length <= Graph.CosimTopK)
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
+      // ranking is by jaccard desc (ties by dst asc)
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._5 > b._5 || (a._5 == b._5 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // common count is a property of the PAIR: both orientations that survive
+    // their top-k must agree on it
+    val common = rows.map(r => (Set(r._1, r._3), r._4)).groupBy(_._1)
+    assert(common.values.forall(_.map(_._2).distinct.length == 1))
+  }
 }
