@@ -217,7 +217,58 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Proportional allocation rate for [[stratified]], percent. */
+  val StratPct = 10
+
+  /** Exact proportional stratified sampling: every language stratum
+    * contributes EXACTLY max(1, ⌊n·[[StratPct]]%⌋) rows — unlike the
+    * per-row coin of [[mixture]], whose per-stratum counts are only
+    * binomially close to the target. Selection within a stratum is salted-
+    * hash rank (deterministic, corpus-order-independent), so the sample is
+    * stable across runs, engines and repartitions; the per-stratum targets
+    * are a strata-sized broadcast. One window per stratum = one shuffle by
+    * lang; the guaranteed-floor property (every stratum represented) is
+    * what evaluation-set builders need that rate sampling can't give.
+    */
+  def stratified(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).select(col("doc_id"), col("lang"))
+    val targets = doc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        greatest(lit(1L), expr(s"n * $StratPct div 100")).as("target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5Long(concat(lit("strat:"), col("doc_id"))), col("doc_id"))
+    doc.withColumn("rk", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rk") <= col("target"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Global sample size for [[reservoir]]. */
+  val ReservoirK = 64
+
+  /** Exact-K uniform sample without replacement — the distributed,
+    * deterministic analog of reservoir sampling: rank every row by a salted
+    * content hash (a uniform random permutation, fixed by the salt) and
+    * keep the K smallest. Spark plans orderBy+limit as TakeOrdered: each
+    * partition forwards only its local top-K, so K rows per partition —
+    * never the corpus — cross the network, the same property the classic
+    * single-pass reservoir gives a sequential reader. Unlike `df.sample`
+    * (per-split seeded, count only approximate) the result is exactly K
+    * rows and identical on any cluster layout.
+    */
+  def reservoir(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5Long(concat(lit("res:"), col("doc_id"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(ReservoirK)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified"   -> (stratified _),
+    "sample_reservoir"    -> (reservoir _),
     "sample_balanced"     -> (balanced _),
     "sample_holdout"      -> (holdout _),
     "sample_dsir"         -> (dsir _),
@@ -229,6 +280,22 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""WITH targets AS (SELECT lang,
+             greatest(1, CAST(count(*) AS BIGINT) * $StratPct // 100) AS target
+           FROM documents GROUP BY lang),
+         ranked AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${md5LongSql("'strat:' || doc_id")}, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang FROM ranked JOIN targets USING (lang)
+         WHERE rk <= target ORDER BY doc_id""",
+    "sample_reservoir" ->
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source FROM documents
+           ORDER BY ${md5LongSql("'res:' || doc_id")}, doc_id
+           LIMIT $ReservoirK)
+         ORDER BY doc_id""",
     "sample_balanced" ->
       s"""WITH ranked AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang

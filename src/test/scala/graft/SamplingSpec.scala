@@ -172,4 +172,38 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.sameElements(again))
   }
+
+  test("stratified: every stratum contributes exactly max(1, floor(n*pct))") {
+    val rows = Sampling.queries("sample_stratified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val full = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val fullByLang = full.groupBy(_._2).view.mapValues(_.length).toMap
+    val gotByLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // exactness — the property the binomial mixture coin cannot give
+    for ((lang, n) <- fullByLang)
+      assert(gotByLang.getOrElse(lang, 0) ==
+        math.max(1, n * Sampling.StratPct / 100), s"stratum $lang")
+    // sampled rows are real rows
+    assert(rows.toSet.subsetOf(full.toSet))
+    val again = Sampling.queries("sample_stratified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(again))
+  }
+
+  test("reservoir: exactly K rows, a subset of the corpus, stable; TakeOrdered plan") {
+    val df = Sampling.queries("sample_reservoir")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == Sampling.ReservoirK)
+    val full = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet.subsetOf(full.toSet))
+    val again = Sampling.queries("sample_reservoir")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sameElements(again))
+    // the K-smallest-hashes selection must plan as a distributed top-K
+    // (partial limit per partition), not a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered plan:\n$plan")
+  }
 }
