@@ -911,7 +911,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  //      algorithm): window-local minima of positional k-gram hashes -------
+  /** Winnowing k-gram size (tokens per gram). */
+  val WinnowK = 3
+
+  /** Winnowing window: every [[WinnowW]] consecutive gram hashes contribute
+    * at least one fingerprint, so any shared run of ≥ WinnowK+WinnowW−1
+    * tokens is GUARANTEED to share a fingerprint — the positional coverage
+    * guarantee minhash (a global, position-blind sketch) cannot give.
+    */
+  val WinnowW = 4
+
+  /** Fingerprint document-frequency cap — the [[MaxShingleDf]] pattern: a
+    * fingerprint shared by more docs than this is boilerplate and never
+    * generates pairs, bounding every bucket's fan-out.
+    */
+  val WinnowMaxDf = 100
+
+  /** Minimum shared fingerprints for a candidate pair. */
+  val WinnowMinShared = 5
+
+  /** Winnowing near-dup candidates: positional k-gram hashes per doc, one
+    * fingerprint per sliding window of [[WinnowW]] grams (the window MIN —
+    * order-free, so engine-deterministic), distinct fingerprints per doc,
+    * then df-capped bucket pair generation with a shared-count floor.
+    * Output: (a, b, shared, containment_ppm) where containment is
+    * shared/min(|fpA|,|fpB|) in ppm.
+    *
+    * Scale shapes: text never shuffles — grams are hashed map-side in the
+    * scan stage and only (doc_id, pos, 8-byte hash) rows reach the ONE
+    * doc_id-keyed exchange the window min needs; pair generation joins
+    * hashes-only relations bucket-scoped by fingerprint with df ≤
+    * [[WinnowMaxDf]], so candidates — never N² — cross the network. The
+    * window min runs in one pass per doc partition (rows-between frame).
+    */
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(s, d).withColumn("toks", tokens(col("text")))
+    val n = size(col("toks")) - (WinnowK - 1)
+    val grams = c.select(col("doc_id"),
+        posexplode(when(n > 0, transform(sequence(lit(0), n - 1),
+            i => concat_ws(" ",
+              (0 until WinnowK).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos"), md5Long(col("col")).as("h"))
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wAll = Window.partitionBy(col("doc_id"))
+    // full windows only (pos ≤ ng−W, 0-based); a doc shorter than one
+    // window keeps its single truncated window at pos 0
+    val fps = grams
+      .withColumn("mh", min(col("h")).over(wMin))
+      .withColumn("ng", count(lit(1)).over(wAll))
+      .filter(col("pos") <= greatest(lit(0), col("ng") - WinnowW))
+      .select(col("doc_id"), col("mh")).distinct()
+      .localCheckpoint()
+    val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val keep = fps.groupBy(col("mh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf).select(col("mh"))
+    val capped = fps.join(keep, Seq("mh"), "left_semi")
+    val pairs = capped.select(col("mh"), col("doc_id").as("a"))
+      .join(capped.select(col("mh"), col("doc_id").as("b")), "mh")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+    pairs
+      .join(nfp.select(col("doc_id").as("a"), col("nfp").as("na")), "a")
+      .join(nfp.select(col("doc_id").as("b"), col("nfp").as("nb")), "b")
+      .select(col("a"), col("b"), col("shared"),
+        expr("shared * 1000000 div least(na, nb)").as("containment_ppm"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnowing"     -> (winnowing _),
     "dedup_bloom_bitmap"  -> (bloomFilterBitmap _),
     "dedup_substring_scrub" -> (substringScrub _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
@@ -936,6 +1010,35 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnowing" ->
+      s"""WITH $corpusSql,
+         grams AS (SELECT doc_id, i AS pos,
+             ${md5LongSql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+                UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         wm AS (SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS ng
+           FROM grams),
+         fps AS (SELECT DISTINCT doc_id, mh FROM wm
+           WHERE pos <= greatest(1, ng - ${WinnowW - 1})),
+         nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+           FROM fps GROUP BY doc_id),
+         keepfp AS (SELECT mh FROM fps GROUP BY mh
+           HAVING count(*) <= $WinnowMaxDf),
+         capped AS (SELECT f.doc_id, f.mh FROM fps f
+           JOIN keepfp k ON k.mh = f.mh),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM capped a JOIN capped b ON b.mh = a.mh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+         SELECT p.a, p.b, p.shared,
+           p.shared * 1000000 // least(na.nfp, nb.nfp) AS containment_ppm
+         FROM pairs p
+         JOIN nfp na ON na.doc_id = p.a
+         JOIN nfp nb ON nb.doc_id = p.b
+         ORDER BY a, b""",
     "dedup_keep_best" ->
       s"""WITH RECURSIVE pairs AS ($minhashLshSqlFor),
          $corpusSql,

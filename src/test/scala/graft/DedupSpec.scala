@@ -351,4 +351,58 @@ class DedupSpec extends AnyFunSuite {
     val meanErr = rows.map(_._5).sum / rows.length
     assert(meanErr < 2.0 / 12.0, s"mean abs err $meanErr")
   }
+
+  test("winnowing: planted exact copies at full containment; prefix near-dups recalled") {
+    import graft.queries.Dedup
+    val rows = Dedup.queries("dedup_winnowing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val pairSet = rows.map(r => (r._1, r._2)).toSet
+    // exact copies (id, id+ExactOffset) share every fingerprint →
+    // containment exactly 1.0 for every recalled pair
+    val exact = rows.filter(r => r._1 < Dedup.ExactOffset
+      && r._2 == r._1 + Dedup.ExactOffset)
+    assert(exact.nonEmpty)
+    assert(exact.forall(_._4 == 1000000L), "exact copies must contain fully")
+    // the positional coverage guarantee: a "dup "-prefixed copy shares the
+    // whole suffix, so near-dup pairs (id, id+NearOffset) are recalled for
+    // the overwhelming majority of planted docs (short docs below the
+    // fingerprint floor may drop out)
+    val nearPlanted = rows.filter(r => r._1 < Dedup.ExactOffset).map(_._1)
+      .distinct.count(id => pairSet.contains((id, id + Dedup.NearOffset)))
+    val nearTotal = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    assert(nearPlanted >= nearTotal * 8 / 10,
+      s"winnowing recalled $nearPlanted of $nearTotal planted near-dups")
+  }
+
+  test("winnowing guarantee on a fixture: any shared run of K+W-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions._
+    import org.apache.spark.sql.expressions.Window
+    // two docs: disjoint prefixes, then an identical 6-token run
+    // (= WinnowK + WinnowW - 1 = 6): winnowing MUST fingerprint inside it
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, s"one two three four five $run"),
+      (2L, s"six seven eight nine ten eleven twelve $run")).toDF("doc_id", "text")
+    val c = docs.withColumn("toks", tokens(col("text")))
+    val n = size(col("toks")) - (graft.queries.Dedup.WinnowK - 1)
+    val grams = c.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), n - 1),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
+      .select(col("doc_id"), col("pos"), md5Long(col("col")).as("h"))
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, graft.queries.Dedup.WinnowW - 1)
+    val wAll = Window.partitionBy(col("doc_id"))
+    val fps = grams.withColumn("mh", min(col("h")).over(wMin))
+      .withColumn("ng", count(lit(1)).over(wAll))
+      .filter(col("pos") <= greatest(lit(0), col("ng") - graft.queries.Dedup.WinnowW))
+      .select(col("doc_id"), col("mh")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared K+W-1 run must share a fingerprint")
+  }
 }
