@@ -819,7 +819,94 @@ object Etl {
       .orderBy("missing_day")
   }
 
+  /** Declarative data-quality rule engine (the Deequ/Great-Expectations
+    * shape): N rules — null / domain / regex-format / numeric-range /
+    * date-range — evaluated over orders in ONE scan: each rule compiles to
+    * a conditional sum inside a single partial aggregate, and the per-rule
+    * rows are unpivoted from that one result row with stack(). Adding a
+    * rule adds a column to the agg, never a pass over the data — the
+    * property that keeps a 50-rule suite a single 100 TB scan. Violation
+    * mix is real: priority format (the '4-NOT SPECIFIED' space) and the
+    * price/date ranges genuinely fire; the null/domain gates pass.
+    */
+  def ruleEngine(s: SparkSession, d: String): DataFrame = {
+    def viol(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
+    val agg = orders(s, d).agg(
+      count(lit(1)).as("n"),
+      viol(col("o_orderkey").isNull).as("v_key_null"),
+      viol(col("o_custkey").isNull).as("v_cust_null"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_status_domain"),
+      viol(!col("o_orderpriority").rlike("^[1-5]-[A-Z]+$")).as("v_prio_format"),
+      viol(col("o_totalprice") <= 0 || col("o_totalprice") > 450000)
+        .as("v_price_range"),
+      viol(col("o_orderdate") < lit("1995-01-01").cast("timestamp")
+        || col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .as("v_date_range"))
+    agg.select(expr(
+        """stack(6,
+           'orderkey_not_null',  v_key_null,      n,
+           'custkey_not_null',   v_cust_null,     n,
+           'status_in_domain',   v_status_domain, n,
+           'priority_format',    v_prio_format,   n,
+           'price_in_range',     v_price_range,   n,
+           'date_in_range',      v_date_range,    n)
+           AS (rule, n_violations, n_checked)"""))
+      .select(col("rule"), col("n_violations"), col("n_checked"),
+        expr("(n_checked - n_violations) * 1000000 div n_checked")
+          .as("pass_ppm"))
+      .orderBy("rule")
+  }
+
+  /** PSI drift-bucket count (price domain 0..450k+ in 50k steps, capped). */
+  val PsiBuckets = 10
+
+  /** Population Stability Index between a reference and a current period
+    * (orders before/after 1998-01-01) over fixed-width price buckets — the
+    * standard model-monitoring drift score. Counts come from ONE scan
+    * (conditional sums per side), the bucket spine is generated (all
+    * [[PsiBuckets]] buckets present even when empty — absent buckets are
+    * exactly where drift hides), add-one smoothing keeps empty buckets
+    * finite, and each (p−q)·log2(p/q) term follows the entropy float
+    * policy: 6-dp-floor-rounded, summed as exact DECIMAL, total rounded to
+    * 4 dp. Output: one row per bucket plus a TOTAL row (bucket −1).
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val bucketed = orders(s, d).select(
+      least(floor(col("o_totalprice") / 50000.0).cast("long"),
+        lit(PsiBuckets - 1L)).as("bucket"),
+      (col("o_orderdate") < cut).cast("long").as("is_ref"))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("is_ref")).as("cr"), sum(lit(1) - col("is_ref")).as("ct"))
+    val spine = s.range(PsiBuckets).toDF("bucket")
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = full.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val r6 = graft.core.Determinism.r6 _
+    val terms = full.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("cr"), col("ct"),
+        r6((((col("cr") + 1).cast("double") / (col("nr") + PsiBuckets)) -
+            ((col("ct") + 1).cast("double") / (col("nt") + PsiBuckets))) *
+          log2(((col("cr") + 1).cast("double") * (col("nt") + PsiBuckets)) /
+            (((col("ct") + 1).cast("double") * (col("nr") + PsiBuckets)))))
+          .as("term_bits"))
+    val total = terms.agg(
+        max(lit(-1L)).as("bucket"),
+        sum(col("cr")).as("cr"), sum(col("ct")).as("ct"),
+        graft.core.Determinism.r4(
+          sum(col("term_bits").cast("decimal(28,6)")).cast("double"))
+          .as("term_bits"))
+    terms.unionByName(total)
+      .select(col("bucket"), col("cr").as("n_ref"), col("ct").as("n_cur"),
+        col("term_bits"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_rule_engine"     -> (ruleEngine _),
+    "etl_psi_drift"       -> (psiDrift _),
     "etl_backfill_plan"   -> (backfillPlan _),
     "etl_volume_anomaly"  -> (volumeAnomaly _),
     "etl_dead_column"     -> (deadColumn _),
@@ -856,6 +943,64 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_rule_engine" ->
+      """WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_key_null,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_cust_null,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_status_domain,
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_prio_format,
+           CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 450000
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+             OR o_orderdate >= TIMESTAMP '2001-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_date_range
+           FROM orders),
+         rules AS (
+           SELECT 'orderkey_not_null' AS rule, v_key_null AS n_violations, n AS n_checked FROM agg
+           UNION ALL SELECT 'custkey_not_null', v_cust_null, n FROM agg
+           UNION ALL SELECT 'status_in_domain', v_status_domain, n FROM agg
+           UNION ALL SELECT 'priority_format', v_prio_format, n FROM agg
+           UNION ALL SELECT 'price_in_range', v_price_range, n FROM agg
+           UNION ALL SELECT 'date_in_range', v_date_range, n FROM agg)
+         SELECT rule, n_violations, n_checked,
+           (n_checked - n_violations) * 1000000 // n_checked AS pass_ppm
+         FROM rules ORDER BY rule""",
+    "etl_psi_drift" -> {
+      val r6 = graft.core.Determinism.r6Sql _
+      val r4 = graft.core.Determinism.r4Sql _
+      s"""WITH bucketed AS (SELECT
+             least(CAST(floor(o_totalprice / 50000.0) AS BIGINT),
+               ${PsiBuckets - 1}) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+               THEN 1 ELSE 0 END AS is_ref
+           FROM orders),
+         counts AS (SELECT bucket, CAST(sum(is_ref) AS BIGINT) AS cr,
+             CAST(sum(1 - is_ref) AS BIGINT) AS ct
+           FROM bucketed GROUP BY bucket),
+         spine AS (SELECT CAST(b AS BIGINT) AS bucket
+           FROM range(0, $PsiBuckets) t(b)),
+         filled AS (SELECT s.bucket, COALESCE(c.cr, 0) AS cr,
+             COALESCE(c.ct, 0) AS ct
+           FROM spine s LEFT JOIN counts c ON c.bucket = s.bucket),
+         tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(sum(ct) AS BIGINT) AS nt FROM filled),
+         terms AS (SELECT bucket, cr, ct,
+             ${r6(s"""((CAST(cr + 1 AS DOUBLE) / (nr + $PsiBuckets)) -
+                 (CAST(ct + 1 AS DOUBLE) / (nt + $PsiBuckets))) *
+               log2((CAST(cr + 1 AS DOUBLE) * (nt + $PsiBuckets)) /
+                 (CAST(ct + 1 AS DOUBLE) * (nr + $PsiBuckets)))""")} AS term_bits
+           FROM filled, tot)
+         SELECT bucket, cr AS n_ref, ct AS n_cur, term_bits FROM terms
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), (SELECT nr FROM tot), (SELECT nt FROM tot),
+           ${r4("CAST(sum(CAST(term_bits AS DECIMAL(28,6))) AS DOUBLE)")}
+         FROM terms
+         ORDER BY bucket"""
+    },
     "etl_backfill_plan" ->
       """WITH days AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
            FROM events),

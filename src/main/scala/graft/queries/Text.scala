@@ -124,6 +124,42 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- unicode/whitespace normalization audit -----------------------------
+  /** Normalize: control chars → space, collapse space runs, trim. Explicit
+    * char classes ([\x00-\x1f], ' '+) instead of \s — Java regex \s
+    * includes \x0B where RE2's does not, so \s would diverge between
+    * engines; after step 1 every whitespace is a plain space anyway.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f]", " "), "  +", " "))
+
+  /** Normalization audit over a deterministically dirtied corpus (the
+    * synthetic docs are already clean, so — like [[piiScrub]] — each doc is
+    * planted with the defect class production text actually has: leading
+    * whitespace (doc_id%3=0), trailing tab+newline (%3=1), an embedded tab
+    * mid-text (%3=2)). Per source: docs, docs changed by normalization,
+    * docs restored byte-identical to the pristine original, total chars
+    * removed. Pure map-side expression work feeding one partial-agged
+    * rollup — no shuffle but the final sources-sized aggregate; at 100 TB
+    * this is a single scan.
+    */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val dirty =
+      when(col("doc_id") % 3 === 0, concat(lit("   "), col("text")))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit("\t\n")))
+        .otherwise(concat(substring(col("text"), 1, 20), lit("\t"),
+          substring(col("text"), 21, 1000000)))
+    val clean = normalizeText(dirty)
+    doc.select(col("source"), col("text"), dirty.as("dirty"), clean.as("clean"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("clean") =!= col("dirty")).cast("long")).as("n_changed"),
+        sum((col("clean") === col("text")).cast("long")).as("n_restored"),
+        sum(length(col("dirty")) - length(col("clean"))).as("chars_removed"))
+      .orderBy("source")
+  }
+
   // ---- document-frequency / IDF over the corpus vocabulary ----------------
   /** Per-term document frequency + inverse document frequency for the 100
     * most document-frequent terms (ties broken by term). The classic
@@ -563,6 +599,7 @@ object Text {
     "text_tokens"      -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub"   -> (piiScrub _),
+    "text_normalize"   -> (normalize _),
     "text_heavy_hitters" -> (heavyHitters _)
   )
 
@@ -892,6 +929,20 @@ object Text {
       s"""SELECT doc_id, $scrub AS clean,
          len(regexp_extract_all($scrub, '\\[(EMAIL|PHONE|SSN)\\]')) AS n_redactions
          FROM documents ORDER BY doc_id"""
+    },
+    "text_normalize" -> {
+      val dirty = """CASE WHEN doc_id % 3 = 0 THEN '   ' || text
+           WHEN doc_id % 3 = 1 THEN text || chr(9) || chr(10)
+           ELSE substr(text, 1, 20) || chr(9) || substr(text, 21) END"""
+      val clean = s"""trim(regexp_replace(regexp_replace($dirty,
+           '[\\x00-\\x1f]', ' ', 'g'), '  +', ' ', 'g'))"""
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN $clean <> $dirty THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(sum(CASE WHEN $clean = text THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_restored,
+         CAST(sum(len($dirty) - len($clean)) AS BIGINT) AS chars_removed
+         FROM documents GROUP BY source ORDER BY source"""
     },
     "text_fingerprint" -> {
       val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"

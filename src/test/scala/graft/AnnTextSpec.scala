@@ -533,4 +533,31 @@ class AnnTextSpec extends AnyFunSuite {
     assert(rows.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
     assert(rows.exists(_._2 > 0.0), "graph search recovered nothing anywhere")
   }
+
+  test("normalize: every planted defect repaired; audit counts add up") {
+    val rows = graft.queries.Text.queries("text_normalize")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((src, nDocs, nChanged, nRestored, charsRemoved) <- rows) {
+      // every doc was dirtied, so normalization must touch every doc
+      assert(nChanged == nDocs, s"$src: $nChanged of $nDocs changed")
+      // %3∈{0,1} cases restore byte-identically; %3=2 (mid-text tab→space)
+      // restores only when the tab landed next to an existing space —
+      // restored is therefore at least the two-thirds floor
+      assert(nRestored >= nDocs * 3 / 5, s"$src restored $nRestored/$nDocs")
+      assert(charsRemoved > 0)
+    }
+    // unit checks on the expression itself
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("  a  b  ", "a b"),
+      ("a\t\nb", "a b"),
+      ("x", "x"),
+      ("clean text", "clean text")).toDF("in", "want")
+    val got = cases.select(col("want"),
+      graft.queries.Text.normalizeText(col("in")).as("got")).collect()
+    assert(got.forall(r => r.getString(0) == r.getString(1)))
+  }
 }

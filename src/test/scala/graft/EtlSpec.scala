@@ -403,4 +403,42 @@ class EtlSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(rows.toSeq == Seq("2024-01-05", "2024-01-17"))
   }
+
+  test("rule engine: six rules from one scan; format/range fire, null/domain pass") {
+    val rows = graft.queries.Etl.queries("etl_rule_engine")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 6)
+    val n = rows.values.head._2
+    assert(rows.values.forall(_._2 == n), "every rule checked every row")
+    // clean gates: nulls and status domain hold on this data
+    assert(rows("orderkey_not_null")._1 == 0)
+    assert(rows("custkey_not_null")._1 == 0)
+    assert(rows("status_in_domain")._1 == 0)
+    // '4-NOT SPECIFIED' has a space — the format rule must fire
+    assert(rows("priority_format")._1 > 0)
+    assert(rows.values.forall { case (v, nn, ppm) =>
+      ppm == (nn - v) * 1000000L / nn })
+    // single-pass claim: exactly one scan of orders in the plan
+    val plan = graft.queries.Etl.queries("etl_rule_engine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, "rules must share one scan")
+  }
+
+  test("psi drift: bucket spine complete, totals consistent, zero self-drift") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Etl.queries("etl_psi_drift")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val buckets = rows.filter(_._1 >= 0)
+    assert(buckets.length == graft.queries.Etl.PsiBuckets)
+    assert(buckets.map(_._1).sorted.sameElements(0L until graft.queries.Etl.PsiBuckets.toLong))
+    val total = rows.find(_._1 == -1L).get
+    assert(buckets.map(_._2).sum == total._2 && buckets.map(_._3).sum == total._3)
+    // PSI ≥ 0 up to rounding slack, and both periods are genuinely populated
+    assert(total._4 >= -0.001, s"psi ${total._4}")
+    assert(total._2 > 0 && total._3 > 0)
+    // every bucket term has the sign of its (smoothed) proportion gap —
+    // (p−q) and log(p/q) always agree, so no term may be negative
+    assert(buckets.forall(_._4 >= -0.000002), "PSI terms are non-negative")
+  }
 }
