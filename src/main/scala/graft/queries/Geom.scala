@@ -186,6 +186,52 @@ object Geom {
       .orderBy("id")
   }
 
+  /** Polygon centroid via the shoelace first moments: Cx = Σ(x᷈ᵢ+x᷈ᵢ₊₁)·crossᵢ
+    * / (3·Σcross), on [[polygonArea]]'s WKT fixture. The moment terms reach
+    * ~1e19 — beyond double's 2⁵³ exact-integer range — so each factor is
+    * cast to DECIMAL(18,0) and multiplied/summed in exact decimal (the only
+    * float ops are the final casts and one division, identical IEEE in any
+    * engine). Signed area keeps the formula orientation-proof. Same scale
+    * shape as the area pass: per-vertex explode, one per-id re-aggregation.
+    */
+  def centroid(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey")
+    val (x0, y0) = (xi(k), yi(k))
+    val (w0, h0) = (k % 50L + 1L, k % 37L + 2L)
+    def pt(x: Column, y: Column) = concat(str(x), lit(" "), str(y))
+    val rect = concat(lit("POLYGON (("), pt(x0, y0), lit(", "),
+      pt(x0 + w0, y0), lit(", "), pt(x0 + w0, y0 + h0), lit(", "),
+      pt(x0, y0 + h0), lit(", "), pt(x0, y0), lit("))"))
+    val tri = concat(lit("POLYGON (("), pt(x0, y0), lit(", "),
+      pt(x0 + w0, y0), lit(", "), pt(x0, y0 + h0), lit(", "),
+      pt(x0, y0), lit("))"))
+    val wkt = when(k % 2 === 0, rect).otherwise(tri)
+    val nums = transform(
+      regexp_extract_all(wkt, lit("-?\\d+\\.?\\d*"), lit(0)), _.cast("double"))
+    val verts = c.select(k.as("id"), geomTypeOf(wkt).as("geom_type"),
+        nums.as("ns"),
+        explode(sequence(lit(0), (size(nums) / 2).cast("int") - 2)).as("i"))
+      .select(col("id"), col("geom_type"),
+        element_at(col("ns"), col("i") * 2 + 1).as("x1"),
+        element_at(col("ns"), col("i") * 2 + 2).as("y1"),
+        element_at(col("ns"), col("i") * 2 + 3).as("x2"),
+        element_at(col("ns"), col("i") * 2 + 4).as("y2"))
+    val cross = (col("x1") * col("y2") - col("x2") * col("y1"))
+      .cast("decimal(18,0)")
+    val mx = (col("x1") + col("x2")).cast("decimal(18,0)") * cross
+    val my = (col("y1") + col("y2")).cast("decimal(18,0)") * cross
+    val r6 = graft.core.Determinism.r6 _
+    verts.groupBy(col("id"), col("geom_type"))
+      .agg(sum(cross).as("a2"), sum(mx).as("sx"), sum(my).as("sy"))
+      .select(col("id"), col("geom_type"),
+        r6(col("sx").cast("double") / (lit(3.0) * col("a2").cast("double")))
+          .as("cx"),
+        r6(col("sy").cast("double") / (lit(3.0) * col("a2").cast("double")))
+          .as("cy"))
+      .orderBy("id")
+  }
+
   def quadkey(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val k = c("c_custkey")
@@ -455,6 +501,7 @@ object Geom {
     "geom_quadkey"        -> (quadkey _),
     "geom_knn_join"       -> (knnJoin _),
     "geom_polygon_area"   -> (polygonArea _),
+    "geom_centroid"       -> (centroid _),
     "geom_reproject_merc" -> (reprojectMerc _),
     "geom_reproject_sp"   -> (reprojectStatePlane _),
     "geom_reproject_2272_merc" -> (reproject2272Merc _),
@@ -518,6 +565,45 @@ object Geom {
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 1) AS DOUBLE) / 10000.0 - 180.0 AS lng,
            CAST(regexp_extract(wkt, 'POINT\s*\(\s*(-?\d+\.?\d*)\s+(-?\d+\.?\d*)', 2) AS DOUBLE) / 10000.0 - 80.0 AS lat
          FROM src ORDER BY id""",
+    "geom_centroid" -> {
+      val x0 = "((c_custkey * 7919) % 1000000 + 2400000)"
+      val y0 = "((c_custkey * 104729) % 300000 + 200000)"
+      val w0 = "(c_custkey % 50 + 1)"
+      val h0 = "(c_custkey % 37 + 2)"
+      val r6 = graft.core.Determinism.r6Sql _
+      s"""WITH shapes AS (SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 2 = 0 THEN
+             'POLYGON ((' || $x0 || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || $y0 || '))'
+           ELSE
+             'POLYGON ((' || $x0 || ' ' || $y0 || ', '
+               || ($x0 + $w0) || ' ' || $y0 || ', '
+               || $x0 || ' ' || ($y0 + $h0) || ', '
+               || $x0 || ' ' || $y0 || '))'
+           END AS wkt FROM customer),
+         nums AS (SELECT id, 'POLYGON' AS geom_type,
+             list_transform(regexp_extract_all(wkt, '-?\\d+\\.?\\d*'),
+               t -> CAST(t AS DOUBLE)) AS ns
+           FROM shapes),
+         edges AS (SELECT id, geom_type,
+             ns[i * 2 + 1] AS x1, ns[i * 2 + 2] AS y1,
+             ns[i * 2 + 3] AS x2, ns[i * 2 + 4] AS y2
+           FROM nums, UNNEST(range(0, len(ns) // 2 - 1)) t(i)),
+         moments AS (SELECT id, geom_type,
+             sum(CAST(x1 * y2 - x2 * y1 AS DECIMAL(18,0))) AS a2,
+             sum(CAST(x1 + x2 AS DECIMAL(18,0))
+               * CAST(x1 * y2 - x2 * y1 AS DECIMAL(18,0))) AS sx,
+             sum(CAST(y1 + y2 AS DECIMAL(18,0))
+               * CAST(x1 * y2 - x2 * y1 AS DECIMAL(18,0))) AS sy
+           FROM edges GROUP BY id, geom_type)
+         SELECT id, geom_type,
+           ${r6("CAST(sx AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))")} AS cx,
+           ${r6("CAST(sy AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE))")} AS cy
+         FROM moments ORDER BY id"""
+    },
     "geom_polygon_area" -> {
       val x0 = "((c_custkey * 7919) % 1000000 + 2400000)"
       val y0 = "((c_custkey * 104729) % 300000 + 200000)"

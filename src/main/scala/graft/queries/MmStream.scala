@@ -202,6 +202,12 @@ object MmStream {
     Streams.windowAgg(events(s, d), withWatermark = false)
       .orderBy("win_start", "event_type")
 
+  // windowed top-k leaderboard (batch twin; the spec drives the streaming
+  // split: stateful window agg ON the stream, rank on the closed result)
+  def streamTopK(s: SparkSession, d: String): DataFrame =
+    Streams.windowTopK(events(s, d), withWatermark = false)
+      .orderBy("win_start", "rank")
+
   // sliding-window agg — every event in exactly two overlapping windows
   def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
     Streams.slidingWindowAgg(events(s, d), withWatermark = false)
@@ -290,6 +296,7 @@ object MmStream {
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_topk"       -> (streamTopK _),
     "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -496,6 +503,21 @@ object MmStream {
          event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_topk" ->
+      s"""WITH agged AS (
+           SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2),
+         ranked AS (SELECT win_start, event_type, n_events, sum_value,
+             row_number() OVER (PARTITION BY win_start
+               ORDER BY n_events DESC, sum_value DESC, event_type) AS rnk
+           FROM agged)
+         SELECT win_start, CAST(rnk AS BIGINT) AS rank, event_type,
+           n_events, sum_value
+         FROM ranked WHERE rnk <= ${graft.streaming.Streams.TopKPerWindow}
+         ORDER BY win_start, rank""",
     // each event contributes to the two 15-min-grid windows covering it
     "stream_sliding_agg" ->
       """WITH expanded AS (

@@ -62,6 +62,35 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Per-window leaderboard size for [[rankWindows]]. */
+  val TopKPerWindow = 3
+
+  /** Finishing rank for a windowed aggregate: the top-[[TopKPerWindow]]
+    * event types per window by count (ties by sum then name — fully
+    * deterministic). Window functions are not allowed ON a stream, so the
+    * streaming deployment applies this per closed micro-batch result
+    * (foreachBatch / on the sink table) while the STATEFUL part — the
+    * windowed aggregation — runs on the stream exactly as in [[windowAgg]];
+    * the parity spec drives that very split. The rank input is
+    * window×type-sized (never event-proportional), so this step is cheap
+    * at any scale.
+    */
+  def rankWindows(agged: DataFrame, k: Int = TopKPerWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("n_events").desc, col("sum_value").desc, col("event_type"))
+    agged.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("win_start"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Windowed top-k end to end: [[windowAgg]] (streamable, stateful)
+    * composed with [[rankWindows]] (batch finishing step).
+    */
+  def windowTopK(events: DataFrame, withWatermark: Boolean): DataFrame =
+    rankWindows(windowAgg(events, withWatermark))
+
   /** Sliding 30-minute window (15-minute slide) counts per event type —
     * each event lands in exactly two overlapping windows. Same
     * batch/stream duality as [[windowAgg]].

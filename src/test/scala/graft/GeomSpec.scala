@@ -298,4 +298,20 @@ class GeomSpec extends AnyFunSuite {
       }
     }
   }
+  test("centroid: shoelace moments reproduce closed-form rectangle/triangle centroids") {
+    val rows = graft.queries.Geom.queries("geom_centroid")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(_._2 == "POLYGON"))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    for ((id, _, cx, cy) <- rows) {
+      val x0 = (id * 7919L % 1000000L + 2400000L).toDouble
+      val y0 = (id * 104729L % 300000L + 200000L).toDouble
+      val w = (id % 50 + 1).toDouble; val h = (id % 37 + 2).toDouble
+      val (ex, ey) =
+        if (id % 2 == 0) (x0 + w / 2.0, y0 + h / 2.0)
+        else (x0 + w / 3.0, y0 + h / 3.0)
+      assert(math.abs(cx - r6(ex)) < 1e-6, s"$id cx $cx vs ${r6(ex)}")
+      assert(math.abs(cy - r6(ey)) < 1e-6, s"$id cy $cy vs ${r6(ey)}")
+    }
+  }
 }

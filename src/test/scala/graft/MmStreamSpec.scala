@@ -124,6 +124,22 @@ class MmStreamSpec extends AnyFunSuite {
     assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
   }
 
+  test("streaming windowed top-k equals its batch twin (stateful agg on stream, rank on sink)") {
+    val batch = graft.queries.MmStream.queries("stream_topk")(spark, sf)
+      .collect().map(_.toString).sorted
+    // the deployment split the scaladoc documents: windowAgg is the
+    // STREAMING stateful operator; rankWindows runs on the closed result
+    val stream = Streams.windowAgg(Streams.eventsStream(spark, stagedEvents),
+      withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("topk_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = Streams.rankWindows(spark.table("topk_test"))
+      .orderBy("win_start", "rank").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+  }
+
   test("streaming sliding window agg equals its batch twin (readStream parity)") {
     val batch = graft.queries.MmStream.queries("stream_sliding_agg")(spark, sf)
       .collect().map(_.toString).sorted
