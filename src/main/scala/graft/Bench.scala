@@ -119,7 +119,29 @@ object Bench {
       s""","scale_probe":$ann,"scale_probes":[$all]"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""
-    println(json)
+    // The driver keeps only the last few KB of sbt stdout and parses the
+    // JSON line out of that tail. With ~190 queries the full line is >6 KB,
+    // so for five rounds the driver recorded "parsed": null (r5 VERDICT's
+    // standing bench-handoff failure). stdout therefore gets a COMPACT line
+    // — same shape, but "queries" limited to a fixed headline subset and
+    // probes collapsed to their ratios — while the FULL line goes to the
+    // out-file below ("value"/"failed" still cover every query in both).
+    val headline = Set(
+      "q1_agg", "q2_join_filter", "q3_topk", "q4_window", "q6_broadcast_join",
+      "q18_running_total", "asof_join", "range_join", "skew_salted_join",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",
+      "ann_ivf", "text_tokens", "text_quality", "text_langid", "sample_dsir",
+      "stream_window_agg", "etl_cdc_apply", "etl_profile",
+      "graph_pagerank_raw", "mm_phash_dedup")
+    val qsHead = results.filter(r => headline(r._1))
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ratioRe = """"query":"([a-z0-9_]+)".*?"ratio":(-?[0-9.]+)""".r
+    val probeHead =
+      if (probeJson.isEmpty) ""
+      else ratioRe.findAllMatchIn(probeJson)
+        .map(m => s"\"${m.group(1)}\":${m.group(2)}").toSeq.distinct
+        .mkString(""","scale_probe_ratios":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qsHead$probeHead,"queries_full":"BENCH_OUT.json","sf":"$sfDir"}""")
     // stdout scraping is defeated by sbt's trailing "[success] ..." lines, so
     // the metric also lands in a file the driver can read directly: argv(0)
     // if given, else $SPARK_GRAFT_BENCH_OUT, else BENCH_OUT.json in cwd.
