@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the test-data star schema (TPC-H-ish + documents/embeddings/
   * events). All operators take a `dir` so the same code runs at any scale
@@ -19,9 +19,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot map to its
-    * microsecond TimestampType directly; read nanos as long and convert
-    * (truncating to micros — all downstream ops bucket at >= second grain).
+  /** events.ts normalized to Spark's UTC-instant TimestampType whatever
+    * the parquet physical encoding is — the driver has shipped the column
+    * as TIMESTAMP(NANOS) (unrepresentable in Spark 4 directly; read nanos
+    * as long and truncate to micros — downstream ops bucket at >= second
+    * grain) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred as
+    * TIMESTAMP_NTZ; reinterpret the wall-clock as UTC, exact because the
+    * session timezone is pinned to UTC in GraftSession). Every operator
+    * must load events through here, never `t(...)` directly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // session-global legacy flag, also declared in GraftSession.builder;
@@ -30,9 +35,11 @@ object Tables {
     // session also map nanos to long.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
