@@ -16,7 +16,7 @@ object SparkEntry {
       graft.queries.Ann.queries ++ graft.queries.Text.queries ++
       graft.queries.MmStream.queries ++ graft.queries.Advanced.queries ++
       graft.queries.Ingest.queries ++ graft.queries.Sampling.queries ++
-      graft.queries.Graph.queries
+      graft.queries.Graph.queries ++ graft.queries.Layout.queries
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares results). */
   def oracleSql: Map[String, String] =
@@ -25,5 +25,5 @@ object SparkEntry {
       graft.queries.Ann.oracles ++ graft.queries.Text.oracles ++
       graft.queries.MmStream.oracles ++ graft.queries.Advanced.oracles ++
       graft.queries.Ingest.oracles ++ graft.queries.Sampling.oracles ++
-      graft.queries.Graph.oracles
+      graft.queries.Graph.oracles ++ graft.queries.Layout.oracles
 }

@@ -493,7 +493,81 @@ object Geom {
       .orderBy("id")
   }
 
+  /** Grid cell size for the point-in-polygon join (polygon bboxes are at
+    * most 51×39, so a polygon spans at most 2×2 cells).
+    */
+  private val PipCell = 64L
+
+  /** Point-in-polygon spatial join, grid-blocked: polygons (the
+    * [[polygonArea]] rects/triangles anchored at the customer grid) emit
+    * every 64×64 cell their bbox overlaps (≤4 — bounded by shape size, the
+    * spatial analog of MaxShingleDf); points (one per order, jittered
+    * around its customer's anchor) emit exactly one cell. The equi-join on
+    * cell co-locates candidates — at 100 TB both sides shuffle ONCE by
+    * cell and per-cell density is bounded by the synthetic layout, the
+    * standard PIP-at-scale shape (vs an unbounded bbox theta-join). The
+    * bbox containment check rides in the join condition, so a pair
+    * survives only via the point's unique cell — no post-join dedup.
+    *
+    * The exact test is the even-odd crossing rule (PNPOLY, public
+    * W. Randolph Franklin formulation) integerized by cross-multiplying
+    * the ray-intersection comparison — pure BIGINT arithmetic, so Spark
+    * and DuckDB agree bit-for-bit, boundary conventions included.
+    * Output: per polygon, how many points landed inside (polygons with
+    * none drop out), with min/max point id as the identity check.
+    */
+  def pipJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val k = c("c_custkey").cast("long")
+    val (x0, y0) = (xi(k), yi(k))
+    val (w0, h0) = (k % 50L + 1L, k % 37L + 2L)
+    def e(a: Column, b: Column, p: Column, q: Column) =
+      struct(a.as("x1"), b.as("y1"), p.as("x2"), q.as("y2"))
+    val rectE = array(
+      e(x0, y0, x0 + w0, y0), e(x0 + w0, y0, x0 + w0, y0 + h0),
+      e(x0 + w0, y0 + h0, x0, y0 + h0), e(x0, y0 + h0, x0, y0))
+    val triE = array(
+      e(x0, y0, x0 + w0, y0), e(x0 + w0, y0, x0, y0 + h0),
+      e(x0, y0 + h0, x0, y0))
+    val polys = c.select(k.as("id"), x0.as("bx0"), y0.as("by0"),
+        (x0 + w0).as("bx1"), (y0 + h0).as("by1"),
+        when(k % 2L === 0L, rectE).otherwise(triE).as("edges"))
+      .withColumn("cx", explode(sequence(
+        expr(s"bx0 div $PipCell"), expr(s"bx1 div $PipCell"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"by0 div $PipCell"), expr(s"by1 div $PipCell"))))
+    val o = orders(s, d)
+    val ok = o("o_orderkey").cast("long")
+    val ck = o("o_custkey").cast("long")
+    val pts = o.select(ok.as("pid"),
+        (xi(ck) + ok % 97L - 23L).as("px"), (yi(ck) + ok % 61L - 12L).as("py"))
+      .withColumn("pcx", expr(s"px div $PipCell"))
+      .withColumn("pcy", expr(s"py div $PipCell"))
+    val cand = polys.join(pts,
+      col("cx") === col("pcx") && col("cy") === col("pcy") &&
+        col("px") >= col("bx0") && col("px") <= col("bx1") &&
+        col("py") >= col("by0") && col("py") <= col("by1"))
+    val ed = cand.select(col("id"), col("pid"), col("px"), col("py"),
+        explode(col("edges")).as("e"))
+      .select(col("id"), col("pid"), col("px"), col("py"),
+        col("e.x1").as("x1"), col("e.y1").as("y1"),
+        col("e.x2").as("x2"), col("e.y2").as("y2"))
+    val spans = (col("y1") > col("py")) =!= (col("y2") > col("py"))
+    val lhs = (col("px") - col("x1")) * (col("y2") - col("y1"))
+    val rhs = (col("py") - col("y1")) * (col("x2") - col("x1"))
+    val crossing = spans &&
+      when(col("y2") > col("y1"), lhs < rhs).otherwise(lhs > rhs)
+    ed.groupBy("id", "pid")
+      .agg(sum(when(crossing, 1L).otherwise(0L)).as("nc"))
+      .filter(col("nc") % 2L === 1L)
+      .groupBy(col("id").as("poly_id"))
+      .agg(count(lit(1)).as("n_inside"),
+        min("pid").as("min_pt"), max("pid").as("max_pt"))
+      .orderBy("poly_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geom_pip_join"       -> (pipJoin _),
     "geom_force_2d"       -> (forceTwoD _),
     "geom_promote_multi"  -> (promoteMultiQ _),
     "geom_strip_srid"     -> (stripSrid _),
@@ -519,6 +593,43 @@ object Geom {
   private val ziSql = "(c_custkey % 100)"
 
   val oracles: Map[String, String] = Map(
+    "geom_pip_join" -> {
+      val x0 = "((CAST(c_custkey AS BIGINT) * 7919) % 1000000 + 2400000)"
+      val y0 = "((CAST(c_custkey AS BIGINT) * 104729) % 300000 + 200000)"
+      val w0 = "(CAST(c_custkey AS BIGINT) % 50 + 1)"
+      val h0 = "(CAST(c_custkey AS BIGINT) % 37 + 2)"
+      s"""WITH poly AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             $x0 AS x0, $y0 AS y0, $x0 + $w0 AS x1b, $y0 + $h0 AS y1b,
+             c_custkey % 2 = 0 AS is_rect FROM customer),
+         edges AS (
+           SELECT id, x0 AS x1, y0 AS y1, x1b AS x2, y0 AS y2 FROM poly
+           UNION ALL SELECT id, x1b, y0, x1b, y1b FROM poly WHERE is_rect
+           UNION ALL SELECT id, x1b, y1b, x0, y1b FROM poly WHERE is_rect
+           UNION ALL SELECT id, x0, y1b, x0, y0 FROM poly
+           UNION ALL SELECT id, x1b, y0, x0, y1b FROM poly WHERE NOT is_rect),
+         pts AS (SELECT CAST(o_orderkey AS BIGINT) AS pid,
+             ((CAST(o_custkey AS BIGINT) * 7919) % 1000000 + 2400000)
+               + CAST(o_orderkey AS BIGINT) % 97 - 23 AS px,
+             ((CAST(o_custkey AS BIGINT) * 104729) % 300000 + 200000)
+               + CAST(o_orderkey AS BIGINT) % 61 - 12 AS py
+           FROM orders),
+         cand AS (SELECT p.pid, p.px, p.py, b.id
+           FROM pts p JOIN poly b
+             ON p.px >= b.x0 AND p.px <= b.x1b
+            AND p.py >= b.y0 AND p.py <= b.y1b),
+         cr AS (SELECT c.id, c.pid,
+             sum(CASE WHEN (e.y1 > c.py) <> (e.y2 > c.py)
+                   AND (CASE WHEN e.y2 > e.y1
+                        THEN (c.px - e.x1) * (e.y2 - e.y1)
+                           < (c.py - e.y1) * (e.x2 - e.x1)
+                        ELSE (c.px - e.x1) * (e.y2 - e.y1)
+                           > (c.py - e.y1) * (e.x2 - e.x1) END)
+                 THEN 1 ELSE 0 END) AS nc
+           FROM cand c JOIN edges e USING (id) GROUP BY c.id, c.pid)
+         SELECT id AS poly_id, CAST(count(*) AS BIGINT) AS n_inside,
+           min(pid) AS min_pt, max(pid) AS max_pt
+         FROM cr WHERE nc % 2 = 1 GROUP BY id ORDER BY poly_id"""
+    },
     "geom_force_2d" ->
       s"""WITH src AS (SELECT c_custkey AS id,
            'LINESTRING Z (' || $xiSql || ' ' || $yiSql || ' ' || $ziSql || ', '
