@@ -391,6 +391,49 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Signature bits kept per slot in [[minhashBbit]]. */
+  private val BBits = 2
+  private val BMask = (1 << BBits) - 1
+
+  /** b-bit minhash (public: Li & König, "b-Bit Minwise Hashing", WWW'10):
+    * keep only the lowest [[BBits]] bits of each of the K minhash slots and
+    * estimate Jaccard from b-bit slot agreement, debiased for accidental
+    * low-bit collisions — E[agree_b] = C + (1−C)·J with C ≈ 1/2^b, so
+    * Ĵ = (agree_b − C)/(1 − C), clamped at 0.
+    *
+    * Why it matters at 100 TB: the stored signature index shrinks from
+    * 30 bits/slot to b bits/slot (15× at b=2) — the difference between a
+    * minhash index that fits executor memory and one that doesn't — for a
+    * variance increase the output quantifies pair-by-pair against the
+    * full-width estimate. Candidates come from the SAME df-capped banded
+    * LSH join as minhashLsh, so cost stays bounded by the candidate count;
+    * the b-bit truncation touches only candidate signatures.
+    */
+  def minhashBbit(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val banded = bandedFrom(c).localCheckpoint()
+    val pairs = banded.toDF("a_id", "band", "bucket")
+      .join(banded.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sig = sigsFrom(c).localCheckpoint()
+    val eqFull = (0 until K).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
+    val eqB = (0 until K).map(i =>
+      when(col(s"a_s$i").bitwiseAND(BMask) === col(s"b_s$i").bitwiseAND(BMask),
+        1).otherwise(0)).reduce(_ + _)
+    val cB = 1.0 / (1 << BBits)
+    pairs
+      .join(sig.toDF("a_id" +: (0 until K).map(i => s"a_s$i"): _*), "a_id")
+      .join(sig.toDF("b_id" +: (0 until K).map(i => s"b_s$i"): _*), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.core.Determinism.r4(eqFull.cast("double") / K).as("agree_full"),
+        graft.core.Determinism.r4(eqB.cast("double") / K).as("agree_b"),
+        graft.core.Determinism.r4(greatest(
+          (eqB.cast("double") / K - cB) / (1.0 - cB), lit(0.0))).as("jhat_b"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- incremental dedup: new batch vs the stored corpus index ------------
   /** Planted-id offset for the incoming batch. */
   val NewOffset: Long = 3000000000000L
@@ -989,6 +1032,7 @@ object Dedup {
     "dedup_bloom_bitmap"  -> (bloomFilterBitmap _),
     "dedup_substring_scrub" -> (substringScrub _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
+    "dedup_minhash_bbit"  -> (minhashBbit _),
     "dedup_keep_best"     -> (keepBest _),
     "dedup_bloom_filter"  -> (bloomFilter _),
     "dedup_url"           -> (urlDedup _),
@@ -1060,6 +1104,32 @@ object Dedup {
            max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM ranked GROUP BY label ORDER BY label""",
+    "dedup_minhash_bbit" -> {
+      val eqFull = (0 until K)
+        .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val eqB = (0 until K)
+        .map(i => s"CASE WHEN (sa.s$i & $BMask) = (sb.s$i & $BMask) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val cB = 1.0 / (1 << BBits)
+      s"""WITH $corpusSql,
+         ${bandedSqlCtes("mh", "corpus")},
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM mh_banded a JOIN mh_banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT p.a_id, p.b_id,
+           ${graft.core.Determinism.r4Sql(s"CAST($eqFull AS DOUBLE) / $K")}
+             AS agree_full,
+           ${graft.core.Determinism.r4Sql(s"CAST($eqB AS DOUBLE) / $K")}
+             AS agree_b,
+           ${graft.core.Determinism.r4Sql(
+             s"greatest((CAST($eqB AS DOUBLE) / $K - $cB) / ${1.0 - cB}, 0.0)")}
+             AS jhat_b
+         FROM pairs p
+         JOIN mh_sigs sa ON sa.doc_id = p.a_id
+         JOIN mh_sigs sb ON sb.doc_id = p.b_id
+         ORDER BY a_id, b_id"""
+    },
     "dedup_minhash_calibration" -> {
       val eqSum = (0 until K)
         .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")

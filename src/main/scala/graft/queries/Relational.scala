@@ -445,6 +445,44 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  // q35: first/last-touch revenue attribution — the credit-assignment
+  // shape marketing/funnel analytics runs at warehouse scale. Conversions
+  // (purchases) split each user's event stream into segments via ONE
+  // per-user cumulative window; each touch (view/click) belongs to the
+  // segment of the NEXT conversion; per-segment first/last touch comes
+  // from two row_number orderings sharing one (user,conversion) window
+  // sort. Every window is user- or conversion-partitioned — nothing
+  // global — and the touch→conversion join is an equi hash join on
+  // (user_id, conv_idx), so the plan is two keyed shuffles however many
+  // users there are.
+  def q35Attribution(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val wSeg = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = e.withColumn("conv_cum",
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wSeg))
+    val conv = seg.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("conv_cum").as("conv_idx"), col("cents"))
+    val wF = Window.partitionBy("user_id", "conv_idx")
+      .orderBy(col("ts"), col("event_id"))
+    val wL = Window.partitionBy("user_id", "conv_idx")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val touch = seg.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (col("conv_cum") + 1L).as("conv_idx"))
+      .withColumn("rn_f", row_number().over(wF))
+      .withColumn("rn_l", row_number().over(wL))
+    val picks = touch.filter(col("rn_f") === 1)
+      .select(col("user_id"), col("conv_idx"), col("event_type"), lit("first").as("role"))
+      .unionByName(touch.filter(col("rn_l") === 1)
+        .select(col("user_id"), col("conv_idx"), col("event_type"), lit("last").as("role")))
+    picks.join(conv, Seq("user_id", "conv_idx"))
+      .groupBy(col("event_type").as("channel"), col("role"))
+      .agg(count(lit(1)).as("n_conv"), sum("cents").as("rev_cents"))
+      .orderBy("channel", "role")
+  }
+
   // q31: fixed-width value histogram — the profile/monitoring primitive
   // (price distribution drift between loads). Bucket index is pure integer
   // arithmetic, so the whole query is one partially-aggregated groupBy; the
@@ -492,6 +530,7 @@ object Relational {
     "q31_histogram"     -> (q31Histogram _),
     "q33_concurrency"   -> (q33Concurrency _),
     "q34_gini"          -> (q34Gini _),
+    "q35_attribution"   -> (q35Attribution _),
     "q32_corr"          -> (q32Corr _),
     "q29_moving_avg"    -> (q29MovingAvg _),
     "q30_ratio_to_report" -> (q30RatioToReport _),
@@ -522,6 +561,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_attribution" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+         seg AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_cum
+           FROM e),
+         conv AS (SELECT user_id, conv_cum AS conv_idx, cents
+           FROM seg WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_type, ts, event_id,
+             conv_cum + 1 AS conv_idx
+           FROM seg WHERE event_type IN ('view', 'click')),
+         rt AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, conv_idx
+               ORDER BY ts, event_id) AS rn_f,
+             row_number() OVER (PARTITION BY user_id, conv_idx
+               ORDER BY ts DESC, event_id DESC) AS rn_l
+           FROM touch),
+         picks AS (SELECT user_id, conv_idx, event_type, 'first' AS role
+             FROM rt WHERE rn_f = 1
+           UNION ALL
+           SELECT user_id, conv_idx, event_type, 'last' AS role
+             FROM rt WHERE rn_l = 1)
+         SELECT p.event_type AS channel, p.role,
+           CAST(count(*) AS BIGINT) AS n_conv,
+           CAST(sum(c.cents) AS BIGINT) AS rev_cents
+         FROM picks p JOIN conv c USING (user_id, conv_idx)
+         GROUP BY channel, role ORDER BY channel, role""",
     "q34_gini" -> {
       def d4(e: String) =
         s"CAST(floor(($e) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(38,4))"

@@ -405,4 +405,18 @@ class DedupSpec extends AnyFunSuite {
     val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
     assert((f1 & f2).nonEmpty, "shared K+W-1 run must share a fingerprint")
   }
+
+  test("b-bit minhash: truncation only adds agreement; debias clamps at 0") {
+    val rows = graft.queries.Dedup.minhashBbit(spark, sf).collect()
+    assert(rows.nonEmpty, "LSH fixture must yield candidate pairs")
+    for (r <- rows) {
+      val (full, b, jhat) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // dropping bits can only turn disagreements into (accidental)
+      // agreements, never the reverse
+      assert(b >= full, s"agree_b $b < agree_full $full")
+      assert(jhat >= 0.0 && jhat <= 1.0)
+      // a fully-agreeing signature stays fully-agreeing after truncation
+      if (full == 1.0) assert(b == 1.0 && jhat == 1.0)
+    }
+  }
 }

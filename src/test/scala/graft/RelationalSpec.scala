@@ -264,4 +264,17 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(gini - ref) < 1e-4, s"$st: $gini vs $ref")
     }
   }
+
+  test("q35 attribution: first and last roles credit the same conversions") {
+    // a conversion segment has a first touch iff it has a last touch, so
+    // the two roles must agree on total conversions credited and revenue
+    val rows = graft.queries.Relational.q35Attribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet.subsetOf(Set("view", "click")))
+    val first = rows.filter(_._2 == "first")
+    val last = rows.filter(_._2 == "last")
+    assert(first.map(_._3).sum === last.map(_._3).sum, "conversion counts")
+    assert(first.map(_._4).sum === last.map(_._4).sum, "revenue totals")
+  }
 }
