@@ -483,6 +483,31 @@ object Relational {
       .orderBy("channel", "role")
   }
 
+  // q36: RFM (recency/frequency/monetary) customer segmentation, the
+  // classic warehouse scoring query. Per-customer stats are one groupBy;
+  // quintile assignment runs PER NATION (the "within market" formulation),
+  // so every ntile window is partitioned — at 100 TB no global sort exists,
+  // and the three orderings share one exchange on nationkey. All ties are
+  // broken by custkey, making quintile membership engine-portable.
+  def q36Rfm(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d).groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
+          .as("r_days"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      .join(customer(s, d).select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk")), "ck")
+    def tile(order: Seq[Column]) =
+      ntile(5).over(Window.partitionBy("nk").orderBy(order: _*))
+    val scored = per
+      .withColumn("r_t", tile(Seq(col("r_days"), col("ck"))))
+      .withColumn("f_t", tile(Seq(col("freq").desc, col("ck"))))
+      .withColumn("m_t", tile(Seq(col("cents").desc, col("ck"))))
+    scored.groupBy("nk", "r_t", "f_t", "m_t")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("rev_cents"))
+      .orderBy("nk", "r_t", "f_t", "m_t")
+  }
+
   // q31: fixed-width value histogram — the profile/monitoring primitive
   // (price distribution drift between loads). Bucket index is pure integer
   // arithmetic, so the whole query is one partially-aggregated groupBy; the
@@ -531,6 +556,7 @@ object Relational {
     "q33_concurrency"   -> (q33Concurrency _),
     "q34_gini"          -> (q34Gini _),
     "q35_attribution"   -> (q35Attribution _),
+    "q36_rfm"           -> (q36Rfm _),
     "q32_corr"          -> (q32Corr _),
     "q29_moving_avg"    -> (q29MovingAvg _),
     "q30_ratio_to_report" -> (q30RatioToReport _),
@@ -561,6 +587,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_rfm" ->
+      """WITH per AS (SELECT o_custkey AS ck,
+             datediff('day', max(o_orderdate), DATE '1998-12-31') AS r_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY ck),
+         j AS (SELECT p.*, c.c_nationkey AS nk
+           FROM per p JOIN customer c ON c.c_custkey = p.ck),
+         scored AS (SELECT nk,
+             ntile(5) OVER (PARTITION BY nk ORDER BY r_days, ck) AS r_t,
+             ntile(5) OVER (PARTITION BY nk ORDER BY freq DESC, ck) AS f_t,
+             ntile(5) OVER (PARTITION BY nk ORDER BY cents DESC, ck) AS m_t,
+             cents
+           FROM j)
+         SELECT nk, r_t, f_t, m_t, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+         FROM scored GROUP BY nk, r_t, f_t, m_t
+         ORDER BY nk, r_t, f_t, m_t""",
     "q35_attribution" ->
       """WITH e AS (SELECT event_id, ts, user_id, event_type,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Relational
 
@@ -276,5 +277,22 @@ class RelationalSpec extends AnyFunSuite {
     val last = rows.filter(_._2 == "last")
     assert(first.map(_._3).sum === last.map(_._3).sum, "conversion counts")
     assert(first.map(_._4).sum === last.map(_._4).sum, "revenue totals")
+  }
+
+  test("q36 rfm: cells partition each nation's ordering customers") {
+    val cells = graft.queries.Relational.q36Rfm(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(cells.nonEmpty)
+    assert(cells.forall(c => Seq(c._2, c._3, c._4).forall(t => t >= 1 && t <= 5)))
+    // every ordering customer lands in exactly one cell
+    val perNation = cells.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val expected = graft.core.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct()
+      .join(graft.core.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perNation === expected)
   }
 }
