@@ -149,4 +149,15 @@ class LayoutSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("new windowed queries never collapse to a single global partition") {
+    // compact_bins windows per month, attribution per user/conversion,
+    // rfm per nation — a missing partitionBy would serialize the corpus
+    // through one task at 100 TB (final tiny-result orderBys compile to
+    // RangePartitioning, not SinglePartition, so this assertion is exact)
+    for (q <- Seq("etl_compact_bins", "q35_attribution", "q36_rfm"))
+      assert(!SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString.contains("SinglePartition"),
+        s"$q has a global window")
+  }
 }
