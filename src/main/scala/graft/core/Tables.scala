@@ -34,6 +34,10 @@ object Tables {
     // tests). Documented side effect: later nanos-parquet reads in this
     // session also map nanos to long.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→timestamp cast below reinterprets the wall-clock in the
+    // SESSION zone; only UTC makes that the identity mapping, so pin it
+    // here too rather than trusting every session constructor did
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -48,9 +48,17 @@ case class ZOrder(left: Expression, right: Expression)
 }
 
 object ZOrder {
-  /** Spread the low 16 bits of `v` into the even bit positions. */
+  /** Saturate to the representable coordinate range [0, 65535]. Without
+    * this, a negative or >16-bit input would wrap mod 65536 and alias to
+    * an unrelated cell — silently breaking the locality the code exists
+    * to provide.
+    */
+  private def clamp16(v: Long): Long =
+    if (v < 0L) 0L else if (v > 0xffffL) 0xffffL else v
+
+  /** Spread the 16 bits of `v` into the even bit positions. */
   private def spread16(v: Long): Long = {
-    var x = v & 0xffffL
+    var x = v
     x = (x | (x << 8)) & 0x00ff00ffL
     x = (x | (x << 4)) & 0x0f0f0f0fL
     x = (x | (x << 2)) & 0x33333333L
@@ -58,9 +66,9 @@ object ZOrder {
     x
   }
 
-  /** Morton code of (x, y), 16 bits each; callers clamp to range. */
+  /** Morton code of (x, y), each saturating-clamped to [0, 65535]. */
   def interleave(x: Long, y: Long): Long =
-    spread16(x) | (spread16(y) << 1)
+    spread16(clamp16(x)) | (spread16(clamp16(y)) << 1)
 
   /** Column-API entry point. */
   def zorder(x: Column, y: Column): Column =

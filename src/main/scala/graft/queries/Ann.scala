@@ -576,8 +576,22 @@ object Ann {
 
   /** The refined (src, dst, cos) graph after `iters` NN-descent rounds —
     * exposed separately so the spec can measure the recall trajectory.
+    *
+    * Build-once/query-many: the descent is deterministic, so the graph is
+    * published through [[graft.core.ArtifactCache]] and the four consumers
+    * (nndescent / recall_nnd / graph_search / recall_gsearch) share ONE
+    * materialized build per (corpus, iters) instead of each re-running the
+    * 3-round descent — the amortized-build contract of every graph ANN
+    * index. Values are identical either way (asserted by the oracle gate);
+    * Bench's nndescent scale probe bypasses the cache because it measures
+    * the BUILD's scaling.
     */
-  private[graft] def nndGraph(s: SparkSession, d: String, iters: Int): DataFrame = {
+  private[graft] def nndGraph(s: SparkSession, d: String, iters: Int): DataFrame =
+    graft.core.ArtifactCache.getOrBuild(s, "nnd_graph",
+      s"v1 iters=$iters sample=$NND_SAMPLE k=$CAND_TOPK",
+      Seq(s"$d/embeddings.parquet")) { nndGraphBuild(s, d, iters) }
+
+  private def nndGraphBuild(s: SparkSession, d: String, iters: Int): DataFrame = {
     val all = vecs(s, d)
     val norms = all.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
