@@ -532,6 +532,74 @@ object Ann {
   def recallEvalSq8(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, sq8(s, d))
 
+  // ---- incremental IVF maintenance: assign a new batch, never rebuild -----
+  /** Fraction selector for the simulated "new arrivals" batch: a
+    * deterministic ~20% of the corpus by salted hash.
+    */
+  private def isNewBatch: Column =
+    md5Long(concat(lit("batch:"), col("vec_id"))) % 5 === 0
+
+  /** Incremental IVF index maintenance — the production shape for a growing
+    * corpus (the vector-store mirror of [[graft.queries.Dedup]]'s
+    * dedup_incremental): the coarse codebook was trained when the index was
+    * built (here: the cent: hash panel over the PRE-EXISTING vectors only),
+    * and a newly arrived batch is assigned to those FROZEN centroids and
+    * merged in — the corpus is never re-quantized. Old vectors keep their
+    * cells bit-for-bit (spec-asserted against an old-only build): a full
+    * rebuild would re-draw the codebook over old+new and reshuffle every
+    * existing cell, invalidating cached cell lists and forcing a full
+    * re-encode — O(batch) work instead becomes O(corpus).
+    *
+    * Scale shape: the codebook is a CENT_COUNT-row broadcast, so the merge
+    * is ONE map pass over the batch (batch × K similarity + a per-vector
+    * argmax window); the old index is read, not recomputed — at 100 TB the
+    * incremental cost is proportional to the day's arrivals, not the
+    * archive. Output is the merged assignment relation (vec_id, cell,
+    * 4-dp similarity, old/new provenance).
+    */
+  def incrementalIvf(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val old = withN.filter(!isNewBatch)
+    val batch = withN.filter(isNewBatch)
+    val cents = old.join(broadcast(panel(old, "cent:", CENT_COUNT)), "vec_id")
+      .toDF("cent_id", "cv", "cnrm")
+    incrementalAssign(old, cents, "old")
+      .unionByName(incrementalAssign(batch, cents, "new"))
+      .orderBy("vec_id")
+  }
+
+  /** Nearest-frozen-centroid assignment of `df` (the ivfCells argmax against
+    * an explicit centroid relation). Exposed for the spec's old-rows
+    * byte-identity check.
+    */
+  private[graft] def incrementalAssign(df: DataFrame, cents: DataFrame,
+                                       tag: String): DataFrame = {
+    val sims = df.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosCols(graft.plans.DotProduct.dot(col("v"), col("cv")),
+          col("nrm"), col("cnrm")).as("csim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    sims.withColumn("crk", row_number().over(byVec))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        graft.core.Determinism.r4(col("csim")).as("csim"),
+        lit(tag).as("src"))
+  }
+
+  /** The old-corpus-only index pieces (old vectors with norms, frozen
+    * centroid relation) — exposed for the spec.
+    */
+  private[graft] def incrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val withN = withNorms(s, d)
+    val old = withN.filter(!isNewBatch)
+    val batch = withN.filter(isNewBatch)
+    val cents = old.join(broadcast(panel(old, "cent:", CENT_COUNT)), "vec_id")
+      .toDF("cent_id", "cv", "cnrm")
+    (old, batch, cents)
+  }
+
   // ---- NN-descent: neighbor-of-neighbor graph refinement ------------------
   private val NND_SAMPLE = 6 // per-vertex degree cap on the symmetrized graph
   private[graft] val NND_ITERS = 3
@@ -804,6 +872,7 @@ object Ann {
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
+    "ann_incremental" -> (incrementalIvf _),
     "ann_pq"         -> (pq _),
     "ann_ivfpq"      -> (ivfpq _),
     "ann_recall_ivfpq" -> (recallEvalIvfPq _),
@@ -1133,7 +1202,38 @@ object Ann {
          FROM sims),
        assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1)"""
 
+  /** SQL twin of the incremental IVF merge: frozen old-corpus codebook,
+    * every vector (old and new) assigned to its nearest frozen centroid.
+    */
+  private def incrementalSql: String =
+    s"""WITH $vecsSql, $normsSql,
+       newb AS (SELECT vec_id FROM vecs
+         WHERE ${md5LongSql("concat('batch:', vec_id)")} % 5 = 0),
+       old_ids AS (SELECT vec_id FROM vecs
+         WHERE vec_id NOT IN (SELECT vec_id FROM newb)),
+       inc_cent_ids AS (SELECT vec_id FROM old_ids
+         ORDER BY ${md5LongSql("concat('cent:', vec_id)")}, vec_id
+         LIMIT $CENT_COUNT),
+       inc_cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+         WHERE vec_id IN (SELECT vec_id FROM inc_cent_ids)),
+       inc_sims AS (SELECT x.vec_id, c.cent_id,
+           ${Dedup.dotSeqSql("x.v", "c.cv")} / sqrt(nx.nrm * nc.nrm) AS csim
+         FROM vecs x
+         CROSS JOIN inc_cents c
+         JOIN norms nx ON nx.vec_id = x.vec_id
+         JOIN norms nc ON nc.vec_id = c.cent_id),
+       inc_ranked AS (SELECT vec_id, cent_id, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS crk
+         FROM inc_sims)
+       SELECT vec_id, cent_id AS cell,
+         ${graft.core.Determinism.r4Sql("csim")} AS csim,
+         CASE WHEN vec_id IN (SELECT vec_id FROM newb)
+              THEN 'new' ELSE 'old' END AS src
+       FROM inc_ranked WHERE crk = 1 ORDER BY vec_id"""
+
   val oracles: Map[String, String] = Map(
+    "ann_incremental" -> incrementalSql,
     "ann_kmeans_step" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql, $centIdsSql,
          $ivfAssignSql

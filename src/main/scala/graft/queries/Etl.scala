@@ -449,6 +449,71 @@ object Etl {
       .orderBy("event_type")
   }
 
+  /** AGO index-manifest derivation (ago/ago.py:932-1041
+    * `post_index_fields`) — the one sliver of data logic inside the
+    * otherwise pure REST-POST indexing path. Per dataset, the
+    * comma-separated `index_fields` directive expands to one index
+    * definition per entry: a composite entry (`field1+field2`) has its
+    * pluses turned into commas for the JSON `fields` value and into
+    * underscores for the index name (always suffixed `_idx`); the
+    * unique flag is looked up by EXACT raw-entry match against the
+    * dbtools-extract JSON schema's field list — so composites (which
+    * contain `+`) and fields whose schema entry carries no `unique` key
+    * default to non-unique, and a dataset whose schema file is missing
+    * entirely (the reference's S3-404 branch, ago.py:951-956) gets
+    * non-unique for every index. The emitted `index_json` is the
+    * `addToDefinition` payload body; the reference stamps a run date
+    * into `description` — runtime metadata, not data logic — so the
+    * stamp is omitted here, and the string `'true'/'false'` flags are
+    * normalized to JSON booleans.
+    *
+    * Shape: split + posexplode of a per-dataset directive string, one
+    * broadcast-sized left join against the schema catalog — linear in
+    * the number of declared indexes, no driver loop (the reference
+    * posts them one HTTP call at a time).
+    *
+    * Fixture: 25 datasets from nation; every dataset indexes objectid,
+    * even keys add name, %3==0 adds the composite name+acct, %4==1 adds
+    * acct; the schema catalog is absent for %5==0 (S3-404), marks
+    * objectid unique except %5==2, never carries a unique key for name,
+    * and explicitly sets acct non-unique — every lookup branch fires.
+    */
+  def agoIndexManifest(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey").cast("long").as("k"),
+      lower(regexp_replace(col("n_name"), " ", "_")).as("ds"))
+    // concat_ws skips the null branches, mirroring an absent directive
+    val directives = n.select(col("ds"), col("k"),
+      concat_ws(",", lit("objectid"),
+        when(col("k") % 2 === 0, lit("name")),
+        when(col("k") % 3 === 0, lit("name+acct")),
+        when(col("k") % 4 === 1, lit("acct"))).as("index_fields"))
+    val entries = directives.select(col("ds"), col("k"),
+      posexplode(split(col("index_fields"), ",")).as(Seq("pos", "field_raw")))
+    val schemaCat = n.filter(col("k") % 5 =!= 0)
+      .select(col("ds").as("sds"), explode(array(
+        struct(lit("objectid").as("fname"),
+          (col("k") % 5 =!= 2).cast("boolean").as("funiq")),
+        // 'name' has no unique key in its field dict → null, not false
+        struct(lit("name").as("fname"), lit(null).cast("boolean").as("funiq")),
+        struct(lit("acct").as("fname"), lit(false).as("funiq")))).as("f"))
+      .select(col("sds"), col("f.fname"), col("f.funiq"))
+    val uniq = coalesce(col("funiq"), lit(false))
+    entries.join(schemaCat,
+        entries("ds") === schemaCat("sds") &&
+          col("field_raw") === col("fname"), "left")
+      .select(col("ds"), col("pos"), col("field_raw"),
+        concat(translate(col("field_raw"), "+", "_"), lit("_idx")).as("idx_name"),
+        translate(col("field_raw"), "+", ",").as("idx_fields"),
+        uniq.cast("int").as("is_unique"),
+        concat(lit("""{"indexes": [{"name": """"),
+          translate(col("field_raw"), "+", "_"), lit("""_idx", "fields": """"),
+          translate(col("field_raw"), "+", ","),
+          lit("""", "isUnique": """), when(uniq, "true").otherwise("false"),
+          lit(""", "isAscending": true, "description": "installed by dbtools"}]}"""))
+          .as("index_json"))
+      .orderBy("ds", "pos")
+  }
+
   /** Single-pass dataset profile — the pre-load report a loader prints
     * before committing a staging table (rows, nulls, distincts, typed
     * min/max per column; the generalization of the reference's row-count
@@ -922,6 +987,7 @@ object Etl {
     "ago_batch_split"     -> (agoBatchSplit _),
     "ago_upsert_route"    -> (agoUpsertRoute _),
     "ago_outstats"        -> (agoOutstats _),
+    "ago_index_manifest"  -> (agoIndexManifest _),
     "etl_sde_ddl"         -> (sdeDdl _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
@@ -1281,6 +1347,38 @@ object Etl {
            min(pmin) AS min_v, max(pmax) AS max_v,
            CAST(count(*) AS BIGINT) AS n_pages
          FROM partials GROUP BY event_type ORDER BY event_type""",
+    "ago_index_manifest" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+             lower(replace(n_name, ' ', '_')) AS ds FROM nation),
+         directives AS (SELECT ds, k,
+             concat_ws(',', 'objectid',
+               CASE WHEN k % 2 = 0 THEN 'name' END,
+               CASE WHEN k % 3 = 0 THEN 'name+acct' END,
+               CASE WHEN k % 4 = 1 THEN 'acct' END) AS index_fields
+           FROM n),
+         entries AS (SELECT ds, k,
+             CAST(generate_subscripts(fs, 1) - 1 AS INTEGER) AS pos,
+             unnest(fs) AS field_raw
+           FROM (SELECT ds, k, string_split(index_fields, ',') AS fs
+                 FROM directives)),
+         schemacat AS (
+           SELECT ds AS sds, 'objectid' AS fname, (k % 5 <> 2) AS funiq
+             FROM n WHERE k % 5 <> 0
+           UNION ALL SELECT ds, 'name', NULL FROM n WHERE k % 5 <> 0
+           UNION ALL SELECT ds, 'acct', false FROM n WHERE k % 5 <> 0)
+         SELECT e.ds, e.pos, e.field_raw,
+           replace(e.field_raw, '+', '_') || '_idx' AS idx_name,
+           replace(e.field_raw, '+', ',') AS idx_fields,
+           CAST(coalesce(s.funiq, false) AS INTEGER) AS is_unique,
+           '{"indexes": [{"name": "' || replace(e.field_raw, '+', '_')
+             || '_idx", "fields": "' || replace(e.field_raw, '+', ',')
+             || '", "isUnique": '
+             || CASE WHEN coalesce(s.funiq, false) THEN 'true' ELSE 'false' END
+             || ', "isAscending": true, "description": "installed by dbtools"}]}'
+             AS index_json
+         FROM entries e LEFT JOIN schemacat s
+           ON s.sds = e.ds AND s.fname = e.field_raw
+         ORDER BY e.ds, e.pos""",
     "etl_sde_ddl" ->
       """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
              lower(replace(n_name, ' ', '_')) AS ds FROM nation),

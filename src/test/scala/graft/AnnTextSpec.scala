@@ -526,6 +526,33 @@ class AnnTextSpec extends AnyFunSuite {
       "every top-1 is an entry vertex — the walk never moved")
   }
 
+  test("incremental ivf: frozen old-corpus codebook, old cells byte-identical, batch merged") {
+    val out = Ann.queries("ann_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val (old, batch, cents) = Ann.incrementalParts(spark, sf)
+    val centIds = cents.select("cent_id").collect().map(_.getLong(0)).toSet
+    val oldIds = old.select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    // the fixture actually has arrivals to merge
+    assert(batchIds.nonEmpty && oldIds.nonEmpty)
+    // every vector assigned exactly once, provenance correct
+    assert(out.length == oldIds.size + batchIds.size)
+    assert(out.map(_._1).toSet == oldIds ++ batchIds)
+    assert(out.forall { case (id, _, _, src) =>
+      src == (if (batchIds(id)) "new" else "old") })
+    // the codebook is FROZEN at build time: drawn from the old corpus only,
+    // so no arrival can become a centroid, and every cell is a centroid
+    assert(centIds.subsetOf(oldIds))
+    assert(batchIds.intersect(centIds).isEmpty)
+    assert(out.map(_._2).toSet.subsetOf(centIds))
+    // old vectors keep their index rows bit-for-bit: the merged relation's
+    // old slice equals an old-only assignment against the same codebook
+    val oldOnly = Ann.incrementalAssign(old, cents, "old").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(out.filter(_._4 == "old").toSet == oldOnly)
+  }
+
   test("ann_recall_gsearch: 10 probes, recall in [0,1], some probe recovers a true neighbor") {
     val rows = Ann.queries("ann_recall_gsearch")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2)))

@@ -375,6 +375,46 @@ class EtlSpec extends AnyFunSuite {
     assert(dels.nonEmpty) // fixture actually exercises the dup-delete path
   }
 
+  test("ago index manifest: composite split, name derivation, every unique-lookup branch") {
+    val rows = graft.queries.Etl.queries("ago_index_manifest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getInt(5), r.getString(6)))
+    val ks = graft.core.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"),
+        lower(regexp_replace(col("n_name"), " ", "_")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(rows.nonEmpty)
+    for ((ds, _, raw, name, fields, uniq, json) <- rows) {
+      val k = ks(ds)
+      // ago.py:966-968 + 972: pluses become commas in fields, underscores
+      // in the _idx-suffixed name
+      assert(name == raw.replace("+", "_") + "_idx")
+      assert(fields == raw.replace("+", ","))
+      // composite raw entries never match a schema field name (ago.py:1037)
+      if (raw.contains("+")) assert(uniq == 0)
+      // the S3-404 branch: no schema file -> nothing is unique
+      if (k % 5 == 0) assert(uniq == 0)
+      // objectid unique iff its schema entry exists and carries unique=true
+      if (raw == "objectid") assert((uniq == 1) == (k % 5 != 0 && k % 5 != 2))
+      // 'name' has no unique key in its dict; acct is explicitly false
+      if (raw == "name" || raw == "acct") assert(uniq == 0)
+      // the addToDefinition payload is internally consistent
+      assert(json.contains(s""""name": "$name"""")
+        && json.contains(s""""fields": "$fields"""")
+        && json.contains(s""""isUnique": ${uniq == 1}"""))
+    }
+    // directive expansion: positions contiguous, count matches the directive
+    for ((ds, grp) <- rows.groupBy(_._1)) {
+      val k = ks(ds)
+      val expect = 1 + (if (k % 2 == 0) 1 else 0) +
+        (if (k % 3 == 0) 1 else 0) + (if (k % 4 == 1) 1 else 0)
+      assert(grp.map(_._2).sorted.toSeq == (0 until expect))
+    }
+    // the fixture exercises both unique classes and the composite path
+    assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
+    assert(rows.exists(_._3.contains("+")))
+  }
+
   test("pk check: planted duplicates surface, clean key passes") {
     val rows = graft.queries.Etl.queries("etl_pk_check")(spark, sf)
       .collect().map(r => r.getString(0) ->
