@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * showed 2-4× phantom regressions on queries whose committed same-code
   * times never moved. Raise the variable on noisy hosts.
   *
+  * Execution order is a deterministic name-hash interleave, NOT
+  * alphabetical: the r6 driver run showed a single multi-second VM stall
+  * inflating an entire alphabetically contiguous etl_* stretch 6-21×
+  * (plans identical per PlanDump). Hash order scatters each family across
+  * the whole run, so a stall window hits a random mix of families and
+  * round-over-round per-family comparisons stay meaningful. The JSON
+  * output is still sorted by name.
+  *
   * Between runs every persisted block (localCheckpoint RDDs from the dedup
   * family) is dropped: without this, ~100 query executions of leftover
   * blocks pile up in the block manager and mid-bench queries pay their GC
@@ -26,6 +34,27 @@ object Bench {
   private val bestOf: Int =
     sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(3)
 
+  /** Best-of-N timing of one query: warm run, then N timed runs keeping
+    * the minimum. Returns (best seconds or -1 on failure, output rows of
+    * the last successful run — the free scale signal every probe row
+    * reports).
+    */
+  private def timeQuery(spark: SparkSession, q: String, d: String): (Double, Long) = {
+    var rows = -1L
+    def run(): Boolean =
+      try { rows = SparkEntry.queries(q)(spark, d).count(); true }
+      catch { case _: Throwable => false }
+    run(); clearState(spark) // warm
+    val times = (1 to bestOf).map { _ =>
+      val t0 = System.nanoTime()
+      val ok = run()
+      val t = (System.nanoTime() - t0) / 1e9
+      clearState(spark)
+      if (ok) t else -1.0
+    }
+    (if (times.exists(_ < 0)) -1.0 else times.min, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local-iteration filter: run only queries whose name starts with one of
@@ -33,23 +62,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = graft.core.GraftSession.local("graft-bench")
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith))
-    }
-    val results = selected.map { case (name, fn) =>
-      def run(): Boolean =
-        try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      run(); clearState(spark) // warm
-      val times = (1 to bestOf).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run()
-        val t = (System.nanoTime() - t0) / 1e9
-        clearState(spark)
-        if (ok) t else -1.0
-      }
-      // failed queries report -1, never a misleading tiny duration
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
+    val selected = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.exists(n.startsWith)))
+      .sortBy(n => (scala.util.hashing.MurmurHash3.stringHash(n), n))
+    val results = selected.map { case name =>
+      name -> timeQuery(spark, name, sfDir)._1
+    }.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 marks a failed query; keep it visible per-query but never let the
@@ -64,36 +82,36 @@ object Bench {
     // guarded are corpus-proportional parameterization (ann_ivf — the
     // round-4 weak marks, would read ~100) and quadratic candidate
     // generation (dedup_minhash_lsh, under a CONSTANT duplicate fraction).
-    // Reported OUTSIDE "queries" so round-over-round per-query comparisons
-    // and the total stay unpolluted.
+    // Each probe row also carries the query's dominant WORK COUNT at both
+    // scales (see ProbeWork): counts are noise-immune, so work_ratio ≈
+    // factor certifies linearity even when a VM stall pollutes a timing
+    // leg. Reported OUTSIDE "queries" so round-over-round per-query
+    // comparisons and the total stay unpolluted.
     val runProbe = only.forall(_.exists(p => "scale10x".startsWith(p)))
+    val scaleDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scale10x"
     val probeJson = if (!runProbe) "" else {
-      def best(q: String, d: String): Double = {
-        def run(): Boolean =
-          try { SparkEntry.queries(q)(spark, d).count(); true }
-          catch { case _: Throwable => false }
-        run(); clearState(spark) // warm
-        val ts = (1 to bestOf).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = run()
-          val t = (System.nanoTime() - t0) / 1e9
-          clearState(spark)
-          if (ok) t else -1.0
-        }
-        if (ts.exists(_ < 0)) -1.0 else ts.min
-      }
       // 10x id-disjoint copies of every probed table, duplicate fraction /
       // join fan-out / vertex degree held constant (see ScaleCorpus — doc
       // copies are token-salted so they share NO shingles; the r5 rotation
       // scheme made copies a near-dup clique and polluted the lsh probe)
-      val scaleDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scale10x"
       graft.tools.ScaleCorpus.build(spark, sfDir, scaleDir)
+      // probes measure the BUILD's scaling — a cached NND graph would
+      // report a constant read and defeat the probe's purpose
+      graft.core.ArtifactCache.bypass = true
       def probeOf(q: String): String = {
-        val baseSec = best(q, sfDir)
-        val scaledSec = best(q, scaleDir)
+        val (baseSec, baseRows) = timeQuery(spark, q, sfDir)
+        val (scaledSec, scaledRows) = timeQuery(spark, q, scaleDir)
         val ratio = if (baseSec > 0 && scaledSec > 0)
           math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
-        s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio}"""
+        val work = graft.tools.ProbeWork.counters.get(q).map { case (label, f) =>
+          val wb = try f(spark, sfDir) catch { case _: Throwable => -1L }
+          val ws = try f(spark, scaleDir) catch { case _: Throwable => -1L }
+          clearState(spark)
+          val wr = if (wb > 0 && ws >= 0)
+            math.round(ws.toDouble / wb * 100.0) / 100.0 else -1.0
+          s""","work_metric":"$label","work_base":$wb,"work_scaled":$ws,"work_ratio":$wr"""
+        }.getOrElse("")
+        s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$baseRows,"scaled_rows":$scaledRows$work}"""
       }
       val ann = probeOf("ann_ivf")
       val mh = probeOf("dedup_minhash_lsh")
@@ -115,12 +133,33 @@ object Bench {
       // super-linear regressions surface before a real cluster would
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile").map(probeOf)
+      graft.core.ArtifactCache.bypass = false
       val all = (Seq(ann, mh, ds, ld, gr, nd) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson,"sf":"$sfDir"}"""
+
+    // sf1 anchor: the heaviest queries timed on the FULL 10x corpus (at the
+    // driver's sf0.1 this is a genuine sf1 star schema + corpus on disk —
+    // every table replicated id-disjoint, see ScaleCorpus). Unlike the
+    // probes this runs with the ArtifactCache ON: it measures the SUITE
+    // semantics (amortized index builds) at a second real scale point, the
+    // "2x of baseline" bar's missing anchor (VERDICT r6 next-round #3).
+    val sf1Json = if (!runProbe) "" else {
+      val heavies = Seq(
+        "ann_nndescent", "ann_graph_search", "ann_recall_gsearch",
+        "ann_recall_nnd", "graph_pagerank_raw", "graph_cosim", "graph_cc_raw",
+        "dedup_minhash_lsh", "dedup_winnowing", "etl_profile",
+        "etl_cdc_apply", "q18_running_total")
+      val timed = heavies.map(q => q -> timeQuery(spark, q, scaleDir)._1)
+      val qj = timed.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val tot = timed.map(_._2).filter(_ >= 0).sum
+      s""","sf1":{"dir":"$scaleDir","factor":10,"total_sec":$tot,"queries":$qj}"""
+    }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson$sf1Json,"sf":"$sfDir"}"""
     // The driver keeps only the last few KB of sbt stdout and parses the
-    // JSON line out of that tail. With ~190 queries the full line is >6 KB,
+    // JSON line out of that tail. With ~200 queries the full line is >6 KB,
     // so for five rounds the driver recorded "parsed": null (r5 VERDICT's
     // standing bench-handoff failure). stdout therefore gets a COMPACT line
     // — same shape, but "queries" limited to a fixed headline subset and

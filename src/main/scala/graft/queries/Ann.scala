@@ -287,7 +287,12 @@ object Ann {
     (assignment, probeCells)
   }
 
-  def ivf(s: SparkSession, d: String): DataFrame = {
+  /** The (probe, neighbor, cos) candidate relation the IVF search scans —
+    * factored out so the bench scale probe can COUNT scanned candidates
+    * (the cardinality that certifies the NPROBE-cell-bounded scan stays
+    * ∝ N/CENT_COUNT per probe) independently of wall-clock noise.
+    */
+  private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     val withN = withNorms(s, d)
     val (assignment, probeCells) = ivfCells(withN)
     val corpus = withN.join(assignment, "vec_id")
@@ -296,13 +301,15 @@ object Ann {
       .join(probeCells, "probe_id")
     // no dedup needed: each neighbor lives in exactly one cell (crk = 1 is
     // unique), so a (probe, neighbor) pair can match at most once
-    val cand = corpus.join(broadcast(probes), Seq("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosCols(graft.plans.DotProduct.dot(col("pv"), col("cv2")),
           col("pnrm"), col("cnrm2")).as("cos"))
-    rankTop(cand, CAND_TOPK)
   }
+
+  def ivf(s: SparkSession, d: String): DataFrame =
+    rankTop(ivfCandidates(s, d), CAND_TOPK)
 
   // ---- Product quantization (PQ) + asymmetric distance (ADC) --------------
   private val PQ_S = 8         // subspaces over the 64-dim vectors
@@ -659,10 +666,16 @@ object Ann {
       s"v1 iters=$iters sample=$NND_SAMPLE k=$CAND_TOPK",
       Seq(s"$d/embeddings.parquet")) { nndGraphBuild(s, d, iters) }
 
-  private def nndGraphBuild(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val all = vecs(s, d)
-    val norms = all.select(col("vec_id"),
-      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
+  /** The deduped (u, w) seed candidate pairs of the NND build — the
+    * cardinality the composite (LSH cell ⊗ sub-ring) seed bounds at ~N·8
+    * where raw fixed-count LSH cells would grow N²/64. Exposed so the
+    * bench scale probe can count it noise-free: a count ratio ≈ the data
+    * factor certifies the linear seed empirically.
+    */
+  private[graft] def nndSeedPairs(s: SparkSession, d: String): DataFrame =
+    nndSeedPairsOf(vecs(s, d))
+
+  private def nndSeedPairsOf(all: DataFrame): DataFrame = {
     // dual seed: LSH cells + an ~8-per-cell hash ring (cell counts derived
     // from the corpus count — a one-row broadcast, not a collect). The LSH
     // cells are themselves SUB-DIVIDED by a second hash ring: the plane
@@ -681,15 +694,22 @@ object Ann {
       .select(col("vec_id"), (col("bucket") * subR +
         md5Long(concat(lit("nnd2:"), col("vec_id"))) % subR).as("bucket"))
     val seeds = lshSub.unionByName(ring)
+    val a = seeds.toDF("src", "bucket")
+    val b = seeds.toDF("dst", "bucket")
+    // a pair sharing both cells would otherwise be scored twice
+    a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("w")).distinct()
+  }
+
+  private def nndGraphBuild(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val all = vecs(s, d)
+    val norms = all.select(col("vec_id"),
+      graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
     // zero-norm guard as in the embedding dedup: cos would be NaN
     val ok = all.join(norms, "vec_id").filter(col("nrm") > 0)
     val cu = ok.toDF("u", "pv", "pn").localCheckpoint()
     val cw = cu.toDF("w", "cv", "cn")
-    val a = seeds.toDF("src", "bucket")
-    val b = seeds.toDF("dst", "bucket")
-    // a pair sharing both cells would otherwise be scored twice
-    val seedPairs = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
-      .select(col("src").as("u"), col("dst").as("w")).distinct()
+    val seedPairs = nndSeedPairsOf(all)
     val seedScored = seedPairs.join(cu, "u").join(cw, "w")
       .select(col("u").as("src"), col("w").as("dst"), cosCols(
         graft.plans.DotProduct.dot(col("pv"), col("cv")),

@@ -514,6 +514,50 @@ object Etl {
       .orderBy("ds", "pos")
   }
 
+  /** Carto privacy resolution + select-grant generation
+    * (carto/carto_.py:458-491 `enforce_privacy`, :418-427
+    * `generate_select_grants`) — the last data-logic sliver of the Carto
+    * loader. Per dataset, the comma-separated `select_users` directive
+    * resolves to the privacy the loader force-sets: the reference tests
+    * `'publicuser' in self.select_users` on the RAW string — substring
+    * containment, not token membership — so a user named
+    * `notapublicuserish` also yields PUBLIC; that quirk is reproduced
+    * faithfully (one fixture row exercises it) rather than "fixed".
+    * Absent/empty directive → PRIVATE, grants SQL `''` (the reference's
+    * else-branch). The grant script is the per-user GRANT SELECT
+    * concatenation in directive order.
+    *
+    * Shape: pure per-row column math (split + transform + concat) — one
+    * codegen'd projection over the dataset catalog, no shuffle at all.
+    *
+    * Fixture: 25 datasets from nation; k%4==0 absent, ==1 publicuser
+    * alone, ==2 publicuser second in the list, ==3 no publicuser (except
+    * k%8==7: the substring-containment quirk row) — every reference
+    * branch fires.
+    */
+  def cartoPrivacy(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey").cast("long").as("k"),
+      lower(regexp_replace(col("n_name"), " ", "_")).as("ds"))
+    val users = when(col("k") % 4 === 1, lit("publicuser"))
+      .when(col("k") % 4 === 2, lit("tileuser,publicuser"))
+      .when(col("k") % 4 === 3,
+        when(col("k") % 8 === 7, lit("notapublicuserish,tileuser"))
+          .otherwise(lit("someuser,tileuser")))
+    n.select(col("ds"), users.as("su"))
+      .select(col("ds"),
+        coalesce(col("su"), lit("")).as("select_users"),
+        when(col("su").isNotNull && col("su").contains("publicuser"),
+          lit("PUBLIC")).otherwise(lit("PRIVATE")).as("privacy"),
+        when(col("su").isNotNull, size(split(col("su"), ",")))
+          .otherwise(lit(0)).cast("int").as("n_users"),
+        when(col("su").isNotNull,
+          concat_ws("", transform(split(col("su"), ","),
+            u => concat(lit("GRANT SELECT ON \""), col("ds"),
+              lit("\" TO \""), u, lit("\";")))))
+          .otherwise(lit("")).as("grants_sql"))
+      .orderBy("ds")
+  }
+
   /** Single-pass dataset profile — the pre-load report a loader prints
     * before committing a staging table (rows, nulls, distincts, typed
     * min/max per column; the generalization of the reference's row-count
@@ -988,6 +1032,7 @@ object Etl {
     "ago_upsert_route"    -> (agoUpsertRoute _),
     "ago_outstats"        -> (agoOutstats _),
     "ago_index_manifest"  -> (agoIndexManifest _),
+    "carto_privacy"       -> (cartoPrivacy _),
     "etl_sde_ddl"         -> (sdeDdl _),
     "etl_header_sanitize" -> (headerSanitize _),
     "etl_column_map"      -> (columnMap _),
@@ -1379,6 +1424,28 @@ object Etl {
          FROM entries e LEFT JOIN schemacat s
            ON s.sds = e.ds AND s.fname = e.field_raw
          ORDER BY e.ds, e.pos""",
+    "carto_privacy" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+             lower(replace(n_name, ' ', '_')) AS ds FROM nation),
+         dirs AS (SELECT ds,
+             CASE WHEN k % 4 = 1 THEN 'publicuser'
+                  WHEN k % 4 = 2 THEN 'tileuser,publicuser'
+                  WHEN k % 4 = 3 THEN
+                    CASE WHEN k % 8 = 7 THEN 'notapublicuserish,tileuser'
+                         ELSE 'someuser,tileuser' END
+             END AS su
+           FROM n)
+         SELECT ds, coalesce(su, '') AS select_users,
+           CASE WHEN su IS NOT NULL AND contains(su, 'publicuser')
+             THEN 'PUBLIC' ELSE 'PRIVATE' END AS privacy,
+           CAST(CASE WHEN su IS NOT NULL
+             THEN len(string_split(su, ',')) ELSE 0 END AS INTEGER) AS n_users,
+           CASE WHEN su IS NOT NULL
+             THEN list_aggregate(list_transform(string_split(su, ','),
+               u -> 'GRANT SELECT ON "' || ds || '" TO "' || u || '";'),
+               'string_agg', '')
+             ELSE '' END AS grants_sql
+         FROM dirs ORDER BY ds""",
     "etl_sde_ddl" ->
       """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
              lower(replace(n_name, ' ', '_')) AS ds FROM nation),

@@ -164,7 +164,7 @@ object Graph {
     * re-aggregating it per iteration is what lets the PageRank loop run
     * with a single edges⋈ranks join.
     */
-  private def rawEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def rawEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),

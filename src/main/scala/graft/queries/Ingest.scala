@@ -95,6 +95,30 @@ object Ingest {
     coerced.orderBy("objectid")
   }
 
+  // ---- DSv2 paged-API connector scan --------------------------------------
+  /** The paged extraction routed through the DataSource V2 connector
+    * ([[graft.sources.v2.PagedApiSource]]): the customer count plays the
+    * reference's `total_records` preflight (knack.py:85-95 — one REST
+    * call, here one 1-row aggregate), the connector plans one partition
+    * per page, and the `page >= 1 AND page <= 120` predicate is PUSHED
+    * into the scan — pages outside the range are never planned, never
+    * fetched, never decoded (the incremental-resume idiom as a filter).
+    * Record fields are then coerced with the same [[PagedRecords]]
+    * operators the JSON-staging path uses. PagedApiV2Spec asserts the
+    * partition-level pruning and column pruning on the physical plan.
+    */
+  def pagedApiScan(s: SparkSession, d: String): DataFrame = {
+    val total = customer(s, d).count()
+    val scan = s.read.format("graft.sources.v2.PagedApiSource")
+      .option("rows", total).option("pageSize", 100).load()
+      .filter(col("page") >= 1 && col("page") <= 120)
+    scan.select(col("page"), col("record_idx"),
+        get_json_object(col("record_json"), "$.id").cast("long").as("id"),
+        PagedRecords.coerceValue(col("record_json"), "name").as("name"),
+        PagedRecords.coercePhone(col("record_json"), "phone").as("phone"))
+      .orderBy("page", "record_idx")
+  }
+
   // ---- staging→prod rename-replace lifecycle, oracle-gated ----------------
   /** Load a selection of orders through the full TableLifecycle
     * rename-replace dance (write to __staging, count-verify, atomic
@@ -130,6 +154,7 @@ object Ingest {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_csv_ingest"     -> (csvIngest _),
     "etl_paged_coerce"   -> (pagedCoerce _),
+    "etl_paged_api_scan" -> (pagedApiScan _),
     "etl_rename_replace" -> (renameReplace _),
     "etl_truncate_load"  -> (truncateLoad _)
   )
@@ -148,6 +173,15 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // the connector's synthesized page stream recomputed from first
+    // principles: ids 0..total-1, 100 per page, pages 1..120 kept
+    "etl_paged_api_scan" ->
+      """WITH ids AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i
+           FROM customer)
+         SELECT i // 100 AS page, CAST(i % 100 AS INTEGER) AS record_idx,
+           i AS id, 'cust-' || i AS name, '555-' || i AS phone
+         FROM ids WHERE i // 100 BETWEEN 1 AND 120
+         ORDER BY page, record_idx""",
     "etl_paged_coerce" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS objectid,
          c_custkey AS id, c_name AS name,

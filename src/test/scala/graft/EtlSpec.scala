@@ -415,6 +415,36 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.exists(_._3.contains("+")))
   }
 
+  test("carto privacy: substring publicuser test, absent directive, grant script") {
+    val rows = graft.queries.Etl.queries("carto_privacy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4)))
+    val ks = graft.core.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"),
+        lower(regexp_replace(col("n_name"), " ", "_")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(rows.nonEmpty)
+    for ((ds, su, privacy, nUsers, grants) <- rows) {
+      val k = ks(ds)
+      // carto_.py:474-479: 'publicuser' in the RAW string — substring
+      // containment, so the notapublicuserish row is PUBLIC too
+      assert((privacy == "PUBLIC") == su.contains("publicuser"))
+      if (k % 4 == 0) { // absent directive: PRIVATE + empty grants
+        assert(su == "" && privacy == "PRIVATE" && nUsers == 0 && grants == "")
+      } else {
+        // one GRANT per comma-separated user, in directive order
+        val users = su.split(",").toSeq
+        assert(nUsers == users.size)
+        assert(grants == users.map(u =>
+          s"""GRANT SELECT ON "$ds" TO "$u";""").mkString(""))
+      }
+    }
+    // fixture coverage: both privacy classes, the quirk row, an absent row
+    assert(rows.exists(_._3 == "PUBLIC") && rows.exists(_._3 == "PRIVATE"))
+    assert(rows.exists(r => r._3 == "PUBLIC" && !r._2.split(",").contains("publicuser")))
+    assert(rows.exists(_._2 == ""))
+  }
+
   test("pk check: planted duplicates surface, clean key passes") {
     val rows = graft.queries.Etl.queries("etl_pk_check")(spark, sf)
       .collect().map(r => r.getString(0) ->

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 paged-API connector: partition-level page pruning, column
+  * pruning, full filter enforcement, and the query route.
+  */
+class PagedApiV2Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def scan(rows: Long, pageSize: Int = 100) =
+    spark.read.format("graft.sources.v2.PagedApiSource")
+      .option("rows", rows).option("pageSize", pageSize).load()
+
+  test("unfiltered scan plans one partition per page") {
+    val df = scan(1000)
+    assert(df.rdd.getNumPartitions == 10)
+    assert(df.count() == 1000)
+    // tail page is partial, not padded
+    assert(scan(950).count() == 950)
+    assert(scan(950).rdd.getNumPartitions == 10)
+  }
+
+  test("page predicates prune planned partitions, not just rows") {
+    // >= : only pages 7..9 are PLANNED (a real connector never fetches 0-6)
+    val ge = scan(1000).filter(col("page") >= 7)
+    assert(ge.rdd.getNumPartitions == 3)
+    assert(ge.count() == 300)
+    // between: both bounds reach the scan
+    val between = scan(1000).filter(col("page") >= 2 && col("page") <= 4)
+    assert(between.rdd.getNumPartitions == 3)
+    assert(between.count() == 300)
+    // equality pins one page
+    val eq = scan(1000).filter(col("page") === 5)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.count() == 100)
+    // strict bounds shift by one page
+    val strict = scan(1000).filter(col("page") > 2 && col("page") < 5)
+    assert(strict.rdd.getNumPartitions == 2)
+    // an unsatisfiable range plans nothing
+    assert(scan(1000).filter(col("page") > 99).rdd.getNumPartitions == 0)
+    // the pushed range is visible on the physical plan
+    assert(ge.queryExecution.executedPlan.toString.contains("PushedPageRange=[7, 9]"))
+  }
+
+  test("accepted page filters are fully enforced by pruning (no residual rows)") {
+    val df = scan(1000).filter(col("page") >= 7)
+    val pages = df.select("page").distinct().collect().map(_.getLong(0)).sorted
+    assert(pages.sameElements(Array(7L, 8L, 9L)))
+    // a non-page conjunct survives as a residual filter and still applies
+    val mixed = scan(1000).filter(col("page") >= 7 && col("record_idx") < 10)
+    assert(mixed.rdd.getNumPartitions == 3)
+    assert(mixed.count() == 30)
+  }
+
+  test("column pruning reaches the scan output") {
+    val df = scan(300).select("page", "record_idx")
+    val leaf = df.queryExecution.optimizedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("page", "record_idx"))
+    // and the reader honors the pruned projection
+    assert(df.distinct().count() == 300)
+  }
+
+  test("record synthesis round-trips through the PagedRecords coercions") {
+    val df = scan(250)
+      .select(col("page"), col("record_idx"),
+        get_json_object(col("record_json"), "$.id").cast("long").as("id"),
+        graft.sources.PagedRecords.coercePhone(col("record_json"), "phone")
+          .as("phone"))
+    val rows = df.collect()
+    assert(rows.length == 250)
+    assert(rows.forall { r =>
+      val id = r.getLong(2)
+      id == r.getLong(0) * 100 + r.getInt(1) && r.getString(3) == s"555-$id"
+    })
+  }
+
+  test("query route: etl_paged_api_scan matches first-principles recompute") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.Ingest.queries("etl_paged_api_scan")(spark, d)
+      .collect()
+    val total = graft.core.Tables.customer(spark, d).count()
+    val expect = (0L until total).filter(i => i / 100 >= 1 && i / 100 <= 120)
+    assert(out.length == expect.size)
+    assert(out.zip(expect).forall { case (r, i) =>
+      r.getLong(0) == i / 100 && r.getInt(1) == (i % 100).toInt &&
+        r.getLong(2) == i && r.getString(3) == s"cust-$i" &&
+        r.getString(4) == s"555-$i"
+    })
+  }
+}
