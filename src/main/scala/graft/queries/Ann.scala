@@ -845,9 +845,24 @@ object Ann {
   private[graft] def recallEvalSingleProbe(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, lshImpl(s, d, multiprobe = false))
 
+  /** The exact top-k ground truth all seven recall gates compare against —
+    * one brute-force probe×corpus pass, identical across gates, so it is
+    * published once through [[graft.core.ArtifactCache]] like the NND
+    * graph (build-once/query-many; the relation is ids only, so the
+    * parquet round trip is trivially exact). Before this, each recall
+    * gate re-ran the same exact pass — 7× the suite's single most
+    * redundant computation.
+    */
+  private def groundTruth(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.getOrBuild(s, "ann_ground_truth",
+      s"v1 k=$CAND_TOPK probes=$PROBE_COUNT",
+      Seq(s"$d/embeddings.parquet")) {
+      bruteforce(s, d).filter(col("rk") <= CAND_TOPK)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+
   private def recallOf(s: SparkSession, d: String, lshDf: DataFrame): DataFrame = {
-    val bf = bruteforce(s, d).filter(col("rk") <= CAND_TOPK)
-      .select(col("probe_id"), col("neighbor_id"))
+    val bf = groundTruth(s, d)
     val ls = lshDf
       .select(col("probe_id").as("l_probe"), col("neighbor_id").as("l_neighbor"))
     bf.join(ls, bf("probe_id") === ls("l_probe")

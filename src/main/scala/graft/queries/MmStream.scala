@@ -226,6 +226,19 @@ object MmStream {
         graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
       .orderBy("event_type")
 
+  // paged-API extraction manifest (batch twin of the DSv2 streaming
+  // source; PagedApiV2Spec drives the readStream path — page-bounded
+  // micro-batches + checkpoint resume that re-reads only NEW pages): per
+  // page, the record count and global-id span a drained extraction
+  // accumulates. The customer count plays the reference's total_records
+  // preflight, exactly as in etl_paged_api_scan.
+  def streamPagedIngest(s: SparkSession, d: String): DataFrame = {
+    val total = customer(s, d).count()
+    val scan = s.read.format("graft.sources.v2.PagedApiSource")
+      .option("rows", total).option("pageSize", 100).load()
+    Streams.pagedIngestAgg(scan).orderBy("page")
+  }
+
   // stream-static broadcast enrich (batch twin; stream parity in StreamSpec)
   def streamStaticJoin(s: SparkSession, d: String): DataFrame =
     Streams.staticEnrichAgg(events(s, d), customer(s, d))
@@ -300,10 +313,17 @@ object MmStream {
     "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _),
     "stream_static_join" -> (streamStaticJoin _),
-    "stream_interval_join" -> (streamIntervalJoin _)
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_paged_ingest" -> (streamPagedIngest _)
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_paged_ingest" ->
+      """WITH ids AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i
+           FROM customer)
+         SELECT i // 100 AS page, CAST(count(*) AS BIGINT) AS n_records,
+           CAST(min(i) AS BIGINT) AS id_lo, CAST(max(i) AS BIGINT) AS id_hi
+         FROM ids GROUP BY 1 ORDER BY page""",
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
              CAST(value AS DECIMAL(18,2)) AS v FROM events),

@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -69,12 +70,14 @@ class PagedApiTable(rows: Long, pageSize: Int) extends Table with SupportsRead {
   override def name(): String = s"paged_api(rows=$rows, pageSize=$pageSize)"
   override def schema(): StructType = PagedApiSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedApiScanBuilder(rows, pageSize)
+    new PagedApiScanBuilder(rows, pageSize,
+      options.getLong("maxPagesPerTrigger", Long.MaxValue))
 }
 
-class PagedApiScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
+class PagedApiScanBuilder(rows: Long, pageSize: Int, maxPagesPerTrigger: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -109,11 +112,14 @@ class PagedApiScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedApiScan(rows, pageSize, lo, hi, required)
+  override def build(): Scan =
+    new PagedApiScan(rows, pageSize, lo, hi, required, maxPagesPerTrigger)
 }
 
 class PagedApiScan(rows: Long, pageSize: Int, lo: Long, hi: Long,
-                   required: StructType) extends Scan with Batch {
+                   required: StructType,
+                   maxPagesPerTrigger: Long = Long.MaxValue)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -133,6 +139,56 @@ class PagedApiScan(rows: Long, pageSize: Int, lo: Long, hi: Long,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     PagedApiReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedApiMicroBatchStream(rows, pageSize, maxPagesPerTrigger,
+      required.fieldNames)
+}
+
+/** The paged extraction as a STREAMING source — the reference's
+  * incremental page walk (knack.py:149-152 resumes from a recorded page;
+  * airtable's offset token is the same idea) expressed as micro-batch
+  * offsets: the offset IS the next unread page id, each trigger admits at
+  * most `maxPagesPerTrigger` new pages, and a restart resumes from the
+  * checkpointed page offset — so a grown corpus (larger `rows`) streams
+  * only its NEW pages, the production shape of a nightly re-extract.
+  */
+case class PagedOffset(page: Long) extends Offset {
+  override def json(): String = page.toString
+}
+
+class PagedApiMicroBatchStream(rows: Long, pageSize: Int,
+    maxPagesPerTrigger: Long, fields: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private val nPages = math.max(0L, (rows + pageSize - 1) / pageSize)
+
+  override def initialOffset(): Offset = PagedOffset(0L)
+  // the engine routes through the admission-control variant below — it
+  // passes the restart point explicitly, which is what makes checkpoint
+  // recovery rate-limit-safe (a source-side high-water mark would reset
+  // to zero on restart and replay already-committed pages)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[PagedOffset].page
+    val step = math.min(maxPagesPerTrigger, nPages - math.min(s0, nPages))
+    PagedOffset(math.min(nPages, s0 + math.max(0L, step)))
+  }
+  override def reportLatestOffset(): Offset = PagedOffset(nPages)
+  override def deserializeOffset(json: String): Offset =
+    PagedOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[PagedOffset].page
+    val e0 = end.asInstanceOf[PagedOffset].page
+    (s0 until e0).map { p =>
+      val st = p * pageSize
+      PagedApiPartition(p, st, math.min(rows, st + pageSize)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedApiReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class PagedApiPartition(page: Long, start: Long, end: Long)

@@ -62,6 +62,19 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Per-page extraction manifest for the DSv2 paged source: record count
+    * + global-id span. Applied identically to the batch scan and the
+    * micro-batch stream (batch/stream parity in PagedApiV2Spec). The id is
+    * reconstructed from page arithmetic, so the JSON body column is never
+    * requested and the source's column pruning keeps it unbuilt.
+    */
+  def pagedIngestAgg(pages: DataFrame, pageSize: Int = 100): DataFrame =
+    pages.select(col("page"),
+        (col("page") * pageSize + col("record_idx")).as("id"))
+      .groupBy(col("page"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("id")).as("id_lo"), max(col("id")).as("id_hi"))
+
   /** Per-window leaderboard size for [[rankWindows]]. */
   val TopKPerWindow = 3
 
