@@ -3,6 +3,7 @@ package graft.sources.v2
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -78,10 +79,12 @@ class PagedApiTable(rows: Long, pageSize: Int) extends Table with SupportsRead {
 
 class PagedApiScanBuilder(rows: Long, pageSize: Int, maxPagesPerTrigger: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedApiSource.SCHEMA
+  private var countPushed = false
   // page-id bounds accumulated from the accepted conjuncts
   private var lo: Long = 0L
   private var hi: Long = Long.MaxValue
@@ -112,20 +115,46 @@ class PagedApiScanBuilder(rows: Long, pageSize: Int, maxPagesPerTrigger: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) is answerable from the page MANIFEST alone — page count ×
+    * page size with the tail page truncated — so it pushes into the scan
+    * and no record is ever synthesized (for a real connector: no page is
+    * ever fetched; the row count of a million-page dump costs one
+    * preflight). Composes with the page-range pruning above: each planned
+    * partition reports its own exact size and Spark sums the partials.
+    * Grouped or non-count aggregates stay in the engine.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
   override def build(): Scan =
-    new PagedApiScan(rows, pageSize, lo, hi, required, maxPagesPerTrigger)
+    new PagedApiScan(rows, pageSize, lo, hi,
+      if (countPushed) PagedApiScan.countSchema(required) else required,
+      maxPagesPerTrigger, countPushed)
+}
+
+object PagedApiScan {
+  /** One LongType partial-count column per pushed CountStar. */
+  def countSchema(required: StructType): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
 }
 
 class PagedApiScan(rows: Long, pageSize: Int, lo: Long, hi: Long,
                    required: StructType,
-                   maxPagesPerTrigger: Long = Long.MaxValue)
+                   maxPagesPerTrigger: Long = Long.MaxValue,
+                   countPushed: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val nPages = math.max(0L, (rows + pageSize - 1) / pageSize)
     s"PagedApiScan rows=$rows pageSize=$pageSize pages=$nPages " +
-      s"PushedPageRange=[$lo, ${math.min(hi, nPages - 1)}]"
+      s"PushedPageRange=[$lo, ${math.min(hi, nPages - 1)}]" +
+      (if (countPushed) " PushedAggregate=count(*)" else "")
   }
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = math.max(0L, (rows + pageSize - 1) / pageSize)
@@ -138,7 +167,8 @@ class PagedApiScan(rows: Long, pageSize: Int, lo: Long, hi: Long,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    PagedApiReaderFactory(required.fieldNames)
+    if (countPushed) PagedApiCountReaderFactory()
+    else PagedApiReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedApiMicroBatchStream(rows, pageSize, maxPagesPerTrigger,
       required.fieldNames)
@@ -198,6 +228,21 @@ case class PagedApiReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedApiPartitionReader(partition.asInstanceOf[PagedApiPartition], fields)
+}
+
+/** Pushed-count reader: each planned page partition reports its exact
+  * size as ONE partial row — no record synthesis, no fetch.
+  */
+case class PagedApiCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedApiPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(p.end - p.start)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One page's record iterator — the spot a real deployment issues its

@@ -76,6 +76,23 @@ class PagedApiV2Spec extends AnyFunSuite {
     })
   }
 
+  test("count(*) pushes into the scan and composes with page pruning") {
+    val df = scan(1234).groupBy().count()
+    assert(df.collect().head.getLong(0) == 1234)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedAggregate=count(*)"))
+    // pruned + counted: only pages 7-12 are planned, each reports its size
+    val pruned = scan(1234).filter(col("page") >= 7).groupBy().count()
+    assert(pruned.collect().head.getLong(0) == 534)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PushedAggregate=count(*)"))
+    // grouped aggregates stay in the engine (scan keeps its row schema)
+    val grouped = scan(300).groupBy("page").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregate"))
+    assert(grouped.count() == 3)
+  }
+
   test("micro-batch stream: page-bounded triggers, batch parity") {
     val ckpt = java.nio.file.Files.createTempDirectory("paged_stream_ck").toString
     val stream = spark.readStream.format("graft.sources.v2.PagedApiSource")
