@@ -38,6 +38,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Data-constrained mixture planning (Muennighoff et al. 2023: repeating
+    * data beyond ~4 epochs stops helping): from the per-source token
+    * inventory, derive a temperature-balanced target mixture (weight ∝
+    * √inventory — the τ=2 softening [[temperature]] applies to langs),
+    * each source's target tokens under a global budget, the epoch count
+    * the target implies, the [[MaxEpochs]] cap, and the resulting
+    * effective tokens + unmet deficit. This is the planning step that
+    * turns "what do we have" into "what do we train on".
+    *
+    * Scale shape: one source-keyed aggregate over the corpus (map-side
+    * partial), then all arithmetic on a catalog-sized relation with a
+    * 1-row broadcast total — the plan costs one scan at any corpus size.
+    * Floats: √inventory is 6-dp-floored before the DECIMAL sum, every
+    * derived ratio 4-dp-floored, so engine-side fold order cannot move
+    * the plan.
+    */
+  val EpochBudget = 400000L
+  val MaxEpochs = 4.0
+
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Determinism._
+    val doc = documents(s, d).select(col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val per = doc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail_tokens"))
+    val rootW = r6(sqrt(col("avail_tokens").cast("double")))
+    val tot = per.agg(dsum(rootW).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        r6(rootW / col("wsum")).as("weight"))
+      .withColumn("target_tokens", r4(col("weight") * EpochBudget))
+      .withColumn("epochs",
+        r4(least(lit(MaxEpochs),
+          col("target_tokens") / col("avail_tokens").cast("double"))))
+      .withColumn("effective_tokens",
+        r4(least(col("target_tokens"),
+          col("avail_tokens").cast("double") * MaxEpochs)))
+      .withColumn("deficit_tokens",
+        r4(col("target_tokens") - col("effective_tokens")))
+      .orderBy("source")
+  }
+
   /** Per-source token budgeting: in deterministic doc_id order, keep each
     * source's docs while the running token total stays within the budget
     * (the doc that crosses the line is kept — budgets are soft caps). One
@@ -276,7 +318,8 @@ object Sampling {
     "sample_mixture"      -> (mixture _),
     "sample_token_budget" -> (tokenBudget _),
     "sample_pack"         -> (pack _),
-    "sample_temperature"  -> (temperature _)
+    "sample_temperature"  -> (temperature _),
+    "sample_epoch_plan"   -> (epochPlan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +435,37 @@ object Sampling {
          SELECT r2.source, r2.n_docs, r2.rate_bps,
            COALESCE(sel.n_sel, CAST(0 AS BIGINT)) AS n_sel
          FROM rates r2 LEFT JOIN sel ON sel.source = r2.source
-         ORDER BY r2.source"""
+         ORDER BY r2.source""",
+    "sample_epoch_plan" ->
+      s"""WITH toks AS (SELECT source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+           FROM toks GROUP BY source),
+         tot AS (SELECT CAST(sum(CAST(
+             ${graft.core.Determinism.r6Sql("sqrt(CAST(avail_tokens AS DOUBLE))")}
+             AS DECIMAL(28,6))) AS DOUBLE) AS wsum FROM per),
+         w AS (SELECT source, n_docs, avail_tokens,
+             ${graft.core.Determinism.r6Sql(
+               graft.core.Determinism.r6Sql("sqrt(CAST(avail_tokens AS DOUBLE))")
+                 + " / wsum")} AS weight
+           FROM per, tot),
+         t AS (SELECT *,
+             ${graft.core.Determinism.r4Sql(s"weight * $EpochBudget")}
+               AS target_tokens FROM w),
+         e AS (SELECT *,
+             ${graft.core.Determinism.r4Sql(
+               s"least($MaxEpochs, target_tokens / CAST(avail_tokens AS DOUBLE))")}
+               AS epochs,
+             ${graft.core.Determinism.r4Sql(
+               s"least(target_tokens, CAST(avail_tokens AS DOUBLE) * $MaxEpochs)")}
+               AS effective_tokens
+           FROM t)
+         SELECT source, n_docs, avail_tokens, weight, target_tokens, epochs,
+           effective_tokens,
+           ${graft.core.Determinism.r4Sql("target_tokens - effective_tokens")}
+             AS deficit_tokens
+         FROM e ORDER BY source"""
   )
 }

@@ -413,6 +413,79 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- Gopher rule filter (Rae et al. 2021, Appendix A1.1 subset) ---------
+  /** The Gopher quality rules expressible over this corpus: word-count
+    * bounds, mean word length bounds, minimum fraction of words containing
+    * an alphabetic character, and symbol-to-word ratio (`#` and `...`).
+    * Complements [[c4Filter]] (containment rules) and [[repetition]]
+    * (n-gram repetition — Gopher's other rule family). Pure column math;
+    * the alphabetic-word count uses the same filter-HOF idiom as
+    * markerCount (interpreted, but per-token work is one regex over a
+    * short string). Planted taints fire the symbol and alpha rules on
+    * known disjoint subsets; the word-count rule fires on the corpus's
+    * natural length spread.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    val planted = concat(col("text"),
+      when(k % 7 === 0,
+        concat(lit(" "), array_join(array_repeat(lit("#"), 30), " ")))
+        .otherwise(lit("")),
+      when(k % 19 === 0,
+        concat(lit(" "), array_join(array_repeat(lit("407"), 40), " ")))
+        .otherwise(lit("")))
+    val doc = documents(s, d).select(k, lower(planted).as("t"))
+    val withToks = doc.select(k, col("t"),
+      filter(tokens(col("t")), x => x =!= "").as("toks"))
+    val nWords = size(col("toks")).cast("long")
+    val nChars = length(regexp_replace(col("t"), " ", "")).cast("double")
+    val nAlpha = size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double")
+    val hashes = (length(col("t")) - length(regexp_replace(col("t"), "#", "")))
+      .cast("double")
+    val ellipses = ((length(col("t")) -
+      length(regexp_replace(col("t"), "\\.\\.\\.", ""))) / 3).cast("double")
+    withToks.select(k, nWords.as("n_words"),
+        r4(nChars / nWords).as("mean_word_len"),
+        r4(nAlpha / nWords).as("alpha_frac"),
+        r4((hashes + ellipses) / nWords).as("symbol_ratio"))
+      .withColumn("pass_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("pass_wlen",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("pass_alpha", (col("alpha_frac") >= 0.8).cast("int"))
+      .withColumn("pass_symbol", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("keep", (col("pass_words") + col("pass_wlen") +
+        col("pass_alpha") + col("pass_symbol") === 4).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // ---- CCNet perplexity bucketing ----------------------------------------
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): docs bucketed by
+    * LM score terciles — the curation signal "keep the head, sample the
+    * middle, drop the tail". Scale shape: the cutoffs are ONE 2-value
+    * aggregate broadcast back for map-side classification — never a global
+    * sort/ntile over the corpus (the window formulation would funnel every
+    * row through one partition; the percentile-cutoff formulation is how
+    * CCNet itself shards). Scores come from [[lmScore]], already
+    * 4-dp-quantized, so a sub-ulp cross-engine difference in the
+    * interpolated cutoff cannot flip any doc across a boundary unless two
+    * quantized scores coincide with it exactly — and then both engines
+    * agree by construction.
+    */
+  def ccnetBucket(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScore(s, d).select(col("doc_id"), col("bits_per_token"))
+      .localCheckpoint() // feeds the cutoff agg AND the classification
+    val cuts = scored.agg(
+      expr("percentile(bits_per_token, CAST(1 AS DOUBLE)/3)").as("q1"),
+      expr("percentile(bits_per_token, CAST(2 AS DOUBLE)/3)").as("q2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("bits_per_token"),
+        when(col("bits_per_token") <= col("q1"), "head")
+          .when(col("bits_per_token") <= col("q2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // ---- collocation extraction: top bigrams by pointwise mutual information
   /** Bigrams rarer than this are skipped — PMI is noise-dominated at tiny
     * counts (a hapax pair maxes the statistic by construction).
@@ -600,7 +673,9 @@ object Text {
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub"   -> (piiScrub _),
     "text_normalize"   -> (normalize _),
-    "text_heavy_hitters" -> (heavyHitters _)
+    "text_heavy_hitters" -> (heavyHitters _),
+    "text_gopher_rules" -> (gopherRules _),
+    "text_ccnet_bucket" -> (ccnetBucket _)
   )
 
   // ---- heavy hitters: Misra-Gries candidates + exact verification ---------
@@ -643,6 +718,27 @@ object Text {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list)))"
   }
+
+  /** The LM-score CTE chain up through the per-doc aggregate — shared by
+    * the text_lm_score oracle and the ccnet bucketing built on it.
+    */
+  private def lmAggSql: String =
+    s"""planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' zzqx' || doc_id
+                ELSE text END AS t
+           FROM documents),
+         toks AS (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
+           FROM planted),
+         nn AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM nn GROUP BY tok),
+         total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
+         scored AS (SELECT doc_id,
+             ${graft.core.Determinism.r6Sql(
+               "log2(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))")} AS surprisal
+           FROM nn JOIN freq USING (tok), total),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) AS ssum
+           FROM scored GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "text_heavy_hitters" ->
@@ -743,25 +839,58 @@ object Text {
          JOIN ucnt u2 ON u2.w = b.w2, tot
          ORDER BY pmi DESC, b.w1, b.w2 LIMIT $CollocTopK""",
     "text_lm_score" ->
-      s"""WITH planted AS (SELECT doc_id,
-           CASE WHEN doc_id % 9 = 0 THEN text || ' zzqx' || doc_id
-                ELSE text END AS t
-           FROM documents),
-         toks AS (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
-           FROM planted),
-         nn AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM nn GROUP BY tok),
-         total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
-         scored AS (SELECT doc_id,
-             ${graft.core.Determinism.r6Sql(
-               "log2(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))")} AS surprisal
-           FROM nn JOIN freq USING (tok), total),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) AS ssum
-           FROM scored GROUP BY doc_id)
+      s"""WITH $lmAggSql
          SELECT doc_id, n_tokens,
            ${graft.core.Determinism.r4Sql("ssum / n_tokens")} AS bits_per_token
          FROM agg ORDER BY doc_id""",
+    "text_ccnet_bucket" ->
+      s"""WITH $lmAggSql,
+         sc AS (SELECT doc_id,
+             ${graft.core.Determinism.r4Sql("ssum / n_tokens")} AS bits_per_token
+           FROM agg),
+         cuts AS (SELECT
+             quantile_cont(bits_per_token, CAST(1 AS DOUBLE)/3) AS q1,
+             quantile_cont(bits_per_token, CAST(2 AS DOUBLE)/3) AS q2
+           FROM sc)
+         SELECT doc_id, bits_per_token,
+           CASE WHEN bits_per_token <= q1 THEN 'head'
+                WHEN bits_per_token <= q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM sc, cuts ORDER BY doc_id""",
+    "text_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, lower(text ||
+             CASE WHEN doc_id % 7 = 0 THEN ' ' || rtrim(repeat('# ', 30))
+                  ELSE '' END ||
+             CASE WHEN doc_id % 19 = 0 THEN ' ' || rtrim(repeat('407 ', 40))
+                  ELSE '' END) AS t
+           FROM documents),
+         stats AS (SELECT doc_id, t,
+             CAST(len(list_filter(string_split(t, ' '), x -> x <> ''))
+               AS BIGINT) AS n_words,
+             CAST(length(replace(t, ' ', '')) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split(t, ' '),
+               x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+             CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS hashes,
+             CAST((length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+               AS ellipses
+           FROM base),
+         m AS (SELECT doc_id, n_words,
+             floor(n_chars / n_words * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+             floor(n_alpha / n_words * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+             floor((hashes + ellipses) / n_words * 10000.0 + 0.5) / 10000.0
+               AS symbol_ratio
+           FROM stats)
+         SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS pass_words,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+             AS pass_wlen,
+           CAST(alpha_frac >= 0.8 AS INTEGER) AS pass_alpha,
+           CAST(symbol_ratio <= 0.1 AS INTEGER) AS pass_symbol,
+           CAST((CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) +
+             CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER) +
+             CAST(alpha_frac >= 0.8 AS INTEGER) +
+             CAST(symbol_ratio <= 0.1 AS INTEGER)) = 4 AS INTEGER) AS keep
+         FROM m ORDER BY doc_id""",
     "text_line_dedup" ->
       s"""WITH planted AS (SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'click here to subscribe to our newsletter'

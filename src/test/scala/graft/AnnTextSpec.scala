@@ -587,4 +587,42 @@ class AnnTextSpec extends AnyFunSuite {
       graft.queries.Text.normalizeText(col("in")).as("got")).collect()
     assert(got.forall(r => r.getString(0) == r.getString(1)))
   }
+
+  test("gopher rules: planted symbol/alpha taints fire their rules, keep = AND") {
+    val rows = graft.queries.Text.queries("text_gopher_rules")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9)))
+      .toMap
+    assert(rows.nonEmpty)
+    for ((k, (pw, pl, pa, ps, keep)) <- rows) {
+      // 30 planted '#' words on ≥50-word docs put symbol_ratio way past 0.1
+      if (k % 7 == 0) assert(ps == 0, s"doc $k should fail the symbol rule")
+      // keep is exactly the conjunction of the four rules
+      assert(keep == (if (pw + pl + pa + ps == 4) 1 else 0))
+    }
+    // the alpha plant (40 numeric words) fails the alpha rule on docs
+    // whose natural alpha margin is thin; at minimum SOME doc fails it,
+    // and docs with neither plant pass both planted-rule columns
+    assert(rows.exists { case (k, v) => k % 19 == 0 && v._3 == 0 })
+    assert(rows.exists { case (k, v) => k % 7 != 0 && k % 19 != 0 &&
+      v._3 == 1 && v._4 == 1 })
+    assert(rows.values.exists(_._5 == 1) && rows.values.exists(_._5 == 0))
+  }
+
+  test("ccnet buckets: tercile counts balanced, bucket order matches score order") {
+    val rows = graft.queries.Text.queries("text_ccnet_bucket")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // terciles: balanced up to boundary TIES — equal 4-dp scores classify
+    // together (the CCNet semantics), so the skew bound is the largest
+    // tie class, not 1
+    val sizes = byBucket.values.map(_.length)
+    val tieMax = rows.groupBy(_._1).values.map(_.size).max
+    assert(sizes.max - sizes.min <= tieMax,
+      s"terciles skewed past the largest tie class ($tieMax): ${sizes.toSeq}")
+    // ordering: every head score <= every middle score <= every tail score
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
 }

@@ -206,4 +206,29 @@ class SamplingSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"), s"expected TakeOrdered plan:\n$plan")
   }
+
+  test("epoch plan: weights normalize, 4-epoch cap binds, deficit accounting") {
+    val rows = graft.queries.Sampling.queries("sample_epoch_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(rows.nonEmpty)
+    // weights sum to 1 up to the per-source rounding grain
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1.0) <= rows.length * 1e-6 + 1e-9, s"wsum=$wsum")
+    for ((src, _, avail, w, target, epochs, eff, deficit) <- rows) {
+      assert(w > 0 && avail > 0)
+      // epoch cap and accounting identities
+      assert(epochs <= graft.queries.Sampling.MaxEpochs + 1e-9)
+      assert(eff <= target + 1e-9, s"$src effective > target")
+      assert(deficit >= -1e-9)
+      // deficit exactly when the cap truncated the target (up to rounding)
+      if (deficit > 1e-3)
+        assert(epochs >= graft.queries.Sampling.MaxEpochs - 1e-9,
+          s"$src has deficit without a binding cap")
+    }
+    // the fixture exercises the data-constrained regime: with the 400k
+    // budget spread over ~20 small sources, at least one cap must bind
+    assert(rows.exists(_._8 > 1e-3), "no source hit the 4-epoch cap")
+  }
 }
