@@ -34,6 +34,12 @@ object Bench {
   private val bestOf: Int =
     sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(3)
 
+  /** 4-dp seconds for the JSON artifact: full nanosecond noise in ~220
+    * values doubles the line size for no information, and the driver
+    * tail-parses the artifact out of a bounded stdout window.
+    */
+  private def fmt(v: Double): Double = math.round(v * 10000.0) / 10000.0
+
   /** Best-of-N timing of one query: warm run, then N timed runs keeping
     * the minimum. Returns (best seconds or -1 on failure, output rows of
     * the last successful run — the free scale signal every probe row
@@ -66,13 +72,13 @@ object Bench {
       .filter(n => only.forall(_.exists(n.startsWith)))
       .sortBy(n => (scala.util.hashing.MurmurHash3.stringHash(n), n))
     val results = selected.map { case name =>
-      name -> timeQuery(spark, name, sfDir)._1
+      name -> fmt(timeQuery(spark, name, sfDir)._1)
     }.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 marks a failed query; keep it visible per-query but never let the
     // sentinel deflate the total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
     val nFailed = results.count(_._2 < 0)
 
     // Throughput scale probes: time a query on the bench corpus AND on a
@@ -99,8 +105,9 @@ object Bench {
       // report a constant read and defeat the probe's purpose
       graft.core.ArtifactCache.bypass = true
       def probeOf(q: String): String = {
-        val (baseSec, baseRows) = timeQuery(spark, q, sfDir)
-        val (scaledSec, scaledRows) = timeQuery(spark, q, scaleDir)
+        val (baseSec0, baseRows) = timeQuery(spark, q, sfDir)
+        val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir)
+        val (baseSec, scaledSec) = (fmt(baseSec0), fmt(scaledSec0))
         val ratio = if (baseSec > 0 && scaledSec > 0)
           math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
         val work = graft.tools.ProbeWork.counters.get(q).map { case (label, f) =>
@@ -150,10 +157,10 @@ object Bench {
         "ann_recall_nnd", "graph_pagerank_raw", "graph_cosim", "graph_cc_raw",
         "dedup_minhash_lsh", "dedup_winnowing", "etl_profile",
         "etl_cdc_apply", "q18_running_total")
-      val timed = heavies.map(q => q -> timeQuery(spark, q, scaleDir)._1)
+      val timed = heavies.map(q => q -> fmt(timeQuery(spark, q, scaleDir)._1))
       val qj = timed.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val tot = timed.map(_._2).filter(_ >= 0).sum
+      val tot = fmt(timed.map(_._2).filter(_ >= 0).sum)
       s""","sf1":{"dir":"$scaleDir","factor":10,"total_sec":$tot,"queries":$qj}"""
     }
 

@@ -607,6 +607,54 @@ object Ann {
     (old, batch, cents)
   }
 
+  /** IVF search over the INCREMENTALLY maintained index: probed cells come
+    * from the same FROZEN old-corpus codebook the merge assigns against,
+    * and the scanned cell lists are the merged (old + new batch)
+    * assignment. This is the query side of [[incrementalIvf]] — the same
+    * plan shape as [[ivf]] (broadcast codebook, NPROBE-bounded scan), only
+    * the quantizer provenance differs.
+    */
+  private def incrementalSearch(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val old = withN.filter(!isNewBatch)
+    val cents = old.join(broadcast(panel(old, "cent:", CENT_COUNT)), "vec_id")
+      .toDF("cent_id", "cv", "cnrm")
+    // every vector (old AND new) ranked against the frozen centroids: one
+    // broadcast map pass feeding the merged assignment and the probe cells
+    val sims = withN.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosCols(graft.plans.DotProduct.dot(col("v"), col("cv")),
+          col("nrm"), col("cnrm")).as("csim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val ranked = sims.withColumn("crk", row_number().over(byVec))
+      .localCheckpoint()
+    val assignment = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probeCells = ranked
+      .join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
+      .filter(col("crk") <= NPROBE)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"))
+    val corpus = withN.join(assignment, "vec_id")
+      .toDF("neighbor_id", "cv2", "cnrm2", "cell")
+    val probes = withN.toDF("probe_id", "pv", "pnrm")
+      .join(probeCells, "probe_id")
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosCols(graft.plans.DotProduct.dot(col("pv"), col("cv2")),
+          col("pnrm"), col("cnrm2")).as("cos"))
+    rankTop(cand, CAND_TOPK)
+  }
+
+  /** Recall gate for the incrementally maintained index — the number that
+    * certifies "maintain, don't rebuild" preserves search quality: the
+    * merged index is searched exactly like a rebuilt one and compared to
+    * the same exact ground truth as the other seven gates.
+    */
+  def recallEvalIncremental(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, incrementalSearch(s, d))
+
   // ---- NN-descent: neighbor-of-neighbor graph refinement ------------------
   private val NND_SAMPLE = 6 // per-vertex degree cap on the symmetrized graph
   private[graft] val NND_ITERS = 3
@@ -919,7 +967,8 @@ object Ann {
     "ann_recall_sq8" -> (recallEvalSq8 _),
     "ann_recall"     -> (recallEval _),
     "ann_recall_ivf" -> (recallEvalIvf _),
-    "ann_recall_pq"  -> (recallEvalPq _)
+    "ann_recall_pq"  -> (recallEvalPq _),
+    "ann_recall_incremental" -> (recallEvalIncremental _)
   )
 
   private val vecsSql =
@@ -1267,8 +1316,75 @@ object Ann {
               THEN 'new' ELSE 'old' END AS src
        FROM inc_ranked WHERE crk = 1 ORDER BY vec_id"""
 
+  /** ann_recall_ivf's oracle with ONE substitution: the codebook ids come
+    * from the frozen OLD-corpus draw (the incrementalSql chain) instead of
+    * the whole-corpus draw — everything downstream (assignment, probe
+    * cells, scan, recall join) is kept verbatim so the two gates are
+    * provably the same search over differently provenanced quantizers.
+    */
+  private def recallIncrementalSql: String =
+    s"""WITH $vecsSql, $normsSql, $probeIdsSql,
+       newb AS (SELECT vec_id FROM vecs
+         WHERE ${md5LongSql("concat('batch:', vec_id)")} % 5 = 0),
+       old_ids AS (SELECT vec_id FROM vecs
+         WHERE vec_id NOT IN (SELECT vec_id FROM newb)),
+       cent_ids AS (SELECT vec_id FROM old_ids
+         ORDER BY ${md5LongSql("concat('cent:', vec_id)")}, vec_id
+         LIMIT $CENT_COUNT),
+       bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+         FROM vecs p JOIN vecs c
+           ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+       bf_scored AS (SELECT probe_id, neighbor_id,
+           dot / sqrt(np.nrm * nc.nrm) AS cos
+         FROM bf_dots
+         JOIN norms np ON np.vec_id = probe_id
+         JOIN norms nc ON nc.vec_id = neighbor_id),
+       bf_ranked AS (SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+         FROM bf_scored),
+       bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+         WHERE vec_id IN (SELECT vec_id FROM cent_ids)),
+       sims AS (SELECT x.vec_id, c.cent_id,
+           ${Dedup.dotSeqSql("x.v", "c.cv")}
+             / sqrt(nx.nrm * nc.nrm) AS csim
+         FROM vecs x
+         CROSS JOIN cents c
+         JOIN norms nx ON nx.vec_id = x.vec_id
+         JOIN norms nc ON nc.vec_id = c.cent_id),
+       ranked AS (SELECT vec_id, cent_id, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS crk
+         FROM sims),
+       assignment AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+       probe_cells AS (SELECT vec_id AS probe_id, cent_id AS cell
+         FROM ranked WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+           AND crk <= $NPROBE),
+       cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+           ${Dedup.dotSeqSql("pv.v", "nv.v")}
+             / sqrt(np.nrm * nn.nrm) AS cos
+         FROM probe_cells pc
+         JOIN assignment a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         JOIN vecs pv ON pv.vec_id = pc.probe_id
+         JOIN vecs nv ON nv.vec_id = a.vec_id
+         JOIN norms np ON np.vec_id = pc.probe_id
+         JOIN norms nn ON nn.vec_id = a.vec_id),
+       final_ranked AS (SELECT probe_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+         FROM cand),
+       ivfk AS (SELECT probe_id, neighbor_id FROM final_ranked WHERE rk <= $CAND_TOPK)
+       SELECT bf.probe_id, count(ivfk.neighbor_id) AS n_match,
+         ${graft.core.Determinism.r4Sql(s"CAST(count(ivfk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+       FROM bf LEFT JOIN ivfk
+         ON ivfk.probe_id = bf.probe_id AND ivfk.neighbor_id = bf.neighbor_id
+       GROUP BY 1 ORDER BY 1"""
+
   val oracles: Map[String, String] = Map(
     "ann_incremental" -> incrementalSql,
+    "ann_recall_incremental" -> recallIncrementalSql,
     "ann_kmeans_step" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql, $centIdsSql,
          $ivfAssignSql

@@ -588,6 +588,16 @@ class AnnTextSpec extends AnyFunSuite {
     assert(got.forall(r => r.getString(0) == r.getString(1)))
   }
 
+  test("incremental recall gate: merged-index search scores against ground truth") {
+    val rows = graft.queries.Ann.queries("ann_recall_incremental")(spark, sf)
+      .collect()
+    assert(rows.length == 10) // one row per probe-panel member
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // a dead merged index (wrong cells, empty scan) would read all-zero
+    assert(recalls.sum > 0, "merged-index search found no true neighbors")
+  }
+
   test("gopher rules: planted symbol/alpha taints fire their rules, keep = AND") {
     val rows = graft.queries.Text.queries("text_gopher_rules")(spark, sf)
       .collect().map(r => r.getLong(0) ->
