@@ -100,9 +100,22 @@ object Dedup {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Both shingle relations publish through the ArtifactCache like the
+    * banding: the uncapped hashes feed minhashVerified's exact scoring,
+    * the df-capped set feeds both n-gram pair queries — three consumers
+    * that otherwise re-run the explode+hash pipeline per query. Ids +
+    * 60-bit hash longs, parquet-exact.
+    */
+  private def shingleHashesCached(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.getOrBuild(s, "shingle_hashes", "v1 n=3",
+      Seq(s"$d/documents.parquet")) { shingleHashes(s, d) }
+
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
-    // localCheckpoint: feeds the stop-set aggregation AND the anti-join side
-    dfCapShingles(shingleHashes(s, d).localCheckpoint(), MaxShingleDf)
+    graft.core.ArtifactCache.getOrBuild(s, "capped_shingles",
+      s"v1 n=3 df=$MaxShingleDf", Seq(s"$d/documents.parquet")) {
+      // localCheckpoint: feeds the stop-set aggregation AND the anti-join side
+      dfCapShingles(shingleHashes(s, d).localCheckpoint(), MaxShingleDf)
+    }
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // the shingle relation feeds three plan branches (both join sides + the
@@ -354,16 +367,17 @@ object Dedup {
       sigsFrom(corpus(s, d))
     }
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    // materialized once: both self-join sides would otherwise recompute the
-    // full shingle → signature → banding pipeline
-    val banded = bandedCorpus(s, d).localCheckpoint()
-    val a = banded.toDF("a_id", "band", "bucket")
-    val b = banded.toDF("b_id", "band", "bucket")
-    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-      .orderBy("a_id", "b_id")
-  }
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.getOrBuild(s, "minhash_pairs",
+      s"v1 k=$K bands=$BANDS", Seq(s"$d/documents.parquet")) {
+      // materialized once: both self-join sides would otherwise recompute
+      // the full shingle → signature → banding pipeline
+      val banded = bandedCorpus(s, d).localCheckpoint()
+      val a = banded.toDF("a_id", "band", "bucket")
+      val b = banded.toDF("b_id", "band", "bucket")
+      a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+    }.orderBy("a_id", "b_id")
 
   /** Sketch calibration: for every LSH candidate pair, the signature-slot
     * agreement estimate (fraction of the K minhash slots that agree — the
@@ -766,7 +780,7 @@ object Dedup {
     */
   def minhashVerified(s: SparkSession, d: String): DataFrame = {
     val cand = minhashLsh(s, d)
-    val sh = shingleHashes(s, d).localCheckpoint()
+    val sh = shingleHashesCached(s, d).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("a_id", "sh")
     val b = sh.toDF("b_id", "sh")
@@ -825,8 +839,18 @@ object Dedup {
     * (keep-min policy). Oracle: a DuckDB recursive CTE computing the same
     * transitive min-label closure.
     */
+  /** The converged keep-min component labels of the minhash pair graph,
+    * published through the ArtifactCache: resolve, clusterStats and
+    * keepBest each re-ran the full iterative CC otherwise. Ids only.
+    */
+  private def resolvedLabels(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.getOrBuild(s, "minhash_cc_labels",
+      s"v1 keepmin k=$K bands=$BANDS", Seq(s"$d/documents.parquet")) {
+      resolveKeepMin(minhashLsh(s, d))
+    }
+
   def resolve(s: SparkSession, d: String): DataFrame =
-    resolveKeepMin(minhashLsh(s, d)).orderBy("id")
+    resolvedLabels(s, d).orderBy("id")
 
   /** Cluster-size histogram of the resolved duplicate components — the
     * report a dedup pass actually ships (how much of the corpus is
@@ -834,7 +858,7 @@ object Dedup {
     * (already converged) label relation.
     */
   def clusterStats(s: SparkSession, d: String): DataFrame =
-    resolveKeepMin(minhashLsh(s, d))
+    resolvedLabels(s, d)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
@@ -888,7 +912,7 @@ object Dedup {
     */
   def keepBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = resolveKeepMin(minhashLsh(s, d))
+    val labels = resolvedLabels(s, d)
     val lens = corpus(s, d)
       .select(col("doc_id").as("id"), length(col("text")).cast("long").as("n_chars"))
     val members = labels.join(lens, "id")
