@@ -236,6 +236,58 @@ object Graph {
     */
   val CcMinTrades = 3
 
+  /** Synchronous label-propagation rounds. LPA finds DENSE community
+    * structure long before labels merge globally, so a small fixed round
+    * count is the algorithm's normal operating point (and what keeps the
+    * output engine-reproducible — asynchronous LPA is run-order-dependent
+    * by construction).
+    */
+  val LpaRounds = 3
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the same thresholded strong-trade graph as [[ccRaw]]:
+    * every vertex starts as its own label and each round adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by smallest label —
+    * fully deterministic, unlike classic asynchronous LPA. Where [[ccRaw]]
+    * answers "what is connected", LPA answers "what is densely
+    * interconnected": labels only travel along edges, so every final
+    * label is a member of its vertex's component (the spec cross-checks
+    * exactly that against ccRaw).
+    *
+    * Scale shape per round: one edges⋈labels hash join + ONE
+    * (src, label)-keyed count (map-side partial — hub fan-in combines
+    * before the shuffle) + one per-src argmax window over ≤ degree-many
+    * label rows; the label relation is vertex-sized and localCheckpointed
+    * per round like the PageRank loop, so edge data crosses the network
+    * once per iteration.
+    */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CcMinTrades)
+    val und = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .distinct().localCheckpoint()
+    val l0 = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    val lN = (1 to LpaRounds).foldLeft(l0) { (labels, _) =>
+      val votes = und
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+      val byVotes = Window.partitionBy(col("src"))
+        .orderBy(col("n").desc, col("label"))
+      votes.withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    lN.orderBy("id")
+  }
+
   /** Alternating large-star/small-star rounds; measured convergence on the
     * thresholded graph is ≤ 4 rounds at every sf (sf0.01 needs exactly 4)
     * and a converged star edge set is a fixpoint of both operators, so the
@@ -461,7 +513,8 @@ object Graph {
     "graph_triangles" -> (triangles _),
     "graph_shortest_path" -> (shortestPath _),
     "graph_kcore"     -> (kcore _),
-    "graph_cosim"     -> (cosim _)
+    "graph_cosim"     -> (cosim _),
+    "graph_label_prop" -> (labelProp _)
   )
 
   private val edgesSql =
@@ -580,6 +633,23 @@ object Graph {
          FROM verts v LEFT JOIN (SELECT u, v AS lbl FROM es$CcRounds) l
            ON l.u = v.u
          ORDER BY id""",
+    "graph_label_prop" ->
+      s"""WITH pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= $CcMinTrades),
+         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT c AS src, s AS dst FROM pairs
+           UNION ALL SELECT s AS src, c AS dst FROM pairs)),
+         lp0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+         ${(1 to LpaRounds).map { i =>
+          s"""lp$i AS MATERIALIZED (SELECT src AS id, label FROM (
+             SELECT u.src, p.label,
+               row_number() OVER (PARTITION BY u.src
+                                  ORDER BY count(*) DESC, p.label) AS rn
+             FROM und u JOIN lp${i - 1} p ON p.id = u.dst
+             GROUP BY u.src, p.label) WHERE rn = 1)"""
+        }.mkString(",\n")}
+         SELECT id, label FROM lp$LpaRounds ORDER BY id""",
     "graph_kcore" ->
       s"""WITH pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey

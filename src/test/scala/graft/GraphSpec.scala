@@ -220,4 +220,24 @@ class GraphSpec extends AnyFunSuite {
     val common = rows.map(r => (Set(r._1, r._3), r._4)).groupBy(_._1)
     assert(common.values.forall(_.map(_._2).distinct.length == 1))
   }
+
+  test("label propagation: labels never escape their component; communities form") {
+    val lpa = graft.queries.Graph.queries("graph_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = graft.queries.Graph.queries("graph_cc_raw")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lpa.nonEmpty)
+    // same vertex domain as CC (both derive from the CcMinTrades graph)
+    assert(lpa.keySet == cc.keySet)
+    // labels travel only along edges, so a vertex's final label must be a
+    // member of its own connected component
+    for ((v, l) <- lpa)
+      assert(cc(l) == cc(v), s"label $l escaped the component of vertex $v")
+    // and propagation actually formed communities: labels shared by >1
+    // vertex, but more labels than components (LPA refines CC structure
+    // at this round count, not merely reproduces it)
+    val commSizes = lpa.values.groupBy(identity).view.mapValues(_.size)
+    assert(commSizes.values.exists(_ > 1))
+    assert(commSizes.size >= cc.values.toSet.size)
+  }
 }
