@@ -857,6 +857,32 @@ object Dedup {
     * duplicated, and in how large groups). Two cheap aggregations over the
     * (already converged) label relation.
     */
+  /** Soft deduplication (down-weight, don't drop): every corpus doc gets a
+    * training weight 1/cluster_size from its resolved near-dup component —
+    * duplicated content contributes ONE doc's worth of gradient in total
+    * while unique docs keep weight 1.0. The modern alternative to hard
+    * removal (repetition hurts, but near-dups often carry complementary
+    * spans); pairs with [[Sampling]]'s epoch planning, which consumes
+    * exactly this kind of per-doc weight.
+    *
+    * Cost: the cluster labels are the CACHED [[resolvedLabels]] artifact,
+    * so this is one catalog-sized size-agg + two hash joins — the corpus
+    * text is never touched.
+    */
+  def softWeight(s: SparkSession, d: String): DataFrame = {
+    val labels = resolvedLabels(s, d)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val mem = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("n"))
+    corpus(s, d).select(col("doc_id"))
+      .join(mem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("cluster_size"),
+        graft.core.Determinism.r4(
+          lit(1.0) / coalesce(col("n"), lit(1L))).as("weight"))
+      .orderBy("doc_id")
+  }
+
   def clusterStats(s: SparkSession, d: String): DataFrame =
     resolvedLabels(s, d)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
@@ -1099,7 +1125,8 @@ object Dedup {
     "dedup_paragraph"     -> (paragraphReport _),
     "dedup_substring"     -> (substringReport _),
     "dedup_semantic_resolve" -> (semanticResolve _),
-    "dedup_incremental"   -> (incremental _)
+    "dedup_incremental"   -> (incremental _),
+    "dedup_soft_weight"   -> (softWeight _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1366,6 +1393,29 @@ object Dedup {
            UNION
            SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
          SELECT id, min(label) AS label FROM walk GROUP BY id ORDER BY id"""
+    },
+    "dedup_soft_weight" -> {
+      val pairs = minhashLshSqlFor
+      // corpusSql re-declared at the outer level: the copy inside `pairs`
+      // is scoped to that subquery
+      s"""WITH RECURSIVE $corpusSql,
+         pairs AS ($pairs),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         walk(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+         sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                   FROM labels GROUP BY label),
+         mem AS (SELECT l.id AS doc_id, s.n FROM labels l
+                 JOIN sizes s ON s.label = l.label)
+         SELECT c.doc_id, COALESCE(m.n, CAST(1 AS BIGINT)) AS cluster_size,
+           ${graft.core.Determinism.r4Sql(
+             "1.0 / COALESCE(m.n, CAST(1 AS BIGINT))")} AS weight
+         FROM corpus c LEFT JOIN mem m ON m.doc_id = c.doc_id
+         ORDER BY c.doc_id"""
     },
     "dedup_exact" ->
       s"""WITH $corpusSql

@@ -106,6 +106,22 @@ class DedupSpec extends AnyFunSuite {
     // some original-range drop ids are expected; all planted copies must be there.
   }
 
+  test("soft weight: weight is 1/cluster_size, planted copies clustered, singletons full") {
+    val rows = graft.queries.Dedup.queries("dedup_soft_weight")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // weight is exactly the 4-dp-floored reciprocal of the cluster size
+    for ((_, n, w) <- rows)
+      assert(w == math.floor(10000.0 / n + 0.5) / 10000.0, s"n=$n w=$w")
+    // every planted exact copy (doc_id + 1e12 of doc_id % 5 == 0) resolved
+    // into a cluster, so its weight is strictly below 1
+    val planted = rows.filter(_._1 >= 1000000000000L)
+    assert(planted.nonEmpty && planted.forall(_._2 >= 2))
+    // unique docs exist and keep full weight
+    val singles = rows.filter(_._2 == 1)
+    assert(singles.nonEmpty && singles.forall(_._3 == 1.0))
+  }
+
   test("minhash verify: verified pairs are a subset of candidates with true jaccard") {
     val cand = Dedup.queries("dedup_minhash_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -95,6 +95,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters.*event_type.*"), p.take(2000))
   }
 
+  test("round-7 queries: gopher map-side; ccnet broadcast cutoffs not a window; epoch plan partial-agged") {
+    // gopher rules: one codegen'd projection pass — the only exchange is
+    // the presentation orderBy (range, not hash)
+    val g = plan("text_gopher_rules")
+    assert(!g.contains("hashpartitioning") && !g.contains("BroadcastExchange"),
+      g.take(1200))
+    // ccnet: classification must run against BROADCAST percentile cutoffs —
+    // a global ntile window (the naive formulation) would funnel the corpus
+    // through one partition
+    val c = plan("text_ccnet_bucket")
+    assert(!c.contains("Window"),
+      s"ccnet must classify via broadcast cutoffs, not a window: ${c.take(1200)}")
+    assert(c.contains("Broadcast"), c.take(1200))
+    // epoch plan: corpus-side token agg combines map-side; the 1-row total
+    // broadcasts back
+    val e = plan("sample_epoch_plan")
+    assert(e.contains("partial_sum") || e.contains("partial_count"), e.take(1500))
+    assert(e.contains("Broadcast") && !e.contains("CartesianProduct"), e.take(1500))
+    // incremental-index recall: hash/broadcast joins only
+    assert(!plan("ann_recall_incremental").contains("CartesianProduct"))
+  }
+
   test("dedup_minhash_verified: no cartesian; verification joins stay hashed") {
     val p = plan("dedup_minhash_verified")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
