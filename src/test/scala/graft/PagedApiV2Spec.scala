@@ -20,6 +20,19 @@ class PagedApiV2Spec extends AnyFunSuite {
     // tail page is partial, not padded
     assert(scan(950).count() == 950)
     assert(scan(950).rdd.getNumPartitions == 10)
+    // empty source plans nothing and returns nothing
+    assert(scan(0).rdd.getNumPartitions == 0)
+    assert(scan(0).count() == 0)
+  }
+
+  test("every ProbeWork counter runs and returns positive work at sf0.001") {
+    // counters are otherwise exercised only inside Bench, where a throw
+    // silently records -1 — this gate keeps them from rotting
+    val d = "/root/testdata/sf0.001"
+    for ((q, (label, f)) <- graft.tools.ProbeWork.counters) {
+      val n = f(spark, d)
+      assert(n > 0, s"counter $label for $q returned $n")
+    }
   }
 
   test("page predicates prune planned partitions, not just rows") {
