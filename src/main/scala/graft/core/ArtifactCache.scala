@@ -87,8 +87,28 @@ object ArtifactCache {
           s"$key.tmp.${ProcessHandle.current.pid}.${System.nanoTime}")
         build.write.mode("overwrite").parquet(tmp.getPath)
         if (!tmp.renameTo(target)) deleteRecursively(tmp) // concurrent winner
+        evictStale()
       }
     }
     s.read.parquet(target.getPath)
+  }
+
+  /** Entry cap: invalidated keys (regenerated testdata shifts a
+    * fingerprint → a NEW key) would otherwise accumulate forever across
+    * rounds. Evicted oldest-published-first at publish time; 64 is many
+    * times the live artifact count, so eviction never touches a current
+    * entry. Abandoned tmp dirs (crashed builders) sweep after an hour.
+    */
+  private val MaxEntries = 64
+
+  private def evictStale(): Unit = {
+    val all = Option(cacheRoot.listFiles()).getOrElse(Array.empty[File])
+    val entries = all.filter(f => f.isDirectory && !f.getName.contains(".tmp."))
+    if (entries.length > MaxEntries)
+      entries.sortBy(_.lastModified).take(entries.length - MaxEntries)
+        .foreach(deleteRecursively)
+    all.filter(f => f.getName.contains(".tmp.") &&
+        f.lastModified < System.currentTimeMillis - 3600000L)
+      .foreach(deleteRecursively)
   }
 }
