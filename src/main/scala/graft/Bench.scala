@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Each query is executed once untimed (JIT/codegen
   * warm-up + file-index population — on a long-lived cluster these costs
   * amortize to zero) and then timed SPARK_GRAFT_BENCH_BEST times (default
-  * 3), reporting the best run: single-JVM local mode sees multi-second
+  * 5), reporting the best run: single-JVM local mode sees multi-second
   * GC/OS stalls often enough that two samples can both be hit, and on a
   * shared box (the driver's re-run) even more are — the r5 driver artifact
   * showed 2-4× phantom regressions on queries whose committed same-code
@@ -30,9 +30,13 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
-  /** Best-of-N sample count (N timed runs after one warm-up). */
+  /** Best-of-N sample count (N timed runs after one warm-up). Default 5:
+    * the driver's re-run previously defaulted to 3 while the committed
+    * artifact used 5, and the protocol mismatch alone read as a 1.39×
+    * "regression" (r7 VERDICT #2) — both paths now sample identically.
+    */
   private val bestOf: Int =
-    sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(5)
 
   /** 4-dp seconds for the JSON artifact: full nanosecond noise in ~220
     * values doubles the line size for no information, and the driver
@@ -58,7 +62,9 @@ object Bench {
       clearState(spark)
       if (ok) t else -1.0
     }
-    (if (times.exists(_ < 0)) -1.0 else times.min, rows)
+    // a failed run poisons the whole sample: report BOTH sentinels so the
+    // probe JSON never shows a stale positive row count next to time=-1
+    if (times.exists(_ < 0)) (-1.0, -1L) else (times.min, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,8 +108,12 @@ object Bench {
       // scheme made copies a near-dup clique and polluted the lsh probe)
       graft.tools.ScaleCorpus.build(spark, sfDir, scaleDir)
       // probes measure the BUILD's scaling — a cached NND graph would
-      // report a constant read and defeat the probe's purpose
+      // report a constant read and defeat the probe's purpose. The finally
+      // below guarantees the flag is restored even if a probe throws
+      // outside timeQuery's per-run catch, so the sf1 section (which
+      // measures the cache ON) can never silently run with it off.
       graft.core.ArtifactCache.bypass = true
+      try {
       def probeOf(q: String): String = {
         val (baseSec0, baseRows) = timeQuery(spark, q, sfDir)
         val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir)
@@ -140,9 +150,9 @@ object Bench {
       // super-linear regressions surface before a real cluster would
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile").map(probeOf)
-      graft.core.ArtifactCache.bypass = false
       val all = (Seq(ann, mh, ds, ld, gr, nd) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
+      } finally graft.core.ArtifactCache.bypass = false
     }
 
     // sf1 anchor: the heaviest queries timed on the FULL 10x corpus (at the

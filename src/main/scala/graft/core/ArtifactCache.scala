@@ -88,6 +88,12 @@ object ArtifactCache {
         build.write.mode("overwrite").parquet(tmp.getPath)
         if (!tmp.renameTo(target)) deleteRecursively(tmp) // concurrent winner
         evictStale()
+      } else {
+        // LRU touch: a hit refreshes the entry's mtime so eviction (which
+        // sorts by mtime) approximates least-recently-USED, and the age
+        // floor below then shields any entry a concurrent JVM is actively
+        // reading from the publish-time eviction scan.
+        target.setLastModified(System.currentTimeMillis): Unit
       }
     }
     s.read.parquet(target.getPath)
@@ -97,13 +103,20 @@ object ArtifactCache {
     * fingerprint → a NEW key) would otherwise accumulate forever across
     * rounds. Evicted oldest-published-first at publish time; 64 is many
     * times the live artifact count, so eviction never touches a current
-    * entry. Abandoned tmp dirs (crashed builders) sweep after an hour.
+    * entry. Entries younger than [[EvictAgeFloorMs]] are never evicted —
+    * a second JVM (sbt test vs Verify) may be mid-read of an entry it
+    * just published or touched, and the in-JVM lock cannot see it; the
+    * floor closes that cross-process read-after-evict window. Abandoned
+    * tmp dirs (crashed builders) sweep after an hour.
     */
   private val MaxEntries = 64
+  private[core] val EvictAgeFloorMs = 3600000L
 
   private def evictStale(): Unit = {
     val all = Option(cacheRoot.listFiles()).getOrElse(Array.empty[File])
-    val entries = all.filter(f => f.isDirectory && !f.getName.contains(".tmp."))
+    val now = System.currentTimeMillis
+    val entries = all.filter(f => f.isDirectory && !f.getName.contains(".tmp.")
+      && now - f.lastModified >= EvictAgeFloorMs)
     if (entries.length > MaxEntries)
       entries.sortBy(_.lastModified).take(entries.length - MaxEntries)
         .foreach(deleteRecursively)

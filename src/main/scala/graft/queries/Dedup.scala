@@ -554,6 +554,152 @@ object Dedup {
        FROM newb nb LEFT JOIN m ON m.new_id = nb.doc_id
        ORDER BY new_id"""
 
+  // ---- crawl-time streaming dedup against the stored banding index --------
+  /** Id offsets for the streaming arrival set: B-group novel docs land at
+    * +CrawlOffset, their C-group in-stream repeats at +CrawlOffset+
+    * CrawlDupOffset (so every repeat has a LARGER id than its first
+    * appearance — arrival order is id order).
+    */
+  val CrawlOffset: Long = 4000000000000L
+  val CrawlDupOffset: Long = 1000000000000L
+
+  /** The planted arrival stream: every 4th doc re-arrives verbatim (must
+    * match the ARCHIVE), every 4th+1 arrives word-reversed (novel — shares
+    * no 3-gram shingles with forward text) and then arrives word-reversed
+    * AGAIN at a later id (must match the STREAM — its own earlier
+    * arrival, which exists nowhere in the archive).
+    */
+  private[graft] def crawlDocs(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+    val again = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + CrawlOffset).as("doc_id"), col("text"))
+    val novel = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + CrawlOffset).as("doc_id"),
+        array_join(reverse(tokens(col("text"))), " ").as("text"))
+    val repeat = novel.select((col("doc_id") + CrawlDupOffset).as("doc_id"),
+      col("text"))
+    spread(again.unionByName(novel).unionByName(repeat))
+  }
+
+  /** Match one banded arrival set against the stored corpus index AND all
+    * earlier arrivals, archive priority — the per-micro-batch kernel of
+    * crawl-time dedup. `nb` is (new_id, band, bucket) for the arrivals
+    * under test; `seenBands` is (seen_id, band, bucket) for everything
+    * that arrived before them (it may include `nb` itself — the
+    * seen_id < new_id guard enforces arrival order, which also makes the
+    * kernel handle intra-batch duplicates with no special case). Cost per
+    * batch: banding the batch + one broadcast of the batch's bands
+    * against the column-pruned ids-only index scan + the seen join —
+    * arrival-proportional work; the archive is never self-paired.
+    */
+  /** Public banding of an arbitrary (doc_id, text) relation as
+    * (new_id, band, bucket) — the spec-facing door into the LSH pipeline.
+    */
+  def bandDocs(docs: DataFrame): DataFrame =
+    bandedFrom(docs).toDF("new_id", "band", "bucket")
+
+  /** The stored corpus banding index in match-side naming. */
+  def bandingIndex(s: SparkSession, d: String): DataFrame =
+    bandedCorpus(s, d).toDF("idx_id", "band", "bucket")
+
+  def dedupIndexMatch(index: DataFrame, seenBands: DataFrame, nb: DataFrame,
+                      ids: DataFrame): DataFrame = {
+    val arch = index.join(broadcast(nb), Seq("band", "bucket"))
+      .groupBy(col("new_id")).agg(min(col("idx_id")).as("archive_id"))
+    val inStream = seenBands.join(broadcast(nb), Seq("band", "bucket"))
+      .filter(col("seen_id") < col("new_id"))
+      .groupBy(col("new_id")).agg(min(col("seen_id")).as("stream_id"))
+    ids.join(arch, Seq("new_id"), "left").join(inStream, Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("archive_id").isNotNull, "archive")
+          .when(col("stream_id").isNotNull, "stream")
+          .otherwise("none").as("source"),
+        coalesce(col("archive_id"), col("stream_id"), lit(-1L)).as("match_id"))
+  }
+
+  /** Batch twin of the streaming crawl dedup (the oracle-gated entry):
+    * the whole arrival set processed as one batch — identical semantics
+    * to the micro-batched run because [[dedupIndexMatch]]'s id-order
+    * guard is batch-boundary-free (StreamDedupIndexSpec proves readStream
+    * parity including a checkpoint-resume split).
+    */
+  def streamDedupIndex(s: SparkSession, d: String): DataFrame = {
+    val newB = crawlDocs(s, d).localCheckpoint()
+    val nb = bandedFrom(newB).toDF("new_id", "band", "bucket").localCheckpoint()
+    val index = bandedCorpus(s, d).toDF("idx_id", "band", "bucket")
+    dedupIndexMatch(index, nb.toDF("seen_id", "band", "bucket"), nb,
+      newB.select(col("doc_id").as("new_id")))
+      .orderBy("new_id")
+  }
+
+  /** The production shape: arrivals as a STREAM, each micro-batch banded
+    * and matched against the stored index plus the persisted bands of all
+    * earlier batches, then its own bands appended to the seen-state dir.
+    * Both writes are per-batchId overwrites — idempotent under checkpoint
+    * replay (exactly-once results without a transactional sink) — and the
+    * seen-state read takes only batches strictly OLDER than the current
+    * batchId, so a replayed batch never observes its own partial state.
+    * At warehouse scale the seen dir is the growing banding index itself:
+    * committing a batch's bands IS the index maintenance step.
+    */
+  def streamDedupIndexStart(s: SparkSession, newDocs: DataFrame,
+      index: DataFrame, stateDir: String, outDir: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val nb = bandedFrom(batch).toDF("new_id", "band", "bucket")
+          .localCheckpoint()
+        val older = Option(new java.io.File(stateDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+            f.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.getPath).toSeq
+        val seen =
+          if (older.isEmpty) nb.limit(0).toDF("seen_id", "band", "bucket")
+          else s.read.parquet(older: _*)
+            .select(col("new_id").as("seen_id"), col("band"), col("bucket"))
+        val res = dedupIndexMatch(index, seen, nb,
+          batch.select(col("doc_id").as("new_id")))
+        res.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        nb.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+  private def streamDedupIndexSqlFor: String =
+    s"""WITH $corpusSql,
+       newb AS (
+         SELECT doc_id + $CrawlOffset AS doc_id, lower(text) AS text
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id + $CrawlOffset,
+           array_to_string(list_reverse(string_split(lower(text), ' ')), ' ')
+         FROM documents WHERE doc_id % 4 = 1
+         UNION ALL
+         SELECT doc_id + ${CrawlOffset + CrawlDupOffset},
+           array_to_string(list_reverse(string_split(lower(text), ' ')), ' ')
+         FROM documents WHERE doc_id % 4 = 1),
+       ${bandedSqlCtes("sdx", "corpus")},
+       ${bandedSqlCtes("sdn", "newb")},
+       arch AS (SELECT n.doc_id AS new_id, min(i.doc_id) AS archive_id
+         FROM sdn_banded n JOIN sdx_banded i
+           ON i.band = n.band AND i.bucket = n.bucket
+         GROUP BY 1),
+       instream AS (SELECT n.doc_id AS new_id, min(p.doc_id) AS stream_id
+         FROM sdn_banded n JOIN sdn_banded p
+           ON p.band = n.band AND p.bucket = n.bucket AND p.doc_id < n.doc_id
+         GROUP BY 1)
+       SELECT nb.doc_id AS new_id,
+         CASE WHEN a.archive_id IS NOT NULL THEN 'archive'
+              WHEN st.stream_id IS NOT NULL THEN 'stream'
+              ELSE 'none' END AS source,
+         coalesce(a.archive_id, st.stream_id, -1) AS match_id
+       FROM newb nb
+       LEFT JOIN arch a ON a.new_id = nb.doc_id
+       LEFT JOIN instream st ON st.new_id = nb.doc_id
+       ORDER BY new_id"""
+
   // ---- SimHash (60-bit) + hamming ≤ 3 via 4×15-bit chunk pigeonhole -------
   private val SIMBITS = 60; private val CHUNKS = 4; private val CB = SIMBITS / CHUNKS
 
@@ -1126,6 +1272,7 @@ object Dedup {
     "dedup_substring"     -> (substringReport _),
     "dedup_semantic_resolve" -> (semanticResolve _),
     "dedup_incremental"   -> (incremental _),
+    "stream_dedup_index"  -> (streamDedupIndex _),
     "dedup_soft_weight"   -> (softWeight _)
   )
 
@@ -1319,6 +1466,7 @@ object Dedup {
     "dedup_paragraph" -> paragraphSqlFor,
     "dedup_substring" -> substringSqlFor,
     "dedup_incremental" -> incrementalSqlFor,
+    "stream_dedup_index" -> streamDedupIndexSqlFor,
     "dedup_drop_list" -> {
       // the minhash pair query, reduced to its distinct higher ids
       val pairs = minhashLshSqlFor

@@ -120,35 +120,49 @@ object Ingest {
   }
 
   // ---- staging→prod rename-replace lifecycle, oracle-gated ----------------
-  /** Load a selection of orders through the full TableLifecycle
-    * rename-replace dance (write to __staging, count-verify, atomic
-    * directory swap) and read the promoted table back — the oracle
-    * recomputes the selection directly, gating the whole write→swap→read
-    * path.
+  /** V2 root for the staged-catalog tables, namespaced per sf-dir so the
+    * three scale factors never collide.
+    */
+  private def stagedNs(s: SparkSession, d: String): String = {
+    graft.sources.v2.StagedParquet.ensureCatalog(s)
+    "x" + java.lang.Integer.toHexString(d.hashCode)
+  }
+
+  /** Load a customer selection through the DataSource V2 STAGED commit
+    * protocol (reference: postgres.py:449-559 + carto_.py:443-459
+    * rename-replace): `writeTo(...).createOrReplace()` plans an atomic
+    * replace — Spark stages the table via the catalog's
+    * stageCreateOrReplace, runs the query through the staged BatchWrite
+    * (two-phase task file commit), and only a successful write reaches
+    * commitStagedChanges, the O(1) directory swap. The oracle recomputes
+    * the selection directly, gating the whole write→swap→read path.
+    * StagedSinkSpec additionally asserts prod is untouched when the write
+    * fails mid-query.
     */
   def renameReplace(s: SparkSession, d: String): DataFrame = {
     val src = customer(s, d).filter(col("c_custkey") % 4 === 1)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val dir = java.nio.file.Paths.get(
-      "/tmp/graft_stage", java.lang.Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val table = dir.resolve("customer_prod").toString
-    graft.sources.TableLifecycle.renameReplace(src, table)
-    s.read.parquet(table).orderBy("c_custkey")
+    val ns = stagedNs(s, d)
+    src.writeTo(s"graft_staged.$ns.customer_prod").createOrReplace()
+    s.read.parquet(s"/tmp/graft_stage/v2/$ns/customer_prod")
+      .orderBy("c_custkey")
   }
 
-  /** Truncate-and-load twin of [[renameReplace]]: wholesale replacement of
-    * the table contents, read back for the oracle compare.
+  /** Truncate-and-load twin of [[renameReplace]] (postgres.py:948-971):
+    * the table is created once, then wholesale-replaced through the V2
+    * truncate write — `writeTo(...).overwrite(lit(true))` reaches the
+    * WriteBuilder's SupportsTruncate.truncate(), whose BatchWrite stages
+    * the replacement and swaps it over prod at driver commit.
     */
   def truncateLoad(s: SparkSession, d: String): DataFrame = {
     val src = supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-    val dir = java.nio.file.Paths.get(
-      "/tmp/graft_stage", java.lang.Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val table = dir.resolve("supplier_prod").toString
-    graft.sources.TableLifecycle.truncateAndLoad(src, table)
-    s.read.parquet(table).orderBy("s_suppkey")
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.supplier_prod"
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (${src.schema.toDDL})")
+    src.writeTo(tbl).overwrite(lit(true))
+    s.read.parquet(s"/tmp/graft_stage/v2/$ns/supplier_prod")
+      .orderBy("s_suppkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -70,8 +70,12 @@ object Sampling {
         r6(rootW / col("wsum")).as("weight"))
       .withColumn("target_tokens", r4(col("weight") * EpochBudget))
       .withColumn("epochs",
+        // greatest(avail,1): an all-empty source (avail_tokens=0) must
+        // divide identically in both engines — guarded the same way in
+        // the oracle SQL below
         r4(least(lit(MaxEpochs),
-          col("target_tokens") / col("avail_tokens").cast("double"))))
+          col("target_tokens") /
+            greatest(col("avail_tokens"), lit(1L)).cast("double"))))
       .withColumn("effective_tokens",
         r4(least(col("target_tokens"),
           col("avail_tokens").cast("double") * MaxEpochs)))
@@ -456,7 +460,7 @@ object Sampling {
                AS target_tokens FROM w),
          e AS (SELECT *,
              ${graft.core.Determinism.r4Sql(
-               s"least($MaxEpochs, target_tokens / CAST(avail_tokens AS DOUBLE))")}
+               s"least($MaxEpochs, target_tokens / CAST(greatest(avail_tokens, 1) AS DOUBLE))")}
                AS epochs,
              ${graft.core.Determinism.r4Sql(
                s"least(target_tokens, CAST(avail_tokens AS DOUBLE) * $MaxEpochs)")}

@@ -444,10 +444,15 @@ object Text {
       .cast("double")
     val ellipses = ((length(col("t")) -
       length(regexp_replace(col("t"), "\\.\\.\\.", ""))) / 3).cast("double")
+    // all-whitespace doc → n_words = 0: divide by greatest(n_words, 1) in
+    // BOTH engines so the defined behavior (0-valued ratios, rules fail on
+    // the word-count bound) is identical by construction rather than
+    // resting on Spark-NULL vs DuckDB-inf agreement
+    val nWordsSafe = greatest(nWords, lit(1L))
     withToks.select(k, nWords.as("n_words"),
-        r4(nChars / nWords).as("mean_word_len"),
-        r4(nAlpha / nWords).as("alpha_frac"),
-        r4((hashes + ellipses) / nWords).as("symbol_ratio"))
+        r4(nChars / nWordsSafe).as("mean_word_len"),
+        r4(nAlpha / nWordsSafe).as("alpha_frac"),
+        r4((hashes + ellipses) / nWordsSafe).as("symbol_ratio"))
       .withColumn("pass_words",
         (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
       .withColumn("pass_wlen",
@@ -875,10 +880,12 @@ object Text {
                AS ellipses
            FROM base),
          m AS (SELECT doc_id, n_words,
-             floor(n_chars / n_words * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
-             floor(n_alpha / n_words * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
-             floor((hashes + ellipses) / n_words * 10000.0 + 0.5) / 10000.0
-               AS symbol_ratio
+             floor(n_chars / greatest(n_words, 1) * 10000.0 + 0.5) / 10000.0
+               AS mean_word_len,
+             floor(n_alpha / greatest(n_words, 1) * 10000.0 + 0.5) / 10000.0
+               AS alpha_frac,
+             floor((hashes + ellipses) / greatest(n_words, 1) * 10000.0 + 0.5)
+               / 10000.0 AS symbol_ratio
            FROM stats)
          SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
            CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS pass_words,

@@ -35,6 +35,21 @@ final case class ScaleStrides(doc: Long, vec: Long, cust: Long, supp: Long,
   */
 object ScaleCorpus {
 
+  /** Standalone builder: `runMain graft.tools.ScaleCorpus <sfDir> <outDir>
+    * [factor]` — used by tools/sf1check.sh to materialize the sf1 anchor
+    * corpus before the heavy-query DuckDB compare.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scale10x")
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.core.GraftSession.local("graft-scale-corpus")
+    build(spark, sfDir, outDir, factor)
+    println(s"[scale-corpus] built ${factor}x of $sfDir at $outDir")
+    spark.stop()
+  }
+
   private def strideOf(df: DataFrame, idCol: String): Long =
     df.agg(max(col(idCol))).head().getLong(0) + 1L
 

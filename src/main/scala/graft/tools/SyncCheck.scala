@@ -14,6 +14,20 @@ object SyncCheck {
       .toSet
   }
 
+  /** Every "N queries, N oracles" prose count in the SURVEY — the r7
+    * verdict found the §2 table correct but the prose line stale (the
+    * table is what [[surveyKeys]] parses, so table-only checks cannot see
+    * prose drift). Returns all (line-no, N) pairs so a stale count
+    * anywhere in the file fails the check.
+    */
+  def surveyProseCounts(path: String = "SURVEY.md"): Seq[(Int, Int)] = {
+    val re = """(\d+)\s+queries,\s+(\d+)\s+oracles""".r
+    scala.io.Source.fromFile(path, "UTF-8").getLines().zipWithIndex.flatMap {
+      case (line, i) => re.findAllMatchIn(line).flatMap(m =>
+        Seq((i + 1, m.group(1).toInt), (i + 1, m.group(2).toInt)))
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
@@ -24,8 +38,15 @@ object SyncCheck {
       if (m.nonEmpty) println(s"DRIFT $label: ${m.mkString(",")}")
       m.isEmpty
     }
+    val prose = surveyProseCounts()
+    val staleProse = prose.filter(_._2 != q.size)
+    staleProse.foreach { case (ln, n) =>
+      println(s"DRIFT survey-prose-count: SURVEY.md:$ln says $n, registry has ${q.size}")
+    }
     val ok = d(q, o, "queries-without-oracle") & d(o, q, "oracle-without-query") &
-      d(q, s, "queries-not-in-survey") & d(s, q, "survey-not-implemented")
+      d(q, s, "queries-not-in-survey") & d(s, q, "survey-not-implemented") &
+      prose.nonEmpty & staleProse.isEmpty
+    if (prose.isEmpty) println("DRIFT survey-prose-count: no 'N queries, N oracles' line found")
     println(if (ok) "SYNC_OK" else "SYNC_DRIFT")
     if (!ok) sys.exit(1)
   }

@@ -10,6 +10,36 @@ class MmStreamSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  test("header parser reads a REAL png/jpeg/mp4, not just planted bytes") {
+    // a genuine 1x1 8-bit RGBA PNG (full file, CRCs and all)
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val realJpegHead = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00)
+    val realMp4Head = Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm')
+    val txt = "plain text".getBytes("UTF-8")
+    val df = Seq((1L, realPng), (2L, realJpegHead), (3L, realMp4Head),
+      (4L, txt)).toDF("id", "payload")
+    val out = df.select((col("id") +:
+        graft.queries.MmStream.parseHeader(col("payload"))): _*)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "png" &&
+      out(0).getLong(2) == 1L && out(0).getLong(3) == 1L) // real IHDR dims
+    assert(out(1).getString(1) == "jpeg" && out(1).isNullAt(2))
+    assert(out(2).getString(1) == "mp4")
+    assert(out(3).getString(1) == "bin")
+    // and the query route round-trips at sf0.001
+    val q = graft.queries.MmStream.headerParse(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall { r =>
+      val id = r.getLong(0)
+      val fmt = Seq("png", "jpeg", "mp3", "mp4", "bin")((id % 5).toInt)
+      r.getString(1) == fmt &&
+        (fmt != "png" || (r.getLong(2) == id % 1024 + 16 && r.getLong(3) == id % 768 + 16))
+    })
+  }
+
   test("binary meta sniffs magic prefixes") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)

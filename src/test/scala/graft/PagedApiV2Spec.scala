@@ -106,6 +106,29 @@ class PagedApiV2Spec extends AnyFunSuite {
     assert(grouped.count() == 3)
   }
 
+  test("scan reports manifest statistics and CBO reacts to pruning") {
+    // 10M rows x ~76B = ~760MB unpruned: both sides over the 10MB
+    // broadcast threshold -> shuffle join. The same scan pruned to one
+    // page reports ~7.6KB -> Catalyst broadcasts it. Without
+    // SupportsReportStatistics a V2 relation reports the default
+    // (effectively infinite) size and the pruned side would shuffle too.
+    val big = scan(10000000L)
+    val bigPlan = big.join(scan(10000000L), Seq("record_idx"))
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan.take(1200))
+    val pruned = scan(10000000L).filter(col("page") === 5)
+    val prunedPlan = pruned.join(scan(10000000L), Seq("record_idx"))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("BroadcastHashJoin"), prunedPlan.take(1200))
+    // the numbers themselves are the planner's partition arithmetic
+    val stats = pruned.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(100)), stats.toString)
+    // option casing is normalized: pageSize/pagesize/PAGESIZE all bind
+    val cased = spark.read.format("graft.sources.v2.PagedApiSource")
+      .option("ROWS", 250).option("PageSize", 50).load()
+    assert(cased.rdd.getNumPartitions == 5 && cased.count() == 250)
+  }
+
   test("micro-batch stream: page-bounded triggers, batch parity") {
     val ckpt = java.nio.file.Files.createTempDirectory("paged_stream_ck").toString
     val stream = spark.readStream.format("graft.sources.v2.PagedApiSource")

@@ -14,9 +14,10 @@
 #   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name prefixes to run
 #   SPARK_GRAFT_BENCH_OUT   where the JSON artifact is written
 #   SPARK_GRAFT_CPUS        local[] parallelism override
-#   SPARK_GRAFT_BENCH_BEST  timed samples per query, best-of-N (default 3;
-#                           raise on shared/noisy hosts — the r5 driver
-#                           re-run showed 2-4x phantom spikes at N=3)
+#   SPARK_GRAFT_BENCH_BEST  timed samples per query, best-of-N (default 5
+#                           since r8 — the committed protocol; the r7
+#                           driver re-run at the old default 3 read 1.39x
+#                           the committed artifact from VM noise alone)
 set -u
 cd "$(dirname "$0")/.."
 OUT="${SPARK_GRAFT_BENCH_OUT:-$PWD/BENCH_OUT.json}"

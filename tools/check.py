@@ -8,9 +8,16 @@ sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata ships single files; the ScaleCorpus sf1 anchor ships
+    # multi-file parquet DIRECTORIES under the same naming scheme
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# optional query-name filter (sf1 anchor checks the heavy subset only)
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []

@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# sf1 correctness anchor (VERDICT r7 #3): the bench's sf1 section TIMES the
+# heavy queries on the genuine 10x corpus; this script HASH-CHECKS them on
+# the same corpus against DuckDB — a fourth correctness scale point beyond
+# sf0.001/0.01/0.1.
+#
+# Usage: tools/sf1check.sh [sf_dir] [scale_dir]
+# Writes per-query results + verdict to stdout; exit 0 iff all match.
+set -u
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.1}"
+SCALE="${2:-/tmp/graft_scale10x}"
+OUT=/tmp/verify_sf1_anchor
+
+# the bench sf1 section's heavy list (Bench.scala `heavies`)
+HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total"
+
+if [ ! -d "$SCALE/orders.parquet" ]; then
+  echo "[sf1check] building 10x corpus at $SCALE from $SF"
+  sbt -batch "runMain graft.tools.ScaleCorpus $SF $SCALE" || exit 1
+fi
+
+sbt -batch "runMain graft.Verify $SCALE $OUT $HEAVY" || exit 1
+python3 tools/check.py "$SCALE" "$OUT" "$HEAVY"
