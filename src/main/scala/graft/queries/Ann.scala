@@ -240,7 +240,7 @@ object Ann {
   // ---- IVF-flat: coarse quantizer buckets, probe visits nProbe cells ------
   private val NPROBE = 2
   private val CAND_TOPK = 3      // top-k for the bucketed variants (lsh, ivf)
-  private val CENT_COUNT = 16    // FIXED codebook size — never grows with N
+  private[graft] val CENT_COUNT = 16    // FIXED codebook size — never grows with N
   private val PROBE_COUNT = 10   // FIXED probe panel size — never grows with N
 
   /** IVF coarse quantization with a deterministic hash-sampled codebook of
@@ -607,6 +607,29 @@ object Ann {
     (old, batch, cents)
   }
 
+  /** Post-merge cell-occupancy audit — the ops signal that decides WHEN
+    * "maintain, don't rebuild" stops being safe: per frozen-codebook cell,
+    * old-index size vs arrivals absorbed, growth ratio, and a retrain
+    * flag once a cell has grown ≥1.5× its build-time size (integer-exact
+    * comparison, no float threshold). A vector store runs exactly this
+    * audit to schedule re-quantization; the cost is one catalog-sized agg
+    * over the merged assignment — CENT_COUNT output rows at any corpus
+    * size.
+    */
+  def cellDrift(s: SparkSession, d: String): DataFrame = {
+    val merged = incrementalIvf(s, d)
+    merged.groupBy(col("cell")).agg(
+        sum(when(col("src") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("src") === "new", 1L).otherwise(0L)).as("n_new"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        graft.core.Determinism.r4(
+          (col("n_old") + col("n_new")).cast("double") /
+            greatest(col("n_old"), lit(1L)).cast("double")).as("growth"),
+        (lit(2) * (col("n_old") + col("n_new")) >=
+          lit(3) * greatest(col("n_old"), lit(1L))).cast("int").as("retrain_flag"))
+      .orderBy("cell")
+  }
+
   /** IVF search over the INCREMENTALLY maintained index: probed cells come
     * from the same FROZEN old-corpus codebook the merge assigns against,
     * and the scanned cell lists are the merged (old + new batch)
@@ -956,6 +979,7 @@ object Ann {
     "ann_lsh"        -> (lsh _),
     "ann_ivf"        -> (ivf _),
     "ann_incremental" -> (incrementalIvf _),
+    "ann_cell_drift" -> (cellDrift _),
     "ann_pq"         -> (pq _),
     "ann_ivfpq"      -> (ivfpq _),
     "ann_recall_ivfpq" -> (recallEvalIvfPq _),
@@ -1289,8 +1313,11 @@ object Ann {
   /** SQL twin of the incremental IVF merge: frozen old-corpus codebook,
     * every vector (old and new) assigned to its nearest frozen centroid.
     */
-  private def incrementalSql: String =
-    s"""WITH $vecsSql, $normsSql,
+  /** The shared CTE chain of the incremental-IVF oracles: frozen old-corpus
+    * codebook, full-corpus nearest-centroid ranking, old/new provenance.
+    */
+  private def incrementalCtes: String =
+    s"""$vecsSql, $normsSql,
        newb AS (SELECT vec_id FROM vecs
          WHERE ${md5LongSql("concat('batch:', vec_id)")} % 5 = 0),
        old_ids AS (SELECT vec_id FROM vecs
@@ -1309,12 +1336,30 @@ object Ann {
        inc_ranked AS (SELECT vec_id, cent_id, csim,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY csim DESC, cent_id) AS crk
-         FROM inc_sims)
-       SELECT vec_id, cent_id AS cell,
-         ${graft.core.Determinism.r4Sql("csim")} AS csim,
-         CASE WHEN vec_id IN (SELECT vec_id FROM newb)
-              THEN 'new' ELSE 'old' END AS src
-       FROM inc_ranked WHERE crk = 1 ORDER BY vec_id"""
+         FROM inc_sims),
+       inc_merged AS (SELECT vec_id, cent_id AS cell, csim,
+           CASE WHEN vec_id IN (SELECT vec_id FROM newb)
+                THEN 'new' ELSE 'old' END AS src
+         FROM inc_ranked WHERE crk = 1)"""
+
+  private def incrementalSql: String =
+    s"""WITH $incrementalCtes
+       SELECT vec_id, cell,
+         ${graft.core.Determinism.r4Sql("csim")} AS csim, src
+       FROM inc_merged ORDER BY vec_id"""
+
+  private def cellDriftSql: String =
+    s"""WITH $incrementalCtes,
+       occ AS (SELECT cell,
+           CAST(sum(CASE WHEN src = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(sum(CASE WHEN src = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         FROM inc_merged GROUP BY cell)
+       SELECT cell, n_old, n_new,
+         ${graft.core.Determinism.r4Sql(
+           "CAST(n_old + n_new AS DOUBLE) / greatest(n_old, 1)")} AS growth,
+         CAST(2 * (n_old + n_new) >= 3 * greatest(n_old, CAST(1 AS BIGINT))
+           AS INTEGER) AS retrain_flag
+       FROM occ ORDER BY cell"""
 
   /** ann_recall_ivf's oracle with ONE substitution: the codebook ids come
     * from the frozen OLD-corpus draw (the incrementalSql chain) instead of
@@ -1384,6 +1429,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann_incremental" -> incrementalSql,
+    "ann_cell_drift" -> cellDriftSql,
     "ann_recall_incremental" -> recallIncrementalSql,
     "ann_kmeans_step" ->
       s"""WITH $vecsSql, $elemsSql, $normsSql, $centIdsSql,

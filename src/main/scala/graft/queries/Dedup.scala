@@ -28,7 +28,7 @@ object Dedup {
   /** documents ∪ planted exact dups (id+ExactOffset, every 5th) ∪ planted
     * near-dups ("dup "-prefixed, id+NearOffset, every 7th). Lowercased once.
     */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def corpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
     val exact = base.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + ExactOffset).as("doc_id"), col("text"))
@@ -40,7 +40,7 @@ object Dedup {
     spread(base.unionByName(exact).unionByName(near))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
          SELECT doc_id, lower(text) AS text FROM documents
          UNION ALL
@@ -1029,6 +1029,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The soft-weight oracle's CTE chain up to the per-doc weight relation
+    * `doc_w (doc_id, text, cluster_size, weight)` — shared with
+    * sample_dedup_budget's oracle (which aggregates the weights against
+    * token counts). Callers prepend WITH RECURSIVE (the `walk` CTE).
+    * corpusSql is re-declared at the outer level: the copy inside `pairs`
+    * is scoped to that subquery.
+    */
+  private[queries] def softWeightSqlCtes: String = {
+    val pairs = minhashLshSqlFor
+    s"""$corpusSql,
+       pairs AS ($pairs),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+       walk(id, label) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+       labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                 FROM labels GROUP BY label),
+       mem AS (SELECT l.id AS doc_id, s.n FROM labels l
+               JOIN sizes s ON s.label = l.label),
+       doc_w AS (SELECT c.doc_id, c.text,
+           COALESCE(m.n, CAST(1 AS BIGINT)) AS cluster_size,
+           ${graft.core.Determinism.r4Sql(
+             "1.0 / COALESCE(m.n, CAST(1 AS BIGINT))")} AS weight
+         FROM corpus c LEFT JOIN mem m ON m.doc_id = c.doc_id)"""
+  }
+
   def clusterStats(s: SparkSession, d: String): DataFrame =
     resolvedLabels(s, d)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
@@ -1542,29 +1571,9 @@ object Dedup {
            SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
          SELECT id, min(label) AS label FROM walk GROUP BY id ORDER BY id"""
     },
-    "dedup_soft_weight" -> {
-      val pairs = minhashLshSqlFor
-      // corpusSql re-declared at the outer level: the copy inside `pairs`
-      // is scoped to that subquery
-      s"""WITH RECURSIVE $corpusSql,
-         pairs AS ($pairs),
-         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                   UNION ALL SELECT b_id, a_id FROM pairs),
-         walk(id, label) AS (
-           SELECT DISTINCT src, src FROM edges
-           UNION
-           SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
-         labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
-         sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-                   FROM labels GROUP BY label),
-         mem AS (SELECT l.id AS doc_id, s.n FROM labels l
-                 JOIN sizes s ON s.label = l.label)
-         SELECT c.doc_id, COALESCE(m.n, CAST(1 AS BIGINT)) AS cluster_size,
-           ${graft.core.Determinism.r4Sql(
-             "1.0 / COALESCE(m.n, CAST(1 AS BIGINT))")} AS weight
-         FROM corpus c LEFT JOIN mem m ON m.doc_id = c.doc_id
-         ORDER BY c.doc_id"""
-    },
+    "dedup_soft_weight" ->
+      s"""WITH RECURSIVE $softWeightSqlCtes
+         SELECT doc_id, cluster_size, weight FROM doc_w ORDER BY doc_id""",
     "dedup_exact" ->
       s"""WITH $corpusSql
          SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -84,6 +84,40 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Dedup-AWARE source budgeting — [[epochPlan]] recomputed over the
+    * EFFECTIVE (soft-dedup-discounted) token inventory instead of the raw
+    * one: each doc contributes weight × n_tokens where weight =
+    * 1/cluster_size from the resolved near-dup components
+    * (dedup_soft_weight, read from the CACHED cluster labels). A source
+    * whose volume is mostly internal duplication gets the √-target its
+    * UNIQUE content earns, not its raw byte count — the planning step
+    * that makes "down-weight, don't drop" actually reach the mixture.
+    * Scale shape: one corpus-keyed join of ids-only weights to token
+    * counts, one source-keyed partial agg, one 1-row broadcast — the
+    * corpus text is read once for token counting and never paired.
+    */
+  def dedupBudget(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Determinism._
+    val w = Dedup.softWeight(s, d).select(col("doc_id"), col("weight"))
+    val toks = Dedup.corpus(s, d).select(col("doc_id"),
+      (col("doc_id") % Dedup.ExactOffset).as("orig_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val src = documents(s, d).select(col("doc_id").as("orig_id"), col("source"))
+    val per = toks.join(w, "doc_id").join(src, "orig_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("raw_tokens"),
+        dsum(r4(col("weight") * col("n_tokens"))).as("eff0"))
+      .select(col("source"), col("raw_tokens"), r4(col("eff0")).as("eff_tokens"))
+    val rootW = r6(sqrt(col("eff_tokens")))
+    val tot = per.agg(dsum(rootW).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("raw_tokens"), col("eff_tokens"),
+        r4(col("eff_tokens") / col("raw_tokens").cast("double")).as("dedup_ratio"),
+        r6(rootW / col("wsum")).as("weight"),
+        r4(r6(rootW / col("wsum")) * EpochBudget).as("target_tokens"))
+      .orderBy("source")
+  }
+
   /** Per-source token budgeting: in deterministic doc_id order, keep each
     * source's docs while the running token total stays within the budget
     * (the doc that crosses the line is kept — budgets are soft caps). One
@@ -323,7 +357,8 @@ object Sampling {
     "sample_token_budget" -> (tokenBudget _),
     "sample_pack"         -> (pack _),
     "sample_temperature"  -> (temperature _),
-    "sample_epoch_plan"   -> (epochPlan _)
+    "sample_epoch_plan"   -> (epochPlan _),
+    "sample_dedup_budget" -> (dedupBudget _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,6 +475,33 @@ object Sampling {
            COALESCE(sel.n_sel, CAST(0 AS BIGINT)) AS n_sel
          FROM rates r2 LEFT JOIN sel ON sel.source = r2.source
          ORDER BY r2.source""",
+    "sample_dedup_budget" ->
+      s"""WITH RECURSIVE ${Dedup.softWeightSqlCtes},
+         tk AS (SELECT doc_id % ${Dedup.ExactOffset} AS orig_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, weight
+           FROM doc_w),
+         dsrc AS (SELECT doc_id AS orig_id, source FROM documents),
+         per0 AS (SELECT s.source,
+             CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+             CAST(sum(CAST(
+               ${graft.core.Determinism.r4Sql("weight * n_tokens")}
+               AS DECIMAL(28,6))) AS DOUBLE) AS eff0
+           FROM tk t JOIN dsrc s ON s.orig_id = t.orig_id GROUP BY 1),
+         per AS (SELECT source, raw_tokens,
+             ${graft.core.Determinism.r4Sql("eff0")} AS eff_tokens FROM per0),
+         tot AS (SELECT CAST(sum(CAST(
+             ${graft.core.Determinism.r6Sql("sqrt(eff_tokens)")}
+             AS DECIMAL(28,6))) AS DOUBLE) AS wsum FROM per)
+         SELECT source, raw_tokens, eff_tokens,
+           ${graft.core.Determinism.r4Sql(
+             "eff_tokens / CAST(raw_tokens AS DOUBLE)")} AS dedup_ratio,
+           ${graft.core.Determinism.r6Sql(
+             graft.core.Determinism.r6Sql("sqrt(eff_tokens)") + " / wsum")} AS weight,
+           ${graft.core.Determinism.r4Sql(
+             graft.core.Determinism.r6Sql(
+               graft.core.Determinism.r6Sql("sqrt(eff_tokens)") + " / wsum")
+               + s" * $EpochBudget")} AS target_tokens
+         FROM per, tot ORDER BY source""",
     "sample_epoch_plan" ->
       s"""WITH toks AS (SELECT source,
              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens

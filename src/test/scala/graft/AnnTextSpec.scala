@@ -635,4 +635,21 @@ class AnnTextSpec extends AnyFunSuite {
     assert(byBucket("head").max <= byBucket("middle").min)
     assert(byBucket("middle").max <= byBucket("tail").min)
   }
+
+  test("cell drift: occupancy reconciles with the merged assignment; flag is exact") {
+    val merged = Ann.queries("ann_incremental")(spark, sf).collect()
+    val drift = Ann.queries("ann_cell_drift")(spark, sf).collect()
+    assert(drift.nonEmpty && drift.length <= Ann.CENT_COUNT)
+    assert(drift.map(r => r.getLong(1) + r.getLong(2)).sum == merged.length)
+    val occ = merged.groupBy(_.getLong(1)).view
+      .mapValues(rs => (rs.count(_.getString(3) == "old").toLong,
+                        rs.count(_.getString(3) == "new").toLong)).toMap
+    drift.foreach { r =>
+      val (o, n) = occ(r.getLong(0))
+      assert(r.getLong(1) == o && r.getLong(2) == n)
+      val flag = if (2 * (o + n) >= 3 * math.max(o, 1L)) 1 else 0
+      assert(r.getInt(4) == flag, s"cell ${r.getLong(0)}: flag ${r.getInt(4)} != $flag")
+      assert(math.abs(r.getDouble(3) - (o + n).toDouble / math.max(o, 1L)) < 1e-3)
+    }
+  }
 }

@@ -231,4 +231,29 @@ class SamplingSpec extends AnyFunSuite {
     // budget spread over ~20 small sources, at least one cap must bind
     assert(rows.exists(_._8 > 1e-3), "no source hit the 4-epoch cap")
   }
+
+  test("dedup budget: effective inventory discounts duplication, plan sums to budget") {
+    val rows = Sampling.queries("sample_dedup_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // effective tokens never exceed raw (weights are <= 1), and the
+    // planted dup families guarantee SOME discount in every source
+    rows.foreach { r =>
+      val raw = r.getLong(1).toDouble
+      val eff = r.getDouble(2)
+      assert(eff <= raw + 1e-6, s"eff $eff > raw $raw for ${r.get(0)}")
+      assert(eff > 0)
+      assert(math.abs(r.getDouble(3) - eff / raw) < 1e-3) // dedup_ratio
+    }
+    assert(rows.exists(r => r.getDouble(2) < r.getLong(1) - 1))
+    // source weights form a distribution; targets sum to the epoch budget
+    val wsum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    val tsum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(tsum - Sampling.EpochBudget) < Sampling.EpochBudget * 1e-3)
+    // dedup-aware target differs from the raw epoch plan where dup load differs
+    val rawPlan = Sampling.queries("sample_epoch_plan")(spark, sf)
+      .select("source", "target_tokens").collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+    assert(rows.exists(r => math.abs(r.getDouble(5) - rawPlan(r.get(0))) > 1.0))
+  }
 }
