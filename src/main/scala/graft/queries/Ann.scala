@@ -564,16 +564,20 @@ object Ann {
     * archive. Output is the merged assignment relation (vec_id, cell,
     * 4-dp similarity, old/new provenance).
     */
-  def incrementalIvf(s: SparkSession, d: String): DataFrame = {
-    val withN = withNorms(s, d)
-    val old = withN.filter(!isNewBatch)
-    val batch = withN.filter(isNewBatch)
-    val cents = old.join(broadcast(panel(old, "cent:", CENT_COUNT)), "vec_id")
-      .toDF("cent_id", "cv", "cnrm")
-    incrementalAssign(old, cents, "old")
-      .unionByName(incrementalAssign(batch, cents, "new"))
-      .orderBy("vec_id")
-  }
+  def incrementalIvf(s: SparkSession, d: String): DataFrame =
+    // the merged assignment is itself a stored-index relation (ids + cell
+    // + r4 similarity + provenance — parquet-exact), rebuilt identically
+    // by ann_incremental and ann_cell_drift: publish once, read twice
+    graft.core.ArtifactCache.getOrBuild(s, "ivf_incremental_merged",
+      s"v1 k=$CENT_COUNT", Seq(s"$d/embeddings.parquet")) {
+      val withN = withNorms(s, d)
+      val old = withN.filter(!isNewBatch)
+      val batch = withN.filter(isNewBatch)
+      val cents = old.join(broadcast(panel(old, "cent:", CENT_COUNT)), "vec_id")
+        .toDF("cent_id", "cv", "cnrm")
+      incrementalAssign(old, cents, "old")
+        .unionByName(incrementalAssign(batch, cents, "new"))
+    }.orderBy("vec_id")
 
   /** Nearest-frozen-centroid assignment of `df` (the ivfCells argmax against
     * an explicit centroid relation). Exposed for the spec's old-rows

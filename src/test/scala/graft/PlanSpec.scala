@@ -224,4 +224,20 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("text_collocations", "text_zipf_fit"))
       assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
   }
+
+  test("round-8 queries: no cartesians, no global windows, byte math stays map-side") {
+    for (q <- Seq("stream_dedup_index", "ann_cell_drift", "sample_dedup_budget")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian: ${p.take(800)}")
+      assert(!p.contains("Window") || !p.contains("SinglePartition"),
+        s"$q has a global window")
+    }
+    // the arrival bands BROADCAST against the stored index — the index
+    // (corpus-sized at 100 TB) must never shuffle for this join
+    assert(plan("stream_dedup_index").contains("BroadcastHashJoin"))
+    // header parse is one projection: no exchange before the output order
+    val hp = plan("mm_header_parse")
+    assert(!hp.split("TakeOrdered").last.contains("Exchange hashpartitioning"),
+      hp.take(1200))
+  }
 }
