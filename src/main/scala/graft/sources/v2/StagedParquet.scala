@@ -1,6 +1,7 @@
 package graft.sources.v2
 
 import java.util
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
@@ -9,14 +10,15 @@ import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.{Binary, RecordConsumer}
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType, Types => PTypes}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,24 +42,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * prod is never observed half-written.
   *
   * The task-level protocol is the classic two-phase file commit:
-  *  - each [[StagedParquetDataWriter]] writes its partition to a
-  *    `_tmp-` prefixed parquet file (via a hand-rolled
+  *  - each [[StagedParquetDataWriter]] writes its partition to
+  *    `_tmp-<token>-` prefixed parquet files (via a hand-rolled
   *    [[InternalRowWriteSupport]] — public parquet-hadoop API, no Spark
-  *    internals) and renames it to its final name only in task commit();
-  *  - the returned [[StagedFileCommit]] names the file, and the driver's
+  *    internals) and renames them to their final names only in task
+  *    commit(); `token` is the write's queryId, embedded in BOTH the temp
+  *    prefix and the final file name, so two applications appending to the
+  *    same table can never clobber each other's files (their task-id
+  *    counters both start at 0 — without the token `part-0-0` collides)
+  *    and commit/abort sweeps stay scoped to the job's OWN leftovers;
+  *  - the returned [[StagedFilesCommit]] names the files, and the driver's
   *    [[StagedParquetBatchWrite.commit]] keeps exactly the files named by
   *    the commit messages — stray files from speculative or failed
   *    attempts are deleted — then publishes `_schema.json` + `_SUCCESS`.
   *
+  * PARTITIONED tables: the catalog accepts identity and days transforms
+  * (`df.writeTo(t).partitionedBy(col("k"))` / `partitionedBy(days(col("ts")))`)
+  * and writers route each row to its `k=value` subdirectory — identity
+  * columns are carried by the directory (dropped from the data files, the
+  * layout spark.read.parquet partition discovery prunes on); `days(ts)`
+  * derives a `ts_day=yyyy-MM-dd` directory column while the source column
+  * stays in the data. The spec is pinned in `_partition.json` so the table
+  * reports its partitioning on load. `overwritePartitions()` stages the
+  * incoming data and swaps ONLY the touched partition directories at
+  * commit (per-partition promote — atomic per partition, the standard
+  * dynamic-overwrite contract).
+  *
   * At 100 TB this is precisely the object-store pattern: writers upload
   * under a staging prefix, the commit manifest lists the surviving files,
   * and the swap is a metadata operation whose cost is independent of
-  * table size.
+  * table size (full-table swap: one rename; dynamic overwrite: one rename
+  * per TOUCHED partition, independent of the untouched ones).
   */
 object StagedParquet {
   val CatalogName = "graft_staged"
   val SchemaFile = "_schema.json"
   val SuccessFile = "_SUCCESS"
+  val PartitionFile = "_partition.json"
 
   /** Idempotently register the catalog on the session. Setting the same
     * values again is a no-op; the confs only matter before the catalog's
@@ -84,13 +105,20 @@ object StagedParquet {
     * prod).
     */
   private[v2] def promote(stagingDir: String, prodDir: String): Unit = {
+    if (!fs(new Path(stagingDir)).exists(new Path(stagingDir, SuccessFile)))
+      throw new IllegalStateException(
+        s"promote: staging $stagingDir has no $SuccessFile — write not committed")
+    swapDirs(stagingDir, prodDir)
+  }
+
+  /** The checked prod→old / staging→prod / drop-old rename dance, shared by
+    * the full-table promote and the per-partition dynamic-overwrite swap.
+    */
+  private[v2] def swapDirs(stagingDir: String, prodDir: String): Unit = {
     val staging = new Path(stagingDir)
     val prod = new Path(prodDir)
     val old = new Path(prodDir + "__old")
     val f = fs(prod)
-    if (!f.exists(new Path(staging, SuccessFile)))
-      throw new IllegalStateException(
-        s"promote: staging $stagingDir has no $SuccessFile — write not committed")
     if (f.exists(old) && !f.delete(old, true))
       throw new java.io.IOException(s"promote: cannot clear $old")
     val hadProd = f.exists(prod)
@@ -105,11 +133,158 @@ object StagedParquet {
     f.delete(old, true): Unit // best-effort; prod is already live
   }
 
+  /** Abort-side staging delete with bounded retries: task kill is
+    * asynchronous, so a dying task's in-flight file create can race the
+    * driver's delete and resurrect the staging dir — re-checking a few
+    * times closes the window (the task side also deletes files whose
+    * creation was interrupted, see [[StagedParquetDataWriter.openWriter]]).
+    */
+  private[v2] def deleteStaging(dir: String): Unit = {
+    val p = new Path(dir)
+    val f = fs(p)
+    var attempts = 0
+    f.delete(p, true): Unit
+    while (f.exists(p) && attempts < 5) {
+      Thread.sleep(200)
+      f.delete(p, true): Unit
+      attempts += 1
+    }
+  }
+
   private[v2] def writeString(dir: Path, name: String, content: String): Unit = {
     val f = fs(dir)
     val out = f.create(new Path(dir, name), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
+
+  private[v2] def readString(p: Path): Option[String] = {
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Recursive data-file listing as paths RELATIVE to `dir` — the commit
+    * sweep's view of a (possibly partitioned) table directory. Metadata
+    * files at the root are excluded; goes through the Hadoop FileSystem
+    * API so the table can live on object storage.
+    */
+  private[v2] def listRelative(dir: Path): Seq[String] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val base = dir.toUri.getPath
+      val it = f.listFiles(dir, true)
+      val out = mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        out += rel
+      }
+      out.toSeq
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Partition spec: identity + days transforms
+// ---------------------------------------------------------------------------
+
+/** One partition field: `kind` is `identity` (column value becomes the
+  * directory, column leaves the data files) or `days` (a derived
+  * `<name>_day=yyyy-MM-dd` directory from a timestamp/date column, which
+  * stays in the data files).
+  */
+case class PartField(name: String, kind: String) {
+  def dirName: String = if (kind == "days") s"${name}_day" else name
+}
+
+object PartSpec {
+  /** Parse the V2 transforms; anything beyond identity/days is rejected
+    * loudly (a silently ignored transform would write an unpartitioned
+    * table the caller believes is partitioned).
+    */
+  def fromTransforms(partitions: Array[Transform]): Seq[PartField] =
+    partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"staged catalog: unsupported partition reference in $t")
+      val col = refs.head.fieldNames().head
+      t.name() match {
+        case "identity" => PartField(col, "identity")
+        case "days"     => PartField(col, "days")
+        case other => throw new UnsupportedOperationException(
+          s"staged catalog: unsupported partition transform '$other' (identity/days only)")
+      }
+    }
+
+  def toTransforms(spec: Seq[PartField]): Array[Transform] =
+    spec.map {
+      case PartField(n, "identity") => Expressions.identity(n)
+      case PartField(n, "days")     => Expressions.days(n)
+      case PartField(n, k) =>
+        throw new IllegalStateException(s"bad partition kind $k for $n")
+    }.toArray
+
+  def serialize(spec: Seq[PartField]): String =
+    spec.map(p => s"${p.name}:${p.kind}").mkString("\n")
+
+  def deserialize(s: String): Seq[PartField] =
+    s.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(n, k) = line.split(":", 2)
+      PartField(n, k)
+    }
+
+  /** Identity-partition columns ride in the directory name; everything else
+    * (including days-transform SOURCE columns) stays in the data files.
+    * Returns (field, ordinal-in-full-row) for the data-file schema.
+    */
+  def dataFields(schema: StructType, spec: Seq[PartField]): Seq[(StructField, Int)] = {
+    val identity = spec.filter(_.kind == "identity").map(_.name).toSet
+    schema.fields.toSeq.zipWithIndex.filterNot { case (f, _) => identity(f.name) }
+  }
+
+  /** Hive-style escaping of a partition VALUE: anything outside the safe
+    * set becomes %XX so `=`, `/`, `:` and friends can never corrupt the
+    * directory structure.
+    */
+  def escape(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') sb.append(c)
+      else f"%%${c.toInt}%02X".foreach(sb.append)
+    }
+    sb.toString
+  }
+
+  /** Per-row partition directory (e.g. `k=3/ts_day=2024-03-01`), empty for
+    * an unpartitioned table. Resolved ordinals/types are precomputed in
+    * [[partEvaluators]]; this just runs them.
+    */
+  def partEvaluators(schema: StructType, spec: Seq[PartField]): Seq[InternalRow => String] =
+    spec.map { pf =>
+      val ord = schema.fieldIndex(pf.name)
+      val dt = schema.fields(ord).dataType
+      val render: InternalRow => String = (pf.kind, dt) match {
+        case ("identity", StringType)  => r => escape(r.getUTF8String(ord).toString)
+        case ("identity", IntegerType) => r => r.getInt(ord).toString
+        case ("identity", LongType)    => r => r.getLong(ord).toString
+        case ("identity", DateType) =>
+          r => java.time.LocalDate.ofEpochDay(r.getInt(ord).toLong).toString
+        case ("days", TimestampType) =>
+          r => java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(r.getLong(ord), 86400000000L)).toString
+        case ("days", DateType) =>
+          r => java.time.LocalDate.ofEpochDay(r.getInt(ord).toLong).toString
+        case (k, t) => throw new UnsupportedOperationException(
+          s"staged catalog: cannot $k-partition on ${pf.name}: $t")
+      }
+      (r: InternalRow) =>
+        s"${pf.dirName}=${if (r.isNullAt(ord)) "__HIVE_DEFAULT_PARTITION__" else render(r)}"
+    }
 }
 
 // ---------------------------------------------------------------------------
@@ -119,7 +294,8 @@ object StagedParquet {
 /** Directory-tree table catalog with atomic staged replacement. Tables are
   * parquet directories under `root/<namespace...>/<name>`; the committed
   * schema is pinned in `_schema.json` so an empty table (truncate target
-  * before first load) still loads with its declared schema.
+  * before first load) still loads with its declared schema, and the
+  * partition spec in `_partition.json`.
   */
 class StagedCatalog extends TableCatalog with StagingTableCatalog {
   import StagedParquet._
@@ -136,54 +312,64 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog {
   private def dir(ident: Identifier): String =
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
 
-  private def isCommitted(d: String): Boolean =
-    fs(new Path(d)).exists(new Path(d, SuccessFile))
+  /** `t__staging.xxx` (mid-commit, gains _SUCCESS before the swap) and
+    * `t__old` (left behind only if the best-effort delete after a promote
+    * failed) are lifecycle scaffolding, never committed tables.
+    */
+  private def isInternalName(n: String): Boolean =
+    n.contains("__staging.") || n.endsWith("__old")
 
-  private def loadSchema(d: String): StructType = {
-    val schemaPath = new Path(d, SchemaFile)
-    val f = fs(schemaPath)
-    if (f.exists(schemaPath)) {
-      val in = f.open(schemaPath)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      DataType.fromJson(json).asInstanceOf[StructType]
-    } else SparkSession.active.read.parquet(d).schema
-  }
+  private def isCommitted(d: String): Boolean =
+    !isInternalName(d.split('/').last) &&
+      fs(new Path(d)).exists(new Path(d, SuccessFile))
+
+  private def loadSchema(d: String): StructType =
+    readString(new Path(d, SchemaFile)) match {
+      case Some(json) => DataType.fromJson(json).asInstanceOf[StructType]
+      case None => SparkSession.active.read.parquet(d).schema
+    }
+
+  private def loadPartSpec(d: String): Seq[PartField] =
+    readString(new Path(d, PartitionFile))
+      .map(PartSpec.deserialize).getOrElse(Seq.empty)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = new Path((root +: namespace.toSeq).mkString("/"))
     val f = fs(nsDir)
     if (!f.exists(nsDir)) Array.empty
-    else f.listStatus(nsDir).filter(_.isDirectory)
+    else f.listStatus(nsDir)
+      .filter(s => s.isDirectory && !isInternalName(s.getPath.getName))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {
     val d = dir(ident)
     if (!isCommitted(d)) throw new NoSuchTableException(ident)
-    new StagedParquetTable(ident.name, d, loadSchema(d))
+    new StagedParquetTable(ident.name, d, loadSchema(d), loadPartSpec(d))
   }
 
   override def tableExists(ident: Identifier): Boolean = isCommitted(dir(ident))
 
-  private def doCreate(ident: Identifier, schema: StructType): Table = {
+  private def doCreate(ident: Identifier, schema: StructType,
+                       spec: Seq[PartField]): Table = {
     val d = dir(ident)
     if (isCommitted(d)) throw new TableAlreadyExistsException(ident)
     val p = new Path(d)
     fs(p).mkdirs(p)
     writeString(p, SchemaFile, schema.json)
+    if (spec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(spec))
     writeString(p, SuccessFile, "")
-    new StagedParquetTable(ident.name, d, schema)
+    new StagedParquetTable(ident.name, d, schema, spec)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    doCreate(ident, schema)
+    doCreate(ident, schema, PartSpec.fromTransforms(partitions))
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    doCreate(ident, StagedCatalog.toStruct(columns))
+    doCreate(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
   override def createTable(ident: Identifier, info: TableInfo): Table =
-    doCreate(ident, info.schema())
+    doCreate(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("staged catalog tables are immutable; replace them")
@@ -204,41 +390,42 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog {
       throw new java.io.IOException(s"renameTable $oldIdent -> $newIdent failed")
   }
 
-  private def doStage(ident: Identifier, schema: StructType): StagedTable = {
+  private def doStage(ident: Identifier, schema: StructType,
+                      spec: Seq[PartField]): StagedTable = {
     val prod = dir(ident)
     val staging = prod + "__staging." +
       java.util.UUID.randomUUID.toString.take(8)
     val parent = new Path(prod).getParent
     fs(parent).mkdirs(parent)
-    new StagedReplaceTable(ident.name, prod, staging, schema)
+    new StagedReplaceTable(ident.name, prod, staging, schema, spec)
   }
 
   // all three signature families funnel into doStage — overridden
   // explicitly so the interface defaults' delegation direction is moot
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema)
+    doStage(ident, schema, PartSpec.fromTransforms(partitions))
   override def stageCreate(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns))
+    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema())
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema)
+    doStage(ident, schema, PartSpec.fromTransforms(partitions))
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns))
+    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema())
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema)
+    doStage(ident, schema, PartSpec.fromTransforms(partitions))
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns))
+    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema())
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
 }
 
 object StagedCatalog {
@@ -250,30 +437,43 @@ object StagedCatalog {
 // Tables
 // ---------------------------------------------------------------------------
 
-/** A committed table: append lands files in-place (two-phase, stray-safe);
-  * truncate() stages a full replacement and swaps at batch commit — the
-  * reference's TRUNCATE + bulk COPY as one atomic V2 write.
+/** A committed table: append lands files in-place (two-phase, stray-safe,
+  * token-scoped so concurrent appends never interfere); truncate() stages a
+  * full replacement and swaps at batch commit — the reference's TRUNCATE +
+  * bulk COPY as one atomic V2 write; overwritePartitions() stages and swaps
+  * only the touched partition directories.
   */
-class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType)
+class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType,
+                         partSpec: Seq[PartField])
     extends Table with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var replace = false
-      override def truncate(): WriteBuilder = { replace = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      private var mode = "append"
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          if (replace)
+        override def toBatch: BatchWrite = mode match {
+          case "truncate" =>
             new StagedParquetBatchWrite(
               prodDir + "__staging." + info.queryId().take(8),
-              Some(prodDir), info.schema())
-          else new StagedParquetBatchWrite(prodDir, None, info.schema())
+              Some(prodDir), info.schema(), partSpec, info.queryId())
+          case "dynamic" =>
+            new DynamicOverwriteBatchWrite(
+              prodDir + "__staging." + info.queryId().take(8),
+              prodDir, info.schema(), partSpec, info.queryId())
+          case _ =>
+            new StagedParquetBatchWrite(prodDir, None, info.schema(),
+              partSpec, info.queryId())
+        }
         override def description(): String =
-          s"StagedParquetWrite(table=$tableName, mode=${if (replace) "truncate" else "append"})"
+          s"StagedParquetWrite(table=$tableName, mode=$mode)"
       }
     }
 }
@@ -284,10 +484,11 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
   * never touched.
   */
 class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
-                         tableSchema: StructType)
+                         tableSchema: StructType, partSpec: Seq[PartField])
     extends StagedTable with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
@@ -296,7 +497,8 @@ class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
       override def truncate(): WriteBuilder = this // staging dir starts empty
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new StagedParquetBatchWrite(stagingDir, None, info.schema())
+          new StagedParquetBatchWrite(stagingDir, None, info.schema(),
+            partSpec, info.queryId())
         override def description(): String =
           s"StagedParquetWrite(table=$tableName, mode=replace-staged)"
       }
@@ -305,30 +507,44 @@ class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
   override def commitStagedChanges(): Unit =
     StagedParquet.promote(stagingDir, prodDir)
 
-  override def abortStagedChanges(): Unit = {
-    val p = new Path(stagingDir)
-    StagedParquet.fs(p).delete(p, true): Unit
-  }
+  override def abortStagedChanges(): Unit =
+    StagedParquet.deleteStaging(stagingDir)
 }
 
 // ---------------------------------------------------------------------------
 // Batch write: two-phase file commit
 // ---------------------------------------------------------------------------
 
-case class StagedFileCommit(file: String, rows: Long) extends WriterCommitMessage
+/** `files` are paths RELATIVE to the write's target dir (partition
+  * subdirectories included).
+  */
+case class StagedFilesCommit(files: Seq[String], rows: Long) extends WriterCommitMessage
 
 /** @param targetDir  where task files land (staging dir, or prod for append)
   * @param promoteTo  Some(prod) when driver commit should also swap
   *                   targetDir over prod (the truncate-load path);
   *                   None when the swap belongs to commitStagedChanges
   *                   (staged replace) or no swap is wanted (append).
+  * @param queryId    the write's unique token: embedded in every file name
+  *                   and temp prefix this job creates, and the ONLY prefix
+  *                   its commit/abort sweeps touch.
   */
 class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
-                              schema: StructType) extends BatchWrite {
+                              schema: StructType, partSpec: Seq[PartField],
+                              queryId: String) extends BatchWrite {
   import StagedParquet._
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StagedParquetWriterFactory(targetDir, schema)
+  protected val token: String = StagedParquetWriterFactory.sanitize(queryId)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // the write root is created ONCE, driver-side, before any task launches;
+    // task writers treat a missing root as "this write was aborted" instead
+    // of mkdirs-ing it back into existence (the resurrection race a driver
+    // abort would otherwise lose against dying tasks)
+    val p = new Path(targetDir)
+    fs(p).mkdirs(p): Unit
+    StagedParquetWriterFactory(targetDir, schema, partSpec, token)
+  }
 
   private def isStagingTarget: Boolean =
     promoteTo.isDefined || targetDir.contains("__staging")
@@ -336,25 +552,28 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(targetDir)
     val f = fs(p)
-    val committed = messages.map(_.asInstanceOf[StagedFileCommit].file).toSet
-    // Staging dirs started empty, so they must end holding exactly the
-    // committed files — losers of speculative races are deleted before
-    // publication. In append mode the dir also holds the table's PRIOR
-    // files, which must survive: only this job's unrenamed _tmp- leftovers
-    // are swept (a task file gets its committed name only via the task
-    // commit rename, so a stray can never wear one).
-    f.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
+    val committed = messages.flatMap(_.asInstanceOf[StagedFilesCommit].files).toSet
+    // Staging dirs started empty AND belong to this write alone, so they
+    // must end holding exactly the committed files — losers of speculative
+    // races are deleted before publication. In append mode the dir also
+    // holds the table's PRIOR files and possibly a CONCURRENT job's
+    // in-flight files, which must both survive: only THIS job's unrenamed
+    // _tmp-<token>- leftovers are swept (a task file gets its committed
+    // name only via the task commit rename, so a stray can never wear one,
+    // and another job's files never carry this token).
+    listRelative(p).foreach { rel =>
+      val n = rel.split('/').last
       val stray =
-        if (isStagingTarget) n.endsWith(".parquet") && !committed(n)
-        else n.startsWith("_tmp-")
-      if (stray) f.delete(st.getPath, true)
+        if (isStagingTarget) n.endsWith(".parquet") && !committed(rel)
+        else n.startsWith(s"_tmp-$token-")
+      if (stray) f.delete(new Path(p, rel), true)
     }
     committed.foreach { n =>
       if (!f.exists(new Path(p, n)))
         throw new IllegalStateException(s"commit: committed file $n missing in $targetDir")
     }
     writeString(p, SchemaFile, schema.json)
+    if (partSpec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(partSpec))
     writeString(p, SuccessFile, "")
     promoteTo.foreach(prod => promote(targetDir, prod))
   }
@@ -363,135 +582,324 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
     val p = new Path(targetDir)
     val f = fs(p)
     if (promoteTo.isEmpty && !targetDir.contains("__staging")) {
-      // append mode aborted: remove only this job's temp files; the
-      // committed table contents stay intact
-      f.listStatus(p).foreach { st =>
-        if (st.getPath.getName.startsWith("_tmp-")) f.delete(st.getPath, true)
+      // append mode aborted: remove this job's temp files AND any files
+      // already task-committed under their final (token-carrying) names;
+      // the committed table contents — and a concurrent job's files,
+      // which carry a different token — stay intact
+      listRelative(p).foreach { rel =>
+        val n = rel.split('/').last
+        if (n.startsWith(s"_tmp-$token-") || n.endsWith(s"-$token.snappy.parquet"))
+          f.delete(new Path(p, rel), true)
       }
-    } else f.delete(p, true): Unit // staging dir: drop wholesale, prod untouched
+    } else deleteStaging(targetDir) // staging dir: drop wholesale, prod untouched
   }
 }
 
-case class StagedParquetWriterFactory(targetDir: String, schema: StructType)
+/** Dynamic partition overwrite: data stages under `stagingDir`, and commit
+  * swaps ONLY the partition directories that received rows (per-partition
+  * [[StagedParquet.swapDirs]] — each swap is an atomic rename pair;
+  * partitions the write never touched are never read, listed, or moved, so
+  * commit cost scales with touched partitions, not table size). On an
+  * unpartitioned table this degrades to the full-table promote.
+  */
+class DynamicOverwriteBatchWrite(stagingDir: String, prodDir: String,
+                                 schema: StructType, partSpec: Seq[PartField],
+                                 queryId: String)
+    extends StagedParquetBatchWrite(stagingDir, None, schema, partSpec, queryId) {
+  import StagedParquet._
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    super.commit(messages) // staging dir now holds exactly the committed files
+    val prod = new Path(prodDir)
+    val f = fs(prod)
+    if (partSpec.isEmpty) { promote(stagingDir, prodDir); return }
+    val committed = messages.flatMap(_.asInstanceOf[StagedFilesCommit].files)
+    val parts = committed.map { rel =>
+      val segs = rel.split('/')
+      segs.dropRight(1).mkString("/")
+    }.distinct.filter(_.nonEmpty)
+    parts.foreach { part =>
+      swapDirs(s"$stagingDir/$part", s"$prodDir/$part")
+    }
+    // metadata refresh on prod (schema/spec unchanged by an overwrite, but
+    // a first-ever dynamic write onto a created-empty table publishes them)
+    writeString(prod, SchemaFile, schema.json)
+    writeString(prod, PartitionFile, PartSpec.serialize(partSpec))
+    writeString(prod, SuccessFile, "")
+    f.delete(new Path(stagingDir), true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(stagingDir) // staging only; prod untouched
+}
+
+case class StagedParquetWriterFactory(targetDir: String, schema: StructType,
+                                      partSpec: Seq[PartField], token: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StagedParquetDataWriter(targetDir, partitionId, taskId, schema)
+    new StagedParquetDataWriter(targetDir, partitionId, taskId, schema, partSpec, token)
 }
 
-/** One task's writer: parquet rows stream to `_tmp-<file>`; task commit
-  * renames to the final name (so a file is visible under its committed
-  * name only if the task committed) and reports it to the driver.
+object StagedParquetWriterFactory {
+  /** queryId → filesystem-safe token (Spark's queryIds are UUIDs; keep it
+    * bounded but unique enough that two applications' concurrent writes
+    * cannot collide — 12 hex chars of UUID).
+    */
+  def sanitize(queryId: String): String =
+    queryId.filter(c => c.isLetterOrDigit).take(12) match {
+      case "" => java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      case t  => t
+    }
+}
+
+/** One task's writer: parquet rows stream to `<part-dir>/_tmp-<token>-<file>`;
+  * task commit renames to the final name (so a file is visible under its
+  * committed name only if the task committed) and reports the relative
+  * paths to the driver. Partitioned tables keep one open parquet writer per
+  * partition directory seen by this task — the standard dynamic-partition
+  * writer shape (repartition by the partition columns before writing to
+  * bound the per-task writer count).
   */
 class StagedParquetDataWriter(targetDir: String, partitionId: Int, taskId: Long,
-                              schema: StructType) extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId.snappy.parquet"
+                              schema: StructType, partSpec: Seq[PartField],
+                              token: String) extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId-$token.snappy.parquet"
   private val conf = new Configuration()
-  private val tmpPath = new Path(targetDir, s"_tmp-$fileName")
-  private val writer: ParquetWriter[InternalRow] = {
-    val f = tmpPath.getFileSystem(conf)
-    f.mkdirs(new Path(targetDir)): Unit
-    f.delete(tmpPath, false): Unit // stale attempt leftovers
-    new InternalRowParquetBuilder(tmpPath, schema)
-      .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
-  }
+  private val dataFields = PartSpec.dataFields(schema, partSpec)
+  private val partEvals = PartSpec.partEvaluators(schema, partSpec)
+  // partition rel-dir ("" when unpartitioned) -> open writer on its tmp file
+  private val writers = mutable.LinkedHashMap.empty[String, ParquetWriter[InternalRow]]
   private var rows = 0L
   private var closed = false
 
-  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+  private def relDir(row: InternalRow): String =
+    if (partEvals.isEmpty) "" else partEvals.map(_(row)).mkString("/")
+
+  private def tmpPath(dir: String): Path =
+    new Path(if (dir.isEmpty) targetDir else s"$targetDir/$dir", s"_tmp-$token-$fileName")
+
+  private def openWriter(dir: String): ParquetWriter[InternalRow] = {
+    val tmp = tmpPath(dir)
+    val f = tmp.getFileSystem(conf)
+    // the root was created driver-side before task launch; if it is GONE
+    // the write has been aborted — die rather than resurrect the dir
+    if (!f.exists(new Path(targetDir)))
+      throw new java.io.IOException(
+        s"write root $targetDir vanished — write aborted")
+    f.mkdirs(tmp.getParent): Unit
+    f.delete(tmp, false): Unit // stale attempt leftovers
+    try new InternalRowParquetBuilder(tmp, dataFields)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    catch { case e: Throwable =>
+      // a kill-interrupted create must not strand a file the task's abort
+      // doesn't know about (the writer never reached the map)
+      try f.delete(tmp, false): Unit catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val dir = relDir(row)
+    writers.getOrElseUpdate(dir, openWriter(dir)).write(row)
+    rows += 1
+  }
 
   override def commit(): WriterCommitMessage = {
+    val dirs = writers.keys.toSeq
     close()
-    val f = tmpPath.getFileSystem(conf)
-    if (!f.rename(tmpPath, new Path(targetDir, fileName)))
-      throw new java.io.IOException(s"task commit: cannot rename $tmpPath")
-    StagedFileCommit(fileName, rows)
+    val rels = dirs.map { dir =>
+      val tmp = tmpPath(dir)
+      val rel = if (dir.isEmpty) fileName else s"$dir/$fileName"
+      val f = tmp.getFileSystem(conf)
+      if (!f.rename(tmp, new Path(targetDir, rel)))
+        throw new java.io.IOException(s"task commit: cannot rename $tmp")
+      rel
+    }
+    StagedFilesCommit(rels, rows)
   }
 
   override def abort(): Unit = {
+    val dirs = writers.keys.toSeq
     try close() catch { case _: Throwable => () }
-    tmpPath.getFileSystem(conf).delete(tmpPath, false): Unit
+    dirs.foreach { dir =>
+      val tmp = tmpPath(dir)
+      tmp.getFileSystem(conf).delete(tmp, false): Unit
+    }
   }
 
   override def close(): Unit =
-    if (!closed) { closed = true; writer.close() }
+    if (!closed) { closed = true; writers.values.foreach(_.close()) }
 }
 
 // ---------------------------------------------------------------------------
 // InternalRow -> parquet, via public parquet-hadoop API only
 // ---------------------------------------------------------------------------
 
-private[v2] class InternalRowParquetBuilder(path: Path, schema: StructType)
+private[v2] class InternalRowParquetBuilder(path: Path,
+                                            fields: Seq[(StructField, Int)])
     extends ParquetWriter.Builder[InternalRow, InternalRowParquetBuilder](path) {
   override def self(): InternalRowParquetBuilder = this
   override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
-    new InternalRowWriteSupport(schema)
+    new InternalRowWriteSupport(fields)
 }
 
-/** Minimal WriteSupport for flat schemas over the engine's scalar types.
-  * The physical encodings mirror Spark's own non-legacy writer so a
+/** WriteSupport over the engine's scalar types plus arrays, structs and
+  * maps. The physical encodings mirror Spark's own non-legacy writer so a
   * read-back through spark.read.parquet reproduces the logical types
   * bit-for-bit: strings as UTF8 binary, decimals ≤9/≤18 digits as
   * annotated INT32/INT64 unscaled values, timestamps as UTC-adjusted
-  * INT64 micros, dates as INT32 days.
+  * INT64 micros, dates as INT32 days, arrays as 3-level LIST groups
+  * (`list` repetition wrapper, `element` field), structs as plain groups,
+  * maps as MAP `key_value` groups with required keys.
+  *
+  * `fields` carries (field, ordinal-in-incoming-row) so identity-partition
+  * columns can be dropped from the file while the writer still reads them
+  * from the unprojected row.
   */
-private[v2] class InternalRowWriteSupport(schema: StructType)
+private[v2] class InternalRowWriteSupport(fields: Seq[(StructField, Int)])
     extends WriteSupport[InternalRow] {
 
   private var consumer: RecordConsumer = _
 
+  private def toParquet(name: String, dt: DataType,
+                        rep: PType.Repetition = PType.Repetition.OPTIONAL): PType = {
+    def prim(t: PrimitiveTypeName, ann: LogicalTypeAnnotation = null): PType = {
+      val b = PTypes.primitive(t, rep)
+      (if (ann == null) b else b.as(ann)).named(name)
+    }
+    dt match {
+      case BooleanType => prim(PrimitiveTypeName.BOOLEAN)
+      case IntegerType => prim(PrimitiveTypeName.INT32)
+      case LongType    => prim(PrimitiveTypeName.INT64)
+      case FloatType   => prim(PrimitiveTypeName.FLOAT)
+      case DoubleType  => prim(PrimitiveTypeName.DOUBLE)
+      case StringType  => prim(PrimitiveTypeName.BINARY, LogicalTypeAnnotation.stringType())
+      case BinaryType  => prim(PrimitiveTypeName.BINARY)
+      case d: DecimalType if d.precision <= 9 =>
+        prim(PrimitiveTypeName.INT32, LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case d: DecimalType if d.precision <= 18 =>
+        prim(PrimitiveTypeName.INT64, LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case DateType => prim(PrimitiveTypeName.INT32, LogicalTypeAnnotation.dateType())
+      case TimestampType => prim(PrimitiveTypeName.INT64,
+        LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case ArrayType(el, _) =>
+        PTypes.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(PTypes.repeatedGroup()
+            .addField(toParquet("element", el)).named("list"))
+          .named(name)
+      case StructType(fs) =>
+        fs.foldLeft(PTypes.buildGroup(rep)) { (g, f) =>
+          g.addField(toParquet(f.name, f.dataType))
+        }.named(name)
+      case MapType(kt, vt, _) =>
+        PTypes.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(PTypes.repeatedGroup()
+            // keys are REQUIRED in the parquet MAP spec
+            .addField(toParquet("key", kt, PType.Repetition.REQUIRED))
+            .addField(toParquet("value", vt)).named("key_value"))
+          .named(name)
+      case other => throw new UnsupportedOperationException(
+        s"StagedParquet sink: unsupported column type $other for $name")
+    }
+  }
+
   private val parquetType: MessageType = {
     val b = PTypes.buildMessage()
-    schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case BooleanType => PTypes.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
-        case IntegerType => PTypes.optional(PrimitiveTypeName.INT32).named(f.name)
-        case LongType    => PTypes.optional(PrimitiveTypeName.INT64).named(f.name)
-        case FloatType   => PTypes.optional(PrimitiveTypeName.FLOAT).named(f.name)
-        case DoubleType  => PTypes.optional(PrimitiveTypeName.DOUBLE).named(f.name)
-        case StringType  => PTypes.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case BinaryType  => PTypes.optional(PrimitiveTypeName.BINARY).named(f.name)
-        case d: DecimalType if d.precision <= 9 =>
-          PTypes.optional(PrimitiveTypeName.INT32)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
-        case d: DecimalType if d.precision <= 18 =>
-          PTypes.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
-        case DateType => PTypes.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case TimestampType => PTypes.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case other => throw new UnsupportedOperationException(
-          s"StagedParquet sink: unsupported column type $other for ${f.name}")
-      }
-      b.addField(t)
-    }
+    fields.foreach { case (f, _) => b.addField(toParquet(f.name, f.dataType)) }
     b.named("spark_schema")
   }
 
-  // per-field emitters resolved once, not per row
-  private val emitters: Array[(InternalRow, Int) => Unit] =
-    schema.fields.map { f =>
-      f.dataType match {
-        case BooleanType => (r: InternalRow, i: Int) => consumer.addBoolean(r.getBoolean(i))
-        case IntegerType | DateType => (r: InternalRow, i: Int) => consumer.addInteger(r.getInt(i))
-        case LongType | TimestampType => (r: InternalRow, i: Int) => consumer.addLong(r.getLong(i))
-        case FloatType => (r: InternalRow, i: Int) => consumer.addFloat(r.getFloat(i))
-        case DoubleType => (r: InternalRow, i: Int) => consumer.addDouble(r.getDouble(i))
-        case StringType => (r: InternalRow, i: Int) =>
-          consumer.addBinary(Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
-        case BinaryType => (r: InternalRow, i: Int) =>
-          consumer.addBinary(Binary.fromReusedByteArray(r.getBinary(i)))
-        case d: DecimalType if d.precision <= 9 => (r: InternalRow, i: Int) =>
-          consumer.addInteger(r.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
-        case d: DecimalType if d.precision <= 18 => (r: InternalRow, i: Int) =>
-          consumer.addLong(r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-        case other => throw new UnsupportedOperationException(other.toString)
+  /** Emitter for a VALUE of type `dt` read from getters at ordinal i —
+    * resolved once per schema, recursive for nested types.
+    */
+  private def emitterOf(dt: DataType): (SpecializedGetters, Int) => Unit = dt match {
+    case BooleanType => (r, i) => consumer.addBoolean(r.getBoolean(i))
+    case IntegerType | DateType => (r, i) => consumer.addInteger(r.getInt(i))
+    case LongType | TimestampType => (r, i) => consumer.addLong(r.getLong(i))
+    case FloatType => (r, i) => consumer.addFloat(r.getFloat(i))
+    case DoubleType => (r, i) => consumer.addDouble(r.getDouble(i))
+    case StringType => (r, i) =>
+      consumer.addBinary(Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
+    case BinaryType => (r, i) =>
+      consumer.addBinary(Binary.fromReusedByteArray(r.getBinary(i)))
+    case d: DecimalType if d.precision <= 9 => (r, i) =>
+      consumer.addInteger(r.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
+    case d: DecimalType if d.precision <= 18 => (r, i) =>
+      consumer.addLong(r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case ArrayType(el, _) =>
+      val elEmit = emitterOf(el)
+      (r, i) => {
+        val arr = r.getArray(i)
+        consumer.startGroup()
+        if (arr.numElements() > 0) {
+          consumer.startField("list", 0)
+          var j = 0
+          while (j < arr.numElements()) {
+            consumer.startGroup()
+            if (!arr.isNullAt(j)) {
+              consumer.startField("element", 0)
+              elEmit(arr, j)
+              consumer.endField("element", 0)
+            }
+            consumer.endGroup()
+            j += 1
+          }
+          consumer.endField("list", 0)
+        }
+        consumer.endGroup()
       }
-    }
+    case st: StructType =>
+      val fs = st.fields
+      val emits = fs.map(f => emitterOf(f.dataType))
+      (r, i) => {
+        val row = r.getStruct(i, fs.length)
+        consumer.startGroup()
+        var j = 0
+        while (j < fs.length) {
+          if (!row.isNullAt(j)) {
+            consumer.startField(fs(j).name, j)
+            emits(j)(row, j)
+            consumer.endField(fs(j).name, j)
+          }
+          j += 1
+        }
+        consumer.endGroup()
+      }
+    case MapType(kt, vt, _) =>
+      val kEmit = emitterOf(kt)
+      val vEmit = emitterOf(vt)
+      (r, i) => {
+        val m = r.getMap(i)
+        consumer.startGroup()
+        if (m.numElements() > 0) {
+          consumer.startField("key_value", 0)
+          val ks = m.keyArray(); val vs = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            consumer.startGroup()
+            consumer.startField("key", 0)
+            kEmit(ks, j)
+            consumer.endField("key", 0)
+            if (!vs.isNullAt(j)) {
+              consumer.startField("value", 1)
+              vEmit(vs, j)
+              consumer.endField("value", 1)
+            }
+            consumer.endGroup()
+            j += 1
+          }
+          consumer.endField("key_value", 0)
+        }
+        consumer.endGroup()
+      }
+    case other => throw new UnsupportedOperationException(other.toString)
+  }
+
+  // per-field (emitter, row-ordinal) resolved once, not per row
+  private val emitters: Array[((SpecializedGetters, Int) => Unit, Int)] =
+    fields.map { case (f, ord) => (emitterOf(f.dataType), ord) }.toArray
 
   override def init(conf: Configuration): WriteSupport.WriteContext =
     new WriteSupport.WriteContext(parquetType,
@@ -503,10 +911,11 @@ private[v2] class InternalRowWriteSupport(schema: StructType)
     consumer.startMessage()
     var i = 0
     while (i < emitters.length) {
-      if (!row.isNullAt(i)) {
-        val n = schema.fields(i).name
+      val (emit, ord) = emitters(i)
+      if (!row.isNullAt(ord)) {
+        val n = fields(i)._1.name
         consumer.startField(n, i)
-        emitters(i)(row, i)
+        emit(row, ord)
         consumer.endField(n, i)
       }
       i += 1

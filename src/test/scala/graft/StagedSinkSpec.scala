@@ -22,6 +22,15 @@ class StagedSinkSpec extends AnyFunSuite {
     Option(parent.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(t)).map(_.getName).toSeq
   }
+  private def listDirsIn(t: String): Seq[String] = {
+    val d = new java.io.File(prodDir(t))
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSeq
+  }
+  private def filesIn(t: String, sub: String): Set[String] = {
+    val d = new java.io.File(prodDir(t), sub)
+    Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+  }
   private def dropAll(t: String): Unit = {
     val parent = new java.io.File(s"$root/$ns")
     Option(parent.listFiles()).getOrElse(Array.empty)
@@ -60,9 +69,11 @@ class StagedSinkSpec extends AnyFunSuite {
     try {
       spark.range(0, 50).select(col("id")).writeTo(s"graft_staged.$ns.t2")
         .createOrReplace()
-      // listener delivery is async; poll briefly
+      // listener delivery is async AND the inner (data-writing) plan can
+      // arrive before the outer atomic-replace one; poll for the outer
       val deadline = System.nanoTime + 10000000000L
-      while (captured.get().isEmpty && System.nanoTime < deadline)
+      while (!captured.get().contains("AtomicReplaceTableAsSelect")
+          && System.nanoTime < deadline)
         Thread.sleep(50)
       val plan = captured.get()
       // the atomic (staged-catalog) exec node, not the drop-then-create one
@@ -151,6 +162,139 @@ class StagedSinkSpec extends AnyFunSuite {
     val wantTl = graft.core.Tables.supplier(spark, d)
       .select("s_suppkey", "s_name", "s_nationkey").orderBy("s_suppkey").collect()
     assert(tl.sameElements(wantTl))
+  }
+
+  test("identity-partitioned createOrReplace writes k=v dirs and reads back pruned") {
+    dropAll("t7")
+    val src = spark.range(0, 400).select(col("id"),
+      (col("id") % 4).cast("int").as("k"),
+      concat(lit("v-"), col("id")).as("payload"))
+    src.writeTo(s"graft_staged.$ns.t7").partitionedBy(col("k")).createOrReplace()
+    // the layout IS the partitioning: one k=v dir per key, no data files at root
+    val sub = listDirsIn("t7")
+    assert(sub.sorted == Seq("k=0", "k=1", "k=2", "k=3"), sub.toString)
+    // identity column lives in the DIRECTORY, not the data files
+    val raw = spark.read.parquet(s"${prodDir("t7")}/k=2")
+    assert(!raw.schema.fieldNames.contains("k"))
+    val back = spark.read.parquet(prodDir("t7"))
+    assert(back.count() == 400)
+    assert(back.filter(col("k") === 2 && col("id") === 6).collect()
+      .head.getAs[String]("payload") == "v-6")
+    // read-back plan PRUNES on the partition column — the assert the whole
+    // feature exists for (layout planners now have a sink that can express
+    // their plans)
+    val plan = back.filter(col("k") === 2).queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters.*k.* = 2.*"), plan.take(2000))
+    // and the catalog reports the partitioning on load
+    val tbl = spark.sessionState.catalogManager.catalog("graft_staged")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), "t7"))
+    assert(tbl.partitioning().map(_.toString).toSeq == Seq("identity(k)"))
+  }
+
+  test("days-transform partitioning derives ts_day dirs, source column stays") {
+    dropAll("t8")
+    val src = spark.range(0, 100).select(col("id"),
+      to_timestamp(concat(lit("2024-03-0"), (col("id") % 3 + 1).cast("string"),
+        lit(" 10:00:00"))).as("ts"))
+    src.writeTo(s"graft_staged.$ns.t8").partitionedBy(days(col("ts"))).createOrReplace()
+    assert(listDirsIn("t8").sorted ==
+      Seq("ts_day=2024-03-01", "ts_day=2024-03-02", "ts_day=2024-03-03"))
+    val back = spark.read.parquet(prodDir("t8"))
+    // ts is in the data files (days is a DERIVED dir), ts_day from the dirs
+    assert(back.schema.fieldNames.toSet == Set("id", "ts", "ts_day"))
+    assert(back.schema("ts_day").dataType.simpleString == "date")
+    val plan = back.filter(col("ts_day") === "2024-03-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters.*ts_day.*"), plan.take(2000))
+    assert(back.filter(col("ts_day") === "2024-03-02").count() == 33)
+  }
+
+  test("overwritePartitions swaps ONLY the touched partition dirs") {
+    dropAll("t9")
+    val tbl = s"graft_staged.$ns.t9"
+    spark.range(0, 100).select(col("id"), (col("id") % 4).cast("int").as("k"),
+        lit("v1").as("tag"))
+      .writeTo(tbl).partitionedBy(col("k")).createOrReplace()
+    val before = filesIn("t9", "k=3")
+    // dynamic overwrite touches only k=1 (and plants different row counts)
+    spark.range(1000, 1010).select(col("id"), lit(1).cast("int").as("k"),
+        lit("v2").as("tag"))
+      .writeTo(tbl).overwritePartitions()
+    val back = spark.read.parquet(prodDir("t9"))
+    val k1 = back.filter(col("k") === 1).collect()
+    assert(k1.length == 10 && k1.forall(_.getAs[String]("tag") == "v2"))
+    // untouched partitions keep BOTH their rows and their physical files
+    assert(back.filter(col("k") === 3).count() == 25)
+    assert(filesIn("t9", "k=3") == before, "untouched partition was rewritten")
+    assert(back.count() == 75 + 10)
+    // a failed dynamic overwrite leaves everything intact
+    val poison = spark.range(0, 50).select(col("id"),
+      (col("id") % 4).cast("int").as("k"),
+      when(col("id") === 25, raise_error(lit("boom"))).otherwise(lit("v3")).as("tag"))
+    intercept[Exception] { poison.writeTo(tbl).overwritePartitions() }
+    val after = spark.read.parquet(prodDir("t9"))
+    assert(after.count() == 85)
+    assert(after.filter(col("tag") === "v3").count() == 0)
+    // abort cleanup races the async task kill; give it a moment
+    val deadline = System.nanoTime + 5000000000L
+    while (listDirs("t9") != Seq("t9") && System.nanoTime < deadline)
+      Thread.sleep(100)
+    assert(listDirs("t9") == Seq("t9"), s"staging leftovers: ${listDirs("t9")}")
+  }
+
+  test("two interleaved appends both survive (token-scoped sweeps)") {
+    dropAll("t10")
+    val tbl = s"graft_staged.$ns.t10"
+    spark.range(0, 10).select(col("id")).writeTo(tbl).createOrReplace()
+    // a concurrent job's in-flight temp file must NOT be swept by our commit
+    val foreign = new java.io.File(prodDir("t10"), "_tmp-deadbeef0000-part-00000-0-deadbeef0000.snappy.parquet")
+    java.nio.file.Files.write(foreign.toPath, Array[Byte](1, 2, 3))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writes = Seq((100, 200), (200, 300)).map { case (a, b) =>
+      Future { spark.range(a, b).select(col("id")).writeTo(tbl).append() }
+    }
+    import scala.concurrent.duration._
+    writes.foreach(Await.result(_, 120.seconds))
+    pool.shutdown()
+    val back = spark.read.parquet(prodDir("t10"))
+    assert(back.count() == 210)
+    assert(back.agg(sum("id")).collect().head.getLong(0) ==
+      (0L until 10L).sum + (100L until 300L).sum)
+    assert(foreign.exists(), "a concurrent job's temp file was swept")
+    foreign.delete()
+  }
+
+  test("nested types (array/struct/map, array of struct) round-trip bit-identical") {
+    dropAll("t11")
+    val src = spark.range(0, 50).select(col("id"),
+      array(col("id") * 1.5, col("id") * 2.5, lit(null).cast("double")).as("arr"),
+      struct(col("id").as("a"), concat(lit("s"), col("id")).as("b"),
+        array(col("id").cast("int")).as("inner")).as("st"),
+      map(concat(lit("k"), col("id")), col("id") * 10).as("m"),
+      array(struct(col("id").as("x"), lit("y").as("y"))).as("aos"),
+      when(col("id") % 7 === 0, lit(null).cast("array<bigint>"))
+        .otherwise(array(col("id"))).as("nullable_arr"))
+    src.writeTo(s"graft_staged.$ns.t11").createOrReplace()
+    val back = spark.read.parquet(prodDir("t11"))
+    assert(back.schema("arr").dataType.simpleString == "array<double>")
+    assert(back.schema("st").dataType.simpleString == "struct<a:bigint,b:string,inner:array<int>>")
+    assert(back.schema("m").dataType.simpleString == "map<string,bigint>")
+    assert(back.schema("aos").dataType.simpleString == "array<struct<x:bigint,y:string>>")
+    val got = back.orderBy("id").collect()
+    val want = src.orderBy("id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // empty array/map round-trip (the 3-level encoding's edge case)
+    dropAll("t12")
+    val edge = spark.range(0, 3).select(col("id"),
+      array().cast("array<string>").as("ea"),
+      map().cast("map<string,int>").as("em"))
+    edge.writeTo(s"graft_staged.$ns.t12").createOrReplace()
+    val eb = spark.read.parquet(prodDir("t12")).orderBy("id").collect()
+    assert(eb.forall(r => r.getSeq[String](1).isEmpty && r.getMap[String, Int](2).isEmpty))
   }
 
   test("SyncCheck parses SURVEY prose counts and they match the registry") {
