@@ -635,25 +635,89 @@ object Dedup {
   /** The production shape: arrivals as a STREAM, each micro-batch banded
     * and matched against the stored index plus the persisted bands of all
     * earlier batches, then its own bands appended to the seen-state dir.
-    * Both writes are per-batchId overwrites — idempotent under checkpoint
+    * All writes are per-batchId overwrites — idempotent under checkpoint
     * replay (exactly-once results without a transactional sink) — and the
     * seen-state read takes only batches strictly OLDER than the current
     * batchId, so a replayed batch never observes its own partial state.
     * At warehouse scale the seen dir is the growing banding index itself:
-    * committing a batch's bands IS the index maintenance step.
+    * committing a batch's bands IS the index maintenance step — and every
+    * [[StreamDedupCompactEvery]] batches the committed `batch=` band dirs
+    * FOLD into one `compacted=<uptoBatchId>` artifact, so the per-trigger
+    * seen read is bounded at one compacted dir + at most
+    * [[StreamDedupCompactEvery]] recent batch dirs regardless of how many
+    * triggers have ever run (without this the read is linear in trigger
+    * history — quadratic cumulative I/O over a crawl's lifetime). The fold
+    * is itself replay-safe: `compacted=<b>` names the batches it covers
+    * (all `< b`), a replayed batch rewrites it idempotently, and a crash
+    * between the fold and the pruning of folded dirs cannot double-count —
+    * the seen read takes only `batch=` dirs `>=` the newest compaction
+    * point. All state listing goes through the Hadoop FileSystem API, so
+    * the state dir can live on object storage.
     */
+  val StreamDedupCompactEvery: Int = 4
+
+  private def stateFs(s: SparkSession,
+                      stateDir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Fully-committed (_SUCCESS-marked) state dirs only: a fold or band
+    * write that crashed mid-flight must read as absent, not as state.
+    */
+  private def listStateIds(s: SparkSession, stateDir: String,
+                           prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = stateFs(s, stateDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** The bounded seen-state read: newest compaction point `<= batchId`
+    * plus the batch dirs after it and before `batchId`.
+    */
+  private def seenStatePaths(s: SparkSession, stateDir: String,
+                             batchId: Long): Seq[String] = {
+    val k = listStateIds(s, stateDir, "compacted=").filter(_ <= batchId)
+      .sorted.lastOption.getOrElse(0L)
+    val recent = listStateIds(s, stateDir, "batch=")
+      .filter(b => b >= k && b < batchId).sorted
+    (if (k > 0) Seq(s"$stateDir/compacted=$k") else Seq.empty) ++
+      recent.map(b => s"$stateDir/batch=$b")
+  }
+
   def streamDedupIndexStart(s: SparkSession, newDocs: DataFrame,
-      index: DataFrame, stateDir: String, outDir: String,
-      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+      index: DataFrame, stateDir: String, outDir: String, ckpt: String,
+      compactEvery: Int = StreamDedupCompactEvery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // index-maintenance step: fold everything older than this batch
+        // into one compacted artifact, then prune the superseded dirs
+        // (prune failures are harmless — the >= k filter below excludes
+        // leftovers, and the next compaction prunes them again). Replay of
+        // a compaction batch skips the fold — compacted=<batchId> already
+        // exists committed, and re-folding would read and overwrite the
+        // same path in one job.
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val alreadyFolded =
+            listStateIds(s, stateDir, "compacted=").contains(batchId)
+          val fold = seenStatePaths(s, stateDir, batchId)
+          if (!alreadyFolded && fold.nonEmpty)
+            s.read.parquet(fold: _*).select("new_id", "band", "bucket")
+              .write.mode("overwrite").parquet(s"$stateDir/compacted=$batchId")
+          val fs = stateFs(s, stateDir)
+          def prune(prefix: String): Unit =
+            listStateIds(s, stateDir, prefix).filter(_ < batchId).foreach(b =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$stateDir/$prefix$b"), true): Unit)
+          if (alreadyFolded || fold.nonEmpty) { prune("batch="); prune("compacted=") }
+        }
         val nb = bandedFrom(batch).toDF("new_id", "band", "bucket")
           .localCheckpoint()
-        val older = Option(new java.io.File(stateDir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-            f.getName.stripPrefix("batch=").toLong < batchId)
-          .map(_.getPath).toSeq
+        val older = seenStatePaths(s, stateDir, batchId)
         val seen =
           if (older.isEmpty) nb.limit(0).toDF("seen_id", "band", "bucket")
           else s.read.parquet(older: _*)

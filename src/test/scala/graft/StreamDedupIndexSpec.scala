@@ -25,32 +25,50 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     val arrivals = Dedup.crawlDocs(spark, sf).localCheckpoint()
     // physical arrival order must respect id order ACROSS micro-batches
     // (the semantic contract of a crawl feed); the repeats (+CrawlDupOffset)
-    // arrive after the first appearances, and while the query is DOWN
+    // arrive after the first appearances, and while the query is DOWN.
+    // The crawl offsets are multiples of 8, so doc_id % 8 survives the
+    // offsetting and splits each wave into deterministic halves — SIX
+    // micro-batches total, enough to cross two compaction points at
+    // compactEvery=2.
     val firstWave = arrivals
       .filter(col("doc_id") < Dedup.CrawlOffset + Dedup.CrawlDupOffset)
     val repeats = arrivals
       .filter(col("doc_id") >= Dedup.CrawlOffset + Dedup.CrawlDupOffset)
-    // two files -> two micro-batches in run 1 (A-group ids and B-group ids
-    // interleave, but no A<->B match exists, so file order is free)
-    firstWave.filter(col("doc_id") % 4 === 0).coalesce(1)
-      .write.mode("append").parquet(src)
-    firstWave.filter(col("doc_id") % 4 === 1).coalesce(1)
-      .write.mode("append").parquet(src)
+    // four files -> four micro-batches in run 1 (A-group ids and B-group
+    // ids interleave, but no A<->B match exists, so file order is free)
+    Seq(0, 4, 1, 5).foreach { m =>
+      firstWave.filter(col("doc_id") % 8 === m).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
 
     val index = Dedup.bandingIndex(spark, sf).localCheckpoint()
     def runOnce(): Int = {
       val stream = spark.readStream
         .schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val q = Dedup.streamDedupIndexStart(spark, stream, index, state, out, ckpt)
+      val q = Dedup.streamDedupIndexStart(spark, stream, index, state, out,
+        ckpt, compactEvery = 2)
       try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
       finally q.stop()
     }
-    assert(runOnce() >= 2) // first wave crossed at least two micro-batches
+    assert(runOnce() >= 4) // first wave crossed at least four micro-batches
     // repeats arrive while the query is down; a FRESH query resumes from
     // the checkpoint and processes only them
-    repeats.coalesce(1).write.mode("append").parquet(src)
-    assert(runOnce() >= 1)
+    Seq(1, 5).foreach { m =>
+      repeats.filter(col("doc_id") % 8 === m).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    assert(runOnce() >= 2)
+    // seen-state compaction keeps the per-trigger read BOUNDED: after six
+    // batches at compactEvery=2 the state dir holds ONE compacted fold
+    // plus at most compactEvery uncompacted batch dirs — not one dir per
+    // trigger ever run (the quadratic-cumulative-read failure mode)
+    val stateDirs = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(stateDirs.count(_.startsWith("compacted=")) == 1, stateDirs.toString)
+    assert(stateDirs.count(_.startsWith("batch=")) <= 2, stateDirs.toString)
+    assert(stateDirs == Seq("batch=4", "batch=5", "compacted=4"), stateDirs.toString)
 
     val got = spark.read.parquet(out)
       .select("new_id", "source", "match_id").orderBy("new_id").collect()
