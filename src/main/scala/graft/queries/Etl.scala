@@ -170,10 +170,21 @@ object Etl {
       .select(col("o_orderkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"), lit("staging").as("src"))
 
-  // PK upsert: staging wins on conflict, unmatched prod rows survive.
-  def upsert(s: SparkSession, d: String): DataFrame =
-    EtlOps.upsert(prodOrders(s, d), stagingOrders(s, d), Seq("o_orderkey"))
+  // PK upsert: staging wins on conflict, unmatched prod rows survive —
+  // routed through the V2 staged MERGE (postgres.py:1092-1180 INSERT..ON
+  // CONFLICT as an atomic staged swap): prod is seeded as a real catalog
+  // table, the merge stages prod⟕staging ∪ staging, and the swap is the
+  // same O(1) checked rename the replace path uses. StagedSinkSpec proves
+  // a crash mid-merge leaves prod serving its pre-merge rows.
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    val ns = Ingest.stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_prod"
+    prodOrders(s, d).writeTo(tbl).createOrReplace()
+    graft.sources.v2.StagedParquet.upsertInto(s, tbl,
+      stagingOrders(s, d), Seq("o_orderkey"))
+    s.read.parquet(graft.sources.v2.StagedParquet.tableDir(s, tbl))
       .orderBy("o_orderkey")
+  }
 
   // Delete-stale: prod rows whose PK vanished from staging are dropped.
   def deleteStale(s: SparkSession, d: String): DataFrame =

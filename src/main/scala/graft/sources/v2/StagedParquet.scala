@@ -91,6 +91,45 @@ object StagedParquet {
     s.conf.set(s"spark.sql.catalog.$CatalogName.root", root)
   }
 
+  /** Prod directory of a `graft_staged.<ns...>.<name>` table, resolved from
+    * the catalog's root conf.
+    */
+  def tableDir(s: SparkSession, table: String): String = {
+    val parts = table.split('.')
+    require(parts.head == CatalogName, s"not a $CatalogName table: $table")
+    val root = try s.conf.get(s"spark.sql.catalog.$CatalogName.root")
+               catch { case _: Throwable => "/tmp/graft_stage/v2" }
+    (root +: parts.tail.toSeq).mkString("/")
+  }
+
+  /** Staged MERGE — the sink's upsert rung (reference: postgres.py:1092-1180
+    * `INSERT .. ON CONFLICT (pk) DO UPDATE`): the merged relation (staging
+    * wins on key conflict, unmatched prod rows survive — exactly
+    * [[graft.operators]] EtlOps.upsert set algebra, inlined here to keep
+    * the package dependency one-way) is STAGED through the catalog's atomic
+    * replace and swapped over prod in one metadata operation. A crash
+    * anywhere before the swap leaves prod serving its pre-merge contents —
+    * the same guarantee the replace path has, which the reference's
+    * transactional ON CONFLICT upsert gets from postgres. The prod scan
+    * happens inside the staged write's job, strictly before the swap
+    * renames anything, so the read never observes its own output.
+    *
+    * At 100 TB: one hash anti-join of prod against the (small) staging key
+    * set + one staged rewrite — the merge cost is the rewrite, the swap is
+    * O(1). For partitioned tables combine with `overwritePartitions()` to
+    * confine the rewrite to touched partitions.
+    */
+  def upsertInto(s: SparkSession, table: String,
+                 staging: org.apache.spark.sql.DataFrame,
+                 keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val prod = s.read.parquet(tableDir(s, table))
+    val merged = prod
+      .join(staging.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(staging)
+    merged.writeTo(table).createOrReplace()
+  }
+
   private[v2] def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
   private[v2] def hadoopConf: Configuration =
