@@ -950,6 +950,107 @@ object Ann {
       .orderBy("probe_id")
   }
 
+  // ---- clustered fixture: recall gates that DISCRIMINATE -----------------
+  /** The synthetic embedding corpus is near-random, so the NND/IVFPQ recall
+    * gates sit at 0.03–0.13 there — honest, but verifying plumbing more
+    * than search quality (descent has no cluster structure to exploit, and
+    * ADC has no scale separation to resolve). This fixture derives a
+    * TWO-LEVEL clustered corpus from the same table: [[CL_K]] salted-panel
+    * centers, every vec_id hash-assigned to a center AND to one of
+    * [[CL_SC]] GLOBAL sub-offsets (the same [[CL_SC]] offset vectors in
+    * every cluster — so the residual space after coarse quantization has
+    * ~[[CL_SC]] distinct patterns, representable by a [[PQ_K]]-entry
+    * codebook), plus per-vector noise two orders below the sub-offset
+    * scale. True top-k = sub-cluster siblings, separated from the rest of
+    * the cluster at the ±[[CL_SUB]]/2 scale ADC can resolve, while sibling
+    * ranking sits at the ±[[CL_NOISE]]/2 scale only the exact rerank sees
+    * — exactly the structure a correct IVF-PQ exploits. On it the
+    * NND and IVF-PQ gates must reach recall@k ≥ 0.8 (AnnTextSpec pins the
+    * floors); the hard near-random corpus stays as the documented stress
+    * fixture. The derivation is bit-deterministic in both engines (same
+    * md5-derived offsets, same double arithmetic), so the clustered gates
+    * are oracle-checked like every other query.
+    *
+    * Measured (avg recall@3): sf0.001 NND 0.97 / IVF-PQ 0.93; sf0.01 NND
+    * 0.83 / IVF-PQ 0.87; sf0.1 IVF-PQ 1.00 — and sf0.1 NND 0.33, a KNOWN
+    * ceiling worth stating precisely: above 512 vectors the NND seed's
+    * hash sub-ring (the device that caps in-cell pair generation at ~8·N —
+    * see [[nndSeedPairsOf]]) splits each tight cluster into sub-ring
+    * islands whose two-hop expansion is CLOSED (ring exploration edges are
+    * cos-dominated inside tight clusters and pruned immediately, unlike on
+    * the spread corpus where they survive and explore). Fixing it means a
+    * larger per-vertex candidate pool (real NN-descent runs K≈20-50 where
+    * this engine pins CAND_TOPK=3 for oracle-bounded outputs) — an engine
+    * constant shared by six oracle-gated queries, so it stays as
+    * documented future work rather than a quiet semantics change. The
+    * trajectory probe [[nndRecallAt]] reproduces the measurement.
+    */
+  private[graft] val CL_K = 16
+  private[graft] val CL_SC = 8
+  private[graft] val CL_SUB = 0.4
+  private[graft] val CL_NOISE = 0.02
+
+  /** Stage the clustered corpus as a parquet dir shaped like testdata
+    * (`<out>/embeddings.parquet`), so every ANN operator runs on it
+    * UNCHANGED by passing this dir as `d` — one fixture, the whole family.
+    * Written once per source dir; the write is a distributed broadcast
+    * join (centers are CL_K rows), not a driver-side loop.
+    */
+  private[graft] def clusteredDir(s: SparkSession, d: String): String = {
+    // parameters in the path: a derivation change can never serve stale data
+    val out = s"/tmp/graft_clustered/${java.lang.Integer.toHexString(d.hashCode)}" +
+      s"-k$CL_K-s$CL_SC-b$CL_SUB-n$CL_NOISE-u1"
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+      val base = vecs(s, d)
+      val w = Window.orderBy(col("h"), col("vec_id")) // CL_K rows post-limit
+      val cents = base
+        .select(col("vec_id"), col("v"),
+          md5Long(concat(lit("clcent:"), col("vec_id"))).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(CL_K)
+        .withColumn("cidx", row_number().over(w) - 1)
+        .select(col("cidx"), col("v").as("cv"))
+      val assigned = base.select(col("vec_id"),
+        (md5Long(concat(lit("clmem:"), col("vec_id"))) % CL_K).as("cidx"),
+        (md5Long(concat(lit("clsc:"), col("vec_id"))) % CL_SC).as("sc"))
+      val raw = assigned.join(broadcast(cents), "cidx")
+        .select(col("vec_id"),
+          transform(col("cv"), (e, i) => e +
+            ((md5Long(concat(lit("clsub:"), col("sc"), lit(":"), i)) % 1000)
+              .cast("double") / 1000.0 - 0.5) * CL_SUB +
+            ((md5Long(concat(lit("clp:"), col("vec_id"), lit(":"), i)) % 1000)
+              .cast("double") / 1000.0 - 0.5) * CL_NOISE).as("v"))
+      // unit-normalize: cluster CENTER norms vary, and the PQ family ranks
+      // by raw inner product while the recall ground truth is cosine — on
+      // unit vectors the two orders coincide, so the gate measures index
+      // quality, not the norm confound
+      raw.select(col("vec_id"),
+          sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))).as("nrm"),
+          col("v"))
+        .select(col("vec_id"),
+          transform(col("v"), e => e / col("nrm")).as("embedding"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
+  /** NND recall gate on the clustered corpus — floor 0.8, spec-pinned. */
+  def recallEvalNndClustered(s: SparkSession, d: String): DataFrame =
+    recallEvalNnd(s, clusteredDir(s, d))
+
+  /** Average NND recall after `iters` rounds — trajectory probe for specs
+    * and tuning (dir passed verbatim; pair with [[clusteredDir]] to probe
+    * the clustered fixture).
+    */
+  private[graft] def nndRecallAt(s: SparkSession, d: String, iters: Int): Double =
+    recallOf(s, d, rankTop(nndGraph(s, d, iters)
+        .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+          col("cos")), CAND_TOPK))
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+
+  /** IVF-PQ recall gate on the clustered corpus — floor 0.8, spec-pinned. */
+  def recallEvalIvfPqClustered(s: SparkSession, d: String): DataFrame =
+    recallEvalIvfPq(s, clusteredDir(s, d))
+
   /** One distributed Lloyd (k-means) update over the IVF codebook: every
     * vector is assigned to its nearest centroid (the exact ivfCells coarse
     * assignment), then the step emits the per-(cell, dim) sufficient
@@ -996,11 +1097,43 @@ object Ann {
     "ann_recall"     -> (recallEval _),
     "ann_recall_ivf" -> (recallEvalIvf _),
     "ann_recall_pq"  -> (recallEvalPq _),
-    "ann_recall_incremental" -> (recallEvalIncremental _)
+    "ann_recall_incremental" -> (recallEvalIncremental _),
+    "ann_recall_nnd_clustered" -> (recallEvalNndClustered _),
+    "ann_recall_ivfpq_clustered" -> (recallEvalIvfPqClustered _)
   )
 
   private val vecsSql =
     "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** SQL twin of [[clusteredDir]]'s derivation, binding the `vecs` CTE name
+    * to the CLUSTERED corpus so every downstream chain (elems, norms,
+    * buckets, nnd, ivfpq...) runs on it verbatim. DuckDB lambda indexes
+    * are 1-based (Spark's transform is 0-based), hence the `i - 1`.
+    */
+  private def clusteredVecsSql =
+    s"""vecs0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cl_ids AS (SELECT vec_id,
+           row_number() OVER (ORDER BY ${md5LongSql("concat('clcent:', vec_id)")}, vec_id) - 1 AS cidx
+         FROM vecs0
+         QUALIFY cidx < $CL_K),
+       cl_cents AS (SELECT c.cidx, v0.v AS cv
+         FROM cl_ids c JOIN vecs0 v0 ON v0.vec_id = c.vec_id),
+       cl_mem AS (SELECT vec_id,
+           ${md5LongSql("concat('clmem:', vec_id)")} % $CL_K AS cidx,
+           ${md5LongSql("concat('clsc:', vec_id)")} % $CL_SC AS sc
+         FROM vecs0),
+       cl_raw AS (SELECT x.vec_id,
+           list_transform(cc.cv, (e, i) -> e +
+             (CAST(${md5LongSql("concat('clsub:', m.sc, ':', i - 1)")} % 1000 AS DOUBLE)
+                / 1000.0 - 0.5) * $CL_SUB +
+             (CAST(${md5LongSql("concat('clp:', x.vec_id, ':', i - 1)")} % 1000 AS DOUBLE)
+                / 1000.0 - 0.5) * $CL_NOISE) AS v
+         FROM vecs0 x
+         JOIN cl_mem m ON m.vec_id = x.vec_id
+         JOIN cl_cents cc ON cc.cidx = m.cidx),
+       vecs AS (SELECT vec_id,
+           list_transform(v, e -> e / sqrt(${Dedup.dotSeqSql("v", "v")})) AS v
+         FROM cl_raw)"""
   private val elemsSql =
     """elems AS (SELECT vec_id, unnest(v) AS x,
                  generate_subscripts(v, 1) AS i FROM vecs)"""
@@ -1552,6 +1685,54 @@ object Ann {
          FROM ipq_ranked WHERE rk <= $CAND_TOPK ORDER BY probe_id, rk""",
     "ann_recall_ivfpq" ->
       s"""WITH $vecsSql, $normsSql, $probeIdsSql, $centIdsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $ivfAssignSql,
+         $ivfpqSql,
+         ipqk AS (SELECT probe_id, neighbor_id FROM ipq_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(ipqk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(ipqk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN ipqk
+           ON ipqk.probe_id = bf.probe_id AND ipqk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_recall_nnd_clustered" ->
+      s"""WITH $clusteredVecsSql, $elemsSql, $normsSql, $probeIdsSql,
+         bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
+           FROM vecs p JOIN vecs c
+             ON p.vec_id IN (SELECT vec_id FROM probe_ids) AND p.vec_id <> c.vec_id),
+         bf_scored AS (SELECT probe_id, neighbor_id,
+             dot / sqrt(np.nrm * nc.nrm) AS cos
+           FROM bf_dots
+           JOIN norms np ON np.vec_id = probe_id
+           JOIN norms nc ON nc.vec_id = neighbor_id),
+         bf_ranked AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+           FROM bf_scored),
+         bf AS (SELECT probe_id, neighbor_id FROM bf_ranked WHERE rk <= $CAND_TOPK),
+         $bucketsSqlFragment,
+         $nndSql,
+         nndk AS (SELECT probe_id, neighbor_id FROM nnd_ranked WHERE rk <= $CAND_TOPK)
+         SELECT bf.probe_id, count(nndk.neighbor_id) AS n_match,
+           ${graft.core.Determinism.r4Sql(s"CAST(count(nndk.neighbor_id) AS DOUBLE) / $CAND_TOPK")} AS recall
+         FROM bf LEFT JOIN nndk
+           ON nndk.probe_id = bf.probe_id AND nndk.neighbor_id = bf.neighbor_id
+         GROUP BY 1 ORDER BY 1""",
+    "ann_recall_ivfpq_clustered" ->
+      s"""WITH $clusteredVecsSql, $normsSql, $probeIdsSql, $centIdsSql,
          bf_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              ${Dedup.dotSeqSql("p.v", "c.v")} AS dot
            FROM vecs p JOIN vecs c

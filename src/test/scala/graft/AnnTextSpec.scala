@@ -226,6 +226,26 @@ class AnnTextSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered fixture: NND and IVF-PQ recall gates hit the 0.8 floor and discriminate") {
+    def avgRecall(q: String): Double = {
+      val rows = graft.queries.Ann.queries(q)(spark, sf).collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    // on the two-level clustered corpus a CORRECT index must recover the
+    // sub-cluster siblings — the floor is 0.8, not the hard corpus's 0.05
+    val nndCl = avgRecall("ann_recall_nnd_clustered")
+    val ipqCl = avgRecall("ann_recall_ivfpq_clustered")
+    assert(nndCl >= 0.8, s"clustered NND recall collapsed: $nndCl")
+    assert(ipqCl >= 0.8, s"clustered IVF-PQ recall collapsed: $ipqCl")
+    // and the gate DISCRIMINATES: the same index on the near-random stress
+    // corpus reads far lower, so a pass here is structure recovered, not
+    // a permissive floor
+    val nndHard = avgRecall("ann_recall_nnd")
+    val ipqHard = avgRecall("ann_recall_ivfpq")
+    assert(nndCl > nndHard + 0.3, s"no separation: clustered $nndCl vs hard $nndHard")
+    assert(ipqCl > ipqHard + 0.3, s"no separation: clustered $ipqCl vs hard $ipqHard")
+  }
+
   test("ann_recall_pq: the PQ index ships a per-probe recall gate") {
     val rows = graft.queries.Ann.queries("ann_recall_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
