@@ -53,7 +53,10 @@ object MmStream {
     val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
       be4(w), be4(h), unhex(lit("0802000000")))
     val jpeg = unhex(lit("FFD8FFE000104A46494600")) //  SOI + APP0/JFIF (11 B)
-    val mp3 = unhex(lit("49443303"))                //  ID3v2.3 tag head (4 B)
+    // full ID3v2.3 header: "ID3" 03 00 flags=00 + 4 sync-safe size bytes
+    // (10 B) — the complete spec layout, so the parser can demand version/
+    // flags/size structure rather than the 3-byte magic alone
+    val mp3 = unhex(lit("49443303000000000000"))
     val mp4 = unhex(lit("00000018667479706D703432")) // [size]ftyp mp42 (12 B)
     val payload = when(m === 0, concat(png, col("body")))
       .when(m === 1, concat(jpeg, col("body")))
@@ -71,10 +74,25 @@ object MmStream {
   def parseHeader(payload: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
     def hexAt(off: Int, len: Int) =
       lower(hex(substring(payload, off, len)))
-    val format = when(hexAt(1, 8) === "89504e470d0a1a0a", "png")
-      .when(hexAt(1, 3) === "ffd8ff", "jpeg")
-      .when(hexAt(1, 3) === "494433", "mp3")
-      .when(hexAt(5, 4) === "66747970", "mp4") // ISO BMFF: ftyp at offset 4
+    // each branch validates real header STRUCTURE past the magic bytes
+    // (ADVICE r8: a text payload that merely starts with "ID3"/"ÿØÿ" or
+    // carries "ftyp" at offset 4 must stay "bin"):
+    //  png  — signature AND the mandatory-first IHDR chunk (len 13 + type)
+    //  jpeg — SOI AND a structurally valid second marker (APPn/DQT/SOF/DHT)
+    //  mp3  — ID3 magic AND major version 2/3/4, revision != FF, flags with
+    //         the undefined low nibble clear, 4 sync-safe size bytes (<0x80)
+    //  mp4  — "ftyp" at offset 4 AND a plausible big-endian box size (the
+    //         spec's ftyp carries a handful of 4-byte brands: 16..256)
+    val format = when(hexAt(1, 8) === "89504e470d0a1a0a" &&
+        hexAt(9, 8) === "0000000d49484452", "png")
+      .when(hexAt(1, 3) === "ffd8ff" &&
+        hexAt(4, 1).rlike("^(e[0-9a-f]|db|c0|c2|c4|dd)$"), "jpeg")
+      .when(hexAt(1, 3) === "494433" &&
+        hexAt(4, 1).isin("02", "03", "04") && hexAt(5, 1) =!= "ff" &&
+        hexAt(6, 1).rlike("^[0-9a-f]0$") &&
+        hexAt(7, 4).rlike("^([0-7][0-9a-f]){4}$"), "mp3")
+      .when(hexAt(5, 4) === "66747970" &&
+        conv(hexAt(1, 4), 16, 10).cast("long").between(16L, 256L), "mp4")
       .otherwise("bin")
     // PNG IHDR is mandatory-first (RFC 2083): width/height live at fixed
     // byte offsets 17-20 / 21-24, big-endian
@@ -381,7 +399,7 @@ object MmStream {
 
   val oracles: Map[String, String] = Map(
     // the construct→parse round trip recomputed from first principles:
-    // header lengths png 29 / jpeg 11 / mp3 4 / mp4 12 bytes
+    // header lengths png 29 / jpeg 11 / mp3 10 / mp4 12 bytes
     "mm_header_parse" ->
       """SELECT doc_id,
          CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -390,7 +408,7 @@ object MmStream {
          CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 768 + 16 AS BIGINT) END AS height,
          CAST(octet_length(encode(text)) +
            CASE doc_id % 5 WHEN 0 THEN 29 WHEN 1 THEN 11
-             WHEN 2 THEN 4 WHEN 3 THEN 12 ELSE 0 END AS BIGINT) AS byte_len
+             WHEN 2 THEN 10 WHEN 3 THEN 12 ELSE 0 END AS BIGINT) AS byte_len
          FROM documents ORDER BY doc_id""",
     "stream_paged_ingest" ->
       """WITH ids AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i

@@ -5,8 +5,15 @@ package graft.tools
   * staleness; this makes the check one `runMain graft.tools.SyncCheck` away.
   */
 object SyncCheck {
+  /** Materializes the file's lines with the handle closed on exit (the r8
+    * ADVICE flagged the bare fromFile pattern as a per-invocation leak).
+    */
+  private def fileLines(path: String): Vector[String] =
+    scala.util.Using.resource(scala.io.Source.fromFile(path, "UTF-8"))(
+      _.getLines().toVector)
+
   def surveyKeys(path: String = "SURVEY.md"): Set[String] = {
-    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toVector
+    val lines = fileLines(path)
     val s2 = lines.dropWhile(!_.startsWith("## §2")).tail.takeWhile(!_.startsWith("## §3"))
     s2.filter(_.startsWith("| "))
       .map(_.stripPrefix("| ").takeWhile(c => c != ' ' && c != '|'))
@@ -22,10 +29,10 @@ object SyncCheck {
     */
   def surveyProseCounts(path: String = "SURVEY.md"): Seq[(Int, Int)] = {
     val re = """(\d+)\s+queries,\s+(\d+)\s+oracles""".r
-    scala.io.Source.fromFile(path, "UTF-8").getLines().zipWithIndex.flatMap {
+    fileLines(path).zipWithIndex.flatMap {
       case (line, i) => re.findAllMatchIn(line).flatMap(m =>
         Seq((i + 1, m.group(1).toInt), (i + 1, m.group(2).toInt)))
-    }.toSeq
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -19,8 +19,17 @@ class MmStreamSpec extends AnyFunSuite {
     val realMp4Head = Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p',
       'i', 's', 'o', 'm')
     val txt = "plain text".getBytes("UTF-8")
+    // real full ID3v2.3 header: magic, version 3.0, flags 0, sync-safe size
+    val realId3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 2, 1)
+    // ADVICE r8 false-positive fixtures: text that merely STARTS with the
+    // magic (or carries "ftyp" at offset 4) must classify bin — the bytes
+    // after the magic fail structural validation (ASCII flags byte has the
+    // low nibble set / ASCII box size is astronomically out of range)
+    val id3Text = "ID3 is a metadata container used in mp3".getBytes("UTF-8")
+    val ftypText = "the ftyp box names the brand".getBytes("UTF-8")
     val df = Seq((1L, realPng), (2L, realJpegHead), (3L, realMp4Head),
-      (4L, txt)).toDF("id", "payload")
+      (4L, txt), (5L, realId3), (6L, id3Text), (7L, ftypText))
+      .toDF("id", "payload")
     val out = df.select((col("id") +:
         graft.queries.MmStream.parseHeader(col("payload"))): _*)
       .orderBy("id").collect()
@@ -29,6 +38,9 @@ class MmStreamSpec extends AnyFunSuite {
     assert(out(1).getString(1) == "jpeg" && out(1).isNullAt(2))
     assert(out(2).getString(1) == "mp4")
     assert(out(3).getString(1) == "bin")
+    assert(out(4).getString(1) == "mp3")
+    assert(out(5).getString(1) == "bin") // "ID3 " prose, not an ID3v2 tag
+    assert(out(6).getString(1) == "bin") // "ftyp" at offset 4 in prose
     // and the query route round-trips at sf0.001
     val q = graft.queries.MmStream.headerParse(spark, sf).collect()
     assert(q.nonEmpty)
