@@ -146,11 +146,67 @@ object Bench {
       // (raw fixed-count LSH cells would make seed pairs grow N²/64: at
       // 10x vectors that reads ~25+, the linear seed stays ~O(10))
       val nd = probeOf("ann_nndescent")
+      // thirteenth probe — the WRITE path (VERDICT r8 #8): every probe
+      // above measures reads/compute. This one times the staged V2
+      // createOrReplace of a fixed lineitem selection at both scales;
+      // the work metric is BYTES WRITTEN into the committed table — like
+      // the other work counts it is exact and noise-immune, so
+      // work_ratio ≈ 10 certifies the write path stays linear even when
+      // a VM stall pollutes a timing leg.
+      val wr = {
+        import org.apache.spark.sql.functions.col
+        graft.sources.v2.StagedParquet.ensureCatalog(spark)
+        def leg(d: String): (Double, Long, Long) = {
+          val ns = "probe" + java.lang.Integer.toHexString(d.hashCode)
+          val tbl = s"graft_staged.$ns.write_probe"
+          def run(): Boolean =
+            try {
+              graft.core.Tables.lineitem(spark, d)
+                .select(col("l_orderkey"), col("l_quantity"),
+                  col("l_extendedprice"))
+                .writeTo(tbl).createOrReplace()
+              true
+            } catch { case _: Throwable => false }
+          run(); clearState(spark) // warm: steady-state REPLACE from here on
+          val times = (1 to bestOf).map { _ =>
+            val t0 = System.nanoTime()
+            val ok = run()
+            val t = (System.nanoTime() - t0) / 1e9
+            clearState(spark)
+            if (ok) t else -1.0
+          }
+          var rows = -1L; var bytes = -1L
+          if (times.forall(_ >= 0)) {
+            val dir = graft.sources.v2.StagedParquet.tableDir(spark, tbl)
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            if (hfs.exists(p)) {
+              bytes = 0L
+              val it = hfs.listFiles(p, true)
+              while (it.hasNext) {
+                val f = it.next() // data files only; _schema/_SUCCESS are O(1)
+                if (!f.getPath.getName.startsWith("_")) bytes += f.getLen
+              }
+              rows = spark.read.parquet(dir).count()
+              clearState(spark)
+            }
+          }
+          (if (times.exists(_ < 0)) -1.0 else times.min, rows, bytes)
+        }
+        val (bs, br, bb) = leg(sfDir)
+        val (ss, sr, sb) = leg(scaleDir)
+        val (baseSec, scaledSec) = (fmt(bs), fmt(ss))
+        val ratio = if (baseSec > 0 && scaledSec > 0)
+          math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
+        val workRatio = if (bb > 0 && sb >= 0)
+          math.round(sb.toDouble / bb * 100.0) / 100.0 else -1.0
+        s"""{"query":"v2_staged_write","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$br,"scaled_rows":$sr,"work_metric":"bytes_written","work_base":$bb,"work_scaled":$sb,"work_ratio":$workRatio}"""
+      }
       // relational/ETL anchors: a second scale point for the heavy core so
       // super-linear regressions surface before a real cluster would
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile").map(probeOf)
-      val all = (Seq(ann, mh, ds, ld, gr, nd) ++ anchors).mkString(",")
+      val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false
     }
@@ -162,11 +218,15 @@ object Bench {
     // semantics (amortized index builds) at a second real scale point, the
     // "2x of baseline" bar's missing anchor (VERDICT r6 next-round #3).
     val sf1Json = if (!runProbe) "" else {
+      // the heavy-12 plus the round-8/9 lifecycle heavies: the staged V2
+      // write path (etl_rename_replace) and the streaming dedup index
+      // (stream_dedup_index) never ran at 10x before (VERDICT r8 #7)
       val heavies = Seq(
         "ann_nndescent", "ann_graph_search", "ann_recall_gsearch",
         "ann_recall_nnd", "graph_pagerank_raw", "graph_cosim", "graph_cc_raw",
         "dedup_minhash_lsh", "dedup_winnowing", "etl_profile",
-        "etl_cdc_apply", "q18_running_total")
+        "etl_cdc_apply", "q18_running_total",
+        "etl_rename_replace", "stream_dedup_index")
       val timed = heavies.map(q => q -> fmt(timeQuery(spark, q, scaleDir)._1))
       val qj = timed.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -13,7 +13,7 @@ SCALE="${2:-/tmp/graft_scale10x}"
 OUT=/tmp/verify_sf1_anchor
 
 # the bench sf1 section's heavy list (Bench.scala `heavies`)
-HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total"
+HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index"
 
 if [ ! -d "$SCALE/orders.parquet" ]; then
   echo "[sf1check] building 10x corpus at $SCALE from $SF"
