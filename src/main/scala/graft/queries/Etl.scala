@@ -165,7 +165,7 @@ object Etl {
     orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice"), lit("prod").as("src"))
 
-  private def stagingOrders(s: SparkSession, d: String): DataFrame =
+  private[graft] def stagingOrders(s: SparkSession, d: String): DataFrame =
     orders(s, d).filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"), lit("staging").as("src"))

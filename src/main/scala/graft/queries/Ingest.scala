@@ -123,7 +123,7 @@ object Ingest {
   /** V2 root for the staged-catalog tables, namespaced per sf-dir so the
     * three scale factors never collide.
     */
-  private[queries] def stagedNs(s: SparkSession, d: String): String = {
+  private[graft] def stagedNs(s: SparkSession, d: String): String = {
     graft.sources.v2.StagedParquet.ensureCatalog(s)
     "x" + java.lang.Integer.toHexString(d.hashCode)
   }

@@ -121,13 +121,21 @@ object StagedParquet {
     */
   def upsertInto(s: SparkSession, table: String,
                  staging: org.apache.spark.sql.DataFrame,
-                 keys: Seq[String]): Unit = {
+                 keys: Seq[String]): Unit =
+    mergedRelation(s, table, staging, keys).writeTo(table).createOrReplace()
+
+  /** The relation [[upsertInto]] stages: prod anti-joined against the
+    * staging keys, unioned with staging. Exposed so PlanSpec can pin the
+    * merge's plan shape (hash anti-join + union, never a cartesian) — the
+    * staged write hides it from the query the oracle gates.
+    */
+  private[graft] def mergedRelation(s: SparkSession, table: String,
+      staging: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val prod = s.read.parquet(tableDir(s, table))
-    val merged = prod
+    s.read.parquet(tableDir(s, table))
       .join(staging.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(staging)
-    merged.writeTo(table).createOrReplace()
   }
 
   private[v2] def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)

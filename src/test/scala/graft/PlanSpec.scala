@@ -28,10 +28,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q8_anti_join").contains("LeftAnti"))
   }
 
-  test("etl_upsert: anti join + union, no cartesian") {
+  test("etl_upsert: staged MERGE is anti join + union, no cartesian") {
+    // the query route now writes through the V2 staged MERGE and returns
+    // the committed table's read-back — a bare scan, no join at all
     val p = plan("etl_upsert")
-    assert(p.contains("LeftAnti") && p.contains("Union"))
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1500))
+    // the relation the staged write EXECUTES is where the merge plan
+    // lives; pin its shape there (the table exists — plan() just ran it)
+    val ns = graft.queries.Ingest.stagedNs(spark, sf)
+    val m = graft.sources.v2.StagedParquet.mergedRelation(spark,
+        s"graft_staged.$ns.orders_prod",
+        graft.queries.Etl.stagingOrders(spark, sf), Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(m.contains("LeftAnti") && m.contains("Union"), m.take(1500))
+    assert(!m.contains("CartesianProduct"))
   }
 
   test("etl_enrich_lookup and q6: dims broadcast") {
