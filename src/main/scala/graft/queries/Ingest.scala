@@ -165,12 +165,36 @@ object Ingest {
       .orderBy("s_suppkey")
   }
 
+  /** Metadata-only schema evolution on the V2 table — the capability the
+    * reference reaches by wholesale table replacement (postgres.py:755
+    * temp-table rename; db2.py DDL regeneration): a base batch lands with
+    * the v1 schema, `ALTER TABLE .. ADD COLUMN` evolves the DECLARED
+    * schema without touching a single committed file, the next append
+    * carries the new column, and the read back null-fills pre-evolution
+    * files at scan time. At 100 TB the alter is one `_schema.json` write —
+    * evolution cost is independent of table size, which is the entire
+    * point of read-time reconciliation over rewrite.
+    */
+  def schemaEvolve(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.customer_evolve"
+    customer(s, d).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+      .writeTo(tbl).createOrReplace()
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN c_acctbal DOUBLE")
+    customer(s, d).filter(col("c_custkey") % 3 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .writeTo(tbl).append()
+    graft.sources.v2.StagedParquet.readTable(s, tbl).orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_csv_ingest"     -> (csvIngest _),
     "etl_paged_coerce"   -> (pagedCoerce _),
     "etl_paged_api_scan" -> (pagedApiScan _),
     "etl_rename_replace" -> (renameReplace _),
-    "etl_truncate_load"  -> (truncateLoad _)
+    "etl_truncate_load"  -> (truncateLoad _),
+    "etl_schema_evolve"  -> (schemaEvolve _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +211,15 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // pre-evolution rows carry NULL in the added column — the read-time
+    // null-fill recomputed from first principles
+    "etl_schema_evolve" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 3 = 1
+         ORDER BY c_custkey""",
     // the connector's synthesized page stream recomputed from first
     // principles: ids 0..total-1, 100 per page, pages 1..120 kept
     "etl_paged_api_scan" ->

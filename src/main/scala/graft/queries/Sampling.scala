@@ -346,7 +346,38 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Shard count for the deterministic training shuffle. Constant 32 keeps
+    * the oracle output reviewable; at 100 TB this would be O(100k) shards
+    * (shard ≈ one training-reader file), which only RAISES the available
+    * parallelism — the plan below is shard-count-agnostic.
+    */
+  private val ShuffleShards = 32
+
+  /** Deterministic global training shuffle + sharding: every document gets
+    * a salted-hash (shard, pos) coordinate and its within-shard sequence
+    * number — the "shuffle" every epoch-reproducible training pipeline
+    * runs over its corpus. At 100 TB a true random permutation is a full
+    * corpus sort; the hash coordinate makes the assignment a pure
+    * PROJECTION (no shuffle at all), and the within-shard ordering is one
+    * hash-partitioned sort — which is exactly the physical layout a
+    * shard-per-file training reader wants to consume, so the sort is the
+    * write, not an extra pass. md5-derived on both engines: the same
+    * corpus always yields the same epoch order, run-to-run and
+    * engine-to-engine.
+    */
+  def shuffleShard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        (md5Long(concat(lit("shard:"), col("doc_id"))) % ShuffleShards).as("shard"),
+        md5Long(concat(lit("pos:"), col("doc_id"))).as("pos"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("shard"), col("seq"), col("doc_id"), col("pos"))
+      .orderBy("shard", "seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shuffle_shard" -> (shuffleShard _),
     "sample_stratified"   -> (stratified _),
     "sample_reservoir"    -> (reservoir _),
     "sample_balanced"     -> (balanced _),
@@ -362,6 +393,16 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_shuffle_shard" ->
+      s"""WITH coords AS (SELECT doc_id,
+             ${md5LongSql("'shard:' || doc_id")} % $ShuffleShards AS shard,
+             ${md5LongSql("'pos:' || doc_id")} AS pos
+           FROM documents)
+         SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY pos, doc_id) AS BIGINT) AS seq,
+           doc_id, pos
+         FROM coords ORDER BY shard, seq""",
     "sample_stratified" ->
       s"""WITH targets AS (SELECT lang,
              greatest(1, CAST(count(*) AS BIGINT) * $StratPct // 100) AS target

@@ -84,6 +84,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ---- context-window chunking --------------------------------------------
+  // window/stride sized to the fixture corpus (docs run 10-99 ws tokens)
+  // so the oracle exercises BOTH the single-chunk and the multi-chunk
+  // overlap path; a production pass runs the same plan at 2048/1536
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** Context-window chunking with overlap — the projection every
+    * LLM-training tokenization pass runs: each document is cut into
+    * [[ChunkTokens]]-token windows advancing by [[ChunkStride]] (8-token
+    * overlap so no boundary context is lost), emitting one row per
+    * (doc, chunk) with its token span. The whole operator is a projection
+    * + explode of a per-row integer sequence — no shuffle, no UDF, and
+    * chunk counts are derived per-row, so it streams over a 100 TB corpus
+    * exactly as the scan does (the final orderBy exists for the oracle
+    * only). Token positions use the whitespace tokenization text_tokens
+    * reports, so spans are consistent across the text family.
+    */
+  def chunkWindows(s: SparkSession, d: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val nChunks = lit(1L) + greatest(lit(0L),
+      ceil((n - lit(ChunkTokens)).cast("double") / ChunkStride).cast("long"))
+    val start = col("chunk_idx") * ChunkStride
+    documents(s, d)
+      .select(col("doc_id"), n.as("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        start.as("tok_start"),
+        least(start + ChunkTokens, col("n")).as("tok_end"),
+        (least(start + ChunkTokens, col("n")) - start).as("n_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- fingerprinting: 60-bit content + head hashes -----------------------
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
@@ -660,6 +693,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_windows" -> (chunkWindows _),
     "text_classifier_score" -> (classifierScore _),
     "text_kl_drift"     -> (klDrift _),
     "text_zipf_fit"     -> (zipfFit _),
@@ -746,6 +780,23 @@ object Text {
            FROM scored GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "text_chunk_windows" ->
+      s"""WITH base AS (SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+           FROM documents),
+         ch AS (SELECT doc_id, n,
+             1 + greatest(0, CAST(ceil((n - $ChunkTokens) / $ChunkStride.0)
+                                  AS BIGINT)) AS n_chunks
+           FROM base),
+         ex AS (SELECT doc_id, n,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM ch)
+         SELECT doc_id, chunk_idx,
+           chunk_idx * $ChunkStride AS tok_start,
+           least(chunk_idx * $ChunkStride + $ChunkTokens, n) AS tok_end,
+           least(chunk_idx * $ChunkStride + $ChunkTokens, n)
+             - chunk_idx * $ChunkStride AS n_tok
+         FROM ex ORDER BY doc_id, chunk_idx""",
     "text_heavy_hitters" ->
       s"""WITH toks AS (SELECT source,
              unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok

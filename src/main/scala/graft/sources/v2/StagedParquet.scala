@@ -102,6 +102,20 @@ object StagedParquet {
     (root +: parts.tail.toSeq).mkString("/")
   }
 
+  /** Read a committed table WITH its declared schema: files written before
+    * an ADD COLUMN lack the newer columns, and passing the declared schema
+    * to the parquet scan null-fills them — the read half of the
+    * metadata-only evolution contract ([[StagedCatalog.alterTable]]).
+    * Partition columns in the declared schema resolve from the `key=value`
+    * directory names as usual.
+    */
+  def readTable(s: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val d = tableDir(s, table)
+    val sj = readString(new Path(d, SchemaFile)).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $d"))
+    s.read.schema(DataType.fromJson(sj).asInstanceOf[StructType]).parquet(d)
+  }
+
   /** Staged MERGE — the sink's upsert rung (reference: postgres.py:1092-1180
     * `INSERT .. ON CONFLICT (pk) DO UPDATE`): the merged relation (staging
     * wins on key conflict, unmatched prod rows survive — exactly
@@ -418,8 +432,38 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog {
   override def createTable(ident: Identifier, info: TableInfo): Table =
     doCreate(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("staged catalog tables are immutable; replace them")
+  /** Schema evolution — the append path's metadata rung: ADD COLUMN
+    * rewrites the declared schema (`_schema.json`) only; committed files
+    * keep their original physical schema and
+    * [[StagedParquet.readTable]] null-fills the missing columns at scan
+    * time. That is the standard lakehouse read-time reconciliation — no
+    * data rewrite at any table size, so evolving a 100 TB table is one
+    * metadata write. Only top-level nullable end-position AddColumn
+    * qualifies (the only change the null-fill read can serve without
+    * rewriting files); anything else still says "replace the table".
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dir(ident)
+    if (!isCommitted(d)) throw new NoSuchTableException(ident)
+    var schema = loadSchema(d)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "staged catalog: only top-level ADD COLUMN is supported")
+        require(add.isNullable,
+          "staged catalog: added columns must be nullable (existing files null-fill)")
+        require(add.position() == null,
+          "staged catalog: added columns land at the end (no FIRST/AFTER)")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"staged catalog: column $name already exists")
+        schema = schema.add(StructField(name, add.dataType(), nullable = true))
+      case c => throw new UnsupportedOperationException(
+        s"staged catalog: unsupported table change $c; replace the table")
+    }
+    writeString(new Path(d), SchemaFile, schema.json)
+    new StagedParquetTable(ident.name, d, schema, loadPartSpec(d))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dir(ident))

@@ -492,6 +492,33 @@ class AnnTextSpec extends AnyFunSuite {
     assert(out == top3)
   }
 
+  test("chunk windows: spans tile every doc with the declared stride/overlap") {
+    val rows = Text.queries("text_chunk_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nTokens = graft.queries.Text.queries("text_tokens")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    var sawMulti = false
+    for ((doc, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      val n = nTokens(doc)
+      // contiguous chunk indices from 0; starts advance by the stride
+      assert(grp.map(_._2).toSeq == (0L until grp.length).toSeq)
+      for ((_, idx, start, end, len) <- grp) {
+        assert(start == idx * 24)
+        assert(end == math.min(start + 32, n))
+        assert(len == end - start)
+      }
+      // full coverage: last window reaches exactly the doc's token count,
+      // and (stride < window) ⇒ no token between windows is ever skipped
+      assert(grp.last._4 == n, s"doc $doc: last chunk ends ${grp.last._4} != $n")
+      // minimality: one more stride step would start at/after the end
+      assert(grp.length == 1 || (grp.length - 1) * 24 < n - 8)
+      if (grp.length > 1) sawMulti = true
+    }
+    assert(sawMulti, "fixture never exercised the multi-chunk overlap path")
+  }
+
   test("classifier score: exact integer sums, threshold label, both classes") {
     val rows = Text.queries("text_classifier_score")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -8,6 +8,23 @@ class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("shuffle_shard: a permutation — every doc exactly once, seq contiguous per shard, rerun-identical") {
+    val rows = Sampling.queries("sample_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == total) // every doc assigned, none duplicated
+    assert(rows.map(_._3).distinct.length == total)
+    assert(rows.forall { case (shard, _, _) => shard >= 0 && shard < 32 })
+    // within each shard the sequence is exactly 1..n — a dense, gap-free
+    // training order a reader can consume positionally
+    for ((_, grp) <- rows.groupBy(_._1))
+      assert(grp.map(_._2).sorted.toSeq == (1L to grp.length).toSeq)
+    // determinism: the epoch order must not depend on run or partitioning
+    val again = Sampling.queries("sample_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("mixture: kept fraction tracks each stratum's rate; fully deterministic") {
     val rows = Sampling.queries("sample_mixture")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -326,6 +326,42 @@ class StagedSinkSpec extends AnyFunSuite {
     assert(up.nonEmpty && up.map(_.getAs[Long]("o_orderkey")).distinct.length == up.length)
   }
 
+  test("metadata-only ADD COLUMN: old files null-fill, new appends carry values") {
+    dropAll("tev")
+    val tbl = s"graft_staged.$ns.tev"
+    spark.range(0, 30).select(col("id"), concat(lit("n"), col("id")).as("name"))
+      .writeTo(tbl).createOrReplace()
+    val filesBefore = filesIn("tev", "")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+    // the alter touched METADATA only — every data file is byte-identical
+    assert(filesIn("tev", "").filterNot(_.startsWith("_")) ==
+      filesBefore.filterNot(_.startsWith("_")))
+    // catalog now declares the evolved schema
+    assert(spark.sql(s"DESCRIBE TABLE $tbl").collect()
+      .exists(r => r.getString(0) == "score" && r.getString(1) == "double"))
+    spark.range(30, 50).select(col("id"),
+        concat(lit("n"), col("id")).as("name"), (col("id") * 1.5).as("score"))
+      .writeTo(tbl).append()
+    val back = graft.sources.v2.StagedParquet.readTable(spark, tbl)
+      .orderBy("id").collect()
+    assert(back.length == 50)
+    // pre-evolution rows read back NULL; post-evolution rows carry values
+    assert(back.take(30).forall(_.isNullAt(2)))
+    assert(back.drop(30).forall(r => r.getDouble(2) == r.getLong(0) * 1.5))
+    // only nullable, top-level, end-position adds qualify
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN flag BOOLEAN NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN early INT FIRST")
+    }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl DROP COLUMN name") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl RENAME COLUMN name TO nm") }
+    // rejected alters left the schema as the successful one declared it
+    assert(graft.sources.v2.StagedParquet.readTable(spark, tbl)
+      .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+  }
+
   test("SyncCheck parses SURVEY prose counts and they match the registry") {
     // the r7 verdict found the §2 table right but the prose stale; the
     // prose is now part of the sync gate
