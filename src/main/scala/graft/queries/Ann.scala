@@ -334,25 +334,41 @@ object Ann {
     * accumulates LONGS — grouped doubles have no defined order, longs are
     * exact in any order, so scores are bit-identical across engines.
     */
-  def pq(s: SparkSession, d: String): DataFrame = {
-    val withN = withNorms(s, d)
-    val cents = withN.join(broadcast(panel(withN, "pq:", PQ_K)), "vec_id")
+  /** Per-subspace slice of a vector column (1-based `slice`). */
+  private def subvec(v: Column, sub: Column): Column =
+    slice(v, sub * PQ_SUBDIM + 1, lit(PQ_SUBDIM))
+
+  /** The `pq:` hash-panel centroids — the fixed PQ codebook source. */
+  private def pqCents(withN: DataFrame): DataFrame =
+    withN.join(broadcast(panel(withN, "pq:", PQ_K)), "vec_id")
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    def subvec(v: Column, sub: Column) =
-      slice(v, sub * PQ_SUBDIM + 1, lit(PQ_SUBDIM))
+
+  /** PQ encode: per (vector, subspace) the codebook entry with the best
+    * sub-dot — the (neighbor_id, sub, code) relation shared by the ADC
+    * search ([[pq]]) and the codebook-training step ([[pqTrain]]). One map
+    * pass against the broadcast codebook; N·PQ_S rows out.
+    */
+  private def pqCodes(withN: DataFrame): DataFrame = {
     val subs = explode(sequence(lit(0), lit(PQ_S - 1))).as("sub")
-    // encode: per (vector, subspace) the centroid with the best sub-dot
     val pairs = withN.select(col("vec_id"), col("v"), subs)
-      .join(broadcast(cents), lit(true))
+      .join(broadcast(pqCents(withN)), lit(true))
       .select(col("vec_id"), col("sub"), col("cent_id"),
         Dedup.dotSeq(subvec(col("v"), col("sub")),
           subvec(col("cv"), col("sub"))).as("subdot"))
     val bySub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("subdot").desc, col("cent_id"))
-    val codes = pairs.withColumn("crk", row_number().over(bySub))
+    pairs.withColumn("crk", row_number().over(bySub))
       .filter(col("crk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("sub"),
         col("cent_id").as("code"))
+  }
+
+  def pq(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val cents = pqCents(withN)
+    val subs = explode(sequence(lit(0), lit(PQ_S - 1))).as("sub")
+    // encode: per (vector, subspace) the centroid with the best sub-dot
+    val codes = pqCodes(withN)
     // probe LUT: probe × subspace × centroid partial dots, floor-scaled
     val lut = withN.join(broadcast(panel(withN, "probe:", PROBE_COUNT)), "vec_id")
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), subs)
@@ -1101,7 +1117,36 @@ object Ann {
       .orderBy("cell", "dim")
   }
 
+  /** One distributed Lloyd update over the PQ codebook — [[kmeansStep]]'s
+    * subspace twin, closing the PQ training loop: every (vector, subspace)
+    * is assigned to its best codebook entry (exactly the [[pqCodes]]
+    * encode), then the step emits per (sub, code, subdim) sufficient
+    * statistics — member count and the 6-dp-floored DECIMAL coordinate sum
+    * — deferring the divide, like [[kmeansStep]], to stay engine-exact.
+    * Real PQ training alternates exactly this assign/update at billion
+    * scale: the assignment is one map pass against the broadcast codebook,
+    * the update one partially-aggregated shuffle keyed by (sub, code,
+    * subdim) — PQ_S·PQ_K·PQ_SUBDIM = 1024 output rows at any corpus size.
+    */
+  def pqTrain(s: SparkSession, d: String): DataFrame = {
+    val withN = withNorms(s, d)
+    val codes = pqCodes(withN)
+      .select(col("neighbor_id").as("vec_id"), col("sub"), col("code"))
+    val subElems = vecs(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"),
+        floor(col("dim") / PQ_SUBDIM).cast("int").as("sub"),
+        (col("dim") % PQ_SUBDIM).as("subdim"), col("x"))
+    subElems.join(codes, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("subdim"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.core.Determinism.dsum(
+          graft.core.Determinism.r6(col("x"))).as("sum_val"))
+      .orderBy("sub", "code", "subdim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_train"   -> (pqTrain _),
     "ann_range_search" -> (rangeSearch _),
     "ann_filter_search" -> (filterSearch _),
     "ann_kmeans_step" -> (kmeansStep _),
@@ -1602,6 +1647,18 @@ object Ann {
              AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
          FROM elems e JOIN assignment a ON a.vec_id = e.vec_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ann_pq_train" ->
+      s"""WITH $vecsSql, $elemsSql, $probeIdsSql,
+         $pqSql
+         SELECT c.sub, c.code,
+           CAST((e.i - 1) % $PQ_SUBDIM AS INTEGER) AS subdim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(floor(e.x * 1000000.0 + 0.5) / 1000000.0
+             AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+         FROM elems e
+         JOIN codes c ON c.neighbor_id = e.vec_id
+           AND c.sub = CAST((e.i - 1) // $PQ_SUBDIM AS INTEGER)
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "ann_pq" ->
       s"""WITH $vecsSql, $probeIdsSql,
          $pqSql

@@ -188,13 +188,52 @@ object Ingest {
     graft.sources.v2.StagedParquet.readTable(s, tbl).orderBy("c_custkey")
   }
 
+  /** VACUUM over a V2 table with planted crash debris — the maintenance
+    * pass the reference runs as ad-hoc `_old`-table cleanup
+    * (_cleanup.py; carto_.py:445 leaves `<t>_old` behind by design): a
+    * committed table is seeded, then the three debris classes a crashed
+    * write can leave (dead-token `_tmp-` task files, a `__staging.` dir
+    * that never swapped, a `__old` dir a promote failed to delete) are
+    * planted deterministically from the nation table, and
+    * [[graft.sources.v2.StagedParquet.vacuum]] must remove EXACTLY them —
+    * the oracle recomputes the expected deletion report, and committed
+    * data surviving is asserted by the spec. The planted fixture is
+    * 25-key-derived (the stageDirtyCsv precedent); vacuum itself is pure
+    * metadata work, deletes proportional to debris, never to table size.
+    */
+  def vacuumDebris(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StagedParquet
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.vacuum_demo"
+    nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .writeTo(tbl).createOrReplace()
+    val dir = StagedParquet.tableDir(s, tbl)
+    val keys = nation(s, d).select(col("n_nationkey"))
+      .collect().map(_.getAs[Number](0).longValue).sorted
+    for (k <- keys if k % 2 == 0)
+      writeFixtureFile(s"$dir/_tmp-crash$k-f$k.parquet", s"dead$k")
+    writeFixtureFile(s"${dir}__old/part-0.parquet", "stale")
+    writeFixtureFile(s"${dir}__staging.dead0/part-0.parquet", "dead")
+    val report = StagedParquet.vacuum(s, tbl)
+    import s.implicits._
+    report.toDF("path", "kind").orderBy("path")
+  }
+
+  private def writeFixtureFile(path: String, content: String): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new java.io.FileWriter(f)
+    try w.write(content) finally w.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_csv_ingest"     -> (csvIngest _),
     "etl_paged_coerce"   -> (pagedCoerce _),
     "etl_paged_api_scan" -> (pagedApiScan _),
     "etl_rename_replace" -> (renameReplace _),
     "etl_truncate_load"  -> (truncateLoad _),
-    "etl_schema_evolve"  -> (schemaEvolve _)
+    "etl_schema_evolve"  -> (schemaEvolve _),
+    "etl_vacuum"         -> (vacuumDebris _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +250,15 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // the deletion report recomputed from first principles: one orphan per
+    // even nation key, plus the two constant sibling-dir leftovers
+    "etl_vacuum" ->
+      """SELECT '_tmp-crash' || n_nationkey || '-f' || n_nationkey
+           || '.parquet' AS path, 'orphan_tmp' AS kind
+         FROM nation WHERE n_nationkey % 2 = 0
+         UNION ALL SELECT 'vacuum_demo__old', 'stale_old'
+         UNION ALL SELECT 'vacuum_demo__staging.dead0', 'dead_staging'
+         ORDER BY path""",
     // pre-evolution rows carry NULL in the added column — the read-time
     // null-fill recomputed from first principles
     "etl_schema_evolve" ->

@@ -102,6 +102,55 @@ object StagedParquet {
     (root +: parts.tail.toSeq).mkString("/")
   }
 
+  /** VACUUM — the table-maintenance rung: removes the debris only CRASHED
+    * writes leave behind, without touching a single committed byte.
+    * Three debris classes, all structurally identifiable:
+    *   - `_tmp-<token>-*` task files inside the table (a write whose driver
+    *     never ran commit/abort — commit/abort sweep only their OWN token,
+    *     by design, so a dead job's temp files persist until vacuumed);
+    *   - `<table>__staging.*` sibling dirs (a staged replace that died
+    *     between write and swap);
+    *   - `<table>__old` (the pre-swap prod a promote failed to delete).
+    * `minAgeMs` is the concurrency guard: a LIVE write's temp files are
+    * younger than it, so production callers pass a retention window
+    * comfortably above the longest write (the same contract as any
+    * object-store lifecycle sweep). Pure metadata work — one recursive
+    * listing, deletes proportional to debris, never to table size.
+    * Returns (relative path, kind) per deleted entry, sorted.
+    */
+  def vacuum(s: SparkSession, table: String, minAgeMs: Long = 0L): Seq[(String, String)] = {
+    val d = tableDir(s, table)
+    val p = new Path(d)
+    val f = fs(p)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val deleted = mutable.Buffer[(String, String)]()
+    if (f.exists(p)) {
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.startsWith("_tmp-") && st.getModificationTime <= cutoff) {
+          f.delete(st.getPath, false): Unit
+          val rel = st.getPath.toUri.getPath.stripPrefix(
+            new Path(d).toUri.getPath).stripPrefix("/")
+          deleted += ((rel, "orphan_tmp"))
+        }
+      }
+    }
+    val parent = p.getParent
+    val base = p.getName
+    if (f.exists(parent)) f.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n == base + "__old"
+      val dead = n.startsWith(base + "__staging.")
+      if ((stale || dead) && st.getModificationTime <= cutoff) {
+        f.delete(st.getPath, true): Unit
+        deleted += ((n, if (stale) "stale_old" else "dead_staging"))
+      }
+    }
+    deleted.sortBy(_._1).toSeq
+  }
+
   /** Read a committed table WITH its declared schema: files written before
     * an ADD COLUMN lack the newer columns, and passing the declared schema
     * to the parquet scan null-fills them — the read half of the

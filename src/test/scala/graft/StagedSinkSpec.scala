@@ -362,6 +362,33 @@ class StagedSinkSpec extends AnyFunSuite {
       .schema.fieldNames.toSeq == Seq("id", "name", "score"))
   }
 
+  test("vacuum removes crash debris only; retention window protects live writes") {
+    dropAll("tvac")
+    val tbl = s"graft_staged.$ns.tvac"
+    spark.range(0, 25).select(col("id")).writeTo(tbl).createOrReplace()
+    def plant(path: String): Unit = {
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(f); try w.write("x") finally w.close()
+    }
+    plant(s"${prodDir("tvac")}/_tmp-deadbeef-f1.parquet")
+    plant(s"${prodDir("tvac")}__old/part-0.parquet")
+    plant(s"${prodDir("tvac")}__staging.dead/part-0.parquet")
+    // a generous retention window treats ALL of it as possibly-live: no-op
+    val safe = graft.sources.v2.StagedParquet.vacuum(spark, tbl, minAgeMs = 3600000L)
+    assert(safe.isEmpty)
+    assert(new java.io.File(s"${prodDir("tvac")}/_tmp-deadbeef-f1.parquet").exists())
+    // zero retention sweeps exactly the three debris classes
+    val rep = graft.sources.v2.StagedParquet.vacuum(spark, tbl).toMap
+    assert(rep == Map("_tmp-deadbeef-f1.parquet" -> "orphan_tmp",
+      "tvac__old" -> "stale_old", "tvac__staging.dead" -> "dead_staging"))
+    assert(!new java.io.File(s"${prodDir("tvac")}__old").exists())
+    // committed data untouched, table still serves every row
+    assert(spark.read.parquet(prodDir("tvac")).count() == 25)
+    // idempotent: a second vacuum finds nothing
+    assert(graft.sources.v2.StagedParquet.vacuum(spark, tbl).isEmpty)
+  }
+
   test("SyncCheck parses SURVEY prose counts and they match the registry") {
     // the r7 verdict found the §2 table right but the prose stale; the
     // prose is now part of the sync gate
