@@ -261,17 +261,25 @@ object Graph {
     * per round like the PageRank loop, so edge data crosses the network
     * once per iteration.
     */
-  def labelProp(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The thresholded undirected customer–supplier graph label propagation
+    * runs on (both edge directions present) — extracted so
+    * [[modularity]] scores communities over EXACTLY the same edge set.
+    */
+  private def lpUnd(s: SparkSession, d: String): DataFrame = {
     val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CcMinTrades)
-    val und = pairs.select(col("c").as("src"), col("s").as("dst"))
+    pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       .distinct().localCheckpoint()
+  }
+
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = lpUnd(s, d)
     val l0 = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     val lN = (1 to LpaRounds).foldLeft(l0) { (labels, _) =>
@@ -286,6 +294,49 @@ object Graph {
         .localCheckpoint()
     }
     lN.orderBy("id")
+  }
+
+  /** Newman–Girvan modularity of the label-propagation communities — the
+    * quality score every community-detection loop monitors:
+    * Q_c = e_c/m − (d_c/2m)² per community (m undirected edges, e_c
+    * internal, d_c degree sum). Everything up to the final divisions is
+    * EXACT integer arithmetic over the same [[lpUnd]] edge set label
+    * propagation ran on; with both directions present, |und| = 2m and the
+    * per-community terms reduce to int_dir/|und| − (d_c/|und|)² — two
+    * identical double divisions + one multiply in both engines (no pow,
+    * no float accumulation), then r4. Scale shape: one labels join (ids
+    * only, never payloads), two partially-aggregated community-keyed
+    * shuffles, a 1-row total broadcast — outputs ∝ communities, not
+    * corpus.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val und = lpUnd(s, d)
+    val labels = labelProp(s, d)
+    val total = und.agg(count(lit(1)).as("total"))
+    val members = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val degC = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("id").as("src"), col("label")), "src")
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("deg")).as("degree_sum"))
+    val intC = und
+      .join(labels.select(col("id").as("src"), col("label").as("ca")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("int_dir"))
+    val r4 = graft.core.Determinism.r4 _
+    members.join(degC, "community")
+      .join(intC, Seq("community"), "left")
+      .withColumn("int_dir", coalesce(col("int_dir"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("community"), col("n_members"),
+        (col("int_dir") / 2).cast("long").as("internal_edges"),
+        col("degree_sum"),
+        r4(col("int_dir").cast("double") / col("total") -
+          (col("degree_sum").cast("double") / col("total")) *
+          (col("degree_sum").cast("double") / col("total"))).as("q"))
+      .orderBy("community")
   }
 
   /** Alternating large-star/small-star rounds; measured convergence on the
@@ -514,8 +565,29 @@ object Graph {
     "graph_shortest_path" -> (shortestPath _),
     "graph_kcore"     -> (kcore _),
     "graph_cosim"     -> (cosim _),
-    "graph_label_prop" -> (labelProp _)
+    "graph_label_prop" -> (labelProp _),
+    "graph_modularity" -> (modularity _)
   )
+
+  /** SQL twin of the [[lpUnd]] + [[labelProp]] chain (pairs → und →
+    * lp0..lpN) — shared by the label_prop and modularity oracles.
+    */
+  private def lpSql: String =
+    s"""pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= $CcMinTrades),
+         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT c AS src, s AS dst FROM pairs
+           UNION ALL SELECT s AS src, c AS dst FROM pairs)),
+         lp0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+         ${(1 to LpaRounds).map { i =>
+          s"""lp$i AS MATERIALIZED (SELECT src AS id, label FROM (
+             SELECT u.src, p.label,
+               row_number() OVER (PARTITION BY u.src
+                                  ORDER BY count(*) DESC, p.label) AS rn
+             FROM und u JOIN lp${i - 1} p ON p.id = u.dst
+             GROUP BY u.src, p.label) WHERE rn = 1)"""
+        }.mkString(",\n")}"""
 
   private val edgesSql =
     """SELECT DISTINCT c.c_nationkey AS src, sp.s_nationkey AS dst
@@ -634,22 +706,33 @@ object Graph {
            ON l.u = v.u
          ORDER BY id""",
     "graph_label_prop" ->
-      s"""WITH pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
-           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-           GROUP BY 1, 2 HAVING count(*) >= $CcMinTrades),
-         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           SELECT c AS src, s AS dst FROM pairs
-           UNION ALL SELECT s AS src, c AS dst FROM pairs)),
-         lp0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
-         ${(1 to LpaRounds).map { i =>
-          s"""lp$i AS MATERIALIZED (SELECT src AS id, label FROM (
-             SELECT u.src, p.label,
-               row_number() OVER (PARTITION BY u.src
-                                  ORDER BY count(*) DESC, p.label) AS rn
-             FROM und u JOIN lp${i - 1} p ON p.id = u.dst
-             GROUP BY u.src, p.label) WHERE rn = 1)"""
-        }.mkString(",\n")}
+      s"""WITH $lpSql
          SELECT id, label FROM lp$LpaRounds ORDER BY id""",
+    "graph_modularity" ->
+      s"""WITH $lpSql,
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM und),
+         comm AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+           FROM lp$LpaRounds GROUP BY 1),
+         degc AS (SELECT p.label AS community, CAST(sum(dv.deg) AS BIGINT) AS degree_sum
+           FROM (SELECT src, count(*) AS deg FROM und GROUP BY 1) dv
+           JOIN lp$LpaRounds p ON p.id = dv.src GROUP BY 1),
+         inte AS (SELECT a.label AS community, CAST(count(*) AS BIGINT) AS int_dir
+           FROM und u
+           JOIN lp$LpaRounds a ON a.id = u.src
+           JOIN lp$LpaRounds b ON b.id = u.dst AND b.label = a.label
+           GROUP BY 1)
+         SELECT c.community, c.n_members,
+           COALESCE(i.int_dir, 0) // 2 AS internal_edges,
+           g.degree_sum,
+           ${graft.core.Determinism.r4Sql(
+            """CAST(COALESCE(i.int_dir, 0) AS DOUBLE) / t.total
+               - (CAST(g.degree_sum AS DOUBLE) / t.total)
+                 * (CAST(g.degree_sum AS DOUBLE) / t.total)""")} AS q
+         FROM comm c
+         JOIN degc g ON g.community = c.community
+         LEFT JOIN inte i ON i.community = c.community
+         CROSS JOIN tot t
+         ORDER BY c.community""",
     "graph_kcore" ->
       s"""WITH pairs AS (SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey

@@ -692,7 +692,80 @@ object Text {
       .orderBy("doc_id")
   }
 
+  val BpeVocab = 4096
+  val BpeMerges = 6
+
+  /** Distributed BPE tokenizer training — [[BpeMerges]] merge steps of the
+    * byte-pair-encoding loop (Sennrich et al. 2016) as pure relational
+    * algebra, the tokenizer-side sibling of the PQ-codebook step
+    * (ann_pq_train). The classic scaling trick makes this tractable at
+    * 100 TB: pair statistics are computed over the freq-weighted WORD
+    * VOCABULARY, not the corpus — one corpus-sized shuffle (word count)
+    * and everything after is vocab-sized (df-capped at [[BpeVocab]] by
+    * deterministic (freq desc, word) rank). Each step is: lead() window
+    * for adjacent symbol pairs → partial-agged freq-weighted pair count →
+    * 1-row argmax broadcast → greedy left-to-right non-overlapping merge.
+    * The greedy rule is exact, not approximated: candidate positions can
+    * only be adjacent when lft = rgt (s_i = A ∧ s_{i+1} = B = A forces
+    * A = B), so ranking candidates inside consecutive runs (the pos −
+    * row_number group trick) and keeping odd ranks reproduces the
+    * sequential left-to-right scan — "aaaa" merges at positions {0, 2},
+    * never the overlapping {0, 1}. All arithmetic is integer (counts and
+    * positions); the oracle unrolls the identical six steps in SQL.
+    * Per-step symbol relations are localCheckpointed like the LPA rounds
+    * to cut the 6-deep window+join lineage.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(BpeVocab)
+    val sym0 = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), (col("i") - 1).as("pos"),
+        col("word").substr(col("i"), lit(1)).as("sym"))
+      .localCheckpoint()
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val (_, steps) = (1 to BpeMerges)
+      .foldLeft((sym0, List.empty[DataFrame])) { case ((syms, acc), step) =>
+        val adj = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        val best = adj.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("lft"), col("nxt").as("rgt"))
+          .agg(sum(col("freq")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lft"), col("rgt")).limit(1)
+        val cand = adj
+          .join(broadcast(best), col("sym") === col("lft") &&
+            col("nxt") === col("rgt"))
+          .select(col("word"), col("pos"))
+        // greedy left-to-right: odd ranks within consecutive-candidate runs
+        val sel = cand
+          .withColumn("grp", col("pos") - row_number().over(wOrd))
+          .withColumn("rr",
+            row_number().over(Window.partitionBy("word", "grp").orderBy("pos")))
+          .filter(col("rr") % 2 === 1).select(col("word"), col("pos"))
+        val merged = adj
+          .join(sel.withColumn("hit", lit(1)), Seq("word", "pos"), "left")
+          .join(sel.select(col("word"), (col("pos") + 1).as("pos"),
+            lit(1).as("consumed")), Seq("word", "pos"), "left")
+          .filter(col("consumed").isNull)
+          .select(col("word"), col("freq"), col("pos"),
+            when(col("hit").isNotNull, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .select(col("word"), col("freq"),
+            (row_number().over(wOrd) - 1).as("pos"), col("sym"))
+          .localCheckpoint()
+        val stepRow = best.select(lit(step).as("step"), col("lft"), col("rgt"),
+          concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+        (merged, stepRow :: acc)
+      }
+    steps.reverse.reduce(_ unionAll _).orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (bpeTrain _),
     "text_chunk_windows" -> (chunkWindows _),
     "text_classifier_score" -> (classifierScore _),
     "text_kl_drift"     -> (klDrift _),
@@ -779,7 +852,50 @@ object Text {
              CAST(sum(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) AS ssum
            FROM scored GROUP BY doc_id)"""
 
+  /** SQL twin of one BPE merge step k (adj → pair count → argmax → greedy
+    * odd-rank-in-run merge → re-positioned symbol relation).
+    */
+  private def bpeStepSql(k: Int): String =
+    s"""adj$k AS (SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         FROM sym${k - 1}),
+       best$k AS (SELECT sym AS lft, nxt AS rgt,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM adj$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+       sel$k AS (SELECT word, pos FROM (
+           SELECT word, pos,
+             row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rr
+           FROM (SELECT c.word, c.pos,
+               c.pos - row_number()
+                 OVER (PARTITION BY c.word ORDER BY c.pos) AS grp
+             FROM (SELECT a.word, a.pos FROM adj$k a JOIN best$k b
+                   ON a.sym = b.lft AND a.nxt = b.rgt) c))
+         WHERE rr % 2 = 1),
+       sym$k AS MATERIALIZED (SELECT word, freq,
+           row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+         FROM (SELECT a.word, a.freq, a.pos,
+             CASE WHEN h.pos IS NOT NULL THEN a.sym || a.nxt ELSE a.sym
+               END AS sym
+           FROM adj$k a
+           LEFT JOIN sel$k h ON h.word = a.word AND h.pos = a.pos
+           LEFT JOIN sel$k p ON p.word = a.word AND p.pos = a.pos - 1
+           WHERE p.pos IS NULL))"""
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" ->
+      s"""WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                 FROM documents)
+           GROUP BY 1 ORDER BY freq DESC, word LIMIT $BpeVocab),
+         sym0 AS MATERIALIZED (SELECT word, freq, i - 1 AS pos,
+             substr(word, CAST(i AS INTEGER), 1) AS sym
+           FROM words, UNNEST(range(1, length(word) + 1)) t(i)),
+         ${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")}
+         ${(1 to BpeMerges).map { k =>
+            s"SELECT $k AS step, lft, rgt, lft || rgt AS merged, pair_count FROM best$k"
+          }.mkString("\nUNION ALL ")}
+         ORDER BY step""",
     "text_chunk_windows" ->
       s"""WITH base AS (SELECT doc_id,
              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n

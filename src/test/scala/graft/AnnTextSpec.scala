@@ -7,6 +7,44 @@ class AnnTextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("text_bpe_train matches a driver-side sequential greedy BPE on the same vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lower
+    val rows = Text.queries("text_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to Text.BpeMerges))
+    assert(rows.forall(r => r._4 == r._2 + r._3 && r._4.length >= 2))
+    // max pair mass is non-increasing: a merge's offspring pairs inherit at
+    // most its occurrence count, existing pairs only lose mass
+    val cs = rows.sortBy(_._1).map(_._5)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // ground truth: the textbook SEQUENTIAL left-to-right greedy loop over
+    // the identical (freq desc, word)-capped vocabulary
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lower($"text").as("t")).as[String].collect()
+    val freq = docs.flatMap("[a-z]+".r.findAllIn(_)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    var seqs: Seq[(Vector[String], Long)] = freq.toSeq
+      .sortBy { case (w, f) => (-f, w) }.take(Text.BpeVocab)
+      .map { case (w, f) => (w.map(_.toString).toVector, f) }
+    for (step <- 1 to Text.BpeMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ss, f) <- seqs; i <- 0 until ss.length - 1)
+        counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + f
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      val got = rows.find(_._1 == step).get
+      assert((got._2, got._3, got._5) == (l, r, c), s"merge step $step")
+      seqs = seqs.map { case (ss, f) =>
+        val buf = Vector.newBuilder[String]; var i = 0
+        while (i < ss.length) {
+          if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) { buf += (l + r); i += 2 }
+          else { buf += ss(i); i += 1 }
+        }
+        (buf.result(), f)
+      }
+    }
+  }
+
   test("ann_bruteforce: exactly top-5 per probe, ranked by cosine desc") {
     val rows = Ann.queries("ann_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

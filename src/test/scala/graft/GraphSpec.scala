@@ -221,6 +221,30 @@ class GraphSpec extends AnyFunSuite {
     assert(common.values.forall(_.map(_._2).distinct.length == 1))
   }
 
+  test("modularity: exact sufficient statistics, Q bounds, totals partition the graph") {
+    val rows = Graph.queries("graph_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val labels = Graph.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // communities and membership counts are exactly the label-prop output
+    assert(rows.map(r => r._1 -> r._2).toMap ==
+      labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    // degree sums partition the directed edge total (Σ d_c = 2m), internal
+    // edges never exceed the community's share, Q_c within Newman bounds
+    val twoM = rows.map(_._4).sum
+    assert(twoM > 0 && twoM % 2 == 0)
+    for ((_, n, e, dsum, q) <- rows) {
+      assert(e >= 0 && 2 * e <= dsum) // internal stubs are a subset of stubs
+      assert(e <= n * (n - 1) / 2)    // at most the complete graph inside
+      assert(q > -0.5 - 1e-9 && q < 1.0 + 1e-9)
+      // the r4 score is exactly the published formula over the exact counts
+      val expect = 2.0 * e / twoM -
+        (dsum.toDouble / twoM) * (dsum.toDouble / twoM)
+      assert(math.abs(q - expect) <= 5e-5, s"q $q != $expect")
+    }
+  }
+
   test("label propagation: labels never escape their component; communities form") {
     val lpa = graft.queries.Graph.queries("graph_label_prop")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
