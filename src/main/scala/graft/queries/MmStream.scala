@@ -104,6 +104,75 @@ object MmStream {
       length(payload).cast("long").as("byte_len"))
   }
 
+  /** REAL audio-container parsing: canonical 44-byte WAV (RIFF/PCM)
+    * headers constructed and parsed with pure LITTLE-endian byte math —
+    * the counterpart of [[headerParse]]'s big-endian PNG path. Every 3rd
+    * doc gets a spec-exact header (RIFF size, WAVE+fmt chunk, PCM tag,
+    * doc-derived channels/sample-rate, byte rate, block align, data
+    * chunk); the parse side validates the full RIFF→WAVE→fmt(16,PCM)→data
+    * structure before extracting channels, sample rate, bit depth and the
+    * byte-rate-derived duration. Little-endian fields are read by
+    * reversing per-byte hex before conv() — one codegen projection, no
+    * UDF. The oracle recomputes every field from the plant parameters;
+    * MmStreamSpec aims the parser at a REAL hand-assembled 8 kHz mono
+    * WAV byte-for-byte.
+    */
+  def wavHeader(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val doc = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
+    // n-byte little-endian binary of an integer column
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i),
+          lit(256L))), 2, "0"))): _*)
+    val channels = (col("doc_id") % 2 + 1).cast("long")
+    val rate = when(col("doc_id") % 4 === 0, 8000L)
+      .when(col("doc_id") % 4 === 1, 16000L)
+      .when(col("doc_id") % 4 === 2, 22050L).otherwise(44100L)
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataSize = length(col("body")).cast("long")
+    val header = concat(
+      lit("RIFF").cast("binary"), le(dataSize + 36L, 4),
+      lit("WAVEfmt ").cast("binary"), le(lit(16L), 4), le(lit(1L), 2),
+      le(channels, 2), le(rate, 4), le(rate * blockAlign, 4),
+      le(blockAlign, 2), le(lit(16L), 2),
+      lit("data").cast("binary"), le(dataSize, 4))
+    val payload = when(col("doc_id") % 3 === 0, concat(header, col("body")))
+      .otherwise(col("body"))
+    doc.select((col("doc_id") +: parseWavHeader(payload)): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The WAV parse projection: (format, n_channels, sample_rate,
+    * bits_per_sample, duration_ms, byte_len) from raw bytes. Exposed
+    * separately so the spec can aim it at a real file.
+    */
+  def parseWavHeader(payload: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    def hexAt(off: Int, len: Int) =
+      lower(hex(substring(payload, off, len)))
+    // little-endian integer at a byte offset: reverse per-byte hex, conv
+    def leAt(off: Int, len: Int) =
+      conv(concat((0 until len).reverse.map(i => hexAt(off + i, 1)): _*),
+        16, 10).cast("long")
+    // demand the full canonical structure, not just the RIFF magic:
+    // "RIFF" tag, "WAVE" form, "fmt " chunk of size 16 with PCM format 1,
+    // and the "data" chunk tag at its canonical offset 37
+    val isWav = hexAt(1, 4) === "52494646" && hexAt(9, 4) === "57415645" &&
+      hexAt(13, 4) === "666d7420" && leAt(17, 4) === 16L &&
+      leAt(21, 2) === 1L && hexAt(37, 4) === "64617461"
+    val byteRate = leAt(29, 4)
+    val dataSize = leAt(41, 4)
+    Seq(
+      when(isWav, lit("wav")).otherwise(lit("bin")).as("format"),
+      when(isWav, leAt(23, 2)).as("n_channels"),
+      when(isWav, leAt(25, 4)).as("sample_rate"),
+      when(isWav, leAt(35, 2)).as("bits_per_sample"),
+      when(isWav, floor(dataSize * 1000.0 / byteRate).cast("long"))
+        .as("duration_ms"),
+      length(payload).cast("long").as("byte_len"))
+  }
+
   // frame sampler over the binary payload — rows-only (mapPartitions shape)
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
@@ -383,6 +452,7 @@ object MmStream {
     "stream_session_window" -> (streamSessionWindow _),
     "mm_binary_meta"    -> (binaryMeta _),
     "mm_header_parse"   -> (headerParse _),
+    "mm_wav_header"     -> (wavHeader _),
     "mm_dedup_prefix"   -> (mmDedupPrefix _),
     "mm_phash_dedup"    -> (mmPhashDedup _),
     "mm_frame_sample"   -> (frameSample _),
@@ -409,6 +479,22 @@ object MmStream {
          CAST(octet_length(encode(text)) +
            CASE doc_id % 5 WHEN 0 THEN 29 WHEN 1 THEN 11
              WHEN 2 THEN 10 WHEN 3 THEN 12 ELSE 0 END AS BIGINT) AS byte_len
+         FROM documents ORDER BY doc_id""",
+    "mm_wav_header" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'bin' END AS format,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS n_channels,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(CASE doc_id % 4
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+           ELSE 44100 END AS BIGINT) END AS sample_rate,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT) END AS bits_per_sample,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(floor(
+           octet_length(encode(text)) * 1000.0 /
+           (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END * (doc_id % 2 + 1) * 2))
+           AS BIGINT) END AS duration_ms,
+         CAST(octet_length(encode(text)) +
+           CASE WHEN doc_id % 3 = 0 THEN 44 ELSE 0 END AS BIGINT) AS byte_len
          FROM documents ORDER BY doc_id""",
     "stream_paged_ingest" ->
       """WITH ids AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i

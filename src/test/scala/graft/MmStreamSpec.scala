@@ -52,6 +52,43 @@ class MmStreamSpec extends AnyFunSuite {
     })
   }
 
+  test("wav parser reads a REAL hand-assembled RIFF header, little-endian exact") {
+    // canonical 44-byte header: 8000 Hz mono 16-bit PCM, 16000 data bytes
+    // (= exactly 1000 ms) — every multi-byte field spelled little-endian
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val realWav = "RIFF".getBytes ++ le(36 + 16000, 4) ++
+      "WAVEfmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes ++ le(16000, 4) ++ Array.fill[Byte](16000)(0)
+    // prose that merely starts with RIFF must stay bin (structure check)
+    val riffText = "RIFF is a container format from 1991, WAVE uses it".getBytes("UTF-8")
+    val df = Seq((1L, realWav), (2L, riffText),
+      (3L, "plain".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = df.select((col("id") +:
+        graft.queries.MmStream.parseWavHeader(col("payload"))): _*)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "wav")
+    assert(out(0).getLong(2) == 1L)      // mono
+    assert(out(0).getLong(3) == 8000L)   // sample rate
+    assert(out(0).getLong(4) == 16L)     // bit depth
+    assert(out(0).getLong(5) == 1000L)   // 16000 B / 16000 B/s
+    assert(out(0).getLong(6) == 44L + 16000L)
+    assert(out(1).getString(1) == "bin" && out(1).isNullAt(2))
+    assert(out(2).getString(1) == "bin")
+    // and the query route round-trips at sf0.001
+    val q = graft.queries.MmStream.wavHeader(spark, sf).collect()
+    assert(q.nonEmpty && q.exists(_.getString(1) == "wav"))
+    assert(q.forall { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 0) {
+        val rate = Seq(8000L, 16000L, 22050L, 44100L)((id % 4).toInt)
+        r.getString(1) == "wav" && r.getLong(2) == id % 2 + 1 &&
+          r.getLong(3) == rate && r.getLong(4) == 16L
+      } else r.getString(1) == "bin" && r.isNullAt(2)
+    })
+  }
+
   test("binary meta sniffs magic prefixes") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
