@@ -144,7 +144,9 @@ object Ingest {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val ns = stagedNs(s, d)
     src.writeTo(s"graft_staged.$ns.customer_prod").createOrReplace()
-    s.read.parquet(s"/tmp/graft_stage/v2/$ns/customer_prod")
+    // read back through the catalog's V2 scan (StagedScan), so the oracle
+    // gates the hand-rolled parquet READ path as well as the staged write
+    s.table(s"graft_staged.$ns.customer_prod")
       .orderBy("c_custkey")
   }
 
@@ -161,8 +163,7 @@ object Ingest {
     val tbl = s"graft_staged.$ns.supplier_prod"
     s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (${src.schema.toDDL})")
     src.writeTo(tbl).overwrite(lit(true))
-    s.read.parquet(s"/tmp/graft_stage/v2/$ns/supplier_prod")
-      .orderBy("s_suppkey")
+    s.table(tbl).orderBy("s_suppkey")
   }
 
   /** Metadata-only schema evolution on the V2 table — the capability the
@@ -185,7 +186,8 @@ object Ingest {
     customer(s, d).filter(col("c_custkey") % 3 === 1)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .writeTo(tbl).append()
-    graft.sources.v2.StagedParquet.readTable(s, tbl).orderBy("c_custkey")
+    // V2 scan read-back: pre-evolution files null-fill at materialization
+    s.table(tbl).orderBy("c_custkey")
   }
 
   /** VACUUM over a V2 table with planted crash debris — the maintenance
@@ -219,6 +221,39 @@ object Ingest {
     report.toDF("path", "kind").orderBy("path")
   }
 
+  /** Storage-partitioned join over the catalog's key-grouped V2 scans
+    * (SPARK-37375): customer and supplier are loaded as tables IDENTITY-
+    * PARTITIONED on their nation key through the staged sink, read back
+    * through [[graft.sources.v2.StagedScan]] — which reports
+    * KeyGroupedPartitioning with HasPartitionKey splits — and joined on
+    * the partition key. With the catalog's default
+    * `spark.sql.sources.v2.bucketing.enabled`, NEITHER side shuffles, and
+    * the downstream per-nation aggregate rides the same distribution: the
+    * whole join+agg plans with zero exchanges (StagedSpjSpec pins the
+    * plan; PlanSpec pins this query). At 100 TB this is THE fact-fact
+    * join strategy: co-partition once at load, join forever for free —
+    * the bucketing rung the layout planners (etl_partition_plan,
+    * etl_zorder_layout) feed. The oracle recomputes the join+agg from the
+    * raw tables, gating write→partition→scan→SPJ end to end.
+    */
+  def spjJoin(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .writeTo(s"graft_staged.$ns.cust_by_nation")
+      .partitionedBy(col("c_nationkey")).createOrReplace()
+    supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .writeTo(s"graft_staged.$ns.sup_by_nation")
+      .partitionedBy(col("s_nationkey")).createOrReplace()
+    val c = s.table(s"graft_staged.$ns.cust_by_nation")
+    val sp = s.table(s"graft_staged.$ns.sup_by_nation")
+    c.join(sp, c("c_nationkey") === sp("s_nationkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.core.Determinism.dsum(col("c_acctbal") + col("s_acctbal"))
+          .as("bal_sum"))
+      .orderBy("nationkey")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -233,7 +268,8 @@ object Ingest {
     "etl_rename_replace" -> (renameReplace _),
     "etl_truncate_load"  -> (truncateLoad _),
     "etl_schema_evolve"  -> (schemaEvolve _),
-    "etl_vacuum"         -> (vacuumDebris _)
+    "etl_vacuum"         -> (vacuumDebris _),
+    "etl_spj_join"       -> (spjJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +286,15 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // the storage-partitioned join+agg recomputed straight from the raw
+    // tables — write→partition→V2 scan→SPJ must cancel out exactly
+    "etl_spj_join" ->
+      """SELECT c.c_nationkey AS nationkey,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(28,6)))
+           AS DOUBLE) AS bal_sum
+         FROM customer c JOIN supplier s ON s.s_nationkey = c.c_nationkey
+         GROUP BY 1 ORDER BY 1""",
     // the deletion report recomputed from first principles: one orphan per
     // even nation key, plus the two constant sibling-dir leftovers
     "etl_vacuum" ->

@@ -89,6 +89,10 @@ object StagedParquet {
     s.conf.set(s"spark.sql.catalog.$CatalogName",
       "graft.sources.v2.StagedCatalog")
     s.conf.set(s"spark.sql.catalog.$CatalogName.root", root)
+    // storage-partitioned joins over the catalog's key-grouped scans
+    // (SPARK-37375): co-partitioned tables join without either side
+    // shuffling — default-on for this catalog's sessions
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   }
 
   /** Prod directory of a `graft_staged.<ns...>.<name>` table, resolved from
@@ -370,6 +374,19 @@ object PartSpec {
     sb.toString
   }
 
+  /** Inverse of [[escape]]: %XX sequences back to their characters. */
+  def unescape(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 3 <= v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-row partition directory (e.g. `k=3/ts_day=2024-03-01`), empty for
     * an unpartitioned table. Resolved ordinals/types are precomputed in
     * [[partEvaluators]]; this just runs them.
@@ -585,13 +602,20 @@ object StagedCatalog {
   */
 class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType,
                          partSpec: Seq[PartField])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+
+  /** The V2 read path ([[StagedScan]]): key-grouped partitioning for
+    * storage-partitioned joins, column pruning, identity-partition
+    * pruning, evolution-aware null-fill.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new StagedScanBuilder(tableName, prodDir, tableSchema, partSpec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
@@ -712,7 +736,12 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
       if (!f.exists(new Path(p, n)))
         throw new IllegalStateException(s"commit: committed file $n missing in $targetDir")
     }
-    writeString(p, SchemaFile, schema.json)
+    // staging dirs publish the write's schema; an APPEND must never clobber
+    // the catalog-DECLARED schema (an evolved table's nullable ADD COLUMN
+    // would be overwritten by the incoming query's non-nullable variant,
+    // and the V2 scan would then skip null checks on pre-evolution files)
+    if (isStagingTarget || !f.exists(new Path(p, SchemaFile)))
+      writeString(p, SchemaFile, schema.json)
     if (partSpec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(partSpec))
     writeString(p, SuccessFile, "")
     promoteTo.foreach(prod => promote(targetDir, prod))

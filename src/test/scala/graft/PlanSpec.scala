@@ -250,4 +250,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!hp.split("TakeOrdered").last.contains("Exchange hashpartitioning"),
       hp.take(1200))
   }
+
+  test("round-9 queries: SPJ joins with zero exchanges; BPE/WAV stay cartesian-free") {
+    // the storage-partitioned join: the registered query's executed plan
+    // must contain NO exchange at all — neither join side shuffles and the
+    // partition-key aggregate rides the key-grouped distribution (the
+    // final orderBy's range exchange over 25 rows is the one exception)
+    val spj = plan("etl_spj_join")
+    assert(!spj.contains("Exchange hashpartitioning"),
+      s"SPJ shuffled: ${spj.take(2000)}")
+    assert(!spj.contains("BroadcastExchange"), spj.take(1500))
+    assert(spj.contains("SortMergeJoin") || spj.contains("ShuffledHashJoin"),
+      spj.take(1500))
+    for (q <- Seq("text_bpe_train", "mm_wav_header", "graph_modularity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian: ${p.take(800)}")
+    }
+    // wav parse is one projection pass, no shuffle before the output order
+    val wp = plan("mm_wav_header")
+    assert(!wp.split("TakeOrdered").last.contains("Exchange hashpartitioning"),
+      wp.take(1200))
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 READ path (StagedScan): round-trip fidelity, column
+  * pruning, identity-partition pruning, the count-star empty projection,
+  * evolution null-fill — and the property the scan exists for: two tables
+  * co-partitioned on the same key STORAGE-PARTITION-JOIN without either
+  * side shuffling (SPARK-37375), with the downstream partition-key
+  * aggregate riding the same distribution.
+  */
+class StagedSpjSpec extends AnyFunSuite {
+  private lazy val spark = { graft.sources.v2.StagedParquet.ensureCatalog(TestSpark.spark); TestSpark.spark }
+  private val ns = "spjspec"
+  private def tbl(t: String) = s"graft_staged.$ns.$t"
+  import org.apache.spark.sql.DataFrame
+
+  private def seed(): Unit = {
+    import spark.implicits._
+    val left = (0L until 400L).map(i => (i % 8, i, s"L$i", i * 1.5))
+      .toDF("k", "id", "tag", "v")
+    val right = (0L until 120L).map(i => (i % 8, i, i * 2.0))
+      .toDF("k", "rid", "w")
+    left.writeTo(tbl("spj_l")).partitionedBy(col("k")).createOrReplace()
+    right.writeTo(tbl("spj_r")).partitionedBy(col("k")).createOrReplace()
+  }
+
+  private def noBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("V2 read round-trips a partitioned table exactly (partition cols from dirs)") {
+    seed()
+    val back = spark.table(tbl("spj_l"))
+      .select("k", "id", "tag", "v").orderBy("id").collect()
+    assert(back.length == 400)
+    for (r <- back) {
+      val id = r.getLong(1)
+      assert(r.getLong(0) == id % 8)
+      assert(r.getString(2) == s"L$id")
+      assert(r.getDouble(3) == id * 1.5)
+    }
+  }
+
+  test("count-star over the V2 scan decodes zero columns and still counts rows") {
+    seed()
+    assert(spark.table(tbl("spj_l")).count() == 400L)
+    // partition-columns-only projection takes the same footer-count path
+    val ks = spark.table(tbl("spj_l")).groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ks == (0L until 8L).map(k => k -> 50L).toMap)
+  }
+
+  test("identity-partition pruning drops directories at plan time, conservatively") {
+    seed()
+    val one = spark.table(tbl("spj_l")).filter(col("k") === 3L)
+    assert(one.select(countDistinct(col("id"))).head.getLong(0) == 50L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("partitions=1,"), plan.take(1500))
+    val in = spark.table(tbl("spj_l")).filter(col("k").isin(2L, 5L))
+    assert(in.count() == 100L)
+    assert(in.queryExecution.executedPlan.toString.contains("partitions=2,"))
+    // non-partition-column filters must not prune anything
+    val res = spark.table(tbl("spj_l")).filter(col("id") < 10L)
+    assert(res.count() == 10L)
+    assert(res.queryExecution.executedPlan.toString.contains("partitions=8,"))
+  }
+
+  test("column pruning reaches the scan (only requested columns decoded)") {
+    seed()
+    val two = spark.table(tbl("spj_l")).select("k", "v")
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=[k,v]"), plan.take(1500))
+    assert(two.collect().length == 400)
+  }
+
+  test("co-partitioned tables storage-partition-join with ZERO shuffles; agg rides along") {
+    seed()
+    noBroadcast {
+      val l = spark.table(tbl("spj_l"))
+      val r = spark.table(tbl("spj_r"))
+      val joined = l.join(r, "k").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"SPJ did not engage:\n${plan.take(2000)}")
+      // ground truth from a plain (shuffling) join over raw parquet
+      val expect = (0L until 8L).map { k =>
+        val ls = (0L until 400L).filter(_ % 8 == k)
+        val rs = (0L until 120L).filter(_ % 8 == k)
+        k -> (ls.size.toLong * rs.size,
+          ls.flatMap(i => rs.map(j => i * 1.5 + j * 2.0)).sum)
+      }.toMap
+      val got = joined.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet == expect.keySet)
+      for ((k, (n, s)) <- expect) {
+        assert(got(k)._1 == n)
+        assert(math.abs(got(k)._2 - s) < 1e-6)
+      }
+      // the mechanism, not an accident: with V2 bucketing off it shuffles
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val off = l.join(r, "k").groupBy("k").agg(count(lit(1)).as("n"))
+        assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    }
+  }
+
+  test("evolution null-fill: pre-ALTER files read back null through the V2 scan") {
+    import spark.implicits._
+    val t = tbl("spj_evolve")
+    (0L until 6L).map(i => (i % 2, i)).toDF("k", "id")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra DOUBLE")
+    (6L until 9L).map(i => (i % 2, i, i * 0.5)).toDF("k", "id", "extra")
+      .writeTo(t).append()
+    val rows = spark.table(t).orderBy("id").collect()
+    assert(rows.length == 9)
+    assert(rows.take(6).forall(_.isNullAt(2)))
+    assert(rows.drop(6).forall(r => r.getDouble(2) == r.getLong(1) * 0.5))
+  }
+
+  test("string partition values round-trip through escaping") {
+    import spark.implicits._
+    val t = tbl("spj_esc")
+    Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L))
+      .toDF("k", "id")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val back = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(back.toSeq == Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L)))
+    assert(spark.table(t).filter(col("k") === "a/b").count() == 1L)
+  }
+}
