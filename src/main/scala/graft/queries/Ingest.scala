@@ -254,6 +254,37 @@ object Ingest {
       .orderBy("nationkey")
   }
 
+  /** Metadata-only statistics scan: per-partition COUNT/MIN/MAX answered
+    * from parquet FOOTERS through the V2 aggregate pushdown
+    * ([[graft.sources.v2.StagedScanBuilder.pushAggregation]]) — orders are
+    * loaded partitioned by priority, and the profile query plans a
+    * StagedAggScan that decodes ZERO data pages: record counts from file
+    * footers, min/max from row-group statistics, group keys from directory
+    * names. At 100 TB this is the difference between a table profile
+    * costing a full scan and costing one metadata read per file — the
+    * reference's row-count / extent checks (postgres.py count validation,
+    * ago.py outStatistics) done the way a columnar lake does them. The
+    * oracle recomputes the same profile from the raw rows, so footer
+    * arithmetic must agree with data exactly; PlanSpec pins the
+    * StagedAggScan plan shape.
+    */
+  def statsScan(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(s"graft_staged.$ns.orders_by_prio")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    s.table(s"graft_staged.$ns.orders_by_prio")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        col("min_price"), col("max_price"), col("min_key"), col("max_key"))
+      .orderBy("priority")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -269,7 +300,8 @@ object Ingest {
     "etl_truncate_load"  -> (truncateLoad _),
     "etl_schema_evolve"  -> (schemaEvolve _),
     "etl_vacuum"         -> (vacuumDebris _),
-    "etl_spj_join"       -> (spjJoin _)
+    "etl_spj_join"       -> (spjJoin _),
+    "etl_stats_scan"     -> (statsScan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,6 +318,15 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // the footer-answered profile recomputed from the raw rows — footer
+    // record counts and row-group min/max stats must agree with the data
+    "etl_stats_scan" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // the storage-partitioned join+agg recomputed straight from the raw
     // tables — write→partition→V2 scan→SPJ must cancel out exactly
     "etl_spj_join" ->

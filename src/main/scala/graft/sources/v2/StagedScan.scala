@@ -52,10 +52,11 @@ import org.apache.spark.unsafe.types.UTF8String
 class StagedScanBuilder(tableName: String, prodDir: String,
                         tableSchema: StructType, partSpec: Seq[PartField])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var partPruning: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[String], Seq[StagedAggScan.Func])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -73,15 +74,71 @@ class StagedScanBuilder(tableName: String, prodDir: String,
 
   override def pushedFilters(): Array[Filter] = partPruning
 
-  override def build(): Scan =
-    new StagedScan(tableName, prodDir, tableSchema, required, partSpec,
-      partPruning.toSeq)
+  /** METADATA-ONLY aggregation (SupportsPushDownAggregates, partial mode):
+    * COUNT(*) answers from parquet footer record counts, MIN/MAX of
+    * numeric data columns from footer row-group statistics — a 100 TB
+    * table's count is O(files) metadata reads, zero data decoded. Pushed
+    * only when every piece is footer-answerable: group-by restricted to
+    * identity partition columns (each group is then a set of whole
+    * directories), aggregates restricted to CountStar and numeric-typed
+    * Min/Max (binary/decimal stats can be TRUNCATED bounds in the parquet
+    * format — never answered from metadata here). Partial mode: Spark
+    * plans the final agg over per-split partials, so multi-file
+    * partitions and residual filters stay exact.
+    */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    // (Spark only offers an Aggregation when no residual filter sits
+    // between the Aggregate and this scan — and every filter here is
+    // residual by contract — so a pushed aggregation is always exact)
+    val identityCols = partSpec.filter(_.kind == "identity").map(_.name)
+    val statTypes: Set[DataType] =
+      Set(IntegerType, LongType, FloatType, DoubleType, DateType, TimestampType)
+    def dataCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames().length == 1 &&
+            !identityCols.contains(f.fieldNames()(0)) &&
+            tableSchema.fieldNames.contains(f.fieldNames()(0)) &&
+            statTypes(tableSchema(f.fieldNames()(0)).dataType) =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+    val groups = aggregation.groupByExpressions().toSeq.map {
+      case f: NamedReference if f.fieldNames().length == 1 &&
+          identityCols.contains(f.fieldNames()(0)) => f.fieldNames()(0)
+      case _ => return false
+    }
+    val funcs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => StagedAggScan.Cnt
+      case m: Min => dataCol(m.column()) match {
+        case Some(c) => StagedAggScan.Mn(c); case None => return false
+      }
+      case m: Max => dataCol(m.column()) match {
+        case Some(c) => StagedAggScan.Mx(c); case None => return false
+      }
+      case _ => return false
+    }
+    if (funcs.isEmpty) return false
+    pushedAgg = Some((groups, funcs))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((groups, funcs)) =>
+      new StagedAggScan(tableName, prodDir, tableSchema, partSpec,
+        partPruning.toSeq, groups, funcs)
+    case None =>
+      new StagedScan(tableName, prodDir, tableSchema, required, partSpec,
+        partPruning.toSeq)
+  }
 }
 
 class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
                  required: StructType, partSpec: Seq[PartField],
                  pruning: Seq[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -90,59 +147,57 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     * identity-column predicates. Evaluated once; [[outputPartitioning]]
     * must agree with the planned split count.
     */
-  private lazy val planned: Array[StagedInputPartition] = {
-    val root = new Path(prodDir)
-    val f = StagedParquet.fs(root)
-    if (!f.exists(root)) Array.empty
-    else {
-      def walk(dir: Path, depth: Int, values: List[String]): Seq[(List[String], Path)] =
-        if (depth == 0) Seq((values.reverse, dir))
-        else f.listStatus(dir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .flatMap(st => walk(st.getPath, depth - 1,
-            st.getPath.getName.split("=", 2)(1) :: values))
-      val dirs = walk(root, partSpec.length, Nil)
-      val kept = dirs.filter { case (vals, _) => partitionSurvives(vals) }
-      kept.map { case (vals, dir) =>
-        val files = f.listStatus(dir).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-            !st.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).sorted
+  private lazy val planned: Array[StagedInputPartition] =
+    StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
+      .map { case (vals, files) =>
         StagedInputPartition(vals, files, tableSchema.json, partSpec,
           required.fieldNames.toSeq)
-      }.filter(_.files.nonEmpty).sortBy(_.rawValues.mkString("/")).toArray
-    }
-  }
+      }.toArray
 
-  /** Identity-partition pruning: compare the typed directory value against
-    * the pushed literal — CONSERVATIVELY. A residual filter cannot
-    * resurrect skipped I/O, so any comparison this code cannot canonicalize
-    * with certainty keeps the partition (wasted read, never a lost row).
+  // ---- DYNAMIC partition pruning (SupportsRuntimeV2Filtering) ------------
+  // Spark's DPP rule plants a subquery on the build side of a join whose
+  // key is one of filterAttributes(); at execution it calls filter() with
+  // the collected build-side values, and planInputPartitions is re-planned
+  // against them — fact partitions a selective dim filter eliminated are
+  // never opened. Same conservative contract as static pruning: an
+  // unrecognized predicate shape prunes NOTHING.
+  private var runtime: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate] = Nil
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partSpec.filter(_.kind == "identity")
+      .map(p => Expressions.column(p.name)).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtime = predicates.toSeq
+
+  /** Does this partition's key survive every recognized runtime predicate?
+    * Recognizes `IN(col, lits...)` and `=(col, lit)` over one identity
+    * column; anything else keeps the partition.
     */
-  private def partitionSurvives(vals: Seq[String]): Boolean = {
-    // canonical comparable form for both dir values and filter literals
-    def canon(v: Any): Any = v match {
-      case u: UTF8String          => u.toString
-      case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
-      case d: java.time.LocalDate => d.toEpochDay.toInt
-      case other                  => other
-    }
-    def typed(name: String): Option[Any] = {
-      val i = partSpec.indexWhere(_.name == name)
+  private def runtimeSurvives(p: StagedInputPartition): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def dirValue(name: String): Option[Any] = {
+      val i = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == name)
       if (i < 0) None
-      else Some(canon(StagedScan.partValue(
-        tableSchema(partSpec(i).name).dataType, vals(i))))
+      else Some(StagedScan.partValue(tableSchema(partSpec(i).name).dataType,
+        p.rawValues(i)))
     }
-    pruning.forall {
-      case EqualTo(a, v) => typed(a).forall(t => t != null && t == canon(v))
-      case In(a, vs)     => typed(a).forall(t => vs.map(canon).contains(t))
-      case IsNotNull(a)  => typed(a).forall(_ != null)
-      case _             => true
+    runtime.forall { pred =>
+      (pred.name(), pred.children().toSeq) match {
+        case ("IN", (f: NamedReference) +: lits)
+            if f.fieldNames().length == 1 && lits.forall(_.isInstanceOf[Literal[_]]) =>
+          dirValue(f.fieldNames()(0)).forall(v =>
+            lits.exists(_.asInstanceOf[Literal[_]].value == v))
+        case ("=", Seq(f: NamedReference, l: Literal[_]))
+            if f.fieldNames().length == 1 =>
+          dirValue(f.fieldNames()(0)).forall(_ == l.value)
+        case _ => true
+      }
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    planned.toArray[InputPartition]
+    planned.filter(runtimeSurvives).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
     StagedReaderFactory(tableSchema.json, partSpec, required.fieldNames.toSeq)
@@ -179,6 +234,201 @@ object StagedScan {
       case other => throw new UnsupportedOperationException(
         s"staged scan: unsupported identity partition type $other")
     }
+
+  /** Committed (partition dir values, files) pairs under `prodDir`, pruned
+    * by the pushed identity-column predicates — CONSERVATIVELY: a residual
+    * filter cannot resurrect skipped I/O, so any comparison this code
+    * cannot canonicalize with certainty keeps the partition (a wasted
+    * read, never a lost row). Shared by the row scan and the
+    * aggregate-pushdown scan.
+    */
+  private[v2] def planPartitions(prodDir: String, tableSchema: StructType,
+      partSpec: Seq[PartField], pruning: Seq[Filter]): Seq[(Seq[String], Seq[String])] = {
+    def canon(v: Any): Any = v match {
+      case u: UTF8String          => u.toString
+      case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case other                  => other
+    }
+    def typed(vals: Seq[String], name: String): Option[Any] = {
+      val i = partSpec.indexWhere(_.name == name)
+      if (i < 0) None
+      else Some(canon(partValue(tableSchema(partSpec(i).name).dataType, vals(i))))
+    }
+    def survives(vals: Seq[String]): Boolean = pruning.forall {
+      case EqualTo(a, v) => typed(vals, a).forall(t => t != null && t == canon(v))
+      case In(a, vs)     => typed(vals, a).forall(t => vs.map(canon).contains(t))
+      case IsNotNull(a)  => typed(vals, a).forall(_ != null)
+      case _             => true
+    }
+    val root = new Path(prodDir)
+    val f = StagedParquet.fs(root)
+    if (!f.exists(root)) Seq.empty
+    else {
+      def walk(dir: Path, depth: Int, values: List[String]): Seq[(List[String], Path)] =
+        if (depth == 0) Seq((values.reverse, dir))
+        else f.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => walk(st.getPath, depth - 1,
+            st.getPath.getName.split("=", 2)(1) :: values))
+      walk(root, partSpec.length, Nil)
+        .filter { case (vals, _) => survives(vals) }
+        .map { case (vals, dir) =>
+          val files = f.listStatus(dir).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith("_"))
+            .map(_.getPath.toString).sorted
+          (vals: Seq[String], files)
+        }
+        .filter(_._2.nonEmpty).sortBy(_._1.mkString("/"))
+    }
+  }
+}
+
+/** The metadata-only aggregate scan ([[StagedScanBuilder.pushAggregation]]):
+  * one output row per partition directory — group columns from the dir
+  * name, COUNT(*) from footer record counts, MIN/MAX from footer row-group
+  * statistics folded across the partition's files. Partial-mode contract:
+  * Spark's final aggregate merges these per-split rows (sums the counts,
+  * re-mins the mins), so correctness never depends on one-split-per-group.
+  * Statistics gaps fall back to scanning JUST that column through the flat
+  * reader — slower, never wrong.
+  */
+class StagedAggScan(tableName: String, prodDir: String,
+                    tableSchema: StructType, partSpec: Seq[PartField],
+                    pruning: Seq[Filter], groups: Seq[String],
+                    funcs: Seq[StagedAggScan.Func])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    groups.map(g => tableSchema(g).copy(nullable = true)) ++
+      funcs.zipWithIndex.map {
+        case (StagedAggScan.Cnt, i)   => StructField(s"count_$i", LongType, nullable = false)
+        case (StagedAggScan.Mn(c), i) => StructField(s"min_$i", tableSchema(c).dataType)
+        case (StagedAggScan.Mx(c), i) => StructField(s"max_$i", tableSchema(c).dataType)
+      })
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
+      .map { case (vals, files) =>
+        StagedInputPartition(vals, files, tableSchema.json, partSpec, groups)
+      }.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StagedAggReaderFactory(tableSchema.json, partSpec, groups, funcs)
+
+  override def description(): String =
+    s"StagedAggScan(table=$tableName, pushed=[${funcs.mkString(",")}], " +
+      s"groups=[${groups.mkString(",")}], pruning=[${pruning.mkString(",")}])"
+}
+
+object StagedAggScan {
+  sealed trait Func extends Serializable
+  case object Cnt extends Func { override def toString = "COUNT(*)" }
+  case class Mn(col: String) extends Func { override def toString = s"MIN($col)" }
+  case class Mx(col: String) extends Func { override def toString = s"MAX($col)" }
+}
+
+case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
+                                  groups: Seq[String], funcs: Seq[StagedAggScan.Func])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StagedInputPartition]
+    new PartitionReader[InternalRow] {
+      private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      private var done = false
+
+      private def footerStats(): InternalRow = {
+        val conf = new Configuration()
+        var count = 0L
+        // per Mn/Mx func: folded (value, sawAnyNonNull)
+        val acc = new Array[Any](funcs.length)
+        val needStats = funcs.exists(_ != StagedAggScan.Cnt)
+        for (file <- p.files) {
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(file), conf))
+          try {
+            count += fr.getRecordCount
+            if (needStats) {
+              val blocks = fr.getFooter.getBlocks.asScala
+              funcs.zipWithIndex.foreach {
+                case (StagedAggScan.Cnt, _) => ()
+                case (f, i) =>
+                  val (col, isMin) = f match {
+                    case StagedAggScan.Mn(c) => (c, true)
+                    case StagedAggScan.Mx(c) => (c, false)
+                    case StagedAggScan.Cnt   => throw new IllegalStateException
+                  }
+                  for (b <- blocks if b.getRowCount > 0) {
+                    b.getColumns.asScala.find(_.getPath.toDotString == col) match {
+                      case Some(cc) =>
+                        val st = cc.getStatistics
+                        if (st == null || st.isEmpty)
+                          acc(i) = fallbackScan(col, isMin) // stats gap: exact fallback
+                        else if (st.hasNonNullValue) {
+                          val v = if (isMin) st.genericGetMin else st.genericGetMax
+                          acc(i) = merge(acc(i), v, isMin)
+                        } // all-null row group contributes nothing
+                      case None => () // pre-evolution file: column absent, all null
+                    }
+                  }
+              }
+            }
+          } finally fr.close()
+        }
+        val groupVals = groups.map { g =>
+          val gi = partSpec.indexWhere(_.name == g)
+          StagedScan.partValue(schema(g).dataType, p.rawValues(gi))
+        }
+        val aggVals = funcs.zipWithIndex.map {
+          case (StagedAggScan.Cnt, _) => count
+          case (_, i)                 => acc(i)
+        }
+        new GenericInternalRow((groupVals ++ aggVals).toArray[Any])
+      }
+
+      private def merge(cur: Any, v: Any, isMin: Boolean): Any =
+        if (cur == null) v
+        else {
+          val c = (cur, v) match {
+            case (a: java.lang.Integer, b: java.lang.Integer) => a.compareTo(b)
+            case (a: java.lang.Long, b: java.lang.Long)       => a.compareTo(b)
+            case (a: java.lang.Float, b: java.lang.Float)     => a.compareTo(b)
+            case (a: java.lang.Double, b: java.lang.Double)   => a.compareTo(b)
+            case _ => throw new UnsupportedOperationException(
+              s"staged agg scan: cannot merge ${cur.getClass} stats")
+          }
+          if ((isMin && c <= 0) || (!isMin && c >= 0)) cur else v
+        }
+
+      /** Exact per-column fold for a file whose footer lacks statistics —
+        * never answer MIN/MAX from incomplete metadata.
+        */
+      private def fallbackScan(col: String, isMin: Boolean): Any = {
+        var best: Any = null
+        for (file <- p.files) {
+          val r = ParquetReader.builder(
+            new FlatRowReadSupport(Seq(schema(col))), new Path(file))
+            .withConf(new Configuration()).build()
+          try {
+            var rec = r.read()
+            while (rec != null) {
+              if (rec(0) != null) best = merge(best, rec(0), isMin)
+              rec = r.read()
+            }
+          } finally r.close()
+        }
+        best
+      }
+
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = footerStats()
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** @param rawValues    identity partition dir values, partSpec order
@@ -206,9 +456,18 @@ case class StagedReaderFactory(schemaJson: String, partSpec: Seq[PartField],
                                requiredCols: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    StagedReaderFactory.readersCreated.incrementAndGet(): Unit
     val p = partition.asInstanceOf[StagedInputPartition]
     new StagedPartitionReader(p, schemaJson, partSpec, requiredCols)
   }
+}
+
+object StagedReaderFactory {
+  /** Test observability: partitions actually OPENED (post static + runtime
+    * pruning). Meaningful in local mode only — the same JVM runs the
+    * executors — which is exactly where the specs read it.
+    */
+  val readersCreated = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Streams this partition's files through the hand-rolled parquet

@@ -270,5 +270,9 @@ class PlanSpec extends AnyFunSuite {
     val wp = plan("mm_wav_header")
     assert(!wp.split("TakeOrdered").last.contains("Exchange hashpartitioning"),
       wp.take(1200))
+    // the metadata profile must plan the aggregate INTO the scan: footer
+    // counts and row-group stats, zero data pages decoded
+    val st = plan("etl_stats_scan")
+    assert(st.contains("StagedAggScan"), st.take(1500))
   }
 }

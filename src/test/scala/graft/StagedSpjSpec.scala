@@ -109,6 +109,23 @@ class StagedSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    seed()
+    import spark.implicits._
+    val dimPath = "/tmp/graft_stage/spj_dim"
+    (0L until 8L).map(i => (i, if (i == 2 || i == 5) "hot" else "cold"))
+      .toDF("dk", "temp").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("temp") === "hot")
+    val fact = spark.table(tbl("spj_l"))
+    graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+    val out = fact.join(dim, fact("k") === dim("dk")).groupBy("k").count().collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 50L, 5L -> 50L))
+    val opened = graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    assert(opened == 2L,
+      s"expected the runtime filter to open exactly 2 fact partitions, opened $opened")
+  }
+
   test("evolution null-fill: pre-ALTER files read back null through the V2 scan") {
     import spark.implicits._
     val t = tbl("spj_evolve")
@@ -121,6 +138,35 @@ class StagedSpjSpec extends AnyFunSuite {
     assert(rows.length == 9)
     assert(rows.take(6).forall(_.isNullAt(2)))
     assert(rows.drop(6).forall(r => r.getDouble(2) == r.getLong(1) * 0.5))
+  }
+
+  test("count/min/max answer from parquet footers (StagedAggScan), never under residuals") {
+    seed()
+    val df = spark.table(tbl("spj_l")).groupBy("k")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StagedAggScan"), plan.take(1500))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for (k <- 0L until 8L) {
+      val ids = (0L until 400L).filter(_ % 8 == k)
+      assert(got(k) == ((50L, ids.min * 1.5, ids.max * 1.5)))
+    }
+    // global (ungrouped) count + max: per-split partials, Spark merges
+    val g = spark.table(tbl("spj_l")).agg(count(lit(1)).as("n"), max("id").as("m"))
+    assert(g.queryExecution.executedPlan.toString.contains("StagedAggScan"))
+    val gr = g.head
+    assert(gr.getLong(0) == 400L && gr.getLong(1) == 399L)
+    // a row filter blocks the pushdown (all filters are residual) and the
+    // answer still comes out exact through the row scan
+    val f = spark.table(tbl("spj_l")).filter(col("id") < 100L)
+      .agg(count(lit(1)).as("n"))
+    assert(!f.queryExecution.executedPlan.toString.contains("StagedAggScan"))
+    assert(f.head.getLong(0) == 100L)
+    // string min/max never answers from stats (truncated-bounds hazard)
+    val smm = spark.table(tbl("spj_l")).agg(min("tag").as("m"))
+    assert(!smm.queryExecution.executedPlan.toString.contains("StagedAggScan"))
+    assert(smm.head.getString(0) == "L0")
   }
 
   test("string partition values round-trip through escaping") {
