@@ -356,6 +356,13 @@ object MmStream {
     Streams.windowTopK(events(s, d), withWatermark = false)
       .orderBy("win_start", "rank")
 
+  // windowed volume-anomaly flags (batch twin; the spec drives the
+  // streaming split: stateful window agg ON the stream, integer-exact
+  // 2-sigma flagging on the closed result)
+  def streamWindowAnomaly(s: SparkSession, d: String): DataFrame =
+    Streams.windowAnomaly(events(s, d), withWatermark = false)
+      .orderBy("win_start", "event_type")
+
   // sliding-window agg — every event in exactly two overlapping windows
   def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
     Streams.slidingWindowAgg(events(s, d), withWatermark = false)
@@ -459,6 +466,7 @@ object MmStream {
     "mm_feature_extract" -> (featureExtract _),
     "mm_resize"          -> (resize _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_window_anomaly" -> (streamWindowAnomaly _),
     "stream_topk"       -> (streamTopK _),
     "stream_sliding_agg" -> (streamSlidingAgg _),
     "stream_dedup_state" -> (streamDedup _),
@@ -701,6 +709,29 @@ object MmStream {
          event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-type baseline from integer sufficient statistics; the 2-sigma
+    // flag decided entirely in integers ((n*nw - s1)^2 > 4*(s2*nw - s1^2))
+    // so no float threshold can flip between engines
+    "stream_window_anomaly" ->
+      s"""WITH agged AS (
+           SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+           FROM agged GROUP BY 1)
+         SELECT a.win_start, a.event_type, a.n_events,
+           ${graft.core.Determinism.r4Sql(
+             """CASE WHEN s2 * nw - s1 * s1 > 0
+                THEN CAST(a.n_events * nw - s1 AS DOUBLE)
+                     / sqrt(CAST(s2 * nw - s1 * s1 AS DOUBLE))
+                ELSE 0.0 END""")} AS z,
+           (a.n_events * nw - s1) * (a.n_events * nw - s1)
+             > 4 * (s2 * nw - s1 * s1) AS is_anomaly
+         FROM agged a JOIN st USING (event_type)
+         ORDER BY 1, 2""",
     "stream_topk" ->
       s"""WITH agged AS (
            SELECT strftime(CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),

@@ -104,6 +104,45 @@ object Streams {
   def windowTopK(events: DataFrame, withWatermark: Boolean): DataFrame =
     rankWindows(windowAgg(events, withWatermark))
 
+  /** Volume-anomaly flags over closed windows: per event type, windows
+    * whose count deviates more than 2σ from the type's mean window count.
+    * Same stream/sink split as [[rankWindows]]: the STATEFUL windowed
+    * count runs on the stream ([[windowAgg]]), this finishing step runs on
+    * the closed result (window×type-sized — cheap at any scale, and the
+    * per-type baseline is a broadcast). Determinism is engineered the
+    * integer way: with s1 = Σn, s2 = Σn², nw = #windows per type,
+    * (n − mean)² > (2σ)²  ⇔  (n·nw − s1)² > 4·(s2·nw − s1²) — the flag is
+    * decided ENTIRELY in integer arithmetic (no float threshold can
+    * flip between engines), and the published z-score reduces to one
+    * integer-derived division (n·nw − s1)/√(s2·nw − s1²), rounded r4.
+    * Long bounds: safe while window counts stay < ~3e9·√(1/nw) — far
+    * beyond any per-30-min event volume this pipeline sees; the exact
+    * DECIMAL variant is a one-line swap if a deployment ever nears it.
+    */
+  def anomalyFlags(agged: DataFrame): DataFrame = {
+    val stats = agged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nw"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    val dn = col("n_events") * col("nw") - col("s1")           // exact integer
+    val varNum = col("s2") * col("nw") - col("s1") * col("s1") // nw³·σ² exact
+    // no explicit broadcast hint: the baseline is types-sized, Spark's
+    // size estimate broadcasts it on its own, and a hint on this shared
+    // subtree breaks self-join reference dedup on memory-sink relations
+    agged.join(stats, "event_type")
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        graft.core.Determinism.r4(
+          when(varNum > 0, dn.cast("double") / sqrt(varNum.cast("double")))
+            .otherwise(lit(0.0))).as("z"),
+        (dn * dn > varNum * 4).as("is_anomaly"))
+  }
+
+  /** Windowed volume anomalies end to end: [[windowAgg]] (streamable,
+    * stateful) composed with [[anomalyFlags]] (batch finishing step).
+    */
+  def windowAnomaly(events: DataFrame, withWatermark: Boolean): DataFrame =
+    anomalyFlags(windowAgg(events, withWatermark))
+
   /** Sliding 30-minute window (15-minute slide) counts per event type —
     * each event lands in exactly two overlapping windows. Same
     * batch/stream duality as [[windowAgg]].

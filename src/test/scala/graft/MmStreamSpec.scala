@@ -219,6 +219,26 @@ class MmStreamSpec extends AnyFunSuite {
     assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
   }
 
+  test("streaming window anomaly equals its batch twin (stateful agg on stream, flags on sink)") {
+    val batch = graft.queries.MmStream.queries("stream_window_anomaly")(spark, sf)
+      .collect().map(_.toString).sorted
+    val stream = Streams.windowAgg(Streams.eventsStream(spark, stagedEvents),
+      withWatermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("anomaly_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // localCheckpoint: the memory-sink View is not self-join-dedupable
+    // (MemoryPlan lacks instance renewal); a materialized relation is
+    val closed = spark.table("anomaly_test").localCheckpoint()
+    val got = Streams.anomalyFlags(closed)
+      .orderBy("win_start", "event_type").collect().map(_.toString).sorted
+    assert(got.sameElements(batch), s"stream ${got.length} vs batch ${batch.length}")
+    // the flags are live: some window is anomalous, most are not
+    val flags = Streams.anomalyFlags(closed).collect().map(_.getBoolean(4))
+    assert(flags.count(identity) < flags.length)
+  }
+
   test("streaming sliding window agg equals its batch twin (readStream parity)") {
     val batch = graft.queries.MmStream.queries("stream_sliding_agg")(spark, sf)
       .collect().map(_.toString).sorted
