@@ -285,6 +285,35 @@ object Ingest {
       .orderBy("priority")
   }
 
+  /** Day-partitioned time travel: events land in a `days(ts)`-partitioned
+    * V2 table, and a timestamp-RANGE query prunes day directories at plan
+    * time — day() is monotone in ts, so `ts >= T` can only live in dirs
+    * with day ≥ day(T) ([[graft.sources.v2.StagedScanBuilder]] pushes the
+    * range, planPartitions keeps days 10..16 of the 30-day corpus;
+    * PlanSpec pins `partitions=7`). This is THE dominant access pattern on
+    * a 100 TB event table: every incremental/backfill/audit query carries
+    * a date range, and the scan cost must be proportional to the range,
+    * not the table. Pruning stays conservative (boundary day kept, rows
+    * after it cut by the residual filter), so the oracle's exact
+    * recomputation gates that no row is ever lost to pruning.
+    */
+  def daysPrune(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.events_by_day"
+    events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .writeTo(tbl)
+      .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
+      .createOrReplace()
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-16T00:00:00Z"))
+    s.table(tbl)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -301,7 +330,8 @@ object Ingest {
     "etl_schema_evolve"  -> (schemaEvolve _),
     "etl_vacuum"         -> (vacuumDebris _),
     "etl_spj_join"       -> (spjJoin _),
-    "etl_stats_scan"     -> (statsScan _)
+    "etl_stats_scan"     -> (statsScan _),
+    "etl_days_prune"     -> (daysPrune _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +348,14 @@ object Ingest {
     "etl_truncate_load" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    // the pruned range recomputed over the raw events — day-directory
+    // pruning must never cost a row (boundary days cut by residual only)
+    "etl_days_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE epoch(ts) >= 1704844800 AND epoch(ts) < 1705363200
+         GROUP BY 1 ORDER BY 1""",
     // the footer-answered profile recomputed from the raw rows — footer
     // record counts and row-group min/max stats must agree with the data
     "etl_stats_scan" ->

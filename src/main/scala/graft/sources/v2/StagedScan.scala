@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,11 +63,20 @@ class StagedScanBuilder(tableName: String, prodDir: String,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val identityCols = partSpec.filter(_.kind == "identity").map(_.name).toSet
+    // range predicates on a days-transform SOURCE column prune day
+    // directories: day() is monotone in ts, so ts >= T can only land in
+    // dirs with day >= day(T) — the time-travel pattern every day-
+    // partitioned event table lives on
+    val daysCols = partSpec.filter(_.kind == "days").map(_.name).toSet
     partPruning = filters.filter {
-      case EqualTo(a, _) => identityCols(a)
-      case In(a, _)      => identityCols(a)
-      case IsNotNull(a)  => identityCols(a)
-      case _             => false
+      case EqualTo(a, _)             => identityCols(a) || daysCols(a)
+      case In(a, _)                  => identityCols(a)
+      case IsNotNull(a)              => identityCols(a)
+      case GreaterThan(a, _)         => daysCols(a)
+      case GreaterThanOrEqual(a, _)  => daysCols(a)
+      case LessThan(a, _)            => daysCols(a)
+      case LessThanOrEqual(a, _)     => daysCols(a)
+      case _                         => false
     }
     filters // everything stays a residual: pruning only skips I/O
   }
@@ -250,16 +259,39 @@ object StagedScan {
       case d: java.time.LocalDate => d.toEpochDay.toInt
       case other                  => other
     }
+    // identity-partition dir value, canonicalized; None = not identity
     def typed(vals: Seq[String], name: String): Option[Any] = {
-      val i = partSpec.indexWhere(_.name == name)
+      val i = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == name)
       if (i < 0) None
       else Some(canon(partValue(tableSchema(partSpec(i).name).dataType, vals(i))))
     }
+    // days-partition dir value as epoch day; None = not days / null dir
+    def dirDay(vals: Seq[String], name: String): Option[Long] = {
+      val i = partSpec.indexWhere(pf => pf.kind == "days" && pf.name == name)
+      if (i < 0 || vals(i) == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(java.time.LocalDate.parse(vals(i)).toEpochDay)
+    }
+    // UTC day of a pushed ts/date literal; None = unrecognized (keep)
+    def dayOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp  => Some(Math.floorDiv(t.getTime, 86400000L))
+      case i: java.time.Instant   => Some(Math.floorDiv(i.getEpochSecond, 86400L))
+      case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _                      => None
+    }
+    def dayCmp(vals: Seq[String], a: String, v: Any)(keep: (Long, Long) => Boolean): Boolean =
+      dirDay(vals, a).forall(dd => dayOf(v).forall(dv => keep(dd, dv)))
     def survives(vals: Seq[String]): Boolean = pruning.forall {
-      case EqualTo(a, v) => typed(vals, a).forall(t => t != null && t == canon(v))
-      case In(a, vs)     => typed(vals, a).forall(t => vs.map(canon).contains(t))
-      case IsNotNull(a)  => typed(vals, a).forall(_ != null)
-      case _             => true
+      case EqualTo(a, v) =>
+        typed(vals, a).forall(t => t != null && t == canon(v)) &&
+          dayCmp(vals, a, v)(_ == _)
+      case In(a, vs)                => typed(vals, a).forall(t => vs.map(canon).contains(t))
+      case IsNotNull(a)             => typed(vals, a).forall(_ != null)
+      case GreaterThan(a, v)        => dayCmp(vals, a, v)(_ >= _)
+      case GreaterThanOrEqual(a, v) => dayCmp(vals, a, v)(_ >= _)
+      case LessThan(a, v)           => dayCmp(vals, a, v)(_ <= _)
+      case LessThanOrEqual(a, v)    => dayCmp(vals, a, v)(_ <= _)
+      case _                        => true
     }
     val root = new Path(prodDir)
     val f = StagedParquet.fs(root)

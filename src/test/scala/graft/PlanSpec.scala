@@ -274,5 +274,9 @@ class PlanSpec extends AnyFunSuite {
     // counts and row-group stats, zero data pages decoded
     val st = plan("etl_stats_scan")
     assert(st.contains("StagedAggScan"), st.take(1500))
+    // the date-range query must close day directories at plan time:
+    // days 10..16 of the 30-day corpus (boundary day kept, residual-cut)
+    val dp = plan("etl_days_prune")
+    assert(dp.contains("partitions=7,"), dp.take(1500))
   }
 }

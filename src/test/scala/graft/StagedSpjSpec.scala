@@ -169,6 +169,27 @@ class StagedSpjSpec extends AnyFunSuite {
     assert(smm.head.getString(0) == "L0")
   }
 
+  test("days-partition range pruning: ts bounds close day directories, conservatively") {
+    import spark.implicits._
+    val t = tbl("spj_days")
+    val rows = (0L until 96L).map { i =>
+      (i, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:30:00Z").plusSeconds(i * 3600)))
+    }.toDF("id", "ts") // 4 days x 24 hourly events
+    rows.writeTo(t).partitionedBy(days(col("ts"))).createOrReplace()
+    assert(spark.table(t).count() == 96L)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-02T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-03T12:00:00Z"))
+    val ranged = spark.table(t).filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    assert(ranged.count() == 36L) // day2 full + day3 first half
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("partitions=2,"), plan.take(1500)) // days 2+3 of 4
+    // one-sided bound keeps the boundary day (conservative)
+    val tail = spark.table(t).filter(col("ts") > lit(hi))
+    assert(tail.count() == 36L) // day3 second half + day4
+    assert(tail.queryExecution.executedPlan.toString.contains("partitions=2,"))
+  }
+
   test("string partition values round-trip through escaping") {
     import spark.implicits._
     val t = tbl("spj_esc")
