@@ -715,7 +715,14 @@ object Text {
     * Per-step symbol relations are localCheckpointed like the LPA rounds
     * to cut the 6-deep window+join lineage.
     */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeFold(s, d)._2.reduce(_ unionAll _).orderBy("step")
+
+  /** The shared training fold: (final symbol relation, per-step merge
+    * rows). [[bpeTrain]] publishes the merges; [[bpeEncode]] scores the
+    * corpus with the final symbolization.
+    */
+  private def bpeFold(s: SparkSession, d: String): (DataFrame, List[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val words = documents(s, d)
       .select(explode(regexp_extract_all(lower(col("text")),
@@ -729,7 +736,7 @@ object Text {
         col("word").substr(col("i"), lit(1)).as("sym"))
       .localCheckpoint()
     val wOrd = Window.partitionBy("word").orderBy("pos")
-    val (_, steps) = (1 to BpeMerges)
+    val (symFinal, steps) = (1 to BpeMerges)
       .foldLeft((sym0, List.empty[DataFrame])) { case ((syms, acc), step) =>
         val adj = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
         val best = adj.filter(col("nxt").isNotNull)
@@ -761,11 +768,43 @@ object Text {
           concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
         (merged, stepRow :: acc)
       }
-    steps.reverse.reduce(_ unionAll _).orderBy("step")
+    (symFinal, steps.reverse)
+  }
+
+  /** Train→apply closure for the BPE loop: score the corpus with the
+    * trained tokenizer. The final symbolization [[bpeFold]] left behind IS
+    * the applied state — tokens-per-word is one vocab-sized count — so
+    * encoding reduces to a word-explode of the documents joined against
+    * that per-word token count (broadcast-sized: ≤ [[BpeVocab]] rows).
+    * Out-of-vocab words fall back to character tokens (|word| — exactly
+    * what an untrained BPE does). Per doc: word count, BPE token count,
+    * alphabetic char count, and chars-per-token (the compression a
+    * tokenizer-training loop monitors), all integer up to one r4'd
+    * division. One corpus shuffle (the doc_id re-agg); the vocab side
+    * never exceeds the training cap.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val tokensPerWord = bpeFold(s, d)._1
+      .groupBy("word").agg(count(lit(1)).as("n_tok"))
+    val docWords = documents(s, d)
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+    docWords
+      .join(broadcast(tokensPerWord), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+          .as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        graft.core.Determinism.r4(
+          col("n_chars").cast("double") / col("n_tokens")).as("chars_per_tok"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_chunk_windows" -> (chunkWindows _),
     "text_classifier_score" -> (classifierScore _),
     "text_kl_drift"     -> (klDrift _),
@@ -883,6 +922,28 @@ object Text {
            WHERE p.pos IS NULL))"""
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_encode" ->
+      s"""WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                 FROM documents)
+           GROUP BY 1 ORDER BY freq DESC, word LIMIT $BpeVocab),
+         sym0 AS MATERIALIZED (SELECT word, freq, i - 1 AS pos,
+             substr(word, CAST(i AS INTEGER), 1) AS sym
+           FROM words, UNNEST(range(1, length(word) + 1)) t(i)),
+         ${(1 to BpeMerges).map(bpeStepSql).mkString(",\n")},
+         tpw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+           FROM sym$BpeMerges GROUP BY 1),
+         dw AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(COALESCE(t.n_tok, length(d.word))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+           ${graft.core.Determinism.r4Sql(
+             """CAST(sum(length(d.word)) AS DOUBLE)
+                / sum(COALESCE(t.n_tok, length(d.word)))""")} AS chars_per_tok
+         FROM dw d LEFT JOIN tpw t USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_bpe_train" ->
       s"""WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -43,6 +43,25 @@ class AnnTextSpec extends AnyFunSuite {
         (buf.result(), f)
       }
     }
+    // train->apply closure: per-doc encode counts match the final seqs
+    val tokOf = seqs.map { case (ss, _) => (ss.mkString, ss.length.toLong) }.toMap
+    val enc = Text.queries("text_bpe_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(enc.nonEmpty)
+    // a token is at least a char and at most a word
+    for ((doc, (nw, nt, nc)) <- enc)
+      assert(nw <= nt && nt <= nc, s"doc $doc: $nw <= $nt <= $nc")
+    // exact: recompute ONE doc's encode from the ground-truth seqs
+    import org.apache.spark.sql.functions.{col => c}
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(c("doc_id"), lower(c("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    for ((doc, (nw, nt, nc)) <- enc.take(10)) {
+      val ws = "[a-z]+".r.findAllIn(d0(doc)).toSeq
+      assert(nw == ws.length)
+      assert(nc == ws.map(_.length).sum)
+      assert(nt == ws.map(w => tokOf.getOrElse(w, w.length.toLong)).sum)
+    }
   }
 
   test("ann_bruteforce: exactly top-5 per probe, ranked by cosine desc") {
