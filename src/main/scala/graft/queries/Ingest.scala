@@ -238,10 +238,15 @@ object Ingest {
     */
   def spjJoin(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
+    // repartition by the partition key before writing: one file per dir
+    // instead of (tasks × dirs) smalls — at 100 TB use repartition(N, key)
+    // for N writers per hot partition, same writer-count bound
     customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .repartition(col("c_nationkey"))
       .writeTo(s"graft_staged.$ns.cust_by_nation")
       .partitionedBy(col("c_nationkey")).createOrReplace()
     supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .repartition(col("s_nationkey"))
       .writeTo(s"graft_staged.$ns.sup_by_nation")
       .partitionedBy(col("s_nationkey")).createOrReplace()
     val c = s.table(s"graft_staged.$ns.cust_by_nation")
@@ -271,6 +276,7 @@ object Ingest {
   def statsScan(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("o_orderpriority")) // one file per priority dir
       .writeTo(s"graft_staged.$ns.orders_by_prio")
       .partitionedBy(col("o_orderpriority")).createOrReplace()
     s.table(s"graft_staged.$ns.orders_by_prio")
@@ -301,6 +307,7 @@ object Ingest {
     val ns = stagedNs(s, d)
     val tbl = s"graft_staged.$ns.events_by_day"
     events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .repartition(to_date(col("ts"))) // one file per day dir, not tasks x days
       .writeTo(tbl)
       .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
       .createOrReplace()
