@@ -456,8 +456,9 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
         best
       }
 
+      private lazy val row = footerStats() // one metadata pass per split
       override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = footerStats()
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }
