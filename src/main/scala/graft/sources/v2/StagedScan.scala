@@ -46,8 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (public API only, mirroring the sink's WriteSupport): flat scalar
   * schemas — exactly what the lifecycle tables carry; nested read-back
   * stays on spark.read.parquet via [[StagedParquet.readTable]]. One input
-  * split per partition directory: partition count, not file count, is the
-  * parallelism grain, which is what key-grouped planning groups anyway.
+  * split per FILE with the partition values attached: an unpartitioned
+  * or hot-partition table reads with file-count parallelism, and Spark's
+  * key-grouped planner re-groups same-key splits for SPJ, so the finer
+  * grain costs co-partitioned joins nothing.
   */
 class StagedScanBuilder(tableName: String, prodDir: String,
                         tableSchema: StructType, partSpec: Seq[PartField])
@@ -156,12 +158,22 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     * identity-column predicates. Evaluated once; [[outputPartitioning]]
     * must agree with the planned split count.
     */
-  private lazy val planned: Array[StagedInputPartition] =
+  /** One split per FILE (partition-dir values attached): an unpartitioned
+    * or hot-partition table reads with file-count parallelism, never
+    * through one task. Same-key splits are re-grouped by Spark's
+    * key-grouped planner for SPJ (HasPartitionKey), so per-file
+    * granularity costs co-partitioned joins nothing. (The next rung —
+    * row-group splitting within large files — is a reader change only;
+    * file granularity is where Iceberg/Delta start too.)
+    */
+  private lazy val plannedDirs: Seq[(Seq[String], Seq[String])] =
     StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
-      .map { case (vals, files) =>
-        StagedInputPartition(vals, files, tableSchema.json, partSpec,
-          required.fieldNames.toSeq)
-      }.toArray
+
+  private lazy val planned: Array[StagedInputPartition] =
+    plannedDirs.flatMap { case (vals, files) =>
+      files.map(f => StagedInputPartition(vals, Seq(f), tableSchema.json,
+        partSpec, required.fieldNames.toSeq))
+    }.toArray
 
   // ---- DYNAMIC partition pruning (SupportsRuntimeV2Filtering) ------------
   // Spark's DPP rule plants a subquery on the build side of a join whose
@@ -224,7 +236,8 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     else new UnknownPartitioning(planned.length)
 
   override def description(): String =
-    s"StagedScan(table=$tableName, partitions=${planned.length}, " +
+    s"StagedScan(table=$tableName, partitions=${plannedDirs.length}, " +
+      s"splits=${planned.length}, " +
       s"columns=[${required.fieldNames.mkString(",")}], " +
       s"pruning=[${pruning.mkString(",")}])"
 }
@@ -344,8 +357,10 @@ class StagedAggScan(tableName: String, prodDir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
-      .map { case (vals, files) =>
-        StagedInputPartition(vals, files, tableSchema.json, partSpec, groups)
+      .flatMap { case (vals, files) =>
+        // per-file splits: footer reads parallelize; partial mode merges
+        files.map(f => StagedInputPartition(vals, Seq(f), tableSchema.json,
+          partSpec, groups))
       }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =

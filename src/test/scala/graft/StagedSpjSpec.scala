@@ -22,8 +22,12 @@ class StagedSpjSpec extends AnyFunSuite {
       .toDF("k", "id", "tag", "v")
     val right = (0L until 120L).map(i => (i % 8, i, i * 2.0))
       .toDF("k", "rid", "w")
-    left.writeTo(tbl("spj_l")).partitionedBy(col("k")).createOrReplace()
-    right.writeTo(tbl("spj_r")).partitionedBy(col("k")).createOrReplace()
+    // repartition by k: one file per partition dir, so reader-count
+    // assertions equal surviving-dir counts
+    left.repartition(col("k"))
+      .writeTo(tbl("spj_l")).partitionedBy(col("k")).createOrReplace()
+    right.repartition(col("k"))
+      .writeTo(tbl("spj_r")).partitionedBy(col("k")).createOrReplace()
   }
 
   private def noBroadcast[A](f: => A): A = {
