@@ -491,13 +491,17 @@ case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
 
   /** The split's partition-key row: typed identity values in transform
     * order — what Spark's key-grouped planner groups and co-locates on.
+    * Parsed once per split (the planner calls this during grouping; with
+    * many files per partition that is one call per FILE).
     */
-  override def partitionKey(): InternalRow = {
+  @transient private lazy val key: InternalRow = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GenericInternalRow(partSpec.zip(rawValues).map { case (pf, raw) =>
       StagedScan.partValue(schema(pf.name).dataType, raw)
     }.toArray[Any])
   }
+
+  override def partitionKey(): InternalRow = key
 }
 
 case class StagedReaderFactory(schemaJson: String, partSpec: Seq[PartField],
