@@ -216,7 +216,9 @@ object Ingest {
       writeFixtureFile(s"$dir/_tmp-crash$k-f$k.parquet", s"dead$k")
     writeFixtureFile(s"${dir}__old/part-0.parquet", "stale")
     writeFixtureFile(s"${dir}__staging.dead0/part-0.parquet", "dead")
-    val report = StagedParquet.vacuum(s, tbl)
+    // fixture sweeps its just-planted debris: explicit zero retention (the
+    // default is a conservative 1 h window that protects live writes)
+    val report = StagedParquet.vacuum(s, tbl, minAgeMs = 0L)
     import s.implicits._
     report.toDF("path", "kind").orderBy("path")
   }

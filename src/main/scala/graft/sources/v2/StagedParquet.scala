@@ -116,13 +116,16 @@ object StagedParquet {
     *     between write and swap);
     *   - `<table>__old` (the pre-swap prod a promote failed to delete).
     * `minAgeMs` is the concurrency guard: a LIVE write's temp files are
-    * younger than it, so production callers pass a retention window
-    * comfortably above the longest write (the same contract as any
-    * object-store lifecycle sweep). Pure metadata work — one recursive
-    * listing, deletes proportional to debris, never to table size.
+    * younger than it, so the DEFAULT is a conservative one-hour retention
+    * window (comfortably above the longest write — the same contract as
+    * any object-store lifecycle sweep); pass 0 explicitly to sweep
+    * everything regardless of age (tests, known-quiet tables). Pure
+    * metadata work — one recursive listing, deletes proportional to
+    * debris, never to table size.
     * Returns (relative path, kind) per deleted entry, sorted.
     */
-  def vacuum(s: SparkSession, table: String, minAgeMs: Long = 0L): Seq[(String, String)] = {
+  def vacuum(s: SparkSession, table: String,
+             minAgeMs: Long = 3600000L): Seq[(String, String)] = {
     val d = tableDir(s, table)
     val p = new Path(d)
     val f = fs(p)
@@ -200,7 +203,10 @@ object StagedParquet {
       staging: org.apache.spark.sql.DataFrame,
       keys: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    s.read.parquet(tableDir(s, table))
+    // prod reads through readTable — the DECLARED schema — so on an evolved
+    // table the pre-ALTER files null-fill instead of whichever file's
+    // inferred schema winning and dropping/misaligning the evolved column
+    readTable(s, table)
       .join(staging.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(staging)
   }
@@ -361,30 +367,35 @@ object PartSpec {
     schema.fields.toSeq.zipWithIndex.filterNot { case (f, _) => identity(f.name) }
   }
 
-  /** Hive-style escaping of a partition VALUE: anything outside the safe
-    * set becomes %XX so `=`, `/`, `:` and friends can never corrupt the
-    * directory structure.
+  /** Hive-convention escaping of a partition VALUE, applied to its UTF-8
+    * BYTES: anything outside the ASCII-safe set becomes a fixed-width %XX
+    * per byte, so `=`, `/`, `:` and friends can never corrupt the
+    * directory structure and multi-byte characters reconstitute exactly
+    * (a per-CHAR escape emits variable-width %XXXX above 0xFF, which the
+    * two-hex-digit unescape would corrupt — lost rows through pruning).
     */
   def escape(v: String): String = {
     val sb = new StringBuilder
-    v.foreach { c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') sb.append(c)
-      else f"%%${c.toInt}%02X".foreach(sb.append)
+    v.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '.' || c == '-' || c == '_') sb.append(c)
+      else f"%%${b & 0xff}%02X".foreach(sb.append)
     }
     sb.toString
   }
 
-  /** Inverse of [[escape]]: %XX sequences back to their characters. */
+  /** Inverse of [[escape]]: %XX byte sequences back through UTF-8. */
   def unescape(v: String): String = {
-    val sb = new StringBuilder
+    val out = new java.io.ByteArrayOutputStream(v.length)
     var i = 0
     while (i < v.length) {
       if (v.charAt(i) == '%' && i + 3 <= v.length) {
-        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb.append(v.charAt(i)); i += 1 }
+      } else { out.write(v.charAt(i).toInt); i += 1 }
     }
-    sb.toString
+    new String(out.toByteArray, "UTF-8")
   }
 
   /** Per-row partition directory (e.g. `k=3/ts_day=2024-03-01`), empty for

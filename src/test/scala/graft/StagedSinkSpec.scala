@@ -374,19 +374,20 @@ class StagedSinkSpec extends AnyFunSuite {
     plant(s"${prodDir("tvac")}/_tmp-deadbeef-f1.parquet")
     plant(s"${prodDir("tvac")}__old/part-0.parquet")
     plant(s"${prodDir("tvac")}__staging.dead/part-0.parquet")
-    // a generous retention window treats ALL of it as possibly-live: no-op
-    val safe = graft.sources.v2.StagedParquet.vacuum(spark, tbl, minAgeMs = 3600000L)
+    // DEFAULT-args vacuum carries a 1 h retention window: the just-planted
+    // (possibly-live) debris survives — the safe path is the default path
+    val safe = graft.sources.v2.StagedParquet.vacuum(spark, tbl)
     assert(safe.isEmpty)
     assert(new java.io.File(s"${prodDir("tvac")}/_tmp-deadbeef-f1.parquet").exists())
-    // zero retention sweeps exactly the three debris classes
-    val rep = graft.sources.v2.StagedParquet.vacuum(spark, tbl).toMap
+    // explicit zero retention sweeps exactly the three debris classes
+    val rep = graft.sources.v2.StagedParquet.vacuum(spark, tbl, minAgeMs = 0L).toMap
     assert(rep == Map("_tmp-deadbeef-f1.parquet" -> "orphan_tmp",
       "tvac__old" -> "stale_old", "tvac__staging.dead" -> "dead_staging"))
     assert(!new java.io.File(s"${prodDir("tvac")}__old").exists())
     // committed data untouched, table still serves every row
     assert(spark.read.parquet(prodDir("tvac")).count() == 25)
     // idempotent: a second vacuum finds nothing
-    assert(graft.sources.v2.StagedParquet.vacuum(spark, tbl).isEmpty)
+    assert(graft.sources.v2.StagedParquet.vacuum(spark, tbl, minAgeMs = 0L).isEmpty)
   }
 
   test("SyncCheck parses SURVEY prose counts and they match the registry") {

@@ -221,12 +221,43 @@ class StagedSpjSpec extends AnyFunSuite {
   test("string partition values round-trip through escaping") {
     import spark.implicits._
     val t = tbl("spj_esc")
-    Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L))
+    // non-Latin-1 values exercise the UTF-8 %XX-per-byte escaping: a
+    // per-CHAR escape emits variable-width %XXXX above 0xFF, which the
+    // fixed-width unescape would corrupt ('中' -> 'N2D') and pruning would
+    // then silently drop the whole directory
+    Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L), ("中文", 4L), ("héllo", 5L))
       .toDF("k", "id")
       .writeTo(t).partitionedBy(col("k")).createOrReplace()
     val back = spark.table(t).orderBy("id").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    assert(back.toSeq == Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L)))
+    assert(back.toSeq == Seq(("a/b", 1L), ("c=d", 2L), ("plain", 3L),
+      ("中文", 4L), ("héllo", 5L)))
     assert(spark.table(t).filter(col("k") === "a/b").count() == 1L)
+    // identity pruning compares the RECONSTITUTED value against the
+    // literal: a corrupted round-trip would return 0 rows here
+    assert(spark.table(t).filter(col("k") === "中文").count() == 1L)
+    assert(spark.table(t).filter(col("k") === "héllo")
+      .head.getLong(1) == 5L)
+  }
+
+  test("upsert after ALTER ADD COLUMN merges against the declared schema") {
+    import spark.implicits._
+    val t = tbl("spj_evup")
+    (0L until 6L).map(i => (i, s"v$i")).toDF("id", "name")
+      .writeTo(t).createOrReplace()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    // the staging batch updates ids 4-5 and inserts 6-7, carrying the
+    // evolved column; prod's pre-ALTER files must null-fill `score`, not
+    // win schema inference and drop/misalign it
+    val staging = (4L until 8L).map(i => (i, s"u$i", i * 2.0))
+      .toDF("id", "name", "score")
+    graft.sources.v2.StagedParquet.upsertInto(spark, t, staging, Seq("id"))
+    val back = graft.sources.v2.StagedParquet.readTable(spark, t)
+      .orderBy("id").collect()
+    assert(back.length == 8)
+    assert(back.take(4).forall(r => r.getString(1) == s"v${r.getLong(0)}"
+      && r.isNullAt(2)))
+    assert(back.drop(4).forall(r => r.getString(1) == s"u${r.getLong(0)}"
+      && r.getDouble(2) == r.getLong(0) * 2.0))
   }
 }
