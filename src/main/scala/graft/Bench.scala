@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   * family) is dropped: without this, ~100 query executions of leftover
   * blocks pile up in the block manager and mid-bench queries pay their GC
   * bill — each measurement must see the same clean executor state.
+  *
+  * The artifact is TIMEOUT-SURVIVABLE (r9 VERDICT #2): after every
+  * completed query/probe/sf1 leg the JSON is atomically re-published
+  * (write-temp + rename) with the completed prefix and `"partial":true`,
+  * so a wrapper timeout or kill -9 mid-run still leaves a parseable
+  * artifact; and SPARK_GRAFT_BENCH_BUDGET_S (optional, seconds) degrades
+  * the per-query sample count best-of-N→3→1 as the elapsed clock runs hot
+  * so a stalled VM finishes inside the wrapper's window instead of
+  * recording rc=124/parsed:null.
   */
 object Bench {
   private def clearState(spark: SparkSession): Unit = {
@@ -38,6 +47,30 @@ object Bench {
   private val bestOf: Int =
     sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(5)
 
+  /** Optional wall-clock budget (seconds). When the elapsed clock runs hot
+    * against it, the remaining queries degrade their sample count
+    * best-of-N → 3 → 1 so the run FINISHES inside the wrapper's timeout
+    * instead of producing a rc=124 artifact (the r9 driver bench completed
+    * all 229 queries but its wrapper timed out and recorded parsed:null).
+    * Degraded queries trade sample-count noise immunity for completion —
+    * the right trade for the cheap tail, and the artifact records how many
+    * queries ran degraded so a comparison knows.
+    */
+  private val budgetS: Option[Double] =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.trim.toDouble).filter(_ > 0)
+
+  /** Samples to take given elapsed seconds against the budget: full N
+    * below 60% of budget, 3 to 85%, 1 beyond — monotone non-increasing so
+    * a stalled run sheds load instead of compounding the stall.
+    */
+  private[graft] def samplesFor(n: Int, elapsedS: Double,
+                                budget: Option[Double]): Int =
+    budget match {
+      case Some(b) if elapsedS > b * 0.85 => 1
+      case Some(b) if elapsedS > b * 0.60 => math.min(3, n)
+      case _                              => n
+    }
+
   /** 4-dp seconds for the JSON artifact: full nanosecond noise in ~220
     * values doubles the line size for no information, and the driver
     * tail-parses the artifact out of a bounded stdout window.
@@ -49,13 +82,14 @@ object Bench {
     * the last successful run — the free scale signal every probe row
     * reports).
     */
-  private def timeQuery(spark: SparkSession, q: String, d: String): (Double, Long) = {
+  private def timeQuery(spark: SparkSession, q: String, d: String,
+                        samples: Int = bestOf): (Double, Long) = {
     var rows = -1L
     def run(): Boolean =
       try { rows = SparkEntry.queries(q)(spark, d).count(); true }
       catch { case _: Throwable => false }
     run(); clearState(spark) // warm
-    val times = (1 to bestOf).map { _ =>
+    val times = (1 to samples).map { _ =>
       val t0 = System.nanoTime()
       val ok = run()
       val t = (System.nanoTime() - t0) / 1e9
@@ -65,6 +99,21 @@ object Bench {
     // a failed run poisons the whole sample: report BOTH sentinels so the
     // probe JSON never shows a stale positive row count next to time=-1
     if (times.exists(_ < 0)) (-1.0, -1L) else (times.min, rows)
+  }
+
+  /** Atomically (write-temp + rename) publish `json` to `path`: a reader —
+    * or a kill -9 — at ANY instant sees either the previous complete
+    * artifact or the new one, never a torn write. Called after every
+    * query so a timed-out wrapper still finds the completed prefix.
+    */
+  private def publish(path: String, json: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,9 +126,44 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.exists(n.startsWith)))
       .sortBy(n => (scala.util.hashing.MurmurHash3.stringHash(n), n))
-    val results = selected.map { case name =>
-      name -> fmt(timeQuery(spark, name, sfDir)._1)
-    }.sortBy(_._1)
+
+    // the artifact path is resolved BEFORE the run so every completed query
+    // can be flushed into it incrementally (see publish); a wrapper timeout
+    // or kill -9 then still leaves a parseable artifact with the prefix
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_OUT.json")
+    val startNs = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - startNs) / 1e9
+    var nBest3 = 0
+    var nBest1 = 0
+    def nextSamples(): Int = {
+      val n = samplesFor(bestOf, elapsedS, budgetS)
+      if (n == 1 && bestOf > 1) nBest1 += 1
+      else if (n < bestOf) nBest3 += 1
+      n
+    }
+    def budgetJson: String = budgetS.map { b =>
+      s""","budget":{"limit_s":$b,"degraded_best3":$nBest3,"degraded_best1":$nBest1}"""
+    }.getOrElse("")
+
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // extraBuf accumulates completed probe/sf1 JSON fragments so partial
+    // flushes carry everything finished so far
+    def flushPartial(extra: String): Unit = {
+      val done = resultsBuf.sortBy(_._1)
+      val qsJ = done.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val tot = fmt(done.map(_._2).filter(_ >= 0).sum)
+      val nf = done.count(_._2 < 0)
+      publish(outPath,
+        s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nf,"partial":true,"completed":${done.length},"of":${selected.length},"queries":$qsJ$extra$budgetJson,"sf":"$sfDir"}""")
+    }
+    for (name <- selected) {
+      resultsBuf += name -> fmt(timeQuery(spark, name, sfDir, nextSamples())._1)
+      flushPartial("")
+    }
+    val results = resultsBuf.sortBy(_._1).toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 marks a failed query; keep it visible per-query but never let the
@@ -113,10 +197,14 @@ object Bench {
       // outside timeQuery's per-run catch, so the sf1 section (which
       // measures the cache ON) can never silently run with it off.
       graft.core.ArtifactCache.bypass = true
+      val probeRows = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flushProbes(): Unit = flushPartial(
+        s""","scale_probes":[${probeRows.mkString(",")}]""")
       try {
       def probeOf(q: String): String = {
-        val (baseSec0, baseRows) = timeQuery(spark, q, sfDir)
-        val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir)
+        val n = nextSamples()
+        val (baseSec0, baseRows) = timeQuery(spark, q, sfDir, n)
+        val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir, n)
         val (baseSec, scaledSec) = (fmt(baseSec0), fmt(scaledSec0))
         val ratio = if (baseSec > 0 && scaledSec > 0)
           math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
@@ -128,7 +216,10 @@ object Bench {
             math.round(ws.toDouble / wb * 100.0) / 100.0 else -1.0
           s""","work_metric":"$label","work_base":$wb,"work_scaled":$ws,"work_ratio":$wr"""
         }.getOrElse("")
-        s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$baseRows,"scaled_rows":$scaledRows$work}"""
+        val row = s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$baseRows,"scaled_rows":$scaledRows$work}"""
+        probeRows += row
+        flushProbes()
+        row
       }
       val ann = probeOf("ann_ivf")
       val mh = probeOf("dedup_minhash_lsh")
@@ -156,6 +247,7 @@ object Bench {
       val wr = {
         import org.apache.spark.sql.functions.col
         graft.sources.v2.StagedParquet.ensureCatalog(spark)
+        val wrSamples = nextSamples()
         def leg(d: String): (Double, Long, Long) = {
           val ns = "probe" + java.lang.Integer.toHexString(d.hashCode)
           val tbl = s"graft_staged.$ns.write_probe"
@@ -168,7 +260,7 @@ object Bench {
               true
             } catch { case _: Throwable => false }
           run(); clearState(spark) // warm: steady-state REPLACE from here on
-          val times = (1 to bestOf).map { _ =>
+          val times = (1 to wrSamples).map { _ =>
             val t0 = System.nanoTime()
             val ok = run()
             val t = (System.nanoTime() - t0) / 1e9
@@ -200,7 +292,10 @@ object Bench {
           math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
         val workRatio = if (bb > 0 && sb >= 0)
           math.round(sb.toDouble / bb * 100.0) / 100.0 else -1.0
-        s"""{"query":"v2_staged_write","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$br,"scaled_rows":$sr,"work_metric":"bytes_written","work_base":$bb,"work_scaled":$sb,"work_ratio":$workRatio}"""
+        val row = s"""{"query":"v2_staged_write","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$br,"scaled_rows":$sr,"work_metric":"bytes_written","work_base":$bb,"work_scaled":$sb,"work_ratio":$workRatio}"""
+        probeRows += row
+        flushProbes()
+        row
       }
       // relational/ETL anchors: a second scale point for the heavy core so
       // super-linear regressions surface before a real cluster would
@@ -218,23 +313,32 @@ object Bench {
     // semantics (amortized index builds) at a second real scale point, the
     // "2x of baseline" bar's missing anchor (VERDICT r6 next-round #3).
     val sf1Json = if (!runProbe) "" else {
-      // the heavy-12 plus the round-8/9 lifecycle heavies: the staged V2
-      // write path (etl_rename_replace) and the streaming dedup index
-      // (stream_dedup_index) never ran at 10x before (VERDICT r8 #7)
+      // the heavy-12 plus the round-8/9 lifecycle heavies (staged V2 write
+      // path etl_rename_replace, streaming dedup index stream_dedup_index)
+      // plus the round-9 V2 READ trio (VERDICT r9 #8): the read path's
+      // pruning arithmetic verified at a second scale, not just sf0.1
       val heavies = Seq(
         "ann_nndescent", "ann_graph_search", "ann_recall_gsearch",
         "ann_recall_nnd", "graph_pagerank_raw", "graph_cosim", "graph_cc_raw",
         "dedup_minhash_lsh", "dedup_winnowing", "etl_profile",
         "etl_cdc_apply", "q18_running_total",
-        "etl_rename_replace", "stream_dedup_index")
-      val timed = heavies.map(q => q -> fmt(timeQuery(spark, q, scaleDir)._1))
-      val qj = timed.map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val tot = fmt(timed.map(_._2).filter(_ >= 0).sum)
-      s""","sf1":{"dir":"$scaleDir","factor":10,"total_sec":$tot,"queries":$qj}"""
+        "etl_rename_replace", "stream_dedup_index",
+        "etl_spj_join", "etl_stats_scan", "etl_days_prune")
+      val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def sf1Fragment(): String = {
+        val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val tot = fmt(timedBuf.map(_._2).filter(_ >= 0).sum)
+        s""","sf1":{"dir":"$scaleDir","factor":10,"total_sec":$tot,"queries":$qj}"""
+      }
+      for (q <- heavies) {
+        timedBuf += q -> fmt(timeQuery(spark, q, scaleDir, nextSamples())._1)
+        flushPartial(probeJson + sf1Fragment())
+      }
+      sf1Fragment()
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson$sf1Json$budgetJson,"sf":"$sfDir"}"""
     // The driver keeps only the last few KB of sbt stdout and parses the
     // JSON line out of that tail. With ~200 queries the full line is >6 KB,
     // so for five rounds the driver recorded "parsed": null (r5 VERDICT's
@@ -259,14 +363,9 @@ object Bench {
         .mkString(""","scale_probe_ratios":{""", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qsHead$probeHead,"queries_full":"BENCH_OUT.json","sf":"$sfDir"}""")
     // stdout scraping is defeated by sbt's trailing "[success] ..." lines, so
-    // the metric also lands in a file the driver can read directly: argv(0)
-    // if given, else $SPARK_GRAFT_BENCH_OUT, else BENCH_OUT.json in cwd.
-    val outPath = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse("BENCH_OUT.json")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the metric also lands in the artifact file (see outPath above) — the
+    // final publish replaces the last partial flush with the complete line
+    publish(outPath, json)
     spark.stop()
   }
 }
