@@ -718,7 +718,14 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
     // abort would otherwise lose against dying tasks)
     val p = new Path(targetDir)
     fs(p).mkdirs(p): Unit
-    StagedParquetWriterFactory(targetDir, schema, partSpec, token)
+    // row-group size resolved DRIVER-side (task threads may not see an
+    // active session) and shipped in the factory; parquet default when
+    // unset. Smaller groups = finer row-group splits on read, at footer
+    // metadata cost — a tuning knob, not a correctness one.
+    val rowGroupBytes: Option[Long] =
+      try Some(SparkSession.active.conf.get("graft.staged.rowgroup.bytes").toLong)
+      catch { case _: Throwable => None }
+    StagedParquetWriterFactory(targetDir, schema, partSpec, token, rowGroupBytes)
   }
 
   private def isStagingTarget: Boolean =
@@ -814,10 +821,12 @@ class DynamicOverwriteBatchWrite(stagingDir: String, prodDir: String,
 }
 
 case class StagedParquetWriterFactory(targetDir: String, schema: StructType,
-                                      partSpec: Seq[PartField], token: String)
+                                      partSpec: Seq[PartField], token: String,
+                                      rowGroupBytes: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StagedParquetDataWriter(targetDir, partitionId, taskId, schema, partSpec, token)
+    new StagedParquetDataWriter(targetDir, partitionId, taskId, schema,
+      partSpec, token, rowGroupBytes)
 }
 
 object StagedParquetWriterFactory {
@@ -842,7 +851,9 @@ object StagedParquetWriterFactory {
   */
 class StagedParquetDataWriter(targetDir: String, partitionId: Int, taskId: Long,
                               schema: StructType, partSpec: Seq[PartField],
-                              token: String) extends DataWriter[InternalRow] {
+                              token: String,
+                              rowGroupBytes: Option[Long] = None)
+    extends DataWriter[InternalRow] {
   private val fileName = f"part-$partitionId%05d-$taskId-$token.snappy.parquet"
   private val conf = new Configuration()
   private val dataFields = PartSpec.dataFields(schema, partSpec)
@@ -868,10 +879,13 @@ class StagedParquetDataWriter(targetDir: String, partitionId: Int, taskId: Long,
         s"write root $targetDir vanished — write aborted")
     f.mkdirs(tmp.getParent): Unit
     f.delete(tmp, false): Unit // stale attempt leftovers
-    try new InternalRowParquetBuilder(tmp, dataFields)
-      .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    try {
+      val b = new InternalRowParquetBuilder(tmp, dataFields)
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+      rowGroupBytes.foreach(n => b.withRowGroupSize(n): Unit)
+      b.build()
+    }
     catch { case e: Throwable =>
       // a kill-interrupted create must not strand a file the task's abort
       // doesn't know about (the writer never reached the map)

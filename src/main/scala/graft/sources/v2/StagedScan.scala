@@ -154,25 +154,37 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One split per committed partition directory, pruned by the pushed
-    * identity-column predicates. Evaluated once; [[outputPartitioning]]
-    * must agree with the planned split count.
+  /** One split per FILE, and within files larger than
+    * `graft.staged.split.bytes` (default 128 MB) one split per ROW GROUP
+    * (byte ranges from the footer's block starting positions — the same
+    * public metadata the stats pushdown reads): a hot partition holding
+    * one large file reads with row-group parallelism, never through one
+    * task. Every split keeps HasPartitionKey with its directory's values,
+    * so Spark's key-grouped planner re-groups same-key splits and SPJ
+    * still plans zero exchanges — finer granularity costs co-partitioned
+    * joins nothing. Small files skip the footer read at plan time (no
+    * metadata pass unless a file can actually split).
     */
-  /** One split per FILE (partition-dir values attached): an unpartitioned
-    * or hot-partition table reads with file-count parallelism, never
-    * through one task. Same-key splits are re-grouped by Spark's
-    * key-grouped planner for SPJ (HasPartitionKey), so per-file
-    * granularity costs co-partitioned joins nothing. (The next rung —
-    * row-group splitting within large files — is a reader change only;
-    * file granularity is where Iceberg/Delta start too.)
-    */
-  private lazy val plannedDirs: Seq[(Seq[String], Seq[String])] =
+  private lazy val plannedDirs: Seq[(Seq[String], Seq[(String, Long)])] =
     StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
+
+  private lazy val splitBytes: Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("graft.staged.split.bytes").toLong
+    catch { case _: Throwable => 128L * 1024 * 1024 }
 
   private lazy val planned: Array[StagedInputPartition] =
     plannedDirs.flatMap { case (vals, files) =>
-      files.map(f => StagedInputPartition(vals, Seq(f), tableSchema.json,
-        partSpec, required.fieldNames.toSeq))
+      files.flatMap { case (f, len) =>
+        val ranges =
+          if (len <= splitBytes) Seq.empty
+          else StagedScan.rowGroupRanges(f, len)
+        if (ranges.length <= 1)
+          Seq(StagedInputPartition(vals, Seq(f), tableSchema.json,
+            partSpec, required.fieldNames.toSeq))
+        else ranges.map(r => StagedInputPartition(vals, Seq(f),
+          tableSchema.json, partSpec, required.fieldNames.toSeq, Some(r)))
+      }
     }.toArray
 
   // ---- DYNAMIC partition pruning (SupportsRuntimeV2Filtering) ------------
@@ -243,6 +255,24 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
 }
 
 object StagedScan {
+  /** Byte ranges covering each row group of `file` (footer starting
+    * positions; last range closes at the file length): one range per row
+    * group, chosen so each group's midpoint — the criterion
+    * parquet-hadoop's own range filter applies — falls in exactly one
+    * range. Empty for single-row-group files (caller plans one whole-file
+    * split, no range restriction).
+    */
+  private[v2] def rowGroupRanges(file: String, len: Long): Seq[(Long, Long)] = {
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), new Configuration()))
+    try {
+      val starts = fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
+      if (starts.length <= 1) Seq.empty
+      else starts.zip(starts.drop(1) :+ len).map { case (s, e) => (s, e) }
+    } finally fr.close()
+  }
+
   /** Typed (internal-representation) value of an identity partition
     * directory segment — inverse of [[PartSpec.partEvaluators]].
     */
@@ -257,15 +287,17 @@ object StagedScan {
         s"staged scan: unsupported identity partition type $other")
     }
 
-  /** Committed (partition dir values, files) pairs under `prodDir`, pruned
-    * by the pushed identity-column predicates — CONSERVATIVELY: a residual
-    * filter cannot resurrect skipped I/O, so any comparison this code
-    * cannot canonicalize with certainty keeps the partition (a wasted
-    * read, never a lost row). Shared by the row scan and the
-    * aggregate-pushdown scan.
+  /** Committed (partition dir values, (file, length) pairs) under
+    * `prodDir`, pruned by the pushed identity-column predicates —
+    * CONSERVATIVELY: a residual filter cannot resurrect skipped I/O, so
+    * any comparison this code cannot canonicalize with certainty keeps the
+    * partition (a wasted read, never a lost row). Lengths come free from
+    * the directory listing and gate the row-group split decision without
+    * a footer read. Shared by the row scan and the aggregate-pushdown
+    * scan.
     */
   private[v2] def planPartitions(prodDir: String, tableSchema: StructType,
-      partSpec: Seq[PartField], pruning: Seq[Filter]): Seq[(Seq[String], Seq[String])] = {
+      partSpec: Seq[PartField], pruning: Seq[Filter]): Seq[(Seq[String], Seq[(String, Long)])] = {
     def canon(v: Any): Any = v match {
       case u: UTF8String          => u.toString
       case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
@@ -322,10 +354,10 @@ object StagedScan {
           val files = f.listStatus(dir).toSeq
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
               !st.getPath.getName.startsWith("_"))
-            .map(_.getPath.toString).sorted
+            .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
           (vals: Seq[String], files)
         }
-        .filter(_._2.nonEmpty).sortBy(_._1.mkString("/"))
+        .filter(_._2.nonEmpty).sortBy(_._1.mkString("/")): Seq[(Seq[String], Seq[(String, Long)])]
     }
   }
 }
@@ -359,8 +391,8 @@ class StagedAggScan(tableName: String, prodDir: String,
     StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
       .flatMap { case (vals, files) =>
         // per-file splits: footer reads parallelize; partial mode merges
-        files.map(f => StagedInputPartition(vals, Seq(f), tableSchema.json,
-          partSpec, groups))
+        files.map { case (f, _) => StagedInputPartition(vals, Seq(f),
+          tableSchema.json, partSpec, groups) }
       }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -483,10 +515,14 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
   * @param files        absolute paths of this partition's committed files
   * @param schemaJson   full DECLARED table schema (evolution-aware)
   * @param requiredCols scan output columns, output order
+  * @param range        optional byte range restricting the (single) file to
+  *                     the row groups whose midpoint falls inside it — the
+  *                     row-group split; None reads whole files
   */
 case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
                                 schemaJson: String, partSpec: Seq[PartField],
-                                requiredCols: Seq[String])
+                                requiredCols: Seq[String],
+                                range: Option[(Long, Long)] = None)
     extends InputPartition with HasPartitionKey {
 
   /** The split's partition-key row: typed identity values in transform
@@ -557,12 +593,24 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
       val f = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(fileIter.next()), new Configuration()))
-      try pendingRows += f.getRecordCount finally f.close()
+      // a range split counts only its own row groups (midpoint rule —
+      // the same criterion parquet-hadoop's range filter applies)
+      try p.range match {
+        case None => pendingRows += f.getRecordCount
+        case Some((s0, e0)) =>
+          f.getFooter.getBlocks.asScala.foreach { b =>
+            val mid = b.getStartingPos + b.getCompressedSize / 2
+            if (mid >= s0 && mid < e0) pendingRows += b.getRowCount
+          }
+      } finally f.close()
       true
     } else {
-      reader = ParquetReader
+      val builder = ParquetReader
         .builder(new FlatRowReadSupport(dataFields), new Path(fileIter.next()))
         .withConf(new Configuration())
+      reader = p.range
+        .map { case (s0, e0) => builder.withFileRange(s0, e0) }
+        .getOrElse(builder)
         .build()
       true
     }

@@ -240,6 +240,40 @@ class StagedSpjSpec extends AnyFunSuite {
       .head.getLong(1) == 5L)
   }
 
+  test("row-group splits: one large file plans per-row-group splits; SPJ stays exchange-free") {
+    import spark.implicits._
+    val t = tbl("spj_rg")
+    // small row groups + a 1-byte split threshold force the finest grain
+    spark.conf.set("graft.staged.rowgroup.bytes", "16384")
+    spark.conf.set("graft.staged.split.bytes", "1")
+    try {
+      // ONE partition dir (k=0), ONE file (repartition(1)): without
+      // row-group splits this is the hot-partition single-task shape
+      (0L until 40000L).map(i => (0L, i, i * 3.0)).toDF("k", "id", "v")
+        .repartition(1)
+        .writeTo(t).partitionedBy(col("k")).createOrReplace()
+      val scan = spark.table(t)
+      val plan = scan.queryExecution.executedPlan.toString
+      val splits = "splits=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(splits.exists(_ >= 4), s"expected >=4 row-group splits: ${plan.take(800)}")
+      // no row lost or duplicated across the range splits
+      assert(scan.count() == 40000L)
+      assert(scan.agg(sum("id")).head.getLong(0) == (0L until 40000L).sum)
+      // SPJ: same-key range splits re-group under one partition key, the
+      // self-join still plans ZERO exchanges
+      noBroadcast {
+        val j = spark.table(t).join(spark.table(t).select(col("k"), col("id").as("id2")), "k")
+          .groupBy("k").count()
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+          j.queryExecution.executedPlan.toString.take(1500))
+        assert(j.head.getLong(1) == 40000L * 40000L)
+      }
+    } finally {
+      spark.conf.unset("graft.staged.rowgroup.bytes")
+      spark.conf.unset("graft.staged.split.bytes")
+    }
+  }
+
   test("upsert after ALTER ADD COLUMN merges against the declared schema") {
     import spark.implicits._
     val t = tbl("spj_evup")

@@ -12,8 +12,10 @@ SF="${1:-/root/testdata/sf0.1}"
 SCALE="${2:-/tmp/graft_scale10x}"
 OUT=/tmp/verify_sf1_anchor
 
-# the bench sf1 section's heavy list (Bench.scala `heavies`)
-HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index"
+# the bench sf1 section's heavy list (Bench.scala `heavies`) — includes the
+# round-9 V2 READ trio so the read path's pruning arithmetic hash-checks at
+# a second scale (VERDICT r9 #8)
+HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index,etl_spj_join,etl_stats_scan,etl_days_prune"
 
 if [ ! -d "$SCALE/orders.parquet" ]; then
   echo "[sf1check] building 10x corpus at $SCALE from $SF"
