@@ -43,13 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     miscast literal can never produce wrong rows, only wasted reads.
   *
   * Decoding goes through a hand-rolled parquet-hadoop [[ReadSupport]]
-  * (public API only, mirroring the sink's WriteSupport): flat scalar
-  * schemas — exactly what the lifecycle tables carry; nested read-back
-  * stays on spark.read.parquet via [[StagedParquet.readTable]]. One input
-  * split per FILE with the partition values attached: an unpartitioned
-  * or hot-partition table reads with file-count parallelism, and Spark's
-  * key-grouped planner re-groups same-key splits for SPJ, so the finer
-  * grain costs co-partitioned joins nothing.
+  * (public API only, mirroring the sink's WriteSupport) covering the full
+  * sink type surface — scalars plus the nested encodings (3-level LIST,
+  * struct groups, MAP key_value groups), so every table the sink writes
+  * reads back through the scan with SPJ/pruning/DPP intact. One input
+  * split per FILE with the partition values attached — and per ROW GROUP
+  * within large files — so an unpartitioned or hot-partition table reads
+  * with real parallelism, and Spark's key-grouped planner re-groups
+  * same-key splits for SPJ, so the finer grain costs co-partitioned
+  * joins nothing.
   */
 class StagedScanBuilder(tableName: String, prodDir: String,
                         tableSchema: StructType, partSpec: Seq[PartField])
@@ -648,9 +650,14 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
 
 /** Materializes each record as an Array[Any] in `requested` order using
   * Spark internal value representations (UTF8String, epoch-day ints, UTC
-  * micros, Decimal). Fields absent from the file (pre-evolution files)
-  * stay null. Flat scalars only — the staged sink's nested encodings
-  * read back through spark.read.parquet instead.
+  * micros, Decimal, GenericArrayData / GenericInternalRow /
+  * ArrayBasedMapData for nested types). Fields absent from the file
+  * (pre-evolution files) stay null. The nested converters are the exact
+  * read twins of the sink's encodings: 3-level LIST groups (`list`
+  * repetition wrapper, `element` field), plain struct groups, MAP
+  * `key_value` groups with required keys — so every table the staged sink
+  * can write reads back through the V2 scan (and keeps SPJ / pruning /
+  * DPP / agg pushdown), not just flat-scalar ones.
   */
 private[v2] class FlatRowReadSupport(requested: Seq[StructField])
     extends ReadSupport[Array[Any]] {
@@ -676,36 +683,15 @@ private[v2] class FlatRowReadSupport(requested: Seq[StructField])
     new RecordMaterializer[Array[Any]] {
       private val row = new Array[Any](requested.length)
 
-      private def conv(dt: DataType, out: Int): PrimitiveConverter = dt match {
-        case BooleanType => new PrimitiveConverter {
-          override def addBoolean(v: Boolean): Unit = row(out) = v }
-        case IntegerType | DateType => new PrimitiveConverter {
-          override def addInt(v: Int): Unit = row(out) = v }
-        case LongType | TimestampType => new PrimitiveConverter {
-          override def addLong(v: Long): Unit = row(out) = v }
-        case FloatType => new PrimitiveConverter {
-          override def addFloat(v: Float): Unit = row(out) = v }
-        case DoubleType => new PrimitiveConverter {
-          override def addDouble(v: Double): Unit = row(out) = v }
-        case StringType => new PrimitiveConverter {
-          override def addBinary(v: Binary): Unit =
-            row(out) = UTF8String.fromBytes(v.getBytes) }
-        case BinaryType => new PrimitiveConverter {
-          override def addBinary(v: Binary): Unit = row(out) = v.getBytes }
-        case d: DecimalType if d.precision <= 9 => new PrimitiveConverter {
-          override def addInt(v: Int): Unit =
-            row(out) = Decimal(v.toLong, d.precision, d.scale) }
-        case d: DecimalType if d.precision <= 18 => new PrimitiveConverter {
-          override def addLong(v: Long): Unit =
-            row(out) = Decimal(v, d.precision, d.scale) }
-        case other => throw new UnsupportedOperationException(
-          s"staged scan: flat scalar read only, got $other " +
-            "(nested tables read via StagedParquet.readTable)")
-      }
-
+      // ONE stable converter tree: parquet binds column readers to the
+      // tree returned here and drives assembly through the same instance,
+      // so this must be a val (a fresh tree per call would receive values
+      // in one instance and assemble records from another)
       private val root: GroupConverter = new GroupConverter {
-        private val convs: Array[Converter] =
-          types.indices.map(i => conv(types(i), target(i)): Converter).toArray
+        private val convs: Array[Converter] = types.indices.map { i =>
+          val out = target(i)
+          FlatRowReadSupport.converterFor(types(i), v => row(out) = v)
+        }.toArray
         override def getConverter(i: Int): Converter = convs(i)
         override def start(): Unit = java.util.Arrays.fill(
           row.asInstanceOf[Array[AnyRef]], null)
@@ -715,5 +701,91 @@ private[v2] class FlatRowReadSupport(requested: Seq[StructField])
       override def getCurrentRecord: Array[Any] = row.clone()
       override def getRootConverter: GroupConverter = root
     }
+  }
+}
+
+private[v2] object FlatRowReadSupport {
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+
+  /** Converter for a VALUE of type `dt` delivering through `update` —
+    * recursive for nested types. Parquet calls converters only on
+    * NON-NULL values; absent optional fields keep whatever the enclosing
+    * start() reset their slot to (null), which is exactly the sink's
+    * encoding of nulls.
+    */
+  private[v2] def converterFor(dt: DataType, update: Any => Unit): Converter = dt match {
+    case BooleanType => new PrimitiveConverter {
+      override def addBoolean(v: Boolean): Unit = update(v) }
+    case IntegerType | DateType => new PrimitiveConverter {
+      override def addInt(v: Int): Unit = update(v) }
+    case LongType | TimestampType => new PrimitiveConverter {
+      override def addLong(v: Long): Unit = update(v) }
+    case FloatType => new PrimitiveConverter {
+      override def addFloat(v: Float): Unit = update(v) }
+    case DoubleType => new PrimitiveConverter {
+      override def addDouble(v: Double): Unit = update(v) }
+    case StringType => new PrimitiveConverter {
+      override def addBinary(v: Binary): Unit =
+        update(UTF8String.fromBytes(v.getBytes)) }
+    case BinaryType => new PrimitiveConverter {
+      override def addBinary(v: Binary): Unit = update(v.getBytes) }
+    case d: DecimalType if d.precision <= 9 => new PrimitiveConverter {
+      override def addInt(v: Int): Unit =
+        update(Decimal(v.toLong, d.precision, d.scale)) }
+    case d: DecimalType if d.precision <= 18 => new PrimitiveConverter {
+      override def addLong(v: Long): Unit =
+        update(Decimal(v, d.precision, d.scale)) }
+
+    // 3-level LIST group: outer group -> repeated "list" group -> "element"
+    case ArrayType(el, _) => new GroupConverter {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      private val repeated: GroupConverter = new GroupConverter {
+        private var pending: Any = null
+        private val elConv = converterFor(el, v => pending = v)
+        override def getConverter(i: Int): Converter = elConv
+        override def start(): Unit = pending = null
+        override def end(): Unit = buf += pending
+      }
+      override def getConverter(i: Int): Converter = repeated
+      override def start(): Unit = buf.clear()
+      override def end(): Unit = update(new GenericArrayData(buf.toArray))
+    }
+
+    // plain struct group: one child converter per field, slots reset per row
+    case st: StructType => new GroupConverter {
+      private val n = st.fields.length
+      private val slots = new Array[Any](n)
+      private val convs: Array[Converter] = st.fields.zipWithIndex.map {
+        case (f, i) => converterFor(f.dataType, v => slots(i) = v)
+      }
+      override def getConverter(i: Int): Converter = convs(i)
+      override def start(): Unit = java.util.Arrays.fill(
+        slots.asInstanceOf[Array[AnyRef]], null)
+      override def end(): Unit =
+        update(new GenericInternalRow(slots.clone()))
+    }
+
+    // MAP group: outer group -> repeated "key_value" group -> key, value
+    case MapType(kt, vt, _) => new GroupConverter {
+      private val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      private val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      private val repeated: GroupConverter = new GroupConverter {
+        private var k: Any = null
+        private var v: Any = null
+        private val kConv = converterFor(kt, x => k = x)
+        private val vConv = converterFor(vt, x => v = x)
+        override def getConverter(i: Int): Converter =
+          if (i == 0) kConv else vConv
+        override def start(): Unit = { k = null; v = null }
+        override def end(): Unit = { keys += k; vals += v }
+      }
+      override def getConverter(i: Int): Converter = repeated
+      override def start(): Unit = { keys.clear(); vals.clear() }
+      override def end(): Unit = update(new ArrayBasedMapData(
+        new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray)))
+    }
+
+    case other => throw new UnsupportedOperationException(
+      s"staged scan: unsupported column type $other")
   }
 }
