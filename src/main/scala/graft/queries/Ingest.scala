@@ -305,7 +305,10 @@ object Ingest {
     * after it cut by the residual filter), so the oracle's exact
     * recomputation gates that no row is ever lost to pruning.
     */
-  def daysPrune(s: SparkSession, d: String): DataFrame = {
+  /** The day-partitioned events table both day-pruning queries read: one
+    * staged V2 write, `days(ts)`-partitioned, one file per day directory.
+    */
+  private def eventsByDay(s: SparkSession, d: String): String = {
     val ns = stagedNs(s, d)
     val tbl = s"graft_staged.$ns.events_by_day"
     events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
@@ -313,10 +316,46 @@ object Ingest {
       .writeTo(tbl)
       .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
       .createOrReplace()
+    tbl
+  }
+
+  def daysPrune(s: SparkSession, d: String): DataFrame = {
+    val tbl = eventsByDay(s, d)
     val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
     val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-16T00:00:00Z"))
     s.table(tbl)
       .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** DYNAMIC day pruning: the fact side carries NO static ts predicate —
+    * only the join against a small filtered dim (point-in-time audit
+    * timestamps) narrows it, so the day directories close at RUNTIME
+    * through [[graft.sources.v2.StagedScan]]'s SupportsRuntimeV2Filtering
+    * (the scan maps each collected dim ts literal to its UTC day and keeps
+    * only matching day dirs). This is the 100 TB dashboard/audit shape:
+    * the date range lives in a dimension, not in the query text, and scan
+    * cost must still be proportional to the dim's days, not the table.
+    * StagedSpjSpec pins the runtime-opened split count; the oracle
+    * recomputes the join from raw events, gating that runtime pruning
+    * never costs a row.
+    */
+  def daysDpp(s: SparkSession, d: String): DataFrame = {
+    val tbl = eventsByDay(s, d)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-13T00:00:00Z"))
+    // the "audit dim": purchase instants sampled by id from three days —
+    // derived from raw events, NOT from the staged table, so the fact
+    // scan's pruning can only come from the runtime filter
+    val dim = events(s, d)
+      .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0
+        && col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .select(col("ts").as("dts"))
+    val fact = s.table(tbl)
+    fact.join(dim, fact("ts") === dim("dts"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
@@ -340,7 +379,8 @@ object Ingest {
     "etl_vacuum"         -> (vacuumDebris _),
     "etl_spj_join"       -> (spjJoin _),
     "etl_stats_scan"     -> (statsScan _),
-    "etl_days_prune"     -> (daysPrune _)
+    "etl_days_prune"     -> (daysPrune _),
+    "etl_days_dpp"       -> (daysDpp _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +404,18 @@ object Ingest {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events
          WHERE epoch(ts) >= 1704844800 AND epoch(ts) < 1705363200
+         GROUP BY 1 ORDER BY 1""",
+    // the runtime-pruned join recomputed as a plain join over raw events —
+    // dynamic day pruning must never cost a row (the dim's ts values land
+    // in 3 of 30 days; only those day dirs open at runtime)
+    "etl_days_dpp" ->
+      """SELECT f.event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events f
+         JOIN (SELECT ts FROM events
+               WHERE event_type = 'purchase' AND event_id % 7 = 0
+                 AND epoch(ts) >= 1704844800 AND epoch(ts) < 1705104000) d
+           ON f.ts = d.ts
          GROUP BY 1 ORDER BY 1""",
     // the footer-answered profile recomputed from the raw rows — footer
     // record counts and row-group min/max stats must agree with the data

@@ -93,6 +93,10 @@ object StagedParquet {
     // (SPARK-37375): co-partitioned tables join without either side
     // shuffling — default-on for this catalog's sessions
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // when the two sides' partition VALUE sets differ (a day present on
+    // one side only), push the union of values instead of falling back to
+    // a shuffle — required for day-partitioned SPJ over unaligned ranges
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
   }
 
   /** Prod directory of a `graft_staged.<ns...>.<name>` table, resolved from
@@ -435,8 +439,22 @@ object PartSpec {
   * before first load) still loads with its declared schema, and the
   * partition spec in `_partition.json`.
   */
-class StagedCatalog extends TableCatalog with StagingTableCatalog {
+class StagedCatalog extends TableCatalog with StagingTableCatalog
+    with FunctionCatalog {
   import StagedParquet._
+
+  // ---- FunctionCatalog: the `days` transform, resolvable for SPJ --------
+  // Spark's key-grouped planner can only use a KeyGroupedPartitioning
+  // whose transforms it can EVALUATE; a non-identity transform resolves
+  // through the table's catalog as a V2 bound function. Exposing days()
+  // here is what lets two day-partitioned tables storage-partition-join
+  // on their timestamp without either side shuffling.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "days"))
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name == "days") DaysFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  override def functionExists(ident: Identifier): Boolean = ident.name == "days"
 
   private var catalogName: String = CatalogName
   private var root: String = "/tmp/graft_stage/v2"
@@ -599,6 +617,48 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog {
 object StagedCatalog {
   private[v2] def toStruct(columns: Array[Column]): StructType =
     StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)))
+}
+
+/** The `days` partition transform as a V2 function: UTC epoch-day bucket
+  * of a timestamp/date — the SAME floorDiv arithmetic the writer's
+  * partition evaluator applies, so the function Spark evaluates for SPJ
+  * grouping and the directory layout can never disagree.
+  */
+object DaysFunction extends functions.UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(ts): UTC epoch-day bucket of a timestamp/date"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days() takes one argument, got ${inputType.fields.length}")
+    inputType.fields(0).dataType match {
+      case TimestampType => DaysFromTimestamp
+      case DateType      => DaysFromDate
+      case t => throw new UnsupportedOperationException(
+        s"days() over $t (timestamp/date only)")
+    }
+  }
+}
+
+/** days(timestamp): internal micros -> epoch-day int (DateType). */
+object DaysFromTimestamp extends functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(TimestampType)
+  override def resultType(): DataType = DateType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.staged.days"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else Int.box(Math.floorDiv(input.getLong(0), 86400000000L).toInt)
+}
+
+/** days(date): identity on the epoch-day int. */
+object DaysFromDate extends functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = DateType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.staged.days"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null else Int.box(input.getInt(0))
 }
 
 // ---------------------------------------------------------------------------

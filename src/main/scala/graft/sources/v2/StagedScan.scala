@@ -195,19 +195,23 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
   // the collected build-side values, and planInputPartitions is re-planned
   // against them — fact partitions a selective dim filter eliminated are
   // never opened. Same conservative contract as static pruning: an
-  // unrecognized predicate shape prunes NOTHING.
+  // unrecognized predicate shape prunes NOTHING. Days-transform SOURCE
+  // columns participate too: a runtime `ts IN (...)` can only match rows
+  // in the literals' UTC days, so every other day directory closes — the
+  // events⋈dim pattern on the 100 TB day-partitioned shape.
   private var runtime: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate] = Nil
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partSpec.filter(_.kind == "identity")
-      .map(p => Expressions.column(p.name)).toArray
+    partSpec.map(p => Expressions.column(p.name)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     runtime = predicates.toSeq
 
   /** Does this partition's key survive every recognized runtime predicate?
     * Recognizes `IN(col, lits...)` and `=(col, lit)` over one identity
-    * column; anything else keeps the partition.
+    * column (typed value equality) or one days SOURCE column (the
+    * literal's UTC day vs the directory day); anything else — including a
+    * literal whose day cannot be derived — keeps the partition.
     */
   private def runtimeSurvives(p: StagedInputPartition): Boolean = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
@@ -217,15 +221,34 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       else Some(StagedScan.partValue(tableSchema(partSpec(i).name).dataType,
         p.rawValues(i)))
     }
+    // directory day for a days-transform SOURCE column; None = not days
+    // partitioned on it / null dir (keep)
+    def dirDay(name: String): Option[Long] = {
+      val i = partSpec.indexWhere(pf => pf.kind == "days" && pf.name == name)
+      if (i < 0 || p.rawValues(i) == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(java.time.LocalDate.parse(p.rawValues(i)).toEpochDay)
+    }
+    // UTC day of a runtime literal (internal representations: micros for
+    // timestamps, epoch days for dates); None = unrecognized (keep)
+    def litDay(l: Literal[_]): Option[Long] = l.dataType() match {
+      case TimestampType => Some(Math.floorDiv(l.value().asInstanceOf[Long], 86400000000L))
+      case DateType      => Some(l.value().asInstanceOf[Int].toLong)
+      case _             => None
+    }
+    def survivesEq(name: String, l: Literal[_]): Boolean =
+      dirValue(name).forall(_ == l.value) &&
+        dirDay(name).forall(dd => litDay(l).forall(_ == dd))
+    def survivesIn(name: String, lits: Seq[Literal[_]]): Boolean =
+      dirValue(name).forall(v => lits.exists(_.value == v)) &&
+        dirDay(name).forall(dd => lits.exists(l => litDay(l).forall(_ == dd)))
     runtime.forall { pred =>
       (pred.name(), pred.children().toSeq) match {
         case ("IN", (f: NamedReference) +: lits)
             if f.fieldNames().length == 1 && lits.forall(_.isInstanceOf[Literal[_]]) =>
-          dirValue(f.fieldNames()(0)).forall(v =>
-            lits.exists(_.asInstanceOf[Literal[_]].value == v))
+          survivesIn(f.fieldNames()(0), lits.map(_.asInstanceOf[Literal[_]]))
         case ("=", Seq(f: NamedReference, l: Literal[_]))
             if f.fieldNames().length == 1 =>
-          dirValue(f.fieldNames()(0)).forall(_ == l.value)
+          survivesEq(f.fieldNames()(0), l)
         case _ => true
       }
     }
@@ -237,15 +260,19 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     StagedReaderFactory(tableSchema.json, partSpec, required.fieldNames.toSeq)
 
-  /** Key-grouped over the identity transforms — the SPJ contract. Tables
-    * with a non-identity transform (days) read fine but report unknown
-    * partitioning; unpartitioned tables likewise.
+  /** Key-grouped over ALL transforms — identity AND days — the SPJ
+    * contract. Spark resolves the days transform through the catalog's
+    * [[DaysFunction]] (FunctionCatalog), so two tables day-partitioned on
+    * their timestamp storage-partition-join on it without either side
+    * shuffling: the 100 TB fact-fact shape (events⋈events by day) joins
+    * for free exactly like the identity-bucketed one. Unpartitioned
+    * tables report unknown partitioning.
     */
   override def outputPartitioning(): Partitioning =
-    if (partSpec.nonEmpty && partSpec.forall(_.kind == "identity"))
+    if (partSpec.nonEmpty)
       new KeyGroupedPartitioning(
-        partSpec.map(p => Expressions.identity(p.name):
-          org.apache.spark.sql.connector.expressions.Expression).toArray,
+        PartSpec.toTransforms(partSpec)
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
         planned.length)
     else new UnknownPartitioning(planned.length)
 
@@ -527,15 +554,21 @@ case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
                                 range: Option[(Long, Long)] = None)
     extends InputPartition with HasPartitionKey {
 
-  /** The split's partition-key row: typed identity values in transform
-    * order — what Spark's key-grouped planner groups and co-locates on.
-    * Parsed once per split (the planner calls this during grouping; with
-    * many files per partition that is one call per FILE).
+  /** The split's partition-key row: typed TRANSFORM RESULTS in transform
+    * order — identity values as their column type, days values as the
+    * transform's DateType epoch-day int — what Spark's key-grouped
+    * planner groups and co-locates on. Parsed once per split (the planner
+    * calls this during grouping; with many files per partition that is
+    * one call per FILE).
     */
   @transient private lazy val key: InternalRow = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GenericInternalRow(partSpec.zip(rawValues).map { case (pf, raw) =>
-      StagedScan.partValue(schema(pf.name).dataType, raw)
+      if (pf.kind == "days")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else java.lang.Integer.valueOf(
+          java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      else StagedScan.partValue(schema(pf.name).dataType, raw)
     }.toArray[Any])
   }
 

@@ -66,5 +66,16 @@ object ProbeWork {
     "etl_cdc_apply" -> (("order_rows",
       (s, d) => count1(graft.core.Tables.orders(s, d)))),
     "etl_profile" -> (("order_rows",
-      (s, d) => count1(graft.core.Tables.orders(s, d)))))
+      (s, d) => count1(graft.core.Tables.orders(s, d)))),
+    // V2 splits actually OPENED by the pruned day-range read (post static
+    // pruning) — the counter that catches a pruning regression as WORK:
+    // the day-partitioned layout bounds files per day, so the expected
+    // count is 7 (days 10..16) at EITHER scale (work_ratio ≈ 1 — pruned
+    // scan cost is constant in corpus volume, linear only in the date
+    // range); a regression that stops pruning reads ~30 (every day dir)
+    "etl_days_prune" -> (("day_splits_opened", (s, d) => {
+      graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+      count1(graft.queries.Ingest.daysPrune(s, d)): Unit
+      graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    })))
 }

@@ -279,4 +279,25 @@ class PlanSpec extends AnyFunSuite {
     val dp = plan("etl_days_prune")
     assert(dp.contains("partitions=7,"), dp.take(1500))
   }
+
+  test("etl_days_dpp: day directories close at RUNTIME from the dim's timestamps") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("etl_days_dpp")(spark, sf)
+    // the fact scan carries NO static pruning (all 30 day dirs planned) —
+    // the dim's collected ts values are the only thing that can narrow it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(2000))
+    graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+    df.collect()
+    val opened = graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-13T00:00:00Z"))
+    val dimDays = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0
+        && col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .select(to_date(col("ts"))).distinct().count()
+    assert(dimDays > 0 && dimDays <= 3)
+    assert(opened == dimDays,
+      s"expected runtime day pruning to open $dimDays of 30 day dirs, opened $opened")
+  }
 }
