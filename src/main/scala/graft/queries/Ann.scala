@@ -712,17 +712,17 @@ object Ann {
     * ceilings (0.33 at sf0.1 with width 3 — the r8 "documented future
     * work" note). Real NN-Descent runs working K ≈ 20-50 for exactly this
     * reason. Width 12 (with [[NND_SAMPLE]] 8) measured: clustered recall
-    * sf0.01 0.83→0.90, sf0.1 0.33→0.43 (0.53 at 7 rounds), and the
-    * near-random stress corpus roughly triples (0.43/0.30/0.20 by sf) —
-    * at +1.6 s across the four NND-family bench queries. sf0.1 clustered
-    * stays below the 0.8 spec floor by construction, not by defect: its
-    * true top-3 are ranked at the NOISE scale inside a ~100-sibling
-    * near-tie set, so recall@3 needs near-exhaustive sibling scoring —
-    * the exact-rerank IVF-PQ's contract (it reads 1.00 there), not a
-    * greedy graph's. Output semantics are unchanged in SHAPE (consumers
-    * cut to [[CAND_TOPK]]) and improve in VALUE wherever the wider
-    * descent finds closer neighbors; the DuckDB twin tracks through the
-    * shared constant.
+    * sf0.01 0.83→0.90, sf0.1 0.33→0.43, and the near-random stress corpus
+    * roughly triples — at +1.6 s across the four NND-family bench
+    * queries. The REMAINING sf0.1 gap (0.43 vs the 0.8 floor) was the
+    * fixed seed's island closure, fixed in round 10 by per-round
+    * RE-SEEDING (see [[nndGraphBuild]]): fresh-salted seed pairs each
+    * round bridge the sub-ring islands, measured 0.97/0.90/0.87 clustered
+    * recall by sf at 3 rounds — the 0.8 floor now binds at every scale
+    * including the 5120-vector bench corpus. Output semantics are
+    * unchanged in SHAPE (consumers cut to [[CAND_TOPK]]) and improve in
+    * VALUE wherever the wider descent finds closer neighbors; the DuckDB
+    * twin tracks through the shared constants and salts.
     */
   private[graft] val NND_WORKK = 12
 
@@ -778,7 +778,7 @@ object Ann {
     */
   private[graft] def nndGraph(s: SparkSession, d: String, iters: Int): DataFrame =
     graft.core.ArtifactCache.getOrBuild(s, "nnd_graph",
-      s"v2 iters=$iters sample=$NND_SAMPLE workk=$NND_WORKK k=$CAND_TOPK",
+      s"v3 iters=$iters sample=$NND_SAMPLE workk=$NND_WORKK k=$CAND_TOPK reseed",
       Seq(s"$d/embeddings.parquet")) { nndGraphBuild(s, d, iters) }
 
   /** The deduped (u, w) seed candidate pairs of the NND build — the
@@ -790,7 +790,13 @@ object Ann {
   private[graft] def nndSeedPairs(s: SparkSession, d: String): DataFrame =
     nndSeedPairsOf(vecs(s, d))
 
-  private def nndSeedPairsOf(all: DataFrame): DataFrame = {
+  /** Candidate pairs from the dual bucketing. `salt` varies the hash draws
+    * (empty = the round-0 seed): each descent round re-seeds with a fresh
+    * salt, which re-partitions every LSH cell into DIFFERENT ~8-vector
+    * islands — the bridge edges that break the island closure the fixed
+    * seed creates (see [[nndGraphBuild]]).
+    */
+  private def nndSeedPairsOf(all: DataFrame, salt: String = ""): DataFrame = {
     // dual seed: LSH cells + an ~8-per-cell hash ring (cell counts derived
     // from the corpus count — a one-row broadcast, not a collect). The LSH
     // cells are themselves SUB-DIVIDED by a second hash ring: the plane
@@ -802,12 +808,12 @@ object Ann {
     val withN2 = all.select(col("vec_id")).crossJoin(broadcast(ncnt))
     val ring = withN2
       .select(col("vec_id"), (lit(-1L) -
-        md5Long(concat(lit("nnd:"), col("vec_id")))
+        md5Long(concat(lit(s"nnd:$salt"), col("vec_id")))
           % ceil(col("n") / 8.0).cast("long")).as("bucket"))
     val subR = ceil(col("n") / 512.0).cast("long")
     val lshSub = bucketsOf(all).crossJoin(broadcast(ncnt))
       .select(col("vec_id"), (col("bucket") * subR +
-        md5Long(concat(lit("nnd2:"), col("vec_id"))) % subR).as("bucket"))
+        md5Long(concat(lit(s"nnd2:$salt"), col("vec_id"))) % subR).as("bucket"))
     val seeds = lshSub.unionByName(ring)
     val a = seeds.toDF("src", "bucket")
     val b = seeds.toDF("dst", "bucket")
@@ -834,7 +840,7 @@ object Ann {
         Seq(col("cos").desc, col("dst").asc), NND_WORKK)
       .select("src", "dst", "cos")
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val und = graph.unionByName(graph.select(col("dst").as("src"),
           col("src").as("dst"), col("cos")))
         .distinct() // a pair present in both directions carries the same cos
@@ -844,8 +850,19 @@ object Ann {
       val hop2 = undCap.toDF("u", "mid").join(undCap.toDF("mid", "w"), Seq("mid"))
         .filter(col("u") =!= col("w"))
         .select(col("u"), col("w"))
+      // per-round RE-SEED (fresh salt): the round-0 seed partitions each
+      // LSH cell into fixed sub-ring islands, and on a tight cluster every
+      // working slot fills with in-island siblings — two-hop expansion can
+      // then never reach the OTHER islands of the same sibling set (the
+      // r9 0.43 recall ceiling on the sf0.1 clustered corpus). A fresh
+      // salt per round re-partitions every cell differently, so each
+      // round exactly scores ~8 new same-cell candidates per vertex and
+      // the high-cos survivors bridge the islands for the next round's
+      // two-hop. Still linear: +N·~16 scored pairs per round, same as the
+      // seed itself.
+      val fresh = nndSeedPairsOf(all, s"r$t:")
       val cand = hop2.unionByName(graph.select(col("src").as("u"),
-          col("dst").as("w"))).distinct()
+          col("dst").as("w"))).unionByName(fresh).distinct()
       val rescored = cand.join(cu, "u").join(cw, "w")
         .select(col("u").as("src"), col("w").as("dst"), cosCols(
           graft.plans.DotProduct.dot(col("pv"), col("cv")),
@@ -1011,20 +1028,17 @@ object Ann {
     * md5-derived offsets, same double arithmetic), so the clustered gates
     * are oracle-checked like every other query.
     *
-    * Measured (avg recall@3, working width [[NND_WORKK]]=12): sf0.001 NND
-    * 0.97 / IVF-PQ 0.93; sf0.01 NND 0.90 / IVF-PQ 0.87; sf0.1 IVF-PQ 1.00
-    * and NND 0.43 (0.53 at 7 rounds). The r8 verdict's 0.33 ceiling was
-    * the working-width-3 sub-ring island closure; widening the descent's
-    * working graph (see [[NND_WORKK]]) delivered that named fix and
-    * lifted every corpus. The REMAINING sf0.1 NND gap is structural, not
-    * a defect: this fixture ranks sub-cluster siblings at the NOISE scale
-    * (±[[CL_NOISE]]/2), so a probe's exact top-3 sit in a ~100-member
-    * near-tie set that only near-exhaustive scoring resolves — precisely
-    * the exact-rerank contract IVF-PQ implements (hence its 1.00), while
-    * a greedy graph walk converges toward *some* siblings, not provably
-    * the three noise-nearest. The spec floor therefore binds at the
-    * scales where the sibling set is enumerable by descent (sf0.001/0.01)
-    * and the sf0.1 figure is tracked by [[nndRecallAt]] / tools.NndTune.
+    * Measured (avg recall@3, working width [[NND_WORKK]]=12 + per-round
+    * re-seed): clustered sf0.001 NND 0.97 / IVF-PQ 0.93; sf0.01 NND
+    * 0.90 / IVF-PQ 0.87; sf0.1 NND 0.87 / IVF-PQ 1.00. The r8 verdict's
+    * 0.33 ceiling was the working-width-3 sub-ring island closure
+    * (widening to 12 lifted every corpus); the r9 verdict's remaining
+    * 0.43 sf0.1 gap was the FIXED seed's island closure — per-round
+    * re-seeding ([[nndGraphBuild]]) bridges the islands and the 0.8
+    * floor now binds at all three scales (AnnTextSpec pins sf0.001 and
+    * the 5120-vector sf0.1 corpus explicitly; trajectory via
+    * [[nndRecallAt]] / tools.NndTune: sf0.1 climbs 0.30 → 0.53 → 0.87
+    * over the three rounds, 1.00 by round 5).
     */
   private[graft] val CL_K = 16
   private[graft] val CL_SC = 8
@@ -1378,11 +1392,12 @@ object Ann {
          FROM sq_reranked)"""
 
   /** SQL twin of the iterated NN-descent rounds (bucket-local base graph,
-    * then per round: symmetrize → degree cap → two-hop candidates → exact
-    * rescore → top-k). Assumes vecs/elems/norms + the buckets fragment are
-    * in scope. Multiply-referenced CTEs are MATERIALIZED — DuckDB
-    * otherwise inlines them per reference and the round chain re-evaluates
-    * multiplicatively (the graph_cc_raw lesson).
+    * then per round: symmetrize → degree cap → two-hop candidates → fresh
+    * re-salted seed pairs → exact rescore → top-k). Assumes
+    * vecs/elems/norms + the buckets fragment are in scope.
+    * Multiply-referenced CTEs are MATERIALIZED — DuckDB otherwise inlines
+    * them per reference and the round chain re-evaluates multiplicatively
+    * (the graph_cc_raw lesson).
     */
   private def nndSql: String = {
     val base =
@@ -1422,10 +1437,25 @@ object Ann {
                  row_number() OVER (PARTITION BY src
                                     ORDER BY cos DESC, dst) AS rk
                FROM nnd_und_$t) WHERE rk <= $NND_SAMPLE),
+       nnd_ring_$t AS (SELECT vec_id, -1 -
+           (${md5LongSql(s"concat('nnd:r$t:', vec_id)")}
+             % CAST(ceil((SELECT count(*) FROM vecs) / 8.0) AS BIGINT)) AS bucket
+         FROM vecs),
+       nnd_lsh_$t AS (SELECT vec_id,
+           bucket * CAST(ceil((SELECT count(*) FROM vecs) / 512.0) AS BIGINT) +
+           ${md5LongSql(s"concat('nnd2:r$t:', vec_id)")}
+             % CAST(ceil((SELECT count(*) FROM vecs) / 512.0) AS BIGINT) AS bucket
+         FROM buckets),
+       nnd_seeds_$t AS (SELECT vec_id, bucket FROM nnd_lsh_$t
+         UNION ALL SELECT vec_id, bucket FROM nnd_ring_$t),
+       nnd_pairs_$t AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+         FROM nnd_seeds_$t a
+         JOIN nnd_seeds_$t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        nnd_cand_$t AS (SELECT DISTINCT u, w FROM (
            SELECT a.src AS u, b.dst AS w FROM nnd_cap_$t a
            JOIN nnd_cap_$t b ON b.src = a.dst WHERE b.dst <> a.src
-           UNION ALL SELECT src AS u, dst AS w FROM $p)),
+           UNION ALL SELECT src AS u, dst AS w FROM $p
+           UNION ALL SELECT u, w FROM nnd_pairs_$t)),
        nnd_resc_$t AS (SELECT c.u AS src, c.w AS dst,
            ${Dedup.dotSeqSql("pu.v", "pw.v")} / sqrt(nu.nrm * nw.nrm) AS cos
          FROM nnd_cand_$t c

