@@ -301,10 +301,12 @@ object Bench {
       // super-linear regressions surface before a real cluster would.
       // etl_days_prune is the fourteenth probe (r9 VERDICT #8): its work
       // metric counts the V2 splits the pruned read actually OPENS —
-      // expected 7 at both scales (pruned scan cost constant in volume,
-      // linear in the date range), ~30 if day pruning ever regresses.
+      // expected 6 at both scales (7 day dirs survive dir pruning, the ts
+      // zone map cuts the boundary day-16 file; pruned scan cost constant
+      // in volume, linear in the date range), ~30 if pruning regresses.
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
-        "etl_cdc_apply", "etl_profile", "etl_days_prune").map(probeOf)
+        "etl_cdc_apply", "etl_profile", "etl_days_prune",
+        "etl_minmax_skip").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false

@@ -253,7 +253,11 @@ object Ingest {
       .partitionedBy(col("s_nationkey")).createOrReplace()
     val c = s.table(s"graft_staged.$ns.cust_by_nation")
     val sp = s.table(s"graft_staged.$ns.sup_by_nation")
-    c.join(sp, c("c_nationkey") === sp("s_nationkey"))
+    // merge hint: at test scale the scan's (pruning-aware) size stats
+    // would auto-broadcast the small side; the query exists to pin the
+    // fact-fact shape where BOTH sides are 100 TB-class and SPJ is the
+    // only zero-exchange strategy
+    c.hint("merge").join(sp, c("c_nationkey") === sp("s_nationkey"))
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_pairs"),
         graft.core.Determinism.dsum(col("c_acctbal") + col("s_acctbal"))
@@ -355,11 +359,46 @@ object Ingest {
         && col("ts") >= lit(lo) && col("ts") < lit(hi))
       .select(col("ts").as("dts"))
     val fact = s.table(tbl)
-    fact.join(dim, fact("ts") === dim("dts"))
+    // the dim is broadcast EXPLICITLY: at 100 TB a filtered date-dim is
+    // always the broadcast side, and the broadcast is what plants the
+    // runtime filter on the fact scan at every test scale too
+    fact.join(broadcast(dim), fact("ts") === dim("dts"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Zone-map data skipping on the real scan: orders are written through
+    * the staged sink RANGE-CLUSTERED on o_totalprice (repartitionByRange +
+    * sortWithinPartitions — the layout etl_compact_bins/etl_zorder_layout
+    * plan), so each file's footer min/max covers a disjoint price band,
+    * and a selective price-range query plans splits ONLY for the files the
+    * band lands in ([[graft.sources.v2.StagedScan.blockSurvives]] cuts
+    * excluded row groups at plan time; excluded files are never opened —
+    * StagedSkipSpec pins the opened-reader count). At 100 TB this is the
+    * data-skipping half of the lakehouse contract: scan cost proportional
+    * to the predicate's data band, not the table. Skipping is
+    * conservative (stats-gap/boundary groups kept, rows cut by the
+    * residual filter), so the oracle's exact recomputation over raw
+    * orders gates that no row is ever lost to a zone map.
+    */
+  def minmaxSkip(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_by_price"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .repartitionByRange(8, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .writeTo(tbl).createOrReplace()
+    s.table(tbl)
+      .filter(col("o_totalprice") >= 150000.0 && col("o_totalprice") < 250000.0)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("priority")
   }
 
   private def writeFixtureFile(path: String, content: String): Unit = {
@@ -380,7 +419,8 @@ object Ingest {
     "etl_spj_join"       -> (spjJoin _),
     "etl_stats_scan"     -> (statsScan _),
     "etl_days_prune"     -> (daysPrune _),
-    "etl_days_dpp"       -> (daysDpp _)
+    "etl_days_dpp"       -> (daysDpp _),
+    "etl_minmax_skip"    -> (minmaxSkip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +513,17 @@ object Ingest {
                 THEN (c_custkey % 12 + 1) % 12
                 ELSE (c_custkey % 12 + 1) % 12 + 12 END,
            c_custkey % 60) AS event_ts
-         FROM customer ORDER BY objectid"""
+         FROM customer ORDER BY objectid""",
+    // the zone-map-skipped band recomputed exactly over raw orders —
+    // row-group skipping must never cost a row (boundary groups kept,
+    // their out-of-band rows cut by the residual filter only)
+    "etl_minmax_skip" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_totalprice >= 150000 AND o_totalprice < 250000
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -838,7 +838,19 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
         if (n.startsWith(s"_tmp-$token-") || n.endsWith(s"-$token.snappy.parquet"))
           f.delete(new Path(p, rel), true)
       }
-    } else deleteStaging(targetDir) // staging dir: drop wholesale, prod untouched
+    } else {
+      // staging dir: drop wholesale, prod untouched. A KILLED task can
+      // still be mid-close, and its file create() re-creates the just-
+      // deleted directory — re-delete briefly until it stays gone, so the
+      // common abort leaves no debris (anything that still escapes is
+      // vacuum's dead-staging class)
+      deleteStaging(targetDir)
+      val dir = new Path(targetDir)
+      var tries = 0
+      while (tries < 20 && { Thread.sleep(250); fs(dir).exists(dir) }) {
+        deleteStaging(targetDir); tries += 1
+      }
+    }
   }
 }
 
@@ -981,6 +993,17 @@ class StagedParquetDataWriter(targetDir: String, partitionId: Int, taskId: Long,
       val tmp = tmpPath(dir)
       tmp.getFileSystem(conf).delete(tmp, false): Unit
     }
+    // a kill-interrupted staging write can RESURRECT the staging dir the
+    // driver's abort already deleted (this task's flush re-created it);
+    // if nothing is left under it after our own cleanup, the last task
+    // out removes the tree (best effort — vacuum backstops)
+    if (targetDir.contains("__staging."))
+      try {
+        val root = new Path(targetDir)
+        val f = root.getFileSystem(conf)
+        if (f.exists(root) && !f.listFiles(root, true).hasNext)
+          f.delete(root, true): Unit
+      } catch { case _: Throwable => () }
   }
 
   override def close(): Unit =

@@ -42,6 +42,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     residuals — Spark re-checks rows, the scan only skips I/O, so a
   *     miscast literal can never produce wrong rows, only wasted reads.
   *
+  * Below the partition grain the scan keeps a ZONE MAP: comparison
+  * predicates on stored numeric/temporal data columns are checked against
+  * each row group's footer min/max ([[StagedScan.blockSurvives]]), and
+  * excluded groups — or whole files — plan no split at all. On a table
+  * whose writer clustered the column (range layout, Z-order, time-ordered
+  * appends) a selective range predicate reads only the files it lands in;
+  * at 100 TB this is the data-skipping half of the lakehouse contract
+  * (what etl_zorder_layout/etl_compact_bins lay files out FOR), same
+  * conservative rule as above: only a provably-empty group is skipped.
+  *
   * Decoding goes through a hand-rolled parquet-hadoop [[ReadSupport]]
   * (public API only, mirroring the sink's WriteSupport) covering the full
   * sink type surface — scalars plus the nested encodings (3-level LIST,
@@ -60,6 +70,7 @@ class StagedScanBuilder(tableName: String, prodDir: String,
 
   private var required: StructType = tableSchema
   private var partPruning: Array[Filter] = Array.empty
+  private var dataSkip: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Seq[String], Seq[StagedAggScan.Func])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -82,10 +93,33 @@ class StagedScanBuilder(tableName: String, prodDir: String,
       case LessThanOrEqual(a, _)     => daysCols(a)
       case _                         => false
     }
+    // ZONE-MAP data skipping: comparison predicates on stored DATA columns
+    // whose parquet statistics are trustworthy bounds (the same numeric/
+    // temporal set the aggregate pushdown trusts — binary/decimal stats
+    // can be truncated in the format, never used). These prune ROW GROUPS
+    // at plan time from footer min/max ([[StagedScan.blockSurvives]]);
+    // identity columns are excluded (not stored in files — they prune
+    // directories above), days SOURCE columns participate in both (the
+    // dir prunes whole days, the zone map cuts row groups of boundary
+    // days when the write was time-ordered)
+    val statTypes: Set[DataType] =
+      Set(IntegerType, LongType, FloatType, DoubleType, DateType, TimestampType)
+    val statCols: Set[String] = tableSchema.fields
+      .filter(f => statTypes(f.dataType)).map(_.name).toSet -- identityCols
+    dataSkip = filters.filter {
+      case EqualTo(a, v)            => statCols(a) && v != null
+      case In(a, _)                 => statCols(a)
+      case GreaterThan(a, v)        => statCols(a) && v != null
+      case GreaterThanOrEqual(a, v) => statCols(a) && v != null
+      case LessThan(a, v)           => statCols(a) && v != null
+      case LessThanOrEqual(a, v)    => statCols(a) && v != null
+      case IsNotNull(a)             => statCols(a)
+      case _                        => false
+    }
     filters // everything stays a residual: pruning only skips I/O
   }
 
-  override def pushedFilters(): Array[Filter] = partPruning
+  override def pushedFilters(): Array[Filter] = partPruning ++ dataSkip
 
   /** METADATA-ONLY aggregation (SupportsPushDownAggregates, partial mode):
     * COUNT(*) answers from parquet footer record counts, MIN/MAX of
@@ -143,18 +177,40 @@ class StagedScanBuilder(tableName: String, prodDir: String,
         partPruning.toSeq, groups, funcs)
     case None =>
       new StagedScan(tableName, prodDir, tableSchema, required, partSpec,
-        partPruning.toSeq)
+        partPruning.toSeq, dataSkip.toSeq)
   }
 }
 
 class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
                  required: StructType, partSpec: Seq[PartField],
-                 pruning: Seq[Filter])
+                 pruning: Seq[Filter], dataSkip: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** PRUNING-AWARE size statistics: the bytes the scan will actually read
+    * (surviving splits only — after static partition pruning and the zone
+    * map), scaled by the same `spark.sql.sources.fileCompressionFactor`
+    * the built-in file scans apply. Without this a V2 table reports
+    * UNKNOWN size, Catalyst assumes worst-case, and a small staged dim —
+    * or a big table cut to one partition by a pushed predicate — can
+    * never auto-broadcast: every join pays two shuffles that built-in
+    * parquet wouldn't. At 100 TB the pruning-awareness is the point: the
+    * full table is petabyte-class, but `k = 7` reads one directory, and
+    * the join strategy should price THAT.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val factor =
+        try org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.sql.sources.fileCompressionFactor").toDouble
+        catch { case _: Throwable => 1.0 }
+      java.util.OptionalLong.of(math.max(1L, (plannedBytes * factor).toLong))
+    }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** One split per FILE, and within files larger than
     * `graft.staged.split.bytes` (default 128 MB) one split per ROW GROUP
@@ -175,19 +231,43 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       .get("graft.staged.split.bytes").toLong
     catch { case _: Throwable => 128L * 1024 * 1024 }
 
-  private lazy val planned: Array[StagedInputPartition] =
-    plannedDirs.flatMap { case (vals, files) =>
+  private def planned: Array[StagedInputPartition] = plannedPair._1
+  private def plannedBytes: Long = plannedPair._2
+  private lazy val plannedPair: (Array[StagedInputPartition], Long) = {
+    var bytes = 0L
+    val splits = plannedDirs.flatMap { case (vals, files) =>
       files.flatMap { case (f, len) =>
-        val ranges =
-          if (len <= splitBytes) Seq.empty
-          else StagedScan.rowGroupRanges(f, len)
-        if (ranges.length <= 1)
-          Seq(StagedInputPartition(vals, Seq(f), tableSchema.json,
-            partSpec, required.fieldNames.toSeq))
-        else ranges.map(r => StagedInputPartition(vals, Seq(f),
-          tableSchema.json, partSpec, required.fieldNames.toSeq, Some(r)))
+        def whole = { bytes += len
+          StagedInputPartition(vals, Seq(f), tableSchema.json,
+            partSpec, required.fieldNames.toSeq) }
+        def ranged(r: (Long, Long)) = { bytes += r._2 - r._1
+          StagedInputPartition(vals, Seq(f),
+            tableSchema.json, partSpec, required.fieldNames.toSeq, Some(r)) }
+        if (len <= splitBytes && dataSkip.isEmpty) Seq(whole)
+        else {
+          // one footer read decides both row-group splitting and the
+          // zone-map cut; a file whose every row group is excluded plans
+          // ZERO splits — never listed, never opened
+          val blocks = StagedScan.blockRanges(f, len)
+          val kept = blocks.filter { case (_, _, b) =>
+            StagedScan.blockSurvives(b, tableSchema, dataSkip) }
+          if (kept.isEmpty) Seq.empty
+          else if (kept.length == blocks.length &&
+            (len <= splitBytes || blocks.length == 1)) Seq(whole)
+          else if (len <= splitBytes)
+            // small file, some groups cut: adjacent survivors merge into
+            // one range split (skipping trims I/O, not parallelism here)
+            kept.foldLeft(List.empty[(Long, Long)]) {
+              case ((ps, pe) :: tail, (s0, e0, _)) if pe == s0 =>
+                (ps, e0) :: tail
+              case (acc, (s0, e0, _)) => (s0, e0) :: acc
+            }.reverse.map(ranged)
+          else kept.map { case (s0, e0, _) => ranged((s0, e0)) }
+        }
       }
     }.toArray
+    (splits, bytes)
+  }
 
   // ---- DYNAMIC partition pruning (SupportsRuntimeV2Filtering) ------------
   // Spark's DPP rule plants a subquery on the build side of a join whose
@@ -201,8 +281,13 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
   // events⋈dim pattern on the 100 TB day-partitioned shape.
   private var runtime: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate] = Nil
 
+  // only columns present in the scan OUTPUT: Spark's PartitionPruning rule
+  // resolves these against the (column-pruned) scan relation and THROWS on
+  // a miss — a partition column pruned from the projection can't carry a
+  // runtime filter anyway
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partSpec.map(p => Expressions.column(p.name)).toArray
+    partSpec.filter(p => required.fieldNames.contains(p.name))
+      .map(p => Expressions.column(p.name)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     runtime = predicates.toSeq
@@ -280,26 +365,110 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     s"StagedScan(table=$tableName, partitions=${plannedDirs.length}, " +
       s"splits=${planned.length}, " +
       s"columns=[${required.fieldNames.mkString(",")}], " +
-      s"pruning=[${pruning.mkString(",")}])"
+      s"pruning=[${pruning.mkString(",")}], " +
+      s"zonemap=[${dataSkip.mkString(",")}])"
 }
 
 object StagedScan {
   /** Byte ranges covering each row group of `file` (footer starting
-    * positions; last range closes at the file length): one range per row
-    * group, chosen so each group's midpoint — the criterion
-    * parquet-hadoop's own range filter applies — falls in exactly one
-    * range. Empty for single-row-group files (caller plans one whole-file
-    * split, no range restriction).
+    * positions; last range closes at the file length) with the group's
+    * footer metadata: one range per row group, chosen so each group's
+    * midpoint — the criterion parquet-hadoop's own range filter applies —
+    * falls in exactly one range.
     */
-  private[v2] def rowGroupRanges(file: String, len: Long): Seq[(Long, Long)] = {
+  private[v2] def blockRanges(file: String, len: Long): Seq[(Long, Long, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new Path(file), new Configuration()))
     try {
-      val starts = fr.getFooter.getBlocks.asScala.map(_.getStartingPos).toSeq
-      if (starts.length <= 1) Seq.empty
-      else starts.zip(starts.drop(1) :+ len).map { case (s, e) => (s, e) }
+      val blocks = fr.getFooter.getBlocks.asScala.toSeq
+      val starts = blocks.map(_.getStartingPos)
+      starts.zip(starts.drop(1) :+ len).zip(blocks)
+        .map { case ((s, e), b) => (s, e, b) }
     } finally fr.close()
+  }
+
+  /** Can any row of this row group satisfy every pushed data-column
+    * comparison? Decided from footer min/max statistics, CONSERVATIVELY —
+    * the mirror of partition pruning's contract: every filter stays a
+    * residual Spark re-checks, so a `false` here only skips I/O that
+    * provably holds no matching row, and anything this code cannot decide
+    * with certainty (missing/empty statistics, a literal it cannot
+    * canonicalize, an incomparable stats type) KEEPS the group. A column
+    * absent from the file (pre-evolution) is all-null, and an all-null
+    * group (`!hasNonNullValue`) cannot satisfy a comparison with a
+    * non-null literal — both skip. Only the numeric/temporal types whose
+    * parquet statistics are exact bounds ever reach here
+    * ([[StagedScanBuilder.pushFilters]]); binary/decimal stats can be
+    * truncated in the format and are never consulted.
+    */
+  private[v2] def blockSurvives(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      schema: StructType, filters: Seq[Filter]): Boolean = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    // pushed-literal -> the column's parquet-stats domain (Int epoch days,
+    // Long UTC micros, the numeric primitive); None = unrecognized (keep)
+    def litVal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (IntegerType, i: java.lang.Integer)     => Some(i)
+      case (LongType, l: java.lang.Long)           => Some(l)
+      case (FloatType, f: java.lang.Float)         => Some(f)
+      case (DoubleType, x: java.lang.Double)       => Some(x)
+      case (DateType, d: java.sql.Date)            =>
+        Some(Int.box(d.toLocalDate.toEpochDay.toInt))
+      case (DateType, d: java.time.LocalDate)      =>
+        Some(Int.box(d.toEpochDay.toInt))
+      case (TimestampType, t: java.sql.Timestamp)  =>
+        Some(Long.box(DateTimeUtils.fromJavaTimestamp(t)))
+      case (TimestampType, i: java.time.Instant)   =>
+        Some(Long.box(DateTimeUtils.instantToMicros(i)))
+      case _                                       => None
+    }
+    // None = incomparable; Option.forall keeps the group on None
+    def cmp(a: Any, bb: Any): Option[Int] = (a, bb) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => Some(x.compareTo(y))
+      case (x: java.lang.Long, y: java.lang.Long)       => Some(x.compareTo(y))
+      case (x: java.lang.Float, y: java.lang.Float)     => Some(x.compareTo(y))
+      case (x: java.lang.Double, y: java.lang.Double)   => Some(x.compareTo(y))
+      case _                                            => None
+    }
+    def overlaps(mn: Any, mx: Any, lv: Any): Boolean =
+      cmp(mn, lv).forall(_ <= 0) && cmp(mx, lv).forall(_ >= 0)
+    filters.forall { flt =>
+      val name = flt match {
+        case EqualTo(a, _) => a; case In(a, _) => a; case IsNotNull(a) => a
+        case GreaterThan(a, _) => a; case GreaterThanOrEqual(a, _) => a
+        case LessThan(a, _) => a; case LessThanOrEqual(a, _) => a
+        case _ => return true // unreachable: pushFilters only admits these
+      }
+      b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+        case None => false // pre-evolution file: all null, comparison can't match
+        case Some(cc) =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty) true // stats gap: keep
+          else if (!st.hasNonNullValue) flt match {
+            case IsNotNull(_) => false // all-null group
+            case _            => false // null never satisfies a comparison
+          }
+          else {
+            val dt = schema(name).dataType
+            val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+            flt match {
+              case IsNotNull(_)   => true
+              case EqualTo(_, v)  => litVal(dt, v).forall(overlaps(mn, mx, _))
+              case In(_, vs)      => vs.exists(v =>
+                v == null || litVal(dt, v).forall(overlaps(mn, mx, _)))
+              case GreaterThan(_, v)        =>
+                litVal(dt, v).forall(lv => cmp(mx, lv).forall(_ > 0))
+              case GreaterThanOrEqual(_, v) =>
+                litVal(dt, v).forall(lv => cmp(mx, lv).forall(_ >= 0))
+              case LessThan(_, v)           =>
+                litVal(dt, v).forall(lv => cmp(mn, lv).forall(_ < 0))
+              case LessThanOrEqual(_, v)    =>
+                litVal(dt, v).forall(lv => cmp(mn, lv).forall(_ <= 0))
+              case _ => true
+            }
+          }
+      }
+    }
   }
 
   /** Typed (internal-representation) value of an identity partition

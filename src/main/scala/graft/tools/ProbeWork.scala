@@ -70,12 +70,22 @@ object ProbeWork {
     // V2 splits actually OPENED by the pruned day-range read (post static
     // pruning) — the counter that catches a pruning regression as WORK:
     // the day-partitioned layout bounds files per day, so the expected
-    // count is 7 (days 10..16) at EITHER scale (work_ratio ≈ 1 — pruned
-    // scan cost is constant in corpus volume, linear only in the date
-    // range); a regression that stops pruning reads ~30 (every day dir)
+    // count is 6 at EITHER scale (7 day dirs survive dir pruning for days
+    // 10..16, then the ts zone map cuts the boundary day-16 file whose
+    // min ts ≥ the range's exclusive end; work_ratio ≈ 1 — pruned scan
+    // cost is constant in corpus volume, linear only in the date range);
+    // a regression that stops pruning reads ~30 (every day dir)
     "etl_days_prune" -> (("day_splits_opened", (s, d) => {
       graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
       count1(graft.queries.Ingest.daysPrune(s, d)): Unit
+      graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    })),
+    // files actually OPENED by the zone-mapped price band (8 range-
+    // clustered files at either scale, the band lands in ~2-3 of them —
+    // work_ratio ≈ 1; a skipping regression reads all 8)
+    "etl_minmax_skip" -> (("band_files_opened", (s, d) => {
+      graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+      count1(graft.queries.Ingest.minmaxSkip(s, d)): Unit
       graft.sources.v2.StagedReaderFactory.readersCreated.get()
     })))
 }

@@ -280,6 +280,20 @@ class PlanSpec extends AnyFunSuite {
     assert(dp.contains("partitions=7,"), dp.take(1500))
   }
 
+  test("etl_minmax_skip: the zone map plans splits only for the predicate's band") {
+    val df = SparkEntry.queries("etl_minmax_skip")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the price-band comparisons reach the scan's zone map...
+    assert(p.contains("zonemap=[") && p.matches("(?s).*zonemap=\\[[^\\]]*o_totalprice.*"),
+      p.take(2000))
+    // ...and of the 8 range-clustered files only the band's are opened
+    graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+    df.collect()
+    val opened = graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    assert(opened >= 1L && opened <= 4L,
+      s"expected the [150k,250k) band to open <=4 of 8 files, opened $opened")
+  }
+
   test("etl_days_dpp: day directories close at RUNTIME from the dim's timestamps") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("etl_days_dpp")(spark, sf)

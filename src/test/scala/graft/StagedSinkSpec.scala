@@ -236,8 +236,10 @@ class StagedSinkSpec extends AnyFunSuite {
     val after = spark.read.parquet(prodDir("t9"))
     assert(after.count() == 85)
     assert(after.filter(col("tag") === "v3").count() == 0)
-    // abort cleanup races the async task kill; give it a moment
-    val deadline = System.nanoTime + 5000000000L
+    // abort cleanup races the async task kill; give it a moment (abort
+    // itself re-deletes a resurrected staging dir for up to ~5 s, but
+    // under full-suite parallel load the kill can outlast even that)
+    val deadline = System.nanoTime + 20000000000L
     while (listDirs("t9") != Seq("t9") && System.nanoTime < deadline)
       Thread.sleep(100)
     assert(listDirs("t9") == Seq("t9"), s"staging leftovers: ${listDirs("t9")}")
