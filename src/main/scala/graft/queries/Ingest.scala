@@ -401,6 +401,40 @@ object Ingest {
       .orderBy("priority")
   }
 
+  /** Real file compaction (the lakehouse OPTIMIZE,
+    * [[graft.sources.v2.StagedParquet.compact]]): orders are written
+    * partitioned by priority through a round-robin repartition(8) — the
+    * streaming-ingest shape where every trigger's tasks leave a file in
+    * every partition (8 files per dir) — then compacted to
+    * ceil(bytes/target) = 1 file per dir via coalesce + the atomic
+    * per-directory swap. This EXECUTES what etl_compact_bins plans: at
+    * 100 TB compaction is the maintenance op that keeps a
+    * streaming-ingested day from fragmenting into thousands of
+    * per-trigger files, and its cost scales with the small-file debt,
+    * never the table. The oracle recomputes the per-priority profile from
+    * raw orders, gating that the rewrite+swap preserved every row and
+    * value exactly; StagedCompactSpec pins the file counts and crash
+    * debris classes.
+    */
+  def compactFiles(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StagedParquet
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_smalls"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(8)
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    val folded = StagedParquet.compact(s, tbl)
+    require(folded.nonEmpty && folded.forall(_._3 == 1L),
+      s"compaction should fold every 8-file dir to 1: $folded")
+    s.table(tbl)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy("priority")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -420,7 +454,8 @@ object Ingest {
     "etl_stats_scan"     -> (statsScan _),
     "etl_days_prune"     -> (daysPrune _),
     "etl_days_dpp"       -> (daysDpp _),
-    "etl_minmax_skip"    -> (minmaxSkip _)
+    "etl_minmax_skip"    -> (minmaxSkip _),
+    "etl_compact_files"  -> (compactFiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,6 +559,14 @@ object Ingest {
          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders
          WHERE o_totalprice >= 150000 AND o_totalprice < 250000
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // the post-compaction profile recomputed from raw orders — the
+    // rewrite + atomic dir swap must preserve every row and value exactly
+    "etl_compact_files" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         min(o_orderkey) AS min_key
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

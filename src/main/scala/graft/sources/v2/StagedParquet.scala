@@ -148,6 +148,23 @@ object StagedParquet {
         }
       }
     }
+    // partition-level `<dir>__old` leftovers INSIDE the table (a dynamic
+    // overwrite or compaction swap whose best-effort old-delete failed):
+    // without this sweep the scan must — and does — skip them by name,
+    // but the bytes stay forever
+    def innerOld(dir: Path): Unit = if (f.exists(dir))
+      f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName.endsWith("__old") &&
+              st.getModificationTime <= cutoff) {
+            f.delete(st.getPath, true): Unit
+            val rel = st.getPath.toUri.getPath.stripPrefix(
+              new Path(d).toUri.getPath).stripPrefix("/")
+            deleted += ((rel, "stale_old"))
+          } else innerOld(st.getPath)
+        }
+      }
+    innerOld(p)
     val parent = p.getParent
     val base = p.getName
     if (f.exists(parent)) f.listStatus(parent).foreach { st =>
@@ -160,6 +177,77 @@ object StagedParquet {
       }
     }
     deleted.sortBy(_._1).toSeq
+  }
+
+  /** COMPACT — the small-file maintenance rung (the lakehouse OPTIMIZE):
+    * per partition directory, folds the committed data files into
+    * `ceil(bytes / targetBytes)` files and swaps the directory atomically
+    * (same checked-rename dance as the dynamic overwrite, so a crash at
+    * any point leaves either the old file set or the new one, never a
+    * mix; an abandoned staging sibling is vacuum's dead_staging class).
+    * Directories already at or under the target file count are never
+    * read, rewritten, or touched — compaction cost scales with the
+    * SMALL-FILE DEBT, not the table. The rewrite goes through
+    * `coalesce` (no shuffle) with the DECLARED data schema, so
+    * pre-evolution files come out null-filled at the evolved width —
+    * compaction is also schema-evolution settlement. At 100 TB this is
+    * the operation that keeps a streaming-ingested day from fragmenting
+    * into thousands of per-trigger files (the layout etl_compact_bins
+    * PLANS; this executes it on the real table). Concurrent appends to a
+    * directory being swapped can be lost — run per-table in the
+    * maintenance window, like any dir-swap OPTIMIZE.
+    * Returns (partition dir or "." for the root, files before, files
+    * after, bytes) per compacted directory, sorted.
+    */
+  def compact(s: SparkSession, table: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): Seq[(String, Long, Long, Long)] = {
+    val d = tableDir(s, table)
+    val root = new Path(d)
+    val f = fs(root)
+    val sj = readString(new Path(root, SchemaFile)).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $d"))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val partSpec: Seq[PartField] = readString(new Path(root, PartitionFile))
+      .map(PartSpec.deserialize).getOrElse(Seq.empty)
+    val identity = partSpec.filter(_.kind == "identity").map(_.name).toSet
+    // identity partition values live in the DIR NAME, not the files — the
+    // rewrite carries exactly the stored columns, the dir name survives
+    val dataSchema = StructType(schema.fields.filterNot(fd => identity(fd.name)))
+    def walk(dir: Path, depth: Int, rel: String): Seq[(String, Path)] =
+      if (depth == 0) Seq((rel, dir))
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+          !st.getPath.getName.endsWith("__old"))
+        .flatMap(st => walk(st.getPath, depth - 1,
+          if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName))
+    val staging = d + "__staging.compact-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val report = mutable.Buffer[(String, Long, Long, Long)]()
+    for ((rel, dir) <- walk(root, partSpec.length, "")) {
+      val files = f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      if (files.length >= minFiles && nOut < files.length) {
+        val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
+        s.read.schema(dataSchema)
+          .parquet(files.map(_.getPath.toString): _*)
+          .coalesce(nOut.toInt)
+          .write.mode("overwrite").parquet(stagePart)
+        // the swap replaces the whole directory — for an unpartitioned
+        // table's ROOT the catalog metadata must ride along
+        if (rel.isEmpty) {
+          writeString(new Path(stagePart), SchemaFile, schema.json)
+          writeString(new Path(stagePart), SuccessFile, "")
+        }
+        swapDirs(stagePart, dir.toString)
+        report += ((if (rel.isEmpty) "." else rel, files.length.toLong, nOut, bytes))
+      }
+    }
+    f.delete(new Path(staging), true): Unit
+    report.sortBy(_._1).toSeq
   }
 
   /** Read a committed table WITH its declared schema: files written before

@@ -540,10 +540,14 @@ object StagedScan {
     val f = StagedParquet.fs(root)
     if (!f.exists(root)) Seq.empty
     else {
+      // `k=v__old` is swap debris (a dynamic overwrite / compaction whose
+      // best-effort old-delete failed), never a partition — reading it
+      // would duplicate the partition's rows
       def walk(dir: Path, depth: Int, values: List[String]): Seq[(List[String], Path)] =
         if (depth == 0) Seq((values.reverse, dir))
         else f.listStatus(dir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+            !st.getPath.getName.endsWith("__old"))
           .flatMap(st => walk(st.getPath, depth - 1,
             st.getPath.getName.split("=", 2)(1) :: values))
       walk(root, partSpec.length, Nil)

@@ -17,9 +17,14 @@ OUT=/tmp/verify_sf1_anchor
 # a second scale (VERDICT r9 #8)
 HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index,etl_spj_join,etl_stats_scan,etl_days_prune"
 
-if [ ! -d "$SCALE/orders.parquet" ]; then
+# a pre-existing dir may have been built from a DIFFERENT sf (the bench
+# probe section rebuilds this path from ITS sf dir) — the _source stamp
+# pins the corpus to the sf it scales, and a mismatch forces a rebuild
+if [ ! -d "$SCALE/orders.parquet" ] || [ "$(cat "$SCALE/_source" 2>/dev/null)" != "$SF" ]; then
   echo "[sf1check] building 10x corpus at $SCALE from $SF"
+  rm -rf "$SCALE"
   sbt -batch "runMain graft.tools.ScaleCorpus $SF $SCALE" || exit 1
+  echo "$SF" > "$SCALE/_source"
 fi
 
 sbt -batch "runMain graft.Verify $SCALE $OUT $HEAVY" || exit 1
