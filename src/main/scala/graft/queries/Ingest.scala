@@ -435,6 +435,38 @@ object Ingest {
       .orderBy("priority")
   }
 
+  /** SQL `DELETE FROM` on a staged table
+    * ([[graft.sources.v2.StagedParquet.deleteWhere]]): orders land
+    * partitioned by priority, price-clustered within each directory, then
+    * two deletes run through the real SQL surface — one decided entirely
+    * by the identity partition value (the directory drops without reading
+    * a byte) and one on a data column (zone-map-cleared files are
+    * byte-copied, only price-overlapping files decode and rewrite, the
+    * directory swaps atomically). At 100 TB this is the GDPR/retention
+    * rung: delete cost ∝ matching data, never table size. The oracle
+    * recomputes the remainder from raw orders, gating that both deletes
+    * removed exactly their rows and nothing else; StagedDeleteSpec pins
+    * the per-tier I/O (untouched files byte-identical, boundary-only
+    * rewrites, NULL-keeping semantics).
+    */
+  def deleteRows(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_del"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_totalprice")) // cluster: zone maps discriminate
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    s.sql(s"DELETE FROM $tbl WHERE o_orderpriority = '1-URGENT'")
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    s.table(tbl)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("priority")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -455,7 +487,8 @@ object Ingest {
     "etl_days_prune"     -> (daysPrune _),
     "etl_days_dpp"       -> (daysDpp _),
     "etl_minmax_skip"    -> (minmaxSkip _),
-    "etl_compact_files"  -> (compactFiles _)
+    "etl_compact_files"  -> (compactFiles _),
+    "etl_delete_rows"    -> (deleteRows _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -567,6 +600,17 @@ object Ingest {
          CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          min(o_orderkey) AS min_key
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // the post-DELETE profile recomputed from raw orders: the partition
+    // drop and the copy-on-write band delete must remove exactly their
+    // rows — nothing more (lost rows), nothing less (survivors)
+    "etl_delete_rows" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         max(o_totalprice) AS max_price
+         FROM orders
+         WHERE o_orderpriority <> '1-URGENT' AND o_totalprice < 200000.0
+         GROUP BY 1 ORDER BY 1"""
   )
 }

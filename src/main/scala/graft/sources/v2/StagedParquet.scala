@@ -5,7 +5,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -248,6 +248,286 @@ object StagedParquet {
     }
     f.delete(new Path(staging), true): Unit
     report.sortBy(_._1).toSeq
+  }
+
+  /** DELETE WHERE — the row-removal rung of the lake-table contract,
+    * behind SQL `DELETE FROM graft_staged.ns.t WHERE ...`
+    * ([[StagedParquetTable]] implements `SupportsDelete`). Three cost
+    * tiers, decided per partition directory, so at 100 TB the delete
+    * bills for the data it touches and nothing else:
+    *   1. METADATA-ONLY DROP: every conjunct is provably true for every
+    *      row of the directory (identity partition values are constants;
+    *      a days directory strictly inside a timestamp range is all-in)
+    *      — the directory is deleted without reading a byte;
+    *   2. UNTOUCHED: some conjunct is provably false for the directory
+    *      (identity value fails it, the day range is disjoint), or — per
+    *      file — no row group's footer min/max overlaps the predicate
+    *      ([[StagedScan.blockSurvives]], the same zone map the scan
+    *      skips with) — the file is never opened, never rewritten;
+    *   3. COPY-ON-WRITE: only files that MAY hold matching rows are
+    *      decoded and rewritten (rows kept where the predicate is not
+    *      TRUE — SQL semantics: a NULL predicate keeps the row);
+    *      unaffected sibling files are byte-copied (no decode, an
+    *      object store serves it as a server-side copy), and the
+    *      directory swaps atomically — a crash leaves the old rows or
+    *      the new ones, never a half-deleted directory.
+    * Conservative in the safe direction everywhere: a file the zone map
+    * cannot clear is rewritten (identical content — wasted work, never a
+    * lost or resurrected row). Returns (dir, action, affected files,
+    * copied files) per touched directory; `action` ∈ dropped|rewritten.
+    */
+  def deleteWhere(s: SparkSession, table: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(String, String, Long, Long)] =
+    deleteWhereDir(s, tableDir(s, table), filters)
+
+  /** [[deleteWhere]] against a resolved prod directory — the entry point
+    * [[StagedParquetTable]] uses (the V2 table knows its dir, not its
+    * catalog-qualified name).
+    */
+  private[v2] def deleteWhereDir(s: SparkSession, d: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val root = new Path(d)
+    val f = fs(root)
+    val sj = readString(new Path(root, SchemaFile)).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $d"))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val partSpec: Seq[PartField] = readString(new Path(root, PartitionFile))
+      .map(PartSpec.deserialize).getOrElse(Seq.empty)
+    val dataSchema = StructType(PartSpec.dataFields(schema, partSpec).map(_._1))
+    val conjuncts = flattenAnd(filters)
+    require(canDelete(conjuncts), s"unsupported DELETE predicate: $filters")
+
+    def canonCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Int, y: Int)       => Some(x.compareTo(y))
+      case (x: Long, y: Long)     => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _                      => None
+    }
+    def canon(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d0: java.sql.Date       => d0.toLocalDate.toEpochDay.toInt
+      case d0: java.time.LocalDate => d0.toEpochDay.toInt
+      case other                   => other
+    }
+    def dayOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp  => Some(Math.floorDiv(t.getTime, 86400000L))
+      case i: java.time.Instant   => Some(Math.floorDiv(i.getEpochSecond, 86400L))
+      case d0: java.sql.Date       => Some(d0.toLocalDate.toEpochDay)
+      case d0: java.time.LocalDate => Some(d0.toEpochDay)
+      case _                      => None
+    }
+    // verdict of one conjunct against one directory's partition values:
+    // Some(true) = true for EVERY row in the dir, Some(false) = false for
+    // every row, None = undecidable from the dir name (goes to tier 3)
+    def dirVerdict(c: Filter, vals: Seq[String]): Option[Boolean] = {
+      def identVal(a: String): Option[Any] = {
+        val i = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == a)
+        if (i < 0) None
+        else Some(canon(StagedScan.partValue(schema(a).dataType, vals(i))))
+      }
+      def dirDay(a: String): Option[Option[Long]] = {
+        val i = partSpec.indexWhere(pf => pf.kind == "days" && pf.name == a)
+        if (i < 0) None
+        else Some(if (vals(i) == "__HIVE_DEFAULT_PARTITION__") None
+                  else Some(java.time.LocalDate.parse(vals(i)).toEpochDay))
+      }
+      def onIdent(a: String)(eval: Any => Option[Boolean]): Option[Option[Boolean]] =
+        identVal(a).map(eval)
+      c match {
+        case AlwaysTrue()  => Some(true)
+        case AlwaysFalse() => Some(false)
+        case EqualTo(a, v) =>
+          onIdent(a)(t => Some(t != null && t == canon(v))).getOrElse(
+            dirDay(a) match {
+              // same-day equality is undecidable (sub-day rows differ);
+              // different-day is provably false
+              case Some(Some(dd)) => dayOf(v) match {
+                case Some(dv) if dv != dd => Some(false)
+                case _                    => None
+              }
+              case Some(None) => Some(false) // null dir: = never matches
+              case None       => None
+            })
+        case In(a, vs) =>
+          onIdent(a)(t => Some(t != null && vs.map(canon).contains(t))).getOrElse(
+            dirDay(a) match {
+              case Some(Some(dd)) =>
+                val days = vs.toSeq.map(dayOf)
+                if (days.forall(_.isDefined) && !days.flatten.contains(dd)) Some(false)
+                else None
+              case Some(None) => Some(false)
+              case None       => None
+            })
+        case GreaterThan(a, v) =>
+          onIdent(a)(t => canonCmp(t, canon(v)).map(_ > 0)).getOrElse(
+            dirDay(a) match {
+              case Some(Some(dd)) => dayOf(v) match {
+                case Some(dv) if dd > dv => Some(true)  // whole dir after v's day
+                case Some(dv) if dd < dv => Some(false) // whole dir before
+                case _                   => None        // boundary day
+              }
+              case Some(None) => Some(false) // null ts: comparison never true
+              case None       => None
+            })
+        case GreaterThanOrEqual(a, v) =>
+          onIdent(a)(t => canonCmp(t, canon(v)).map(_ >= 0)).getOrElse(
+            dirDay(a) match {
+              case Some(Some(dd)) => dayOf(v) match {
+                case Some(dv) if dd > dv => Some(true)
+                case Some(dv) if dd < dv => Some(false)
+                case _                   => None
+              }
+              case Some(None) => Some(false)
+              case None       => None
+            })
+        case LessThan(a, v) =>
+          onIdent(a)(t => canonCmp(t, canon(v)).map(_ < 0)).getOrElse(
+            dirDay(a) match {
+              case Some(Some(dd)) => dayOf(v) match {
+                case Some(dv) if dd < dv => Some(true)
+                case Some(dv) if dd > dv => Some(false)
+                case _                   => None
+              }
+              case Some(None) => Some(false)
+              case None       => None
+            })
+        case LessThanOrEqual(a, v) =>
+          onIdent(a)(t => canonCmp(t, canon(v)).map(_ <= 0)).getOrElse(
+            dirDay(a) match {
+              case Some(Some(dd)) => dayOf(v) match {
+                case Some(dv) if dd < dv => Some(true)
+                case Some(dv) if dd > dv => Some(false)
+                case _                   => None
+              }
+              case Some(None) => Some(false)
+              case None       => None
+            })
+        case IsNull(a) =>
+          onIdent(a)(t => Some(t == null)).getOrElse(
+            dirDay(a) match { case Some(od) => Some(od.isEmpty); case None => None })
+        case IsNotNull(a) =>
+          onIdent(a)(t => Some(t != null)).getOrElse(
+            dirDay(a) match { case Some(od) => Some(od.nonEmpty); case None => None })
+        case _ => None
+      }
+    }
+    def toCol(c: Filter): org.apache.spark.sql.Column = c match {
+      case AlwaysTrue()             => lit(true)
+      case AlwaysFalse()            => lit(false)
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case In(a, vs)                => col(a).isin(vs.toSeq: _*)
+      case GreaterThan(a, v)        => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v)           => col(a) < lit(v)
+      case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
+      case other => throw new UnsupportedOperationException(s"DELETE: $other")
+    }
+    // may this FILE hold a matching row? — the scan's zone map, pointed at
+    // the delete predicate; any block the footer cannot clear keeps it
+    def fileMayMatch(file: String, len: Long, rem: Seq[Filter]): Boolean =
+      StagedScan.blockRanges(file, len).exists { case (_, _, b) =>
+        StagedScan.blockSurvives(b, schema, rem) }
+
+    def walk(dir: Path, depth: Int, rel: String): Seq[(String, Path, Seq[String])] =
+      if (depth == 0) Seq((rel, dir, rel.split("/").toSeq.filter(_.nonEmpty)
+        .map(_.split("=", 2)(1))))
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+          !st.getPath.getName.endsWith("__old"))
+        .flatMap(st => walk(st.getPath, depth - 1,
+          if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName))
+
+    val staging = d + "__staging.delete-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val report = mutable.Buffer[(String, String, Long, Long)]()
+    for ((rel, dir, vals) <- walk(root, partSpec.length, "")) {
+      val verdicts = conjuncts.map(c => dirVerdict(c, vals))
+      if (!verdicts.contains(Some(false))) {
+        val remaining = conjuncts.zip(verdicts).collect { case (c, None) => c }
+        if (remaining.isEmpty) {
+          // tier 1: every conjunct all-true — drop the directory (root of
+          // an unpartitioned table: swap in an empty committed table)
+          if (rel.isEmpty) {
+            val st = new Path(staging)
+            f.mkdirs(st): Unit
+            writeString(st, SchemaFile, schema.json)
+            writeString(st, SuccessFile, "")
+            if (f.exists(new Path(root, PartitionFile)))
+              writeString(st, PartitionFile, PartSpec.serialize(partSpec))
+            swapDirs(staging, d)
+            report += ((".", "dropped", 0L, 0L))
+          } else {
+            f.delete(dir, true): Unit
+            report += ((rel, "dropped", 0L, 0L))
+          }
+        } else {
+          val files = f.listStatus(dir).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith("_"))
+          val (affected, untouched) = files.partition(st =>
+            fileMayMatch(st.getPath.toString, st.getLen, remaining))
+          if (affected.nonEmpty) {
+            // tier 3: rewrite only the files that may match; byte-copy the
+            // rest; swap the directory atomically
+            val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
+            val pred = remaining.map(toCol).reduce(_ && _)
+            s.read.schema(dataSchema)
+              .parquet(affected.map(_.getPath.toString): _*)
+              .filter(not(coalesce(pred, lit(false))))
+              .coalesce(affected.length)
+              .write.mode("overwrite").parquet(stagePart)
+            val sp = new Path(stagePart)
+            untouched.foreach { st =>
+              FileUtil.copy(f, st.getPath, f, new Path(sp, st.getPath.getName),
+                false, hadoopConf): Unit
+            }
+            if (rel.isEmpty) {
+              writeString(sp, SchemaFile, schema.json)
+              writeString(sp, SuccessFile, "")
+              if (f.exists(new Path(root, PartitionFile)))
+                writeString(sp, PartitionFile, PartSpec.serialize(partSpec))
+            }
+            swapDirs(stagePart, dir.toString)
+            report += ((if (rel.isEmpty) "." else rel, "rewritten",
+              affected.length.toLong, untouched.length.toLong))
+          } // tier 2: zone map cleared every file — untouched
+        }
+      } // tier 2: a conjunct is provably false for the dir — untouched
+    }
+    f.delete(new Path(staging), true): Unit
+    report.sortBy(_._1).toSeq
+  }
+
+  /** Conjunct shapes [[deleteWhere]] supports — everything it can BOTH
+    * evaluate as a rewrite predicate and bound conservatively at the dir/
+    * zone-map tiers. `canDeleteWhere` gates on this, so an unsupported
+    * DELETE fails loudly at analysis instead of deleting the wrong rows.
+    */
+  private[v2] def canDelete(filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    flattenAnd(filters).forall {
+      case EqualTo(_, v)            => v != null
+      case In(_, vs)                => vs != null && !vs.contains(null)
+      case GreaterThan(_, v)        => v != null
+      case GreaterThanOrEqual(_, v) => v != null
+      case LessThan(_, v)           => v != null
+      case LessThanOrEqual(_, v)    => v != null
+      case IsNull(_) | IsNotNull(_) => true
+      case AlwaysTrue() | AlwaysFalse() => true
+      case _                        => false
+    }
+  }
+
+  private def flattenAnd(filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.And
+    filters.flatMap {
+      case And(l, r) => flattenAnd(Seq(l, r))
+      case other     => Seq(other)
+    }
   }
 
   /** Read a committed table WITH its declared schema: files written before
@@ -761,13 +1041,24 @@ object DaysFromDate extends functions.ScalarFunction[Integer] {
   */
 class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType,
                          partSpec: Seq[PartField])
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead with SupportsDelete {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+
+  /** SQL `DELETE FROM` ([[StagedParquet.deleteWhere]]): metadata-only
+    * partition drops, zone-map-cleared files untouched, copy-on-write for
+    * the rest — delete cost ∝ matching data, never table size. Unsupported
+    * predicate shapes are rejected at analysis (canDeleteWhere), never
+    * half-applied.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    StagedParquet.canDelete(filters.toSeq)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    StagedParquet.deleteWhereDir(SparkSession.active, prodDir, filters.toSeq): Unit
 
   /** The V2 read path ([[StagedScan]]): key-grouped partitioning for
     * storage-partitioned joins, column pruning, identity-partition

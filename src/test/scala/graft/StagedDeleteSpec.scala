@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `DELETE FROM` on staged tables
+  * ([[graft.sources.v2.StagedParquet.deleteWhere]]). Contracts under test,
+  * tier by tier: a predicate fully decided by identity partition values
+  * drops/keeps whole directories without reading a byte; the zone map
+  * clears files whose footer range cannot match (byte-copied, never
+  * decoded); copy-on-write rewrites only the overlapping files and swaps
+  * the directory atomically; SQL NULL semantics (a NULL predicate KEEPS
+  * the row); unsupported predicate shapes fail loudly at analysis instead
+  * of half-applying.
+  */
+class StagedDeleteSpec extends AnyFunSuite {
+  private lazy val spark = { graft.sources.v2.StagedParquet.ensureCatalog(TestSpark.spark); TestSpark.spark }
+  private def tbl(t: String) = s"graft_staged.deletespec.$t"
+  import graft.sources.v2.StagedParquet
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Map.empty
+    else d.listFiles.toSeq.filter(f => f.isFile &&
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.length).toMap
+  }
+
+  test("identity-partition predicate deletes metadata-only: other dirs' files untouched") {
+    import spark.implicits._
+    val t = tbl("d1")
+    (0L until 300L).map(i => (i % 3, i, s"r$i")).toDF("k", "id", "name")
+      .repartition(2)
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val keep0 = dataFiles(s"$dir/k=0"); val keep2 = dataFiles(s"$dir/k=2")
+    val rep = StagedParquet.deleteWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 1L)))
+    assert(rep == Seq(("k=1", "dropped", 0L, 0L)))
+    assert(!new java.io.File(s"$dir/k=1").exists)
+    // tier-2 proof: the surviving dirs hold the IDENTICAL file sets
+    assert(dataFiles(s"$dir/k=0") == keep0 && dataFiles(s"$dir/k=2") == keep2)
+    assert(spark.table(t).count() == 200L)
+    assert(spark.table(t).filter($"k" === 1L).count() == 0L)
+  }
+
+  test("copy-on-write rewrites only zone-map-overlapping files; others byte-copied") {
+    import spark.implicits._
+    val t = tbl("d2")
+    // range-clustered: 4 files with disjoint id ranges at the table root
+    (0L until 4000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, $"id")
+      .writeTo(t).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val before = dataFiles(dir)
+    assert(before.size == 4)
+    // the band lives in ONE file's range
+    val rep = StagedParquet.deleteWhere(spark, t, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 3200L),
+      org.apache.spark.sql.sources.LessThan("id", 3400L)))
+    assert(rep.length == 1 && rep.head._1 == "." && rep.head._2 == "rewritten")
+    val (affected, copied) = (rep.head._3, rep.head._4)
+    assert(affected == 1L, s"band covers one file, rewrote $affected")
+    assert(copied == 3L)
+    // untouched files survived the swap with identical name+length
+    val after = dataFiles(dir)
+    val surviving = before.filter { case (n, len) => after.get(n).contains(len) }
+    assert(surviving.size == 3, s"expected 3 byte-copied originals, found ${surviving.size}")
+    assert(spark.table(t).count() == 3800L)
+    assert(spark.table(t).filter($"id" >= 3200L && $"id" < 3400L).count() == 0L)
+    // content check on a kept row from the rewritten file's range
+    assert(spark.table(t).filter($"id" === 3100L).select($"v").as[Double].head() == 6200.0)
+  }
+
+  test("SQL DELETE FROM end-to-end with NULL-keeping semantics") {
+    import spark.implicits._
+    val t = tbl("d3")
+    (0L until 100L).map(i => (i, if (i % 10 == 0) None else Some(i * 1.0)))
+      .toDF("id", "score")
+      .writeTo(t).createOrReplace()
+    spark.sql(s"DELETE FROM $t WHERE score > 49.5")
+    val rows = spark.table(t).orderBy("id").collect()
+    // deleted: scores 51..99 excluding the null multiples of 10 -> ids 51..99 minus {60,70,80,90}
+    assert(rows.length == 55, s"expected 55 rows, got ${rows.length}")
+    // NULL predicate rows (score null) are all KEPT
+    assert((0L until 100L by 10L).forall(i => rows.exists(_.getLong(0) == i)),
+      "rows with NULL score must survive a score > x delete")
+  }
+
+  test("days-partitioned range delete: full days drop metadata-only, boundary day rewrites") {
+    import spark.implicits._
+    val t = tbl("d4")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    (0L until 96L).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 3600)), i) // 4 days x 24h
+    }.toDF("ts", "n")
+      .writeTo(t).partitionedBy(days(col("ts"))).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val day0 = dataFiles(s"$dir/ts_day=2024-03-01")
+    // delete everything from 2024-03-02T12:00 on: day 3+4 drop whole, day 2 rewrites, day 1 untouched
+    spark.sql(s"DELETE FROM $t WHERE ts >= TIMESTAMP '2024-03-02 12:00:00Z'")
+    assert(!new java.io.File(s"$dir/ts_day=2024-03-03").exists)
+    assert(!new java.io.File(s"$dir/ts_day=2024-03-04").exists)
+    assert(dataFiles(s"$dir/ts_day=2024-03-01") == day0, "pre-range day must be untouched")
+    assert(spark.table(t).count() == 36L) // 24 (day1) + 12 (day2 first half)
+    // boundary day kept exactly its first 12 hours
+    assert(spark.table(t).filter($"n" >= 24L).count() == 12L)
+    assert(spark.table(t).agg(max($"n")).as[Long].head() == 35L)
+  }
+
+  test("delete-all truncates but keeps the committed schema") {
+    import spark.implicits._
+    val t = tbl("d5")
+    (0L until 50L).map(i => (i, s"x$i")).toDF("id", "name")
+      .writeTo(t).createOrReplace()
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.table(t).count() == 0L)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("id", "name"))
+    // still writable after the truncating swap
+    Seq((1L, "back")).toDF("id", "name").writeTo(t).append()
+    assert(spark.table(t).count() == 1L)
+  }
+
+  test("unsupported predicate shapes are rejected loudly, nothing deleted") {
+    import spark.implicits._
+    val t = tbl("d6")
+    (0L until 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .writeTo(t).createOrReplace()
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE name LIKE 'n%'")
+    }
+    assert(spark.table(t).count() == 10L, "a rejected DELETE must not remove rows")
+  }
+}
