@@ -467,6 +467,38 @@ object Ingest {
       .orderBy("priority")
   }
 
+  /** BUCKETED storage-partitioned join: both sides land through the staged
+    * catalog `bucket(16, custkey)`-partitioned — the HIGH-CARDINALITY
+    * co-location transform (identity SPJ needs a directory per distinct
+    * key; bucket keeps a fixed fan-out at any cardinality, hashing with
+    * the shared [[graft.sources.v2.BucketHash]] both writers route by).
+    * The join then plans with ZERO exchanges on either side: at 100 TB
+    * this deletes both shuffles from the canonical fact-fact join on a
+    * many-million-value key — the layout Iceberg/Delta bucket tables buy,
+    * here through the catalog's own FunctionCatalog `bucket` function.
+    * The merge hint pins the fact-fact shape (no broadcast escape);
+    * StagedBucketSpec proves the exchange-free plan and the per-bucket
+    * point-lookup pruning; the oracle gates the join's content.
+    */
+  def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val ot = s"graft_staged.$ns.orders_by_cust"
+    val ct = s"graft_staged.$ns.cust_bucketed"
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .writeTo(ot).partitionedBy(bucket(16, col("o_custkey"))).createOrReplace()
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey"))
+      .writeTo(ct).partitionedBy(bucket(16, col("c_custkey"))).createOrReplace()
+    val o = s.table(ot)
+    val c = s.table(ct)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .orderBy("segment")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -488,7 +520,8 @@ object Ingest {
     "etl_days_dpp"       -> (daysDpp _),
     "etl_minmax_skip"    -> (minmaxSkip _),
     "etl_compact_files"  -> (compactFiles _),
-    "etl_delete_rows"    -> (deleteRows _)
+    "etl_delete_rows"    -> (deleteRows _),
+    "etl_bucket_join"    -> (bucketJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -611,6 +644,14 @@ object Ingest {
          max(o_totalprice) AS max_price
          FROM orders
          WHERE o_orderpriority <> '1-URGENT' AND o_totalprice < 200000.0
+         GROUP BY 1 ORDER BY 1""",
+    // the bucketed SPJ must produce exactly the plain join's result — the
+    // bucket routing is layout, never semantics
+    "etl_bucket_join" ->
+      """SELECT c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1"""
   )
 }

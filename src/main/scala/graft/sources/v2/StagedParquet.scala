@@ -682,22 +682,70 @@ object StagedParquet {
 }
 
 // ---------------------------------------------------------------------------
-// Partition spec: identity + days transforms
+// Partition spec: identity + days + bucket transforms
 // ---------------------------------------------------------------------------
 
 /** One partition field: `kind` is `identity` (column value becomes the
-  * directory, column leaves the data files) or `days` (a derived
+  * directory, column leaves the data files), `days` (a derived
   * `<name>_day=yyyy-MM-dd` directory from a timestamp/date column, which
-  * stays in the data files).
+  * stays in the data files), or `bucket` (a derived
+  * `<name>_bucket=<hash(value) mod buckets>` directory — the
+  * HIGH-CARDINALITY co-location transform: identity partitioning needs a
+  * directory per distinct key, bucket keeps a fixed fan-out at any key
+  * cardinality, so two 100 TB facts bucketed the same way
+  * storage-partition-join with zero exchanges).
   */
-case class PartField(name: String, kind: String) {
-  def dirName: String = if (kind == "days") s"${name}_day" else name
+case class PartField(name: String, kind: String, buckets: Int = 0) {
+  def dirName: String = kind match {
+    case "days"   => s"${name}_day"
+    case "bucket" => s"${name}_bucket"
+    case _        => name
+  }
+}
+
+/** The bucket hash both the writer and the scan's pruning share — the
+  * function IS the table layout, so it is pinned here once: 64-bit
+  * SplitMix64 finalizer for integers (Steele et al., JDK SplittableRandom),
+  * FNV-1a 64 over UTF-8 bytes for strings, bucket id = floorMod(h, n).
+  * Deterministic and dependency-free; both join sides route through the
+  * same function, which is all storage-partitioned joins require.
+  */
+object BucketHash {
+  def ofLong(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def ofBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  def id(h: Long, n: Int): Int = java.lang.Math.floorMod(h, n.toLong).toInt
+
+  /** Bucket id of an external/internal literal AS the column's type; None =
+    * a value this cannot canonicalize with certainty (callers keep the
+    * partition — pruning only skips I/O).
+    */
+  def idFor(dt: DataType, v: Any, n: Int): Option[Int] = (dt, v) match {
+    case (IntegerType, i: Int)    => Some(id(ofLong(i.toLong), n))
+    case (IntegerType, l: Long) if l >= Int.MinValue && l <= Int.MaxValue =>
+      Some(id(ofLong(l), n))
+    case (LongType, l: Long)      => Some(id(ofLong(l), n))
+    case (LongType, i: Int)       => Some(id(ofLong(i.toLong), n))
+    case (StringType, s: String)  => Some(id(ofBytes(s.getBytes("UTF-8")), n))
+    case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+      Some(id(ofBytes(u.getBytes), n))
+    case _                        => None
+  }
 }
 
 object PartSpec {
-  /** Parse the V2 transforms; anything beyond identity/days is rejected
-    * loudly (a silently ignored transform would write an unpartitioned
-    * table the caller believes is partitioned).
+  /** Parse the V2 transforms; anything beyond identity/days/bucket is
+    * rejected loudly (a silently ignored transform would write an
+    * unpartitioned table the caller believes is partitioned).
     */
   def fromTransforms(partitions: Array[Transform]): Seq[PartField] =
     partitions.toSeq.map { t =>
@@ -708,26 +756,40 @@ object PartSpec {
       t.name() match {
         case "identity" => PartField(col, "identity")
         case "days"     => PartField(col, "days")
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType() == IntegerType => l.value().asInstanceOf[Int]
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"staged catalog: bucket transform without a bucket count: $t"))
+          require(n > 0, s"staged catalog: bucket count must be positive: $n")
+          PartField(col, "bucket", n)
         case other => throw new UnsupportedOperationException(
-          s"staged catalog: unsupported partition transform '$other' (identity/days only)")
+          s"staged catalog: unsupported partition transform '$other' (identity/days/bucket only)")
       }
     }
 
   def toTransforms(spec: Seq[PartField]): Array[Transform] =
     spec.map {
-      case PartField(n, "identity") => Expressions.identity(n)
-      case PartField(n, "days")     => Expressions.days(n)
-      case PartField(n, k) =>
+      case PartField(n, "identity", _) => Expressions.identity(n)
+      case PartField(n, "days", _)     => Expressions.days(n)
+      case PartField(n, "bucket", b)   => Expressions.bucket(b, n)
+      case PartField(n, k, _) =>
         throw new IllegalStateException(s"bad partition kind $k for $n")
     }.toArray
 
   def serialize(spec: Seq[PartField]): String =
-    spec.map(p => s"${p.name}:${p.kind}").mkString("\n")
+    spec.map(p =>
+      if (p.kind == "bucket") s"${p.name}:${p.kind}:${p.buckets}"
+      else s"${p.name}:${p.kind}").mkString("\n")
 
   def deserialize(s: String): Seq[PartField] =
     s.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(n, k) = line.split(":", 2)
-      PartField(n, k)
+      line.split(":") match {
+        case Array(n, k)    => PartField(n, k)
+        case Array(n, k, b) => PartField(n, k, b.toInt)
+        case _ => throw new IllegalStateException(s"bad partition line: $line")
+      }
     }
 
   /** Identity-partition columns ride in the directory name; everything else
@@ -789,6 +851,12 @@ object PartSpec {
             Math.floorDiv(r.getLong(ord), 86400000000L)).toString
         case ("days", DateType) =>
           r => java.time.LocalDate.ofEpochDay(r.getInt(ord).toLong).toString
+        case ("bucket", IntegerType) =>
+          r => BucketHash.id(BucketHash.ofLong(r.getInt(ord).toLong), pf.buckets).toString
+        case ("bucket", LongType) =>
+          r => BucketHash.id(BucketHash.ofLong(r.getLong(ord)), pf.buckets).toString
+        case ("bucket", StringType) =>
+          r => BucketHash.id(BucketHash.ofBytes(r.getUTF8String(ord).getBytes), pf.buckets).toString
         case (k, t) => throw new UnsupportedOperationException(
           s"staged catalog: cannot $k-partition on ${pf.name}: $t")
       }
@@ -818,11 +886,13 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   // here is what lets two day-partitioned tables storage-partition-join
   // on their timestamp without either side shuffling.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "days"))
+    Array(Identifier.of(namespace, "days"), Identifier.of(namespace, "bucket"))
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.name == "days") DaysFunction
+    else if (ident.name == "bucket") BucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
-  override def functionExists(ident: Identifier): Boolean = ident.name == "days"
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "days" || ident.name == "bucket"
 
   private var catalogName: String = CatalogName
   private var root: String = "/tmp/graft_stage/v2"
@@ -1027,6 +1097,49 @@ object DaysFromDate extends functions.ScalarFunction[Integer] {
   override def canonicalName(): String = "graft.staged.days"
   override def produceResult(input: InternalRow): Integer =
     if (input.isNullAt(0)) null else Int.box(input.getInt(0))
+}
+
+/** The `bucket` partition transform as a V2 function: [[BucketHash]] of
+  * the key mod the bucket count — the SAME hash the writer's partition
+  * evaluator routes rows with, so SPJ grouping and the directory layout
+  * can never disagree. Bound form takes (numBuckets INT, key) exactly as
+  * Spark passes a bucket transform's arguments.
+  */
+object BucketFunction extends functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): BucketHash(key) mod n"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket() takes (numBuckets, key), got ${inputType.fields.length} args")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket(): numBuckets must be INT, got ${inputType.fields(0).dataType}")
+    inputType.fields(1).dataType match {
+      case t @ (IntegerType | LongType | StringType) => BoundBucket(t)
+      case t => throw new UnsupportedOperationException(
+        s"bucket() over $t (int/long/string only)")
+    }
+  }
+}
+
+/** bucket(n, key): the catalog's shared [[BucketHash]], bound per key type. */
+case class BoundBucket(keyType: DataType) extends functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.staged.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else {
+      val n = input.getInt(0)
+      val h = keyType match {
+        case IntegerType => BucketHash.ofLong(input.getInt(1).toLong)
+        case LongType    => BucketHash.ofLong(input.getLong(1))
+        case StringType  => BucketHash.ofBytes(input.getUTF8String(1).getBytes)
+        case t => throw new IllegalStateException(s"unbindable bucket type $t")
+      }
+      Int.box(BucketHash.id(h, n))
+    }
 }
 
 // ---------------------------------------------------------------------------

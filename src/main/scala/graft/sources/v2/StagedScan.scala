@@ -83,9 +83,13 @@ class StagedScanBuilder(tableName: String, prodDir: String,
     // dirs with day >= day(T) — the time-travel pattern every day-
     // partitioned event table lives on
     val daysCols = partSpec.filter(_.kind == "days").map(_.name).toSet
+    // point predicates on a bucket-transform SOURCE column prune to the
+    // literal's bucket directory — the same hash the writer routed with,
+    // so a key lookup on a 100 TB bucketed fact opens 1/n of the table
+    val bucketCols = partSpec.filter(_.kind == "bucket").map(_.name).toSet
     partPruning = filters.filter {
-      case EqualTo(a, _)             => identityCols(a) || daysCols(a)
-      case In(a, _)                  => identityCols(a)
+      case EqualTo(a, _)             => identityCols(a) || daysCols(a) || bucketCols(a)
+      case In(a, _)                  => identityCols(a) || bucketCols(a)
       case IsNotNull(a)              => identityCols(a)
       case GreaterThan(a, _)         => daysCols(a)
       case GreaterThanOrEqual(a, _)  => daysCols(a)
@@ -320,12 +324,26 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       case DateType      => Some(l.value().asInstanceOf[Int].toLong)
       case _             => None
     }
+    // bucket id of the dir + the literal's bucket under the same hash;
+    // runtime `key IN (dim keys)` closes every other bucket directory
+    def dirBucket(name: String): Option[(Int, Int)] = {
+      val i = partSpec.indexWhere(pf => pf.kind == "bucket" && pf.name == name)
+      if (i < 0 || p.rawValues(i) == "__HIVE_DEFAULT_PARTITION__") None
+      else Some((p.rawValues(i).toInt, partSpec(i).buckets))
+    }
+    def litBucket(name: String, l: Literal[_], n: Int): Option[Int] =
+      BucketHash.idFor(tableSchema(name).dataType, l.value(), n)
     def survivesEq(name: String, l: Literal[_]): Boolean =
       dirValue(name).forall(_ == l.value) &&
-        dirDay(name).forall(dd => litDay(l).forall(_ == dd))
+        dirDay(name).forall(dd => litDay(l).forall(_ == dd)) &&
+        dirBucket(name).forall { case (dirId, n) =>
+          litBucket(name, l, n).forall(_ == dirId) }
     def survivesIn(name: String, lits: Seq[Literal[_]]): Boolean =
       dirValue(name).forall(v => lits.exists(_.value == v)) &&
-        dirDay(name).forall(dd => lits.exists(l => litDay(l).forall(_ == dd)))
+        dirDay(name).forall(dd => lits.exists(l => litDay(l).forall(_ == dd))) &&
+        dirBucket(name).forall { case (dirId, n) =>
+          val ids = lits.map(l => litBucket(name, l, n))
+          ids.exists(_.isEmpty) || ids.flatten.contains(dirId) }
     runtime.forall { pred =>
       (pred.name(), pred.children().toSeq) match {
         case ("IN", (f: NamedReference) +: lits)
@@ -524,11 +542,26 @@ object StagedScan {
     }
     def dayCmp(vals: Seq[String], a: String, v: Any)(keep: (Long, Long) => Boolean): Boolean =
       dirDay(vals, a).forall(dd => dayOf(v).forall(dv => keep(dd, dv)))
+    // bucket-partition dir id; None = not bucket-partitioned on it / null dir
+    def dirBucket(vals: Seq[String], name: String): Option[(Int, Int)] = {
+      val i = partSpec.indexWhere(pf => pf.kind == "bucket" && pf.name == name)
+      if (i < 0 || vals(i) == "__HIVE_DEFAULT_PARTITION__") None
+      else Some((vals(i).toInt, partSpec(i).buckets))
+    }
+    def bucketEq(vals: Seq[String], a: String, v: Any): Boolean =
+      dirBucket(vals, a).forall { case (dirId, n) =>
+        BucketHash.idFor(tableSchema(a).dataType, v, n).forall(_ == dirId) }
+    def bucketIn(vals: Seq[String], a: String, vs: Seq[Any]): Boolean =
+      dirBucket(vals, a).forall { case (dirId, n) =>
+        val ids = vs.map(v => BucketHash.idFor(tableSchema(a).dataType, v, n))
+        ids.exists(_.isEmpty) || ids.flatten.contains(dirId) }
     def survives(vals: Seq[String]): Boolean = pruning.forall {
       case EqualTo(a, v) =>
         typed(vals, a).forall(t => t != null && t == canon(v)) &&
-          dayCmp(vals, a, v)(_ == _)
-      case In(a, vs)                => typed(vals, a).forall(t => vs.map(canon).contains(t))
+          dayCmp(vals, a, v)(_ == _) && bucketEq(vals, a, v)
+      case In(a, vs)                =>
+        typed(vals, a).forall(t => vs.map(canon).contains(t)) &&
+          bucketIn(vals, a, vs.toSeq)
       case IsNotNull(a)             => typed(vals, a).forall(_ != null)
       case GreaterThan(a, v)        => dayCmp(vals, a, v)(_ >= _)
       case GreaterThanOrEqual(a, v) => dayCmp(vals, a, v)(_ >= _)
@@ -737,11 +770,16 @@ case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
   @transient private lazy val key: InternalRow = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GenericInternalRow(partSpec.zip(rawValues).map { case (pf, raw) =>
-      if (pf.kind == "days")
-        if (raw == "__HIVE_DEFAULT_PARTITION__") null
-        else java.lang.Integer.valueOf(
-          java.time.LocalDate.parse(raw).toEpochDay.toInt)
-      else StagedScan.partValue(schema(pf.name).dataType, raw)
+      pf.kind match {
+        case "days" =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else java.lang.Integer.valueOf(
+            java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        case "bucket" =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else java.lang.Integer.valueOf(raw.toInt)
+        case _ => StagedScan.partValue(schema(pf.name).dataType, raw)
+      }
     }.toArray[Any])
   }
 

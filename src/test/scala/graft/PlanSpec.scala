@@ -280,6 +280,17 @@ class PlanSpec extends AnyFunSuite {
     assert(dp.contains("partitions=7,"), dp.take(1500))
   }
 
+  test("etl_bucket_join: the bucketed fact-fact join plans with zero exchanges") {
+    // bucket(16, custkey) on both sides: the high-cardinality SPJ — no
+    // shuffle on either join side, no broadcast escape (merge hint), the
+    // segment aggregate above it may shuffle (different key, 5 rows)
+    val p = plan("etl_bucket_join")
+    val joinDown = p.substring(p.indexOf("Join"))
+    assert(p.contains("Join") && !joinDown.contains("Exchange"),
+      s"bucket SPJ shuffled: ${p.take(2000)}")
+    assert(!p.contains("BroadcastExchange"), p.take(1500))
+  }
+
   test("etl_minmax_skip: the zone map plans splits only for the predicate's band") {
     val df = SparkEntry.queries("etl_minmax_skip")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
