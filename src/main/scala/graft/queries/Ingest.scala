@@ -499,6 +499,41 @@ object Ingest {
       .orderBy("segment")
   }
 
+  /** Copy-on-write UPDATE on a staged table
+    * ([[graft.sources.v2.StagedParquet.updateWhere]], DELETE's sibling —
+    * same tiers, rows rewritten with SET applied instead of dropped): a
+    * surrogate-key fixup re-keys the high-value band of one priority
+    * class (+10M on o_orderkey, integer-exact so the oracle hash can
+    * never float-drift). The identity-partition conjunct confines the
+    * rewrite to ONE directory (others never listed), the price zone map
+    * confines it to the band's row groups within it; matching rows get
+    * the new key, everything else — including NULL-predicate rows —
+    * byte-survives. The oracle recomputes the profile with the same CASE
+    * WHEN from raw orders; StagedDeleteSpec pins the per-tier I/O and the
+    * partition-column SET rejection.
+    */
+  def updateRows(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StagedParquet
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_upd"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    StagedParquet.updateWhere(s, tbl,
+      Seq("o_orderkey" -> (col("o_orderkey") + 10000000L)),
+      Seq(EqualTo("o_orderpriority", "3-MEDIUM"),
+          GreaterThanOrEqual("o_totalprice", 150000.0)))
+    s.table(tbl)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("key_sum"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("priority")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -521,7 +556,8 @@ object Ingest {
     "etl_minmax_skip"    -> (minmaxSkip _),
     "etl_compact_files"  -> (compactFiles _),
     "etl_delete_rows"    -> (deleteRows _),
-    "etl_bucket_join"    -> (bucketJoin _)
+    "etl_bucket_join"    -> (bucketJoin _),
+    "etl_update_rows"    -> (updateRows _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,6 +688,17 @@ object Ingest {
          CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // the copy-on-write UPDATE's profile recomputed with the same CASE
+    // WHEN from raw orders — integer-exact, so any misapplied SET (wrong
+    // rows, wrong band, double-applied) breaks the key sum
+    "etl_update_rows" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice >= 150000.0
+                       THEN o_orderkey + 10000000 ELSE o_orderkey END) AS BIGINT) AS key_sum,
+         CAST(max(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice >= 150000.0
+                       THEN o_orderkey + 10000000 ELSE o_orderkey END) AS BIGINT) AS max_key
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

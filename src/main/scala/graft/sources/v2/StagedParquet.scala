@@ -278,14 +278,37 @@ object StagedParquet {
     */
   def deleteWhere(s: SparkSession, table: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(String, String, Long, Long)] =
-    deleteWhereDir(s, tableDir(s, table), filters)
+    cowWhereDir(s, tableDir(s, table), filters, None)
 
-  /** [[deleteWhere]] against a resolved prod directory — the entry point
-    * [[StagedParquetTable]] uses (the V2 table knows its dir, not its
-    * catalog-qualified name).
+  /** UPDATE WHERE — [[deleteWhere]]'s sibling with the same tiered cost,
+    * applied through the library API (Spark routes SQL UPDATE only to
+    * row-level-operation tables; this is the same copy-on-write those
+    * implement, minus the planner round trip): rows matching the
+    * predicate get each `set` column replaced (expressions may reference
+    * other columns — `price -> col("price") * 0.9`), everything else is
+    * untouched. Directory/zone-map tiers are identical to DELETE: a dir
+    * the predicate provably misses is never listed into the rewrite, a
+    * file whose footer range cannot match is byte-copied, and a dir whose
+    * every row provably matches rewrites all files WITHOUT the predicate
+    * evaluation. SET targets must not be partition-referenced columns
+    * (identity, days/bucket sources) — an update that moved rows across
+    * directories would be a reshuffle, not an update; rejected loudly.
+    * NULL predicate leaves the row unchanged (SQL semantics).
     */
-  private[v2] def deleteWhereDir(s: SparkSession, d: String,
-                  filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(String, String, Long, Long)] = {
+  def updateWhere(s: SparkSession, table: String,
+                  set: Seq[(String, org.apache.spark.sql.Column)],
+                  filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[(String, String, Long, Long)] =
+    cowWhereDir(s, tableDir(s, table), filters, Some(set))
+
+  /** The shared copy-on-write core of [[deleteWhere]] / [[updateWhere]]
+    * against a resolved prod directory — the entry point
+    * [[StagedParquetTable]] uses (the V2 table knows its dir, not its
+    * catalog-qualified name). `update` None = delete rows matching the
+    * predicate; Some(set) = rewrite them with the SET columns applied.
+    */
+  private[v2] def cowWhereDir(s: SparkSession, d: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  update: Option[Seq[(String, org.apache.spark.sql.Column)]]): Seq[(String, String, Long, Long)] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val root = new Path(d)
@@ -297,7 +320,16 @@ object StagedParquet {
       .map(PartSpec.deserialize).getOrElse(Seq.empty)
     val dataSchema = StructType(PartSpec.dataFields(schema, partSpec).map(_._1))
     val conjuncts = flattenAnd(filters)
-    require(canDelete(conjuncts), s"unsupported DELETE predicate: $filters")
+    require(canDelete(conjuncts), s"unsupported DELETE/UPDATE predicate: $filters")
+    update.foreach { set =>
+      val partRefs = partSpec.map(_.name).toSet
+      val bad = set.map(_._1).filter(partRefs)
+      require(bad.isEmpty,
+        s"updateWhere: SET on partition-referenced columns $bad would move " +
+          "rows across directories — rewrite the table instead")
+      set.foreach { case (c, _) => require(dataSchema.fieldNames.contains(c),
+        s"updateWhere: unknown column $c") }
+    }
 
     def canonCmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Int, y: Int)       => Some(x.compareTo(y))
@@ -441,60 +473,83 @@ object StagedParquet {
         .flatMap(st => walk(st.getPath, depth - 1,
           if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName))
 
-    val staging = d + "__staging.delete-" +
+    val staging = d + "__staging.cow-" +
       java.util.UUID.randomUUID().toString.take(8)
     val report = mutable.Buffer[(String, String, Long, Long)]()
+    // rewrite `affected` into the staging twin of `dir` (DELETE drops the
+    // matching rows, UPDATE applies the SET columns to them; pred None =
+    // every row provably matches), byte-copy `untouched`, swap atomically
+    def rewrite(rel: String, dir: Path,
+                affected: Seq[org.apache.hadoop.fs.FileStatus],
+                untouched: Seq[org.apache.hadoop.fs.FileStatus],
+                pred: Option[org.apache.spark.sql.Column]): Unit = {
+      val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
+      val base = s.read.schema(dataSchema)
+        .parquet(affected.map(_.getPath.toString): _*)
+      val out = update match {
+        case None => base.filter(not(coalesce(pred.get, lit(false))))
+        case Some(set) =>
+          val cond = pred.map(p => coalesce(p, lit(false))).getOrElse(lit(true))
+          set.foldLeft(base) { case (df0, (c, v)) =>
+            df0.withColumn(c,
+              org.apache.spark.sql.functions.when(cond,
+                v.cast(dataSchema(c).dataType)).otherwise(col(c)))
+          }
+      }
+      out.coalesce(affected.length).write.mode("overwrite").parquet(stagePart)
+      val sp = new Path(stagePart)
+      untouched.foreach { st =>
+        FileUtil.copy(f, st.getPath, f, new Path(sp, st.getPath.getName),
+          false, hadoopConf): Unit
+      }
+      if (rel.isEmpty) {
+        writeString(sp, SchemaFile, schema.json)
+        writeString(sp, SuccessFile, "")
+        if (f.exists(new Path(root, PartitionFile)))
+          writeString(sp, PartitionFile, PartSpec.serialize(partSpec))
+      }
+      swapDirs(stagePart, dir.toString)
+      report += ((if (rel.isEmpty) "." else rel, "rewritten",
+        affected.length.toLong, untouched.length.toLong))
+    }
+    def dataFilesOf(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))
     for ((rel, dir, vals) <- walk(root, partSpec.length, "")) {
       val verdicts = conjuncts.map(c => dirVerdict(c, vals))
       if (!verdicts.contains(Some(false))) {
         val remaining = conjuncts.zip(verdicts).collect { case (c, None) => c }
         if (remaining.isEmpty) {
-          // tier 1: every conjunct all-true — drop the directory (root of
-          // an unpartitioned table: swap in an empty committed table)
-          if (rel.isEmpty) {
-            val st = new Path(staging)
-            f.mkdirs(st): Unit
-            writeString(st, SchemaFile, schema.json)
-            writeString(st, SuccessFile, "")
-            if (f.exists(new Path(root, PartitionFile)))
-              writeString(st, PartitionFile, PartSpec.serialize(partSpec))
-            swapDirs(staging, d)
-            report += ((".", "dropped", 0L, 0L))
-          } else {
-            f.delete(dir, true): Unit
-            report += ((rel, "dropped", 0L, 0L))
+          // tier 1: every conjunct all-true. DELETE drops the directory
+          // without reading a byte (root of an unpartitioned table: swap
+          // in an empty committed table); UPDATE rewrites every file with
+          // the SET applied UNCONDITIONALLY — no predicate evaluation
+          update match {
+            case Some(_) =>
+              rewrite(rel, dir, dataFilesOf(dir), Seq.empty, None)
+            case None if rel.isEmpty =>
+              val st = new Path(staging)
+              f.mkdirs(st): Unit
+              writeString(st, SchemaFile, schema.json)
+              writeString(st, SuccessFile, "")
+              if (f.exists(new Path(root, PartitionFile)))
+                writeString(st, PartitionFile, PartSpec.serialize(partSpec))
+              swapDirs(staging, d)
+              report += ((".", "dropped", 0L, 0L))
+            case None =>
+              f.delete(dir, true): Unit
+              report += ((rel, "dropped", 0L, 0L))
           }
         } else {
-          val files = f.listStatus(dir).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-              !st.getPath.getName.startsWith("_"))
-          val (affected, untouched) = files.partition(st =>
+          val (affected, untouched) = dataFilesOf(dir).partition(st =>
             fileMayMatch(st.getPath.toString, st.getLen, remaining))
-          if (affected.nonEmpty) {
+          if (affected.nonEmpty)
             // tier 3: rewrite only the files that may match; byte-copy the
             // rest; swap the directory atomically
-            val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
-            val pred = remaining.map(toCol).reduce(_ && _)
-            s.read.schema(dataSchema)
-              .parquet(affected.map(_.getPath.toString): _*)
-              .filter(not(coalesce(pred, lit(false))))
-              .coalesce(affected.length)
-              .write.mode("overwrite").parquet(stagePart)
-            val sp = new Path(stagePart)
-            untouched.foreach { st =>
-              FileUtil.copy(f, st.getPath, f, new Path(sp, st.getPath.getName),
-                false, hadoopConf): Unit
-            }
-            if (rel.isEmpty) {
-              writeString(sp, SchemaFile, schema.json)
-              writeString(sp, SuccessFile, "")
-              if (f.exists(new Path(root, PartitionFile)))
-                writeString(sp, PartitionFile, PartSpec.serialize(partSpec))
-            }
-            swapDirs(stagePart, dir.toString)
-            report += ((if (rel.isEmpty) "." else rel, "rewritten",
-              affected.length.toLong, untouched.length.toLong))
-          } // tier 2: zone map cleared every file — untouched
+            rewrite(rel, dir, affected, untouched,
+              Some(remaining.map(toCol).reduce(_ && _)))
+          // else tier 2: zone map cleared every file — untouched
         }
       } // tier 2: a conjunct is provably false for the dir — untouched
     }
@@ -1171,7 +1226,7 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     StagedParquet.canDelete(filters.toSeq)
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    StagedParquet.deleteWhereDir(SparkSession.active, prodDir, filters.toSeq): Unit
+    StagedParquet.cowWhereDir(SparkSession.active, prodDir, filters.toSeq, None): Unit
 
   /** The V2 read path ([[StagedScan]]): key-grouped partitioning for
     * storage-partitioned joins, column pruning, identity-partition

@@ -121,6 +121,58 @@ class StagedDeleteSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 1L)
   }
 
+  test("updateWhere rewrites only zone-map-overlapping files and applies SET to matching rows") {
+    import spark.implicits._
+    val t = tbl("u1")
+    (0L until 4000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, $"id")
+      .writeTo(t).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val before = dataFiles(dir)
+    val rep = StagedParquet.updateWhere(spark, t,
+      Seq("v" -> (col("v") * 10.0)),
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 3200L),
+          org.apache.spark.sql.sources.LessThan("id", 3400L)))
+    assert(rep.length == 1 && rep.head._2 == "rewritten" &&
+      rep.head._3 == 1L && rep.head._4 == 3L, rep.toString)
+    val after = dataFiles(dir)
+    assert(before.count { case (n, len) => after.get(n).contains(len) } == 3,
+      "non-overlapping files must be byte-copied, not re-encoded")
+    assert(spark.table(t).count() == 4000L, "UPDATE never changes row count")
+    // matching rows got v*10, everything else untouched
+    assert(spark.table(t).filter($"id" === 3300L).select($"v").as[Double].head() == 66000.0)
+    assert(spark.table(t).filter($"id" === 3100L).select($"v").as[Double].head() == 6200.0)
+    assert(spark.table(t).filter($"id" === 100L).select($"v").as[Double].head() == 200.0)
+  }
+
+  test("updateWhere tier 1: an all-matching partition rewrites without predicate evaluation") {
+    import spark.implicits._
+    val t = tbl("u2")
+    (0L until 300L).map(i => (i % 3, i, 1.0)).toDF("k", "id", "w")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val keep0 = dataFiles(s"$dir/k=0")
+    val rep = StagedParquet.updateWhere(spark, t,
+      Seq("w" -> lit(5.0)),
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 1L)))
+    assert(rep.length == 1 && rep.head._1 == "k=1" && rep.head._2 == "rewritten")
+    assert(dataFiles(s"$dir/k=0") == keep0, "other partitions untouched")
+    assert(spark.table(t).filter($"k" === 1L && $"w" === 5.0).count() == 100L)
+    assert(spark.table(t).filter($"k" =!= 1L && $"w" === 1.0).count() == 200L)
+  }
+
+  test("updateWhere rejects SET on partition-referenced columns") {
+    import spark.implicits._
+    val t = tbl("u3")
+    (0L until 10L).map(i => (i % 2, i)).toDF("k", "id")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    intercept[IllegalArgumentException] {
+      StagedParquet.updateWhere(spark, t, Seq("k" -> lit(9L)),
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 1L)))
+    }
+    assert(spark.table(t).filter($"k" === 9L).count() == 0L)
+  }
+
   test("unsupported predicate shapes are rejected loudly, nothing deleted") {
     import spark.implicits._
     val t = tbl("d6")
