@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
@@ -534,6 +536,48 @@ object Ingest {
       .orderBy("priority")
   }
 
+  /** STREAMING read of a staged table
+    * ([[graft.sources.v2.StagedMicroBatchStream]]): three separate commits
+    * land event slices, then `readStream.table(...)` tails the committed
+    * files through a real micro-batch query (AvailableNow) into a file
+    * sink, and the profile of WHAT THE STREAM DELIVERED is gated against
+    * the oracle's recomputation from raw events — any file the tail
+    * missed, replayed, or half-read breaks the count or the sum. Offsets
+    * carry the file manifest (checkpoint-replayable, no driver-held
+    * source state); committed files are immutable (task files rename in
+    * at commit), so the tail needs no writer coordination — the CDC-tail
+    * shape on a 100 TB ingest table. StagedStreamTailSpec additionally
+    * pins checkpoint RESUME (a restart reads only files appended since).
+    */
+  def streamTableTail(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.events_tail"
+    val src = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    src.filter(col("event_id") % 3 === 0).writeTo(tbl).createOrReplace()
+    src.filter(col("event_id") % 3 === 1).writeTo(tbl).append()
+    src.filter(col("event_id") % 3 === 2).writeTo(tbl).append()
+    val out = java.nio.file.Files.createTempDirectory("graft_tail_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tail_ckpt").toString
+    val q = s.readStream.table(tbl)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val agg = s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 18, 2).as("sum_value"))
+      .orderBy("event_type")
+    // materialize the (per-type, constant-size) profile so the run's sink
+    // and checkpoint dirs can be deleted — nothing temp outlives the query
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    Seq(out, ckpt).foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)): Unit
+    }
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -557,7 +601,8 @@ object Ingest {
     "etl_compact_files"  -> (compactFiles _),
     "etl_delete_rows"    -> (deleteRows _),
     "etl_bucket_join"    -> (bucketJoin _),
-    "etl_update_rows"    -> (updateRows _)
+    "etl_update_rows"    -> (updateRows _),
+    "stream_table_tail"  -> (streamTableTail _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,6 +744,13 @@ object Ingest {
                        THEN o_orderkey + 10000000 ELSE o_orderkey END) AS BIGINT) AS key_sum,
          CAST(max(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice >= 150000.0
                        THEN o_orderkey + 10000000 ELSE o_orderkey END) AS BIGINT) AS max_key
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // what the streaming tail DELIVERED, recomputed from raw events: a
+    // missed, replayed, or half-read file breaks the count or the sum
+    "stream_table_tail" ->
+      """SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

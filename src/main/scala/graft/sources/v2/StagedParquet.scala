@@ -1215,7 +1215,8 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
   override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ)
 
   /** SQL `DELETE FROM` ([[StagedParquet.deleteWhere]]): metadata-only
     * partition drops, zone-map-cleared files untouched, copy-on-write for

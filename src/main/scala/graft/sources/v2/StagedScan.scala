@@ -385,6 +385,80 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       s"columns=[${required.fieldNames.mkString(",")}], " +
       s"pruning=[${pruning.mkString(",")}], " +
       s"zonemap=[${dataSkip.mkString(",")}])"
+
+  /** STREAMING read — `spark.readStream.table("graft_staged.ns.t")` tails
+    * the table's committed data files ([[StagedMicroBatchStream]]): each
+    * micro-batch reads exactly the files that appeared since the last
+    * offset. Committed files are immutable (the sink renames task files to
+    * final names only at commit), so the tail is consistent without any
+    * coordination with writers — the CDC-tail shape on the 100 TB ingest
+    * table.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StagedMicroBatchStream(tableName, prodDir, tableSchema, partSpec, required)
+}
+
+/** Offset = the sorted set of committed data files seen at discovery time.
+  * Carrying the file list IN the offset makes every (start, end] range
+  * replayable from the checkpoint alone — no driver-memory source state to
+  * lose on restart (the same trade file-manifest sources make; at very
+  * large file counts the manifest, like any lake table's, lives in the
+  * offset log the checkpoint already writes).
+  */
+case class StagedFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // the offset LOG is line-based (one line per source) — the serialized
+  // form must be a single line, so each path is URL-encoded first
+  override def json(): String =
+    files.map(f => java.net.URLEncoder.encode(f, "UTF-8")).mkString(",")
+}
+
+object StagedFilesOffset {
+  def fromJson(json: String): StagedFilesOffset =
+    StagedFilesOffset(json.split(",").toSeq.filter(_.nonEmpty)
+      .map(f => java.net.URLDecoder.decode(f, "UTF-8")))
+}
+
+/** File-tail micro-batch stream over a staged table: latestOffset lists
+  * the committed data files (the same conservative walk the batch scan
+  * plans from, `__old` swap debris excluded), planInputPartitions reads
+  * the end-minus-start file set — one split per new file with its
+  * partition-directory values attached, through the same
+  * [[StagedReaderFactory]] as the batch path, so identity columns
+  * reconstitute and evolution null-fills identically in both.
+  */
+class StagedMicroBatchStream(tableName: String, prodDir: String,
+                             tableSchema: StructType, partSpec: Seq[PartField],
+                             required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[(String, Seq[String])] =
+    StagedScan.planPartitions(prodDir, tableSchema, partSpec, Nil)
+      .flatMap { case (vals, files) => files.map { case (f, _) => (f, vals) } }
+      .sortBy(_._1)
+
+  override def latestOffset(): Offset =
+    StagedFilesOffset(listFiles().map(_._1))
+  override def initialOffset(): Offset = StagedFilesOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset =
+    StagedFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[StagedFilesOffset].files.toSet
+    val endFiles = end.asInstanceOf[StagedFilesOffset].files.toSet
+    listFiles()
+      .filter { case (f, _) => endFiles.contains(f) && !seen.contains(f) }
+      .map { case (f, vals) => StagedInputPartition(vals, Seq(f),
+        tableSchema.json, partSpec, required.fieldNames.toSeq) }
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StagedReaderFactory(tableSchema.json, partSpec, required.fieldNames.toSeq)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object StagedScan {
