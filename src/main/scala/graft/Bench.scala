@@ -329,7 +329,11 @@ object Bench {
         "dedup_minhash_lsh", "dedup_winnowing", "etl_profile",
         "etl_cdc_apply", "q18_running_total",
         "etl_rename_replace", "stream_dedup_index",
-        "etl_spj_join", "etl_stats_scan", "etl_days_prune")
+        "etl_spj_join", "etl_stats_scan", "etl_days_prune",
+        // round-10 lifecycle rungs at 10x: compaction, DELETE, bucket SPJ,
+        // UPDATE, streaming tail (sf1check.sh hash-checks the same list)
+        "etl_compact_files", "etl_delete_rows", "etl_bucket_join",
+        "etl_update_rows", "stream_table_tail")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }
