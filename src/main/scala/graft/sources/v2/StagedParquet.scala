@@ -79,6 +79,8 @@ object StagedParquet {
   val SchemaFile = "_schema.json"
   val SuccessFile = "_SUCCESS"
   val PartitionFile = "_partition.json"
+  /** Tombstoned (dropped) column names — see alterTable's re-add guard. */
+  val DroppedFile = "_dropped.txt"
 
   /** Idempotently register the catalog on the session. Setting the same
     * values again is a no-op; the confs only matter before the catalog's
@@ -241,6 +243,8 @@ object StagedParquet {
         if (rel.isEmpty) {
           writeString(new Path(stagePart), SchemaFile, schema.json)
           writeString(new Path(stagePart), SuccessFile, "")
+          readString(new Path(root, DroppedFile)).foreach(
+            writeString(new Path(stagePart), DroppedFile, _))
         }
         swapDirs(stagePart, dir.toString)
         report += ((if (rel.isEmpty) "." else rel, files.length.toLong, nOut, bytes))
@@ -507,6 +511,8 @@ object StagedParquet {
         writeString(sp, SuccessFile, "")
         if (f.exists(new Path(root, PartitionFile)))
           writeString(sp, PartitionFile, PartSpec.serialize(partSpec))
+        readString(new Path(root, DroppedFile)).foreach(
+          writeString(sp, DroppedFile, _))
       }
       swapDirs(stagePart, dir.toString)
       report += ((if (rel.isEmpty) "." else rel, "rewritten",
@@ -535,6 +541,8 @@ object StagedParquet {
               writeString(st, SuccessFile, "")
               if (f.exists(new Path(root, PartitionFile)))
                 writeString(st, PartitionFile, PartSpec.serialize(partSpec))
+              readString(new Path(root, DroppedFile)).foreach(
+                writeString(st, DroppedFile, _))
               swapDirs(staging, d)
               report += ((".", "dropped", 0L, 0L))
             case None =>
@@ -1045,7 +1053,36 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
         val name = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"staged catalog: column $name already exists")
+        // a DROPPED name is tombstoned: pre-drop files still hold bytes
+        // under it, and a name-based re-add would RESURRECT that stale
+        // history as the new column's values (the failure mode field-ID
+        // formats exist to prevent) — pick a fresh name instead
+        require(!readString(new Path(d, DroppedFile)).exists(
+            _.split("\n").contains(name)),
+          s"staged catalog: column $name was previously dropped; old files " +
+            "still hold its bytes — use a new name")
         schema = schema.add(StructField(name, add.dataType(), nullable = true))
+      case del: TableChange.DeleteColumn =>
+        // metadata-only DROP: the declared schema shrinks, data files keep
+        // the column's bytes (readers project only declared columns; the
+        // next compaction settles the files to the narrowed width). The
+        // SAFE half of evolution — RENAME is deliberately unsupported:
+        // name-based file mapping would silently null a renamed column's
+        // history, the failure mode field-ID formats exist to prevent
+        require(del.fieldNames().length == 1,
+          "staged catalog: only top-level DROP COLUMN is supported")
+        val name = del.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"staged catalog: no such column $name")
+        val partCols = loadPartSpec(d).map(_.name).toSet
+        require(!partCols.contains(name),
+          s"staged catalog: cannot drop partition-referenced column $name")
+        require(schema.fields.length > 1,
+          "staged catalog: cannot drop the last column")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+        val prior = readString(new Path(d, DroppedFile))
+          .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+        writeString(new Path(d), DroppedFile, (prior :+ name).mkString("\n"))
       case c => throw new UnsupportedOperationException(
         s"staged catalog: unsupported table change $c; replace the table")
     }

@@ -357,11 +357,33 @@ class StagedSinkSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN early INT FIRST")
     }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl DROP COLUMN name") }
+    // RENAME stays unsupported: name-based file mapping would silently
+    // null the renamed column's history
     intercept[Exception] { spark.sql(s"ALTER TABLE $tbl RENAME COLUMN name TO nm") }
     // rejected alters left the schema as the successful one declared it
     assert(graft.sources.v2.StagedParquet.readTable(spark, tbl)
       .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+
+    // metadata-only DROP COLUMN: files byte-identical, readers project the
+    // declared remainder, and the dropped NAME is tombstoned (a re-add
+    // would resurrect pre-drop bytes as the new column's values)
+    def dataOnly(ns0: Set[String]) =
+      ns0.filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val filesPreDrop = dataOnly(filesIn("tev", ""))
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
+    assert(dataOnly(filesIn("tev", "")) == filesPreDrop)
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "name"))
+    assert(spark.table(tbl).count() == 50)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE") // tombstoned
+    }
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score2 DOUBLE") // fresh name ok
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "name", "score2"))
+    // partition-referenced columns can never be dropped
+    val pt = s"graft_staged.$ns.tev_part"
+    spark.range(0, 8).select((col("id") % 2).as("k"), col("id"))
+      .writeTo(pt).partitionedBy(col("k")).createOrReplace()
+    intercept[Exception] { spark.sql(s"ALTER TABLE $pt DROP COLUMN k") }
   }
 
   test("vacuum removes crash debris only; retention window protects live writes") {
