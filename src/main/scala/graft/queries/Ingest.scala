@@ -486,11 +486,16 @@ object Ingest {
     val ns = stagedNs(s, d)
     val ot = s"graft_staged.$ns.orders_by_cust"
     val ct = s"graft_staged.$ns.cust_bucketed"
+    // pre-cluster each write BY ITS BUCKET ID (the catalog's bucket()
+    // function is SQL-callable, so the router hash and this expression
+    // can never disagree): one task ≈ one bucket directory, bounding the
+    // table at ~1 file per bucket instead of (tasks × buckets) smalls —
+    // the same writer-fan-in rule spjJoin applies to identity partitions
     orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(8, col("o_custkey"))
+      .repartitionByRange(16, expr("graft_staged.bucket(16, o_custkey)"))
       .writeTo(ot).partitionedBy(bucket(16, col("o_custkey"))).createOrReplace()
     customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      .repartition(8, col("c_custkey"))
+      .repartitionByRange(16, expr("graft_staged.bucket(16, c_custkey)"))
       .writeTo(ct).partitionedBy(bucket(16, col("c_custkey"))).createOrReplace()
     val o = s.table(ot)
     val c = s.table(ct)

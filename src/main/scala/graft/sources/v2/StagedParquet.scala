@@ -369,6 +369,31 @@ object StagedParquet {
         else Some(if (vals(i) == "__HIVE_DEFAULT_PARTITION__") None
                   else Some(java.time.LocalDate.parse(vals(i)).toEpochDay))
       }
+      // bucket-partition verdicts: a literal hashing to a DIFFERENT bucket
+      // is provably absent from this dir (a single-key DELETE on a
+      // bucketed 100 TB table touches 1/n of the directories); the SAME
+      // bucket proves nothing (other keys share it) → undecided
+      def dirBucket(a: String): Option[(String, Int)] = {
+        val i = partSpec.indexWhere(pf => pf.kind == "bucket" && pf.name == a)
+        if (i < 0) None else Some((vals(i), partSpec(i).buckets))
+      }
+      def bucketVerdictEq(a: String, v: Any): Option[Boolean] =
+        dirBucket(a).flatMap { case (raw, n) =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") Some(false) // `=` never matches null
+          else BucketHash.idFor(schema(a).dataType, v, n) match {
+            case Some(id) if id != raw.toInt => Some(false)
+            case _                           => None
+          }
+        }
+      def bucketVerdictIn(a: String, vs: Seq[Any]): Option[Boolean] =
+        dirBucket(a).flatMap { case (raw, n) =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") Some(false)
+          else {
+            val ids = vs.map(v => BucketHash.idFor(schema(a).dataType, v, n))
+            if (ids.forall(_.isDefined) && !ids.flatten.contains(raw.toInt)) Some(false)
+            else None
+          }
+        }
       def onIdent(a: String)(eval: Any => Option[Boolean]): Option[Option[Boolean]] =
         identVal(a).map(eval)
       c match {
@@ -384,7 +409,7 @@ object StagedParquet {
                 case _                    => None
               }
               case Some(None) => Some(false) // null dir: = never matches
-              case None       => None
+              case None       => bucketVerdictEq(a, v)
             })
         case In(a, vs) =>
           onIdent(a)(t => Some(t != null && vs.map(canon).contains(t))).getOrElse(
@@ -394,7 +419,7 @@ object StagedParquet {
                 if (days.forall(_.isDefined) && !days.flatten.contains(dd)) Some(false)
                 else None
               case Some(None) => Some(false)
-              case None       => None
+              case None       => bucketVerdictIn(a, vs.toSeq)
             })
         case GreaterThan(a, v) =>
           onIdent(a)(t => canonCmp(t, canon(v)).map(_ > 0)).getOrElse(

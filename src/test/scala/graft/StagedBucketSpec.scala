@@ -95,6 +95,29 @@ class StagedBucketSpec extends AnyFunSuite {
       s"runtime filter should close non-matching buckets, opened ${opened.get()} of 8")
   }
 
+  test("a single-key DELETE touches only the key's bucket directory") {
+    import spark.implicits._
+    val t = tbl("b6")
+    (0L until 800L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1).writeTo(t).partitionedBy(bucket(8, col("id"))).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    def listing(k: Int): Seq[(String, Long)] = {
+      val d0 = new java.io.File(s"$dir/id_bucket=$k")
+      d0.listFiles.toSeq.filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).sorted
+    }
+    val hot = BucketHash.id(BucketHash.ofLong(123L), 8)
+    val before = (0 until 8).map(listing)
+    spark.sql(s"DELETE FROM $t WHERE id = 123")
+    // every OTHER bucket directory is byte-identical — the delete's dir
+    // verdict proved the key absent without opening a footer
+    (0 until 8).filter(_ != hot).foreach(k =>
+      assert(listing(k) == before(k), s"bucket $k must be untouched"))
+    assert(listing(hot) != before(hot))
+    assert(spark.table(t).count() == 799L)
+    assert(spark.table(t).filter($"id" === 123L).count() == 0L)
+  }
+
   test("null keys route to the null directory and survive the round trip") {
     import spark.implicits._
     val t = tbl("b5")
