@@ -242,15 +242,14 @@ object Ingest {
     */
   def spjJoin(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
-    // repartition by the partition key before writing: one file per dir
-    // instead of (tasks × dirs) smalls — at 100 TB use repartition(N, key)
-    // for N writers per hot partition, same writer-count bound
+    // no manual repartition: the staged write DECLARES its clustering
+    // (RequiresDistributionAndOrdering) and the engine plans one
+    // AQE-rebalance by the partition key — one file per dir, and a
+    // skewed key still splits across writers instead of bottlenecking one
     customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .repartition(col("c_nationkey"))
       .writeTo(s"graft_staged.$ns.cust_by_nation")
       .partitionedBy(col("c_nationkey")).createOrReplace()
     supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-      .repartition(col("s_nationkey"))
       .writeTo(s"graft_staged.$ns.sup_by_nation")
       .partitionedBy(col("s_nationkey")).createOrReplace()
     val c = s.table(s"graft_staged.$ns.cust_by_nation")
@@ -284,8 +283,7 @@ object Ingest {
   def statsScan(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .repartition(col("o_orderpriority")) // one file per priority dir
-      .writeTo(s"graft_staged.$ns.orders_by_prio")
+      .writeTo(s"graft_staged.$ns.orders_by_prio") // engine-distributed: 1 file/dir
       .partitionedBy(col("o_orderpriority")).createOrReplace()
     s.table(s"graft_staged.$ns.orders_by_prio")
       .groupBy("o_orderpriority")
@@ -318,8 +316,7 @@ object Ingest {
     val ns = stagedNs(s, d)
     val tbl = s"graft_staged.$ns.events_by_day"
     events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .repartition(to_date(col("ts"))) // one file per day dir, not tasks x days
-      .writeTo(tbl)
+      .writeTo(tbl) // engine-distributed by days(ts): one file per day dir
       .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
       .createOrReplace()
     tbl
@@ -425,7 +422,10 @@ object Ingest {
     orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .repartition(8)
-      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+      // the fixture NEEDS the tasks×dirs small files the engine's write
+      // distribution exists to prevent — opt this write out of it
+      .writeTo(tbl).option("graft.write.distribute", "none")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
     val folded = StagedParquet.compact(s, tbl)
     require(folded.nonEmpty && folded.forall(_._3 == 1L),
       s"compaction should fold every 8-file dir to 1: $folded")
@@ -458,7 +458,10 @@ object Ingest {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .repartition(col("o_orderpriority"))
       .sortWithinPartitions(col("o_totalprice")) // cluster: zone maps discriminate
-      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+      // hand-shaped layout (price-sorted within each priority dir): the
+      // engine's rebalance would destroy the sort — opt out and keep ours
+      .writeTo(tbl).option("graft.write.distribute", "none")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
     s.sql(s"DELETE FROM $tbl WHERE o_orderpriority = '1-URGENT'")
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
     s.table(tbl)
@@ -486,16 +489,14 @@ object Ingest {
     val ns = stagedNs(s, d)
     val ot = s"graft_staged.$ns.orders_by_cust"
     val ct = s"graft_staged.$ns.cust_bucketed"
-    // pre-cluster each write BY ITS BUCKET ID (the catalog's bucket()
-    // function is SQL-callable, so the router hash and this expression
-    // can never disagree): one task ≈ one bucket directory, bounding the
-    // table at ~1 file per bucket instead of (tasks × buckets) smalls —
-    // the same writer-fan-in rule spjJoin applies to identity partitions
+    // no manual repartition: the write declares clustered(bucket(16, key))
+    // (RequiresDistributionAndOrdering), the engine rebalances by the
+    // CATALOG's bucket function — the router hash and the shuffle can
+    // never disagree, and the table lands at ~1 file per bucket instead
+    // of (tasks × buckets) smalls
     orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartitionByRange(16, expr("graft_staged.bucket(16, o_custkey)"))
       .writeTo(ot).partitionedBy(bucket(16, col("o_custkey"))).createOrReplace()
     customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      .repartitionByRange(16, expr("graft_staged.bucket(16, c_custkey)"))
       .writeTo(ct).partitionedBy(bucket(16, col("c_custkey"))).createOrReplace()
     val o = s.table(ot)
     val c = s.table(ct)
@@ -527,8 +528,9 @@ object Ingest {
     orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .repartition(col("o_orderpriority"))
-      .sortWithinPartitions(col("o_totalprice"))
-      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+      .sortWithinPartitions(col("o_totalprice")) // hand-shaped: keep our sort
+      .writeTo(tbl).option("graft.write.distribute", "none")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
     StagedParquet.updateWhere(s, tbl,
       Seq("o_orderkey" -> (col("o_orderkey") + 10000000L)),
       Seq(EqualTo("o_orderpriority", "3-MEDIUM"),

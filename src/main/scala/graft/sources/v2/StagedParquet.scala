@@ -1263,6 +1263,42 @@ case class BoundBucket(keyType: DataType) extends functions.ScalarFunction[Integ
 // Tables
 // ---------------------------------------------------------------------------
 
+/** ENGINE-SIDE write distribution (RequiresDistributionAndOrdering): a
+  * partitioned staged write asks Spark to cluster incoming rows by the
+  * table's partition transforms — identity, days, bucket all resolve
+  * through the catalog's FunctionCatalog — so each partition directory is
+  * written by (about) one task regardless of how the caller's query was
+  * partitioned. Without this, a T-task query writing a P-dir table sprays
+  * up to T×P small files; with it the engine bounds the fan-in the way
+  * Iceberg/Delta write-distribution does, and callers stop hand-placing
+  * `repartition(...)` before every write. NON-strict: Spark plans an
+  * AQE-rebalance rather than a hard repartition, so a skewed partition
+  * value still splits across tasks instead of bottlenecking one writer —
+  * at 100 TB that skew-split is the difference between a hot day
+  * finishing with the job or hours after it. Opt out per write with
+  * `.option("graft.write.distribute", "none")` (fixtures that NEED
+  * many small files — e.g. compaction tests — and callers that already
+  * shaped their output).
+  */
+private[v2] trait StagedWriteDistribution extends RequiresDistributionAndOrdering {
+  protected def distSpec: Seq[PartField]
+  protected def distEnabled: Boolean
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (distEnabled && distSpec.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        PartSpec.toTransforms(distSpec)
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
+}
+
+private[v2] object StagedWriteDistribution {
+  def enabled(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("graft.write.distribute")).forall(_ != "none")
+}
+
 /** A committed table: append lands files in-place (two-phase, stray-safe,
   * token-scoped so concurrent appends never interfere); truncate() stages a
   * full replacement and swaps at batch commit — the reference's TRUNCATE +
@@ -1303,7 +1339,10 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
       private var mode = "append"
       override def truncate(): WriteBuilder = { mode = "truncate"; this }
       override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with StagedWriteDistribution {
+        override protected def distSpec: Seq[PartField] = partSpec
+        override protected def distEnabled: Boolean =
+          StagedWriteDistribution.enabled(info.options())
         override def toBatch: BatchWrite = mode match {
           case "truncate" =>
             new StagedParquetBatchWrite(
@@ -1340,7 +1379,10 @@ class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this // staging dir starts empty
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with StagedWriteDistribution {
+        override protected def distSpec: Seq[PartField] = partSpec
+        override protected def distEnabled: Boolean =
+          StagedWriteDistribution.enabled(info.options())
         override def toBatch: BatchWrite =
           new StagedParquetBatchWrite(stagingDir, None, info.schema(),
             partSpec, info.queryId())

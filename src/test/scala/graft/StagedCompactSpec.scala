@@ -30,7 +30,10 @@ class StagedCompactSpec extends AnyFunSuite {
     val t = tbl("c1")
     (0L until 400L).map(i => (i % 4, i, i * 1.5)).toDF("k", "id", "v")
       .repartition(8) // round-robin: 8 files land in EVERY k= dir
-      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+      // the fixture needs the small files the engine's write distribution
+      // prevents — opt out so compaction has debt to fold
+      .writeTo(t).option("graft.write.distribute", "none")
+      .partitionedBy(col("k")).createOrReplace()
     val dir = StagedParquet.tableDir(spark, t)
     val before = spark.table(t).orderBy("k", "id").collect()
     assert((0 to 3).forall(k => dataFiles(s"$dir/k=$k").length == 8))

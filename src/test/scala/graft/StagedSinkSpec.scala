@@ -386,6 +386,29 @@ class StagedSinkSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"ALTER TABLE $pt DROP COLUMN k") }
   }
 
+  test("engine write distribution: partitioned writes land one file per dir, opt-out preserves shape") {
+    dropAll("tdist")
+    val tbl = s"graft_staged.$ns.tdist"
+    val df = spark.range(0, 4000).select((col("id") % 4).as("k"), col("id"))
+      .repartition(16) // deliberately mis-shaped input: 16 round-robin tasks
+    // the write DECLARES clustered(identity(k)) and the engine rebalances —
+    // no caller-side repartition, still one file per partition directory
+    df.writeTo(tbl).partitionedBy(col("k")).createOrReplace()
+    def filesPerDir: Seq[Int] = (0 to 3).map { k =>
+      new java.io.File(s"${graft.sources.v2.StagedParquet.tableDir(spark, tbl)}/k=$k")
+        .listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    assert(filesPerDir == Seq(1, 1, 1, 1), filesPerDir.toString)
+    // appends ride the same distribution
+    df.writeTo(tbl).append()
+    assert(filesPerDir == Seq(2, 2, 2, 2), filesPerDir.toString)
+    // opted out, the caller's 16-task shape sprays tasks x dirs files
+    df.writeTo(tbl).option("graft.write.distribute", "none")
+      .partitionedBy(col("k")).createOrReplace()
+    assert(filesPerDir.sum > 16, filesPerDir.toString)
+    assert(spark.table(tbl).count() == 4000L)
+  }
+
   test("vacuum removes crash debris only; retention window protects live writes") {
     dropAll("tvac")
     val tbl = s"graft_staged.$ns.tvac"

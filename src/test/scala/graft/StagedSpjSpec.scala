@@ -248,10 +248,13 @@ class StagedSpjSpec extends AnyFunSuite {
     spark.conf.set("graft.staged.split.bytes", "1")
     try {
       // ONE partition dir (k=0), ONE file (repartition(1)): without
-      // row-group splits this is the hot-partition single-task shape
+      // row-group splits this is the hot-partition single-task shape —
+      // opt out of the engine's write distribution, whose skew-splitting
+      // rebalance would break the deliberate one-big-file premise
       (0L until 40000L).map(i => (0L, i, i * 3.0)).toDF("k", "id", "v")
         .repartition(1)
-        .writeTo(t).partitionedBy(col("k")).createOrReplace()
+        .writeTo(t).option("graft.write.distribute", "none")
+        .partitionedBy(col("k")).createOrReplace()
       val scan = spark.table(t)
       val plan = scan.queryExecution.executedPlan.toString
       val splits = "splits=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
