@@ -471,6 +471,29 @@ object StagedParquet {
         case IsNotNull(a) =>
           onIdent(a)(t => Some(t != null)).getOrElse(
             dirDay(a) match { case Some(od) => Some(od.nonEmpty); case None => None })
+        // Some(false) means "no row SATISFIES the predicate" (it is false
+        // or NULL everywhere), so disjunction/negation fold carefully:
+        // Or is true-for-all if EITHER side is, unsatisfiable if both
+        // are; Not(f) is unsatisfiable where f is true-for-all, but an
+        // unsatisfiable f proves NOTHING for Not(f) — f may be NULL, and
+        // NOT(NULL) is NULL, which DELETE must keep
+        case And(l, r) => // nested under Or/Not (top-level Ands are flattened)
+          (dirVerdict(l, vals), dirVerdict(r, vals)) match {
+            case (Some(true), Some(true))            => Some(true)
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case _                                   => None
+          }
+        case Or(l, r) =>
+          (dirVerdict(l, vals), dirVerdict(r, vals)) match {
+            case (Some(true), _) | (_, Some(true))   => Some(true)
+            case (Some(false), Some(false))          => Some(false)
+            case _                                   => None
+          }
+        case Not(f0) =>
+          dirVerdict(f0, vals) match {
+            case Some(true) => Some(false)
+            case _          => None
+          }
         case _ => None
       }
     }
@@ -485,6 +508,9 @@ object StagedParquet {
       case LessThanOrEqual(a, v)    => col(a) <= lit(v)
       case IsNull(a)                => col(a).isNull
       case IsNotNull(a)             => col(a).isNotNull
+      case And(l, r)                => toCol(l) && toCol(r)
+      case Or(l, r)                 => toCol(l) || toCol(r)
+      case Not(f0)                  => !toCol(f0)
       case other => throw new UnsupportedOperationException(s"DELETE: $other")
     }
     // may this FILE hold a matching row? — the scan's zone map, pointed at
@@ -597,7 +623,7 @@ object StagedParquet {
     */
   private[v2] def canDelete(filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
     import org.apache.spark.sql.sources._
-    flattenAnd(filters).forall {
+    def ok(f: Filter): Boolean = f match {
       case EqualTo(_, v)            => v != null
       case In(_, vs)                => vs != null && !vs.contains(null)
       case GreaterThan(_, v)        => v != null
@@ -606,8 +632,12 @@ object StagedParquet {
       case LessThanOrEqual(_, v)    => v != null
       case IsNull(_) | IsNotNull(_) => true
       case AlwaysTrue() | AlwaysFalse() => true
+      case And(l, r)                => ok(l) && ok(r)
+      case Or(l, r)                 => ok(l) && ok(r)
+      case Not(f0)                  => ok(f0)
       case _                        => false
     }
+    flattenAnd(filters).forall(ok)
   }
 
   private def flattenAnd(filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[org.apache.spark.sql.sources.Filter] = {

@@ -173,6 +173,29 @@ class StagedDeleteSpec extends AnyFunSuite {
     assert(spark.table(t).filter($"k" === 9L).count() == 0L)
   }
 
+  test("OR predicates: two partition branches both drop; NOT keeps NULL rows") {
+    import spark.implicits._
+    val t = tbl("d7")
+    (0L until 300L).map(i => (i % 3, i, if (i % 10 == 0) None else Some(i * 1.0)))
+      .toDF("k", "id", "v")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val keep2 = dataFiles(s"$dir/k=2")
+    // disjunction over two identity values: BOTH dirs drop metadata-only
+    spark.sql(s"DELETE FROM $t WHERE k = 0 OR k = 1")
+    assert(!new java.io.File(s"$dir/k=0").exists)
+    assert(!new java.io.File(s"$dir/k=1").exists)
+    assert(dataFiles(s"$dir/k=2") == keep2)
+    assert(spark.table(t).count() == 100L)
+    // NOT over a nullable comparison: NOT(v > 100) is NULL where v is
+    // NULL - those rows MUST survive
+    spark.sql(s"DELETE FROM $t WHERE NOT (v > 100.0)")
+    val left = spark.table(t).orderBy("id").collect()
+    // k=2 rows: ids 2,5,...,299; survivors = v>100 (id>100, v non-null) or v null
+    assert(left.forall(r => r.isNullAt(2) || r.getDouble(2) > 100.0))
+    assert(left.exists(_.isNullAt(2)), "NULL-v rows must survive NOT(v>100)")
+  }
+
   test("unsupported predicate shapes are rejected loudly, nothing deleted") {
     import spark.implicits._
     val t = tbl("d6")
