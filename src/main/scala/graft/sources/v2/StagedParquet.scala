@@ -99,6 +99,30 @@ object StagedParquet {
     // one side only), push the union of values instead of falling back to
     // a shuffle — required for day-partitioned SPJ over unaligned ranges
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // Spark's parquet writer defaults to INT96 timestamps (Impala-era
+    // compat); the staged sink writes INT64 micros, and the V2 reader's
+    // converters expect them — every Spark-writer rewrite in this
+    // catalog's orbit (COW, compaction) must match the sink's encoding
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  /** Run `body` with the Spark parquet writer emitting INT64-micros
+    * timestamps (the staged sink's own encoding), restoring the session
+    * conf after. COW/compaction rewrites go through Spark's writer, whose
+    * INT96 default the V2 reader deliberately does not decode on the hot
+    * path — without this a rewritten table's timestamp columns would
+    * throw on the next V2 read ([[FlatRowReadSupport]] keeps an INT96
+    * fallback for externally-written files, but the engine's own
+    * rewrites must produce canonical files, not rely on it).
+    */
+  private[v2] def withMicrosTimestamps[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = try Some(s.conf.get(key)) catch { case _: Throwable => None }
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Prod directory of a `graft_staged.<ns...>.<name>` table, resolved from
@@ -234,10 +258,12 @@ object StagedParquet {
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       if (files.length >= minFiles && nOut < files.length) {
         val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
-        s.read.schema(dataSchema)
-          .parquet(files.map(_.getPath.toString): _*)
-          .coalesce(nOut.toInt)
-          .write.mode("overwrite").parquet(stagePart)
+        withMicrosTimestamps(s) {
+          s.read.schema(dataSchema)
+            .parquet(files.map(_.getPath.toString): _*)
+            .coalesce(nOut.toInt)
+            .write.mode("overwrite").parquet(stagePart)
+        }
         // the swap replaces the whole directory — for an unpartitioned
         // table's ROOT the catalog metadata must ride along
         if (rel.isEmpty) {
@@ -531,48 +557,23 @@ object StagedParquet {
     val staging = d + "__staging.cow-" +
       java.util.UUID.randomUUID().toString.take(8)
     val report = mutable.Buffer[(String, String, Long, Long)]()
-    // rewrite `affected` into the staging twin of `dir` (DELETE drops the
-    // matching rows, UPDATE applies the SET columns to them; pred None =
-    // every row provably matches), byte-copy `untouched`, swap atomically
-    def rewrite(rel: String, dir: Path,
-                affected: Seq[org.apache.hadoop.fs.FileStatus],
-                untouched: Seq[org.apache.hadoop.fs.FileStatus],
-                pred: Option[org.apache.spark.sql.Column]): Unit = {
-      val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
-      val base = s.read.schema(dataSchema)
-        .parquet(affected.map(_.getPath.toString): _*)
-      val out = update match {
-        case None => base.filter(not(coalesce(pred.get, lit(false))))
-        case Some(set) =>
-          val cond = pred.map(p => coalesce(p, lit(false))).getOrElse(lit(true))
-          set.foldLeft(base) { case (df0, (c, v)) =>
-            df0.withColumn(c,
-              org.apache.spark.sql.functions.when(cond,
-                v.cast(dataSchema(c).dataType)).otherwise(col(c)))
-          }
-      }
-      out.coalesce(affected.length).write.mode("overwrite").parquet(stagePart)
-      val sp = new Path(stagePart)
-      untouched.foreach { st =>
-        FileUtil.copy(f, st.getPath, f, new Path(sp, st.getPath.getName),
-          false, hadoopConf): Unit
-      }
-      if (rel.isEmpty) {
-        writeString(sp, SchemaFile, schema.json)
-        writeString(sp, SuccessFile, "")
-        if (f.exists(new Path(root, PartitionFile)))
-          writeString(sp, PartitionFile, PartSpec.serialize(partSpec))
-        readString(new Path(root, DroppedFile)).foreach(
-          writeString(sp, DroppedFile, _))
-      }
-      swapDirs(stagePart, dir.toString)
-      report += ((if (rel.isEmpty) "." else rel, "rewritten",
-        affected.length.toLong, untouched.length.toLong))
-    }
     def dataFilesOf(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_"))
+
+    // PASS 1 (driver metadata only): classify every directory. Tier-1
+    // DELETE dirs drop immediately (no byte read); dirs needing a rewrite
+    // — tier-1 UPDATE (unconditional SET) and tier-3 (predicate COW) —
+    // are collected into one work list for a SINGLE batched Spark job,
+    // so a retention DELETE touching thousands of day directories
+    // schedules ONE rewrite, not one job per directory (wall-clock ∝
+    // matching data, not ∝ affected-dir count).
+    case class DirWork(rel: String, dir: Path, vals: Seq[String],
+                       affected: Seq[org.apache.hadoop.fs.FileStatus],
+                       untouched: Seq[org.apache.hadoop.fs.FileStatus],
+                       unconditional: Boolean)
+    val work = mutable.Buffer[DirWork]()
     for ((rel, dir, vals) <- walk(root, partSpec.length, "")) {
       val verdicts = conjuncts.map(c => dirVerdict(c, vals))
       if (!verdicts.contains(Some(false))) {
@@ -581,10 +582,13 @@ object StagedParquet {
           // tier 1: every conjunct all-true. DELETE drops the directory
           // without reading a byte (root of an unpartitioned table: swap
           // in an empty committed table); UPDATE rewrites every file with
-          // the SET applied UNCONDITIONALLY — no predicate evaluation
+          // the SET applied UNCONDITIONALLY
           update match {
             case Some(_) =>
-              rewrite(rel, dir, dataFilesOf(dir), Seq.empty, None)
+              val files = dataFilesOf(dir)
+              if (files.nonEmpty)
+                work += DirWork(rel, dir, vals, files, Seq.empty,
+                  unconditional = true)
             case None if rel.isEmpty =>
               val st = new Path(staging)
               f.mkdirs(st): Unit
@@ -601,16 +605,123 @@ object StagedParquet {
               report += ((rel, "dropped", 0L, 0L))
           }
         } else {
+          // tier 3: only files the zone map cannot clear are rewritten;
+          // cleared siblings are byte-copied at swap time (tier 2: the
+          // zone map cleared every file — the dir is never touched)
           val (affected, untouched) = dataFilesOf(dir).partition(st =>
             fileMayMatch(st.getPath.toString, st.getLen, remaining))
           if (affected.nonEmpty)
-            // tier 3: rewrite only the files that may match; byte-copy the
-            // rest; swap the directory atomically
-            rewrite(rel, dir, affected, untouched,
-              Some(remaining.map(toCol).reduce(_ && _)))
-          // else tier 2: zone map cleared every file — untouched
+            work += DirWork(rel, dir, vals, affected, untouched,
+              unconditional = false)
         }
       } // tier 2: a conjunct is provably false for the dir — untouched
+    }
+
+    // PASS 2: ONE partitioned rewrite job over every affected file of
+    // every directory. Each scanned row joins (broadcast, constant-size)
+    // its file's metadata — target directory and the dir's IDENTITY
+    // partition values, materialized as real columns so predicates and
+    // SET expressions may reference identity-partitioned columns (they
+    // are not stored in the data files) — then the predicate applies
+    // per-row and the output routes back to its source directory via
+    // `partitionBy`. Rows never move across directories (partition-
+    // referenced SET targets are rejected above), so the source file's
+    // directory IS the destination.
+    if (work.nonEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace, when}
+      val identIdx = partSpec.zipWithIndex.filter(_._1.kind == "identity")
+      val identFields = identIdx.map { case (pf, _) =>
+        schema(pf.name).copy(nullable = true) }
+      def identExternal(vals: Seq[String]): Seq[Any] =
+        identIdx.map { case (pf, i) =>
+          val raw = vals(i)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else schema(pf.name).dataType match {
+            case StringType  => PartSpec.unescape(raw)
+            case IntegerType => Int.box(raw.toInt)
+            case LongType    => Long.box(raw.toLong)
+            case DateType    => java.sql.Date.valueOf(raw)
+            case t => throw new UnsupportedOperationException(
+              s"staged COW: unsupported identity partition type $t")
+          }
+        }
+      // rel "" (unpartitioned root) needs a non-empty partition value —
+      // "." can never collide with a real `k=v/...` rel path
+      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
+      // join key: the file path in its URI-RAW form — input_file_name()
+      // reports the Hadoop Path's URI encoding (a `%` in an escaped
+      // partition dir name arrives as `%25`), and getRawPath is that same
+      // encoding minus the scheme, so both sides match byte-for-byte
+      val infoSchema = StructType(
+        StructField("__src", StringType, nullable = false) +:
+        StructField("__dir", StringType, nullable = false) +:
+        StructField("__uncond", BooleanType, nullable = false) +:
+        identFields)
+      val infoRows: Seq[Row] = work.toSeq.flatMap { w =>
+        val iv = identExternal(w.vals)
+        w.affected.map(st => Row.fromSeq(
+          st.getPath.toUri.getRawPath +: sentinel(w.rel) +:
+            Boolean.box(w.unconditional) +: iv))
+      }
+      val info = s.createDataFrame(infoRows.asJava, infoSchema)
+      val allAffected = work.toSeq.flatMap(_.affected).map(_.getPath.toString)
+      val scan = s.read.schema(dataSchema).parquet(allAffected: _*)
+        .withColumn("__src",
+          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      // LEFT join + loud per-row guard: a scanned row that matched no
+      // metadata row (an encoding mismatch between input_file_name() and
+      // the listing) must FAIL the job, never silently drop the row —
+      // a dropped row here would be an unintended delete
+      val joined = scan.join(broadcast(info), Seq("__src"), "left")
+        .withColumn("__dir", when(col("__dir").isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              lit("staged COW: unmatched source file "), col("__src"))))
+          .otherwise(col("__dir")))
+      // the FULL conjunction evaluates correctly on every rewritten row
+      // (per-dir all-true conjuncts are simply true there; identity
+      // references resolve through the materialized columns)
+      val fullPred = conjuncts.map(toCol).reduce(_ && _)
+      val out = update match {
+        case None => joined.filter(not(coalesce(fullPred, lit(false))))
+        case Some(set) =>
+          val cond = coalesce(col("__uncond"), lit(false)) ||
+            coalesce(fullPred, lit(false))
+          set.foldLeft(joined) { case (df0, (c, v)) =>
+            df0.withColumn(c,
+              when(cond, v.cast(dataSchema(c).dataType)).otherwise(col(c)))
+          }
+      }
+      withMicrosTimestamps(s) {
+        out.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+          .write.partitionBy("__dir").mode("overwrite").parquet(staging)
+      }
+      // per-dir promotion (driver metadata only, never a Spark job):
+      // byte-copy the zone-map-cleared siblings beside the rewritten
+      // files and swap each directory atomically — a crash leaves the
+      // old rows or the new ones, never a half-deleted directory
+      for (w <- work) {
+        val escaped = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(sentinel(w.rel))
+        val stagePart = new Path(s"$staging/__dir=$escaped")
+        if (!f.exists(stagePart)) f.mkdirs(stagePart): Unit // all rows deleted
+        w.untouched.foreach { st =>
+          FileUtil.copy(f, st.getPath, f,
+            new Path(stagePart, st.getPath.getName), false, hadoopConf): Unit
+        }
+        if (w.rel.isEmpty) {
+          writeString(stagePart, SchemaFile, schema.json)
+          writeString(stagePart, SuccessFile, "")
+          if (f.exists(new Path(root, PartitionFile)))
+            writeString(stagePart, PartitionFile, PartSpec.serialize(partSpec))
+          readString(new Path(root, DroppedFile)).foreach(
+            writeString(stagePart, DroppedFile, _))
+        }
+        swapDirs(stagePart.toString, w.dir.toString)
+        report += ((sentinel(w.rel), "rewritten",
+          w.affected.length.toLong, w.untouched.length.toLong))
+      }
     }
     f.delete(new Path(staging), true): Unit
     report.sortBy(_._1).toSeq

@@ -1036,8 +1036,21 @@ private[v2] object FlatRowReadSupport {
       override def addBoolean(v: Boolean): Unit = update(v) }
     case IntegerType | DateType => new PrimitiveConverter {
       override def addInt(v: Int): Unit = update(v) }
-    case LongType | TimestampType => new PrimitiveConverter {
+    case LongType => new PrimitiveConverter {
       override def addLong(v: Long): Unit = update(v) }
+    case TimestampType => new PrimitiveConverter {
+      // the sink writes INT64 UTC micros; addBinary is the INT96 fallback
+      // for files a legacy Spark writer produced (12 bytes little-endian:
+      // 8-byte nanos-of-day + 4-byte Julian day; 2440588 = epoch day 0)
+      override def addLong(v: Long): Unit = update(v)
+      override def addBinary(v: Binary): Unit = {
+        val bb = java.nio.ByteBuffer.wrap(v.getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanos = bb.getLong
+        val julianDay = bb.getInt
+        update((julianDay - 2440588L) * 86400000000L + nanos / 1000L)
+      }
+    }
     case FloatType => new PrimitiveConverter {
       override def addFloat(v: Float): Unit = update(v) }
     case DoubleType => new PrimitiveConverter {

@@ -285,8 +285,9 @@ class PlanSpec extends AnyFunSuite {
     // shuffle on either join side, no broadcast escape (merge hint), the
     // segment aggregate above it may shuffle (different key, 5 rows)
     val p = plan("etl_bucket_join")
+    assert(p.contains("Join"), s"no join in bucket SPJ plan: ${p.take(2000)}")
     val joinDown = p.substring(p.indexOf("Join"))
-    assert(p.contains("Join") && !joinDown.contains("Exchange"),
+    assert(!joinDown.contains("Exchange"),
       s"bucket SPJ shuffled: ${p.take(2000)}")
     assert(!p.contains("BroadcastExchange"), p.take(1500))
   }

@@ -50,6 +50,23 @@ class StagedCompactSpec extends AnyFunSuite {
       "an already-compacted dir must not be rewritten")
   }
 
+  test("timestamp columns read back after compaction (INT64 micros, not INT96)") {
+    import spark.implicits._
+    val t = tbl("c4")
+    val base = java.time.Instant.parse("2024-05-01T00:00:00Z")
+    (0L until 60L).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 60)), i)).toDF("ts", "n")
+      .repartition(6)
+      .writeTo(t).option("graft.write.distribute", "none").createOrReplace()
+    val rep = StagedParquet.compact(spark, t)
+    assert(rep.nonEmpty, "fixture must have small-file debt")
+    // the compacted files came from Spark's parquet writer — the V2 read
+    // of the timestamp column afterwards must decode (micros, not INT96)
+    val got = spark.table(t).select($"ts").as[java.sql.Timestamp].collect()
+      .map(_.toInstant).sorted.toSeq
+    assert(got == (0L until 60L).map(i => base.plusSeconds(i * 60)))
+  }
+
   test("root compaction of an unpartitioned table keeps the catalog metadata") {
     import spark.implicits._
     val t = tbl("c2")

@@ -196,6 +196,108 @@ class StagedDeleteSpec extends AnyFunSuite {
     assert(left.exists(_.isNullAt(2)), "NULL-v rows must survive NOT(v>100)")
   }
 
+  test("OR mixing an identity column and a data column: tier-1 drop plus materialized-identity COW") {
+    import spark.implicits._
+    val t = tbl("d8")
+    (0L until 300L).map(i => (i % 3, i, i * 1.0)).toDF("k", "id", "v")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    // k=0 is all-true under the OR (tier-1 metadata drop); k=1/k=2 are
+    // undecidable and rewrite with k materialized from the dir name —
+    // the predicate references a column the data files do not store
+    spark.sql(s"DELETE FROM $t WHERE k = 0 OR v > 250.0")
+    assert(!new java.io.File(s"$dir/k=0").exists)
+    val left = spark.table(t).collect()
+    // survivors: i % 3 != 0 and i <= 250
+    assert(left.length == 167, s"expected 167 rows, got ${left.length}")
+    assert(left.forall(r => r.getLong(0) != 0L && r.getDouble(2) <= 250.0))
+  }
+
+  test("timestamp columns read back after a COW rewrite (INT64 micros, not INT96)") {
+    import spark.implicits._
+    val t = tbl("d9")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    (0L until 48L).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 3600)), i))
+      .toDF("ts", "n")
+      .writeTo(t).partitionedBy(days(col("ts"))).createOrReplace()
+    // boundary-day delete rewrites both days' files through Spark's
+    // parquet writer — the V2 read of ts afterwards must decode
+    spark.sql(s"DELETE FROM $t WHERE ts >= TIMESTAMP '2024-03-01 12:00:00Z' " +
+      s"AND ts < TIMESTAMP '2024-03-02 12:00:00Z'")
+    val got = spark.table(t).select($"ts").as[java.sql.Timestamp].collect()
+      .map(_.toInstant).sorted.toSeq
+    val want = ((0L until 12L) ++ (36L until 48L))
+      .map(i => base.plusSeconds(i * 3600)).sorted
+    assert(got == want, s"ts mismatch after rewrite: ${got.take(3)}...")
+  }
+
+  test("SET expressions may reference identity partition columns") {
+    import spark.implicits._
+    val t = tbl("u4")
+    (0L until 100L).map(i => (i % 4, i, 0.0)).toDF("k", "id", "v")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    StagedParquet.updateWhere(spark, t,
+      Seq("v" -> (col("k") * 100.0)),
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 50L)))
+    val rows = spark.table(t).collect()
+    assert(rows.forall { r =>
+      val (k, id, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (id >= 50L) v == k * 100.0 else v == 0.0
+    })
+  }
+
+  test("identity string values with path-hostile characters survive the batched COW") {
+    import spark.implicits._
+    val keys = Seq("a/b", "c=d", "e%f", "naïve ü")
+    val t = tbl("d10")
+    (0L until 80L).map(i => (keys((i % 4).toInt), i, i * 1.0))
+      .toDF("k", "id", "v")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    // 'a/b' drops tier-1; the other three dirs COW with k materialized —
+    // this pins the input_file_name()/listing join across %XX-escaped
+    // directory names AND the partitionBy round trip of the rel path
+    spark.sql(s"DELETE FROM $t WHERE k = 'a/b' OR v >= 40.0")
+    val left = spark.table(t).collect()
+    assert(left.forall(r => r.getString(0) != "a/b" && r.getDouble(2) < 40.0))
+    // survivors: i in 0..39 with i%4 != 0 -> 30 rows, key values intact
+    assert(left.length == 30, s"expected 30 rows, got ${left.length}")
+    assert(left.map(_.getString(0)).distinct.toSet == keys.drop(1).toSet)
+  }
+
+  test("a delete touching many directories runs a bounded number of Spark jobs") {
+    import spark.implicits._
+    val t = tbl("d11")
+    (0L until 800L).map(i => (i % 8, i, i * 1.0)).toDF("k", "id", "v")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // v >= 10 is undecidable for every one of the 8 directories ->
+      // all 8 rewrite, but through ONE batched partitioned write
+      val rep = StagedParquet.deleteWhere(spark, t,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("v", 10.0)))
+      assert(rep.length == 8 && rep.forall(_._2 == "rewritten"), rep.toString)
+      // listener delivery is async: poll until the count is stable
+      var last = -1
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(150)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(jobs.get() <= 2,
+        s"8-dir COW must batch into <=2 Spark jobs, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.table(t).count() == 10L)
+    assert(spark.table(t).agg(max($"v")).as[Double].head() == 9.0)
+  }
+
   test("unsupported predicate shapes are rejected loudly, nothing deleted") {
     import spark.implicits._
     val t = tbl("d6")

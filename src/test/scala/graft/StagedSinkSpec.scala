@@ -151,6 +151,35 @@ class StagedSinkSpec extends AnyFunSuite {
     assert(r.getTimestamp(3).toInstant.toString == "2024-03-01T12:30:00Z")
   }
 
+  test("a foreign INT96-timestamp file reads through the V2 scan (legacy-writer fallback)") {
+    // a file written by a legacy Spark writer (outputTimestampType=INT96)
+    // dropped into a table dir must still decode — the converter's
+    // addBinary Julian-day fallback, never exercised by the sink's own
+    // INT64-micros files
+    dropAll("t6b")
+    val tbl = s"graft_staged.$ns.t6b"
+    val base = java.time.Instant.parse("2024-07-01T06:30:00Z")
+    val src = spark.range(0, 20).select(col("id"),
+      to_timestamp(lit("2024-07-01 06:30:00")).cast("timestamp").as("ts0"))
+      .withColumn("ts", expr("ts0 + make_interval(0,0,0,0,0,0,id)")).drop("ts0")
+    src.writeTo(tbl).createOrReplace()
+    val foreign = java.nio.file.Files.createTempDirectory("int96").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try src.withColumn("id", col("id") + 100L)
+      .repartition(1).write.mode("overwrite").parquet(foreign)
+    finally spark.conf.set(key, prev)
+    val pf = new java.io.File(foreign).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf.toPath,
+      new java.io.File(prodDir("t6b"), "foreign-int96.snappy.parquet").toPath)
+    val back = spark.table(tbl).orderBy("id").collect()
+    assert(back.length == 40)
+    assert(back.forall { r =>
+      r.getTimestamp(1).toInstant == base.plusSeconds(r.getLong(0) % 100L) })
+  }
+
   test("query routes: etl_rename_replace / etl_truncate_load via the V2 sink") {
     val d = TestSpark.sf
     val rr = graft.queries.Ingest.queries("etl_rename_replace")(spark, d).collect()
