@@ -305,7 +305,7 @@ object Bench {
       // zone map cuts the boundary day-16 file; pruned scan cost constant
       // in volume, linear in the date range), ~30 if pruning regresses.
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
-        "etl_cdc_apply", "etl_profile", "etl_days_prune",
+        "etl_cdc_apply", "etl_profile", "etl_days_prune", "etl_days_dpp",
         "etl_minmax_skip").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
@@ -333,7 +333,11 @@ object Bench {
         // round-10 lifecycle rungs at 10x: compaction, DELETE, bucket SPJ,
         // UPDATE, streaming tail (sf1check.sh hash-checks the same list)
         "etl_compact_files", "etl_delete_rows", "etl_bucket_join",
-        "etl_update_rows", "stream_table_tail")
+        "etl_update_rows", "stream_table_tail",
+        // round-11 additions at 10x: runtime day pruning (dim-driven day
+        // closure — the opened-splits == dim-days invariant needs a second
+        // scale point), streaming write ingest, time travel
+        "etl_days_dpp", "stream_table_ingest", "etl_time_travel")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -171,17 +171,24 @@ object Etl {
         (col("o_totalprice") + 1000.0).as("o_totalprice"), lit("staging").as("src"))
 
   // PK upsert: staging wins on conflict, unmatched prod rows survive —
-  // routed through the V2 staged MERGE (postgres.py:1092-1180 INSERT..ON
-  // CONFLICT as an atomic staged swap): prod is seeded as a real catalog
-  // table, the merge stages prod⟕staging ∪ staging, and the swap is the
-  // same O(1) checked rename the replace path uses. StagedSinkSpec proves
-  // a crash mid-merge leaves prod serving its pre-merge rows.
+  // routed through a real SQL `MERGE INTO` (postgres.py:1092-1180
+  // INSERT..ON CONFLICT): prod is seeded as a real catalog table, the
+  // planner rewrites the MERGE group-based through
+  // SupportsRowLevelOperations (StagedRowLevelOperation), and each
+  // affected partition directory swaps atomically — a crash mid-merge
+  // leaves prod serving its pre-merge rows. The library-API variant
+  // (StagedParquet.upsertInto, the staged anti-join∪replace) remains
+  // spec-covered as the bulk full-replace path.
   def upsert(s: SparkSession, d: String): DataFrame = {
     val ns = Ingest.stagedNs(s, d)
     val tbl = s"graft_staged.$ns.orders_prod"
     prodOrders(s, d).writeTo(tbl).createOrReplace()
-    graft.sources.v2.StagedParquet.upsertInto(s, tbl,
-      stagingOrders(s, d), Seq("o_orderkey"))
+    stagingOrders(s, d).createOrReplaceTempView("upsert_staging")
+    s.sql(
+      s"""MERGE INTO $tbl AS t USING upsert_staging AS u
+          ON t.o_orderkey = u.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
     s.read.parquet(graft.sources.v2.StagedParquet.tableDir(s, tbl))
       .orderBy("o_orderkey")
   }

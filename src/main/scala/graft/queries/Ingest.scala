@@ -521,8 +521,6 @@ object Ingest {
     * partition-column SET rejection.
     */
   def updateRows(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.v2.StagedParquet
-    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     val ns = stagedNs(s, d)
     val tbl = s"graft_staged.$ns.orders_upd"
     orders(s, d)
@@ -531,10 +529,13 @@ object Ingest {
       .sortWithinPartitions(col("o_totalprice")) // hand-shaped: keep our sort
       .writeTo(tbl).option("graft.write.distribute", "none")
       .partitionedBy(col("o_orderpriority")).createOrReplace()
-    StagedParquet.updateWhere(s, tbl,
-      Seq("o_orderkey" -> (col("o_orderkey") + 10000000L)),
-      Seq(EqualTo("o_orderpriority", "3-MEDIUM"),
-          GreaterThanOrEqual("o_totalprice", 150000.0)))
+    // SQL UPDATE plans through SupportsRowLevelOperations (group-based
+    // COW, StagedRowLevelOperation): the runtime group filter closes the
+    // four non-matching priority directories, so only 3-MEDIUM rewrites —
+    // the library updateWhere's zone-map tier remains spec-covered
+    // (StagedDeleteSpec) as the file-granular maintenance path
+    s.sql(s"UPDATE $tbl SET o_orderkey = o_orderkey + 10000000 " +
+      s"WHERE o_orderpriority = '3-MEDIUM' AND o_totalprice >= 150000.0")
     s.table(tbl)
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -549,12 +550,15 @@ object Ingest {
     * files through a real micro-batch query (AvailableNow) into a file
     * sink, and the profile of WHAT THE STREAM DELIVERED is gated against
     * the oracle's recomputation from raw events — any file the tail
-    * missed, replayed, or half-read breaks the count or the sum. Offsets
-    * carry the file manifest (checkpoint-replayable, no driver-held
-    * source state); committed files are immutable (task files rename in
-    * at commit), so the tail needs no writer coordination — the CDC-tail
-    * shape on a 100 TB ingest table. StagedStreamTailSpec additionally
-    * pins checkpoint RESUME (a restart reads only files appended since).
+    * missed, replayed, or half-read breaks the count or the sum. The
+    * offset is the last commit-MANIFEST id — O(1) in the checkpoint, and
+    * a trigger lists only the `_manifests` directory, never the table's
+    * file tree, so tailing a million-file table costs O(new commits);
+    * committed files are immutable (task files rename in at commit), so
+    * the tail needs no writer coordination — the CDC-tail shape on a
+    * 100 TB ingest table. StagedStreamTailSpec additionally pins
+    * checkpoint RESUME (a restart reads only manifests appended since),
+    * the O(1) offset encoding, and loud failure on non-append changes.
     */
   def streamTableTail(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
@@ -585,6 +589,80 @@ object Ingest {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** STREAMING write into a staged table
+    * ([[graft.sources.v2.StagedStreamingWrite]], `writeStream.toTable`):
+    * the full 100 TB ingest LOOP — a staged source table is tailed by
+    * manifest id, filtered and enriched in flight, and appended
+    * epoch-by-epoch into a staged destination with per-epoch two-phase
+    * commits and txn-marked manifests (a crash-replayed epoch is
+    * discarded, StagedStreamIngestSpec pins it; each epoch is one offset
+    * increment for any downstream tail). The DESTINATION's contents are
+    * gated against the oracle's recomputation from raw orders, so a
+    * dropped, duplicated, or half-committed epoch breaks the profile.
+    */
+  def streamTableIngest(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val src = s"graft_staged.$ns.ingest_src"
+    val dst = s"graft_staged.$ns.ingest_dst"
+    val o = orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // three commits = three source manifests feeding the stream
+    o.filter(col("o_orderkey") % 3 === 0).writeTo(src).createOrReplace()
+    o.filter(col("o_orderkey") % 3 === 1).writeTo(src).append()
+    o.filter(col("o_orderkey") % 3 === 2).writeTo(src).append()
+    def enrich(df: DataFrame): DataFrame = df
+      .filter(col("o_totalprice") >= 1000.0)
+      .withColumn("bucket_100k",
+        floor(col("o_totalprice") / 100000.0).cast("long"))
+    // pre-create the (empty) destination so the stream APPENDS through
+    // the V2 sink's streaming write rather than a one-off table create
+    enrich(o.filter(lit(false))).writeTo(dst).createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val q = enrich(s.readStream.table(src))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(dst)
+    q.awaitTermination()
+    val agg = s.table(dst)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        sum(col("bucket_100k")).as("sum_bucket"))
+      .orderBy("priority")
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** TIME TRAVEL (`VERSION AS OF` through the staged catalog): a
+    * partitioned table is created (v1) and a band DELETE rewrites its
+    * directories (v2, pre-states retained under `<table>__meta/`); the
+    * query reads BOTH versions back through SQL `VERSION AS OF` and the
+    * oracle recomputes each from raw orders — so reconstruction must be
+    * exact at both points, not just "some old rows". Retention is rename-
+    * only (no bytes copied) and reconstruction is O(changes since the
+    * version); vacuum prunes expired versions (StagedTimeTravelSpec).
+    */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_tt"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    def profile(version: Int): DataFrame =
+      s.sql(s"SELECT * FROM $tbl VERSION AS OF $version")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+        .withColumn("version", lit(version))
+    profile(1).unionByName(profile(2))
+      .select(col("version"), col("priority"), col("n_orders"), col("sum_price"))
+      .orderBy("version", "priority")
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -609,7 +687,9 @@ object Ingest {
     "etl_delete_rows"    -> (deleteRows _),
     "etl_bucket_join"    -> (bucketJoin _),
     "etl_update_rows"    -> (updateRows _),
-    "stream_table_tail"  -> (streamTableTail _)
+    "stream_table_tail"  -> (streamTableTail _),
+    "stream_table_ingest" -> (streamTableIngest _),
+    "etl_time_travel"    -> (timeTravel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +838,32 @@ object Ingest {
       """SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // what the streaming INGEST delivered into the destination table,
+    // recomputed from raw orders: a dropped, duplicated, or
+    // half-committed epoch breaks count, sum, or bucket total (FLOOR, not
+    // CAST: DuckDB's double->int cast rounds, Spark's truncates)
+    "stream_table_ingest" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT)) AS BIGINT) AS sum_bucket
+         FROM orders WHERE o_totalprice >= 1000.0
+         GROUP BY 1 ORDER BY 1""",
+    // both reconstructed versions recomputed from raw orders: v1 = the
+    // full table, v2 = after the band delete — an inexact reconstruction
+    // (missed retained dir, leaked new file) breaks a count or a sum
+    "etl_time_travel" ->
+      """SELECT * FROM (
+           SELECT 1 AS version, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 2 AS version, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
+         ) ORDER BY version, priority"""
   )
 }

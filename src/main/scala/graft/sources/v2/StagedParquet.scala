@@ -81,6 +81,8 @@ object StagedParquet {
   val PartitionFile = "_partition.json"
   /** Tombstoned (dropped) column names — see alterTable's re-add guard. */
   val DroppedFile = "_dropped.txt"
+  /** Commit manifests — see [[appendManifest]]. */
+  val ManifestDir = "_manifests"
 
   /** Idempotently register the catalog on the session. Setting the same
     * values again is a no-op; the confs only matter before the catalog's
@@ -155,11 +157,27 @@ object StagedParquet {
     * Returns (relative path, kind) per deleted entry, sorted.
     */
   def vacuum(s: SparkSession, table: String,
-             minAgeMs: Long = 3600000L): Seq[(String, String)] = {
+             minAgeMs: Long = 3600000L,
+             versionRetainMs: Long = 7L * 24 * 3600 * 1000): Seq[(String, String)] = {
     val d = tableDir(s, table)
     val p = new Path(d)
     val f = fs(p)
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // EXPIRED VERSION retention trees: time travel reaches back only to
+    // the retention window; pruning is oldest-first by age, the delta log
+    // (tiny s-<v> files) stays, and a reconstruction that needs a pruned
+    // tree fails loudly. Live data is never touched — retained trees hold
+    // only swapped-OUT states.
+    val vcutoff = System.currentTimeMillis() - versionRetainMs
+    val versionDebris = mutable.Buffer[(String, String)]()
+    val md = metaDir(d)
+    if (f.exists(md)) f.listStatus(md).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("v") &&
+          st.getModificationTime <= vcutoff) {
+        f.delete(st.getPath, true): Unit
+        versionDebris += ((s"__meta/${st.getPath.getName}", "expired_version"))
+      }
+    }
     val deleted = mutable.Buffer[(String, String)]()
     if (f.exists(p)) {
       val it = f.listFiles(p, true)
@@ -202,7 +220,7 @@ object StagedParquet {
         deleted += ((n, if (stale) "stale_old" else "dead_staging"))
       }
     }
-    deleted.sortBy(_._1).toSeq
+    (versionDebris ++ deleted).sortBy(_._1).toSeq
   }
 
   /** COMPACT — the small-file maintenance rung (the lakehouse OPTIMIZE):
@@ -250,6 +268,15 @@ object StagedParquet {
     val staging = d + "__staging.compact-" +
       java.util.UUID.randomUUID().toString.take(8)
     val report = mutable.Buffer[(String, Long, Long, Long)]()
+    val v = currentVersion(d) + 1
+    val versionSwaps = mutable.Buffer[String]()
+    // PASS 1 (driver metadata only): which dirs carry small-file debt, and
+    // each file's output BIN (first-fit-decreasing into ceil(bytes/target)
+    // bins per dir). Dirs at target are never read, listed into the job,
+    // or touched.
+    case class DirWork(rel: String, dir: Path, bins: Seq[(String, String, Int)],
+                       nFiles: Long, nOut: Long, bytes: Long)
+    val work = mutable.Buffer[DirWork]()
     for ((rel, dir) <- walk(root, partSpec.length, "")) {
       val files = f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
@@ -257,25 +284,65 @@ object StagedParquet {
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       if (files.length >= minFiles && nOut < files.length) {
-        val stagePart = if (rel.isEmpty) staging else s"$staging/$rel"
-        withMicrosTimestamps(s) {
-          s.read.schema(dataSchema)
-            .parquet(files.map(_.getPath.toString): _*)
-            .coalesce(nOut.toInt)
-            .write.mode("overwrite").parquet(stagePart)
+        val fill = Array.fill(nOut.toInt)(0L)
+        val bins = files.sortBy(-_.getLen).map { st =>
+          val b = fill.indices.minBy(fill)
+          fill(b) += st.getLen
+          (st.getPath.toUri.getRawPath, st.getPath.toString, b)
         }
-        // the swap replaces the whole directory — for an unpartitioned
-        // table's ROOT the catalog metadata must ride along
-        if (rel.isEmpty) {
-          writeString(new Path(stagePart), SchemaFile, schema.json)
-          writeString(new Path(stagePart), SuccessFile, "")
-          readString(new Path(root, DroppedFile)).foreach(
-            writeString(new Path(stagePart), DroppedFile, _))
-        }
-        swapDirs(stagePart, dir.toString)
-        report += ((if (rel.isEmpty) "." else rel, files.length.toLong, nOut, bytes))
+        work += DirWork(if (rel.isEmpty) "." else rel, dir, bins,
+          files.length.toLong, nOut, bytes)
       }
     }
+    // PASS 2: ONE Spark job folds every debt-carrying directory — each
+    // scanned row joins (broadcast) its file's (dir, bin), rows
+    // repartition by (dir, bin) so each bin becomes (at most) one output
+    // file, and `partitionBy` routes them back to their directory in the
+    // staging tree. Compacting 3,000 fragmented day dirs schedules ONE
+    // job, not 3,000 (wall-clock ∝ debt bytes, not dir count).
+    if (work.nonEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
+      val infoSchema = StructType(Seq(
+        StructField("__src", StringType, nullable = false),
+        StructField("__dir", StringType, nullable = false),
+        StructField("__bin", IntegerType, nullable = false)))
+      val info = s.createDataFrame(
+        work.toSeq.flatMap(w => w.bins.map { case (raw, _, b) =>
+          Row(raw, w.rel, b) }).asJava, infoSchema)
+      val allFiles = work.toSeq.flatMap(_.bins.map(_._2))
+      val totalBins = math.max(1, work.map(_.nOut).sum.toInt)
+      val scan = s.read.schema(dataSchema).parquet(allFiles: _*)
+        .withColumn("__src",
+          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      withMicrosTimestamps(s) {
+        scan.join(broadcast(info), Seq("__src"))
+          .repartition(totalBins, col("__dir"), col("__bin"))
+          .select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+          .write.partitionBy("__dir").mode("overwrite").parquet(staging)
+      }
+      for (w <- work) {
+        val escaped = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(w.rel)
+        val stagePart = new Path(s"$staging/__dir=$escaped")
+        // the swap replaces the whole directory — for an unpartitioned
+        // table's ROOT the catalog metadata (manifest log included: a
+        // caught-up tail survives a compaction; a behind one fails loudly
+        // on the renamed files) must ride along
+        if (w.rel == ".") {
+          writeString(stagePart, SchemaFile, schema.json)
+          writeString(stagePart, SuccessFile, "")
+          readString(new Path(root, DroppedFile)).foreach(
+            writeString(stagePart, DroppedFile, _))
+          copyManifests(root, stagePart)
+        }
+        swapDirs(stagePart.toString, w.dir.toString,
+          Some(retainedPath(d, v, w.rel))): Unit
+        versionSwaps += w.rel
+        report += ((w.rel, w.nFiles, w.nOut, w.bytes))
+      }
+    }
+    if (versionSwaps.nonEmpty) recordVersion(d, v, Nil, versionSwaps.toSeq): Unit
     f.delete(new Path(staging), true): Unit
     report.sortBy(_._1).toSeq
   }
@@ -557,6 +624,10 @@ object StagedParquet {
     val staging = d + "__staging.cow-" +
       java.util.UUID.randomUUID().toString.take(8)
     val report = mutable.Buffer[(String, String, Long, Long)]()
+    // one VERSION for the whole statement: every swapped/dropped dir
+    // retains its pre-state under the version tree (time travel)
+    val cowVersion = currentVersion(d) + 1
+    val versionSwaps = mutable.Buffer[String]()
     def dataFilesOf(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
@@ -598,10 +669,17 @@ object StagedParquet {
                 writeString(st, PartitionFile, PartSpec.serialize(partSpec))
               readString(new Path(root, DroppedFile)).foreach(
                 writeString(st, DroppedFile, _))
-              swapDirs(staging, d)
+              copyManifests(root, st)
+              swapDirs(staging, d, Some(retainedPath(d, cowVersion, "."))): Unit
+              versionSwaps += "."
               report += ((".", "dropped", 0L, 0L))
             case None =>
-              f.delete(dir, true): Unit
+              val keep = retainedPath(d, cowVersion, rel)
+              f.mkdirs(keep.getParent): Unit
+              if (!f.rename(dir, keep))
+                throw new java.io.IOException(
+                  s"DELETE: cannot retain dropped dir $dir at $keep")
+              versionSwaps += rel
               report += ((rel, "dropped", 0L, 0L))
           }
         } else {
@@ -717,12 +795,17 @@ object StagedParquet {
             writeString(stagePart, PartitionFile, PartSpec.serialize(partSpec))
           readString(new Path(root, DroppedFile)).foreach(
             writeString(stagePart, DroppedFile, _))
+          copyManifests(root, stagePart)
         }
-        swapDirs(stagePart.toString, w.dir.toString)
+        swapDirs(stagePart.toString, w.dir.toString,
+          Some(retainedPath(d, cowVersion, sentinel(w.rel)))): Unit
+        versionSwaps += sentinel(w.rel)
         report += ((sentinel(w.rel), "rewritten",
           w.affected.length.toLong, w.untouched.length.toLong))
       }
     }
+    if (versionSwaps.nonEmpty)
+      recordVersion(d, cowVersion, Nil, versionSwaps.toSeq): Unit
     f.delete(new Path(staging), true): Unit
     report.sortBy(_._1).toSeq
   }
@@ -812,6 +895,240 @@ object StagedParquet {
       .unionByName(staging)
   }
 
+  // ---- commit manifests -------------------------------------------------
+  // Every commit that ADDS visible data files appends `_manifests/m-<id>`
+  // (monotonic id, zero-padded for lexical order) listing the relative
+  // paths it added, one per line; `#`-prefixed lines carry metadata (the
+  // streaming sink's `#txn=` epoch marker). The manifest log is what
+  // makes tailing a 100 TB table O(new data) instead of O(table): the
+  // streaming offset is just the last manifest id, a trigger lists ONLY
+  // the manifest directory, and a batch reads only the manifests in its
+  // (start, end] range — never the table's file tree. Rewrites (COW,
+  // compaction) do not append manifests: they change no logical rows, and
+  // a tail that has not yet consumed a rewritten file fails LOUDLY when
+  // the manifest's path vanishes (run maintenance behind the stream's
+  // committed offset, or restart the stream — the documented
+  // no-concurrent-rewrite contract). A full-table REPLACE resets the
+  // manifest generation to m-0; a running tail sees the id regress and
+  // fails loudly rather than replaying the table as duplicates.
+
+  private[v2] def manifestPath(root: Path, id: Long): Path =
+    new Path(new Path(root, ManifestDir), f"m-$id%010d")
+
+  private[graft] def manifestIds(root: Path): Seq[Long] = {
+    val f = fs(root)
+    val md = new Path(root, ManifestDir)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("m-"))
+      .map(_.stripPrefix("m-").toLong).sorted
+  }
+
+  /** (txn marker, relative data-file paths) of one manifest; a MISSING
+    * manifest in a stream's range is a hard error (the table was replaced
+    * or its manifest log vacuumed past the stream's offset).
+    */
+  private[graft] def readManifest(root: Path, id: Long): (Option[String], Seq[String]) = {
+    val content = readString(manifestPath(root, id)).getOrElse(
+      throw new IllegalStateException(
+        s"staged stream: manifest m-$id missing under $root/$ManifestDir — " +
+          "the table was replaced or rewritten past this stream's offset; " +
+          "restart the stream from a fresh checkpoint"))
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    (lines.find(_.startsWith("#txn=")).map(_.stripPrefix("#txn=")),
+      lines.filterNot(_.startsWith("#")))
+  }
+
+  /** Append the next manifest atomically (create-no-overwrite claims the
+    * id; a concurrent committer's collision just moves to the next id) and
+    * return the id it landed on.
+    */
+  // ---- snapshot versioning / time travel ---------------------------------
+  // Every visible-data commit claims the table's next VERSION and records
+  // a delta in the sibling `<table>__meta/` tree (`s-<v>`, one line per
+  // change): `+<rel>` for an added file, `~<dirRel>` ("." = the root) for
+  // a directory swap whose pre-state was RETAINED at
+  // `<table>__meta/v<v-1>/<dirRel>` instead of deleted. `VERSION AS OF x`
+  // reconstructs the version-x file set by walking the current tree and
+  // undoing deltas v..x+1 — O(changes since x) metadata work, zero data
+  // copies (retention is a rename; an object store serves it as a
+  // metadata move). The meta tree lives OUTSIDE the table directory, so
+  // every existing read path (scans, partition discovery, readTable) is
+  // untouched, and a full-table REPLACE — which swaps the root — cannot
+  // destroy its own history. VACUUM prunes retained trees past the
+  // retention window (the delta files are tiny and kept; a reconstruction
+  // that needs a pruned tree fails loudly as "version expired").
+  // Mutations are single-writer per table (the documented maintenance
+  // contract); concurrent APPENDS race safely — the s-<v> claim is a
+  // create-no-overwrite, a loser just claims the next id.
+
+  private[v2] def metaDir(prodDir: String): Path = new Path(prodDir + "__meta")
+
+  private[graft] def currentVersion(prodDir: String): Long = {
+    val md = metaDir(prodDir)
+    val f = fs(md)
+    if (!f.exists(md)) 0L
+    else f.listStatus(md).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("s-"))
+      .map(_.stripPrefix("s-").toLong).maxOption.getOrElse(0L)
+  }
+
+  /** The retained pre-state of `dirRel` ("." = root) for the swap recorded
+    * at version `v` (the state AS OF version v-1).
+    */
+  private[v2] def retainedPath(prodDir: String, v: Long, dirRel: String): Path =
+    new Path(metaDir(prodDir),
+      f"v${v - 1}%d/" + (if (dirRel == ".") "__root" else dirRel))
+
+  /** Claim version id `v` by writing its delta (create-no-overwrite).
+    * Appends retry on collision (concurrent appenders each get an id);
+    * mutations pass `exact = true` and fail loudly instead — a collision
+    * there means two concurrent mutations, which the maintenance contract
+    * forbids (their retained trees would interleave).
+    */
+  private[v2] def recordVersion(prodDir: String, v: Long,
+                                adds: Seq[String], swaps: Seq[String],
+                                exact: Boolean = true): Long = {
+    val md = metaDir(prodDir)
+    val f = fs(md)
+    f.mkdirs(md): Unit
+    val body = (swaps.sorted.map("~" + _) ++ adds.sorted.map("+" + _)).mkString("\n")
+    var id = v
+    var done = false
+    while (!done) {
+      try {
+        val out = f.create(new Path(md, s"s-$id"), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        done = true
+      } catch {
+        case e: java.io.IOException =>
+          if (exact) throw new IllegalStateException(
+            s"staged versioning: version $id already claimed on $prodDir — " +
+              "two concurrent mutations? (mutations are single-writer)", e)
+          id += 1
+      }
+    }
+    id
+  }
+
+  /** A reconstructed historical state: the schema and partition spec of
+    * that version's GENERATION (a replace may have changed both) and, per
+    * partition dir, its values and absolute file paths.
+    */
+  private[graft] case class Snapshot(schema: StructType, partSpec: Seq[PartField],
+      dirs: Seq[(Seq[String], Seq[String])])
+
+  /** `table` AS OF `version`: walks the current tree, then undoes deltas
+    * newest-first down to version+1 — an added file is dropped, a swapped
+    * directory's state is replaced wholesale by its retained tree, and a
+    * root swap (`~.` from a REPLACE / delete-all) re-bases the whole walk
+    * on the retained generation (whose own schema/partition metadata rides
+    * with it). O(changes since version) metadata work. Throws if the
+    * version never existed or its retained trees were vacuumed away.
+    */
+  private[graft] def snapshotAsOf(s: SparkSession, table: String,
+                                  version: Long): Snapshot =
+    snapshotOfDir(tableDir(s, table), version)
+
+  private[v2] def snapshotOfDir(d: String, version: Long): Snapshot = {
+    val f = fs(new Path(d))
+    val cur = currentVersion(d)
+    require(version >= 0 && version <= cur,
+      s"$d has no version $version (current: $cur)")
+    def specOf(dir: String): Seq[PartField] =
+      readString(new Path(dir, PartitionFile))
+        .map(PartSpec.deserialize).getOrElse(Seq.empty)
+    def sentinel(rel: String) = if (rel.isEmpty) "." else rel
+    var baseRoot = d
+    var baseSpec = specOf(d)
+    // dirRel -> (physical dir path, file names)
+    val state = mutable.Map.empty[String, (Path, mutable.Set[String])]
+    def rebase(): Unit = {
+      state.clear()
+      StagedScan.planPartitions(baseRoot, StructType(Nil), baseSpec, Nil)
+        .foreach { case (vals, files) =>
+          val rel = sentinel(baseSpec.map(_.dirName).zip(vals)
+            .map { case (n, v0) => s"$n=$v0" }.mkString("/"))
+          val dirPath = files.headOption
+            .map(fp => new Path(fp._1).getParent).getOrElse(new Path(baseRoot))
+          state(rel) = (dirPath,
+            mutable.Set(files.map(fp => new Path(fp._1).getName): _*))
+        }
+    }
+    rebase()
+    for (v <- cur to (version + 1) by -1) {
+      val sv = readString(new Path(metaDir(d), s"s-$v")).getOrElse("")
+      val lines = sv.split("\n").toSeq.filter(_.nonEmpty)
+      lines.filter(_.startsWith("+")).foreach { l =>
+        val rel = l.stripPrefix("+")
+        val dirRel = sentinel(rel.split('/').dropRight(1).mkString("/"))
+        state.get(dirRel).foreach(_._2 -= rel.split('/').last)
+      }
+      lines.filter(_.startsWith("~")).foreach { l =>
+        val dirRel = l.stripPrefix("~")
+        val retained = retainedPath(d, v, dirRel)
+        if (!f.exists(retained)) throw new IllegalStateException(
+          s"$d version ${v - 1} expired: retained state $retained was " +
+            "vacuumed — time travel reaches back only to the retention window")
+        if (dirRel == ".") {
+          // a whole-generation swap: everything before it lives under the
+          // retained root, with ITS schema and partitioning
+          baseRoot = retained.toString
+          baseSpec = specOf(baseRoot)
+          rebase()
+        } else {
+          val names = f.listStatus(retained).toSeq.filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("_")).map(_.getPath.getName)
+          state(dirRel) = (retained, mutable.Set(names: _*))
+        }
+      }
+    }
+    val schema = readString(new Path(baseRoot, SchemaFile))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$d version $version: no schema at $baseRoot"))
+    Snapshot(schema, baseSpec,
+      state.toSeq.sortBy(_._1).flatMap { case (dirRel, (base, names)) =>
+        if (names.isEmpty) None
+        else {
+          val vals =
+            if (dirRel == ".") Seq.empty[String]
+            else dirRel.split('/').toSeq.map(_.split("=", 2)(1))
+          Some((vals, names.toSeq.sorted.map(n => new Path(base, n).toString)))
+        }
+      })
+  }
+
+  /** Carry the manifest log across a ROOT swap (compaction / COW on an
+    * unpartitioned table): the log is table metadata like the schema —
+    * losing it would regress every tail's offset.
+    */
+  private[v2] def copyManifests(root: Path, stagePart: Path): Unit = {
+    val f = fs(root)
+    val md = new Path(root, ManifestDir)
+    if (f.exists(md))
+      FileUtil.copy(f, md, f, new Path(stagePart, ManifestDir),
+        false, hadoopConf): Unit
+  }
+
+  private[v2] def appendManifest(root: Path, files: Seq[String],
+                                 txn: Option[String] = None): Long = {
+    val f = fs(root)
+    f.mkdirs(new Path(root, ManifestDir)): Unit
+    val body = (txn.map("#txn=" + _).toSeq ++ files.sorted).mkString("\n")
+    var id = manifestIds(root).lastOption.map(_ + 1).getOrElse(0L)
+    var done = false
+    while (!done) {
+      try {
+        val out = f.create(manifestPath(root, id), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        done = true
+      } catch { case _: java.io.IOException => id += 1 }
+    }
+    id
+  }
+
   private[v2] def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
   private[v2] def hadoopConf: Configuration =
@@ -829,13 +1146,28 @@ object StagedParquet {
     if (!fs(new Path(stagingDir)).exists(new Path(stagingDir, SuccessFile)))
       throw new IllegalStateException(
         s"promote: staging $stagingDir has no $SuccessFile — write not committed")
-    swapDirs(stagingDir, prodDir)
+    // a full-table replace is one version: the old root retains wholesale
+    // (`~.`); a first-ever promote (no prod yet) records the new files
+    val v = currentVersion(prodDir) + 1
+    val hadProd = swapDirs(stagingDir, prodDir,
+      Some(retainedPath(prodDir, v, ".")))
+    if (hadProd) recordVersion(prodDir, v, Nil, Seq(".")): Unit
+    else {
+      val adds = listRelative(new Path(prodDir)).filter(rel =>
+        rel.endsWith(".parquet") && !rel.split('/').last.startsWith("_"))
+      recordVersion(prodDir, v, adds, Nil): Unit
+    }
   }
 
   /** The checked prod→old / staging→prod / drop-old rename dance, shared by
     * the full-table promote and the per-partition dynamic-overwrite swap.
+    * With `retainTo`, the swapped-out state is RENAMED into the version
+    * tree instead of deleted (time travel's data retention — a metadata
+    * move, no bytes copied); returns whether a pre-state existed (callers
+    * record `~dir` only for real swaps, `+file`s for fresh dirs).
     */
-  private[v2] def swapDirs(stagingDir: String, prodDir: String): Unit = {
+  private[v2] def swapDirs(stagingDir: String, prodDir: String,
+                           retainTo: Option[Path] = None): Boolean = {
     val staging = new Path(stagingDir)
     val prod = new Path(prodDir)
     val old = new Path(prodDir + "__old")
@@ -851,7 +1183,16 @@ object StagedParquet {
       throw new java.io.IOException(
         s"promote: cannot publish staging ($stagingDir); prod restored")
     }
-    f.delete(old, true): Unit // best-effort; prod is already live
+    retainTo match {
+      case Some(keep) if hadProd =>
+        f.mkdirs(keep.getParent): Unit
+        if (!f.rename(old, keep))
+          throw new java.io.IOException(
+            s"promote: cannot retain pre-state at $keep (prod is live)")
+      case _ =>
+        f.delete(old, true): Unit // best-effort; prod is already live
+    }
+    hadProd
   }
 
   /** Abort-side staging delete with bounded retries: task kill is
@@ -1140,7 +1481,7 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
     * failed) are lifecycle scaffolding, never committed tables.
     */
   private def isInternalName(n: String): Boolean =
-    n.contains("__staging.") || n.endsWith("__old")
+    n.contains("__staging.") || n.endsWith("__old") || n.endsWith("__meta")
 
   private def isCommitted(d: String): Boolean =
     !isInternalName(d.split('/').last) &&
@@ -1169,6 +1510,21 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
     val d = dir(ident)
     if (!isCommitted(d)) throw new NoSuchTableException(ident)
     new StagedParquetTable(ident.name, d, loadSchema(d), loadPartSpec(d))
+  }
+
+  /** `SELECT ... FROM t VERSION AS OF n` — a read-only table over the
+    * reconstructed version-n file set ([[StagedParquet.snapshotAsOf]]),
+    * served with that version's GENERATION schema and partitioning.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dir(ident)
+    if (!isCommitted(d)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"staged catalog: VERSION AS OF takes a numeric version, got '$version'")
+    }
+    val snap = StagedParquet.snapshotOfDir(d, v)
+    new StagedSnapshotTable(s"${ident.name}@v$v", snap)
   }
 
   override def tableExists(ident: Identifier): Boolean = isCommitted(dir(ident))
@@ -1259,6 +1615,7 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dir(ident))
     val f = fs(p)
+    f.delete(new Path(dir(ident) + "__meta"), true): Unit // version history
     f.exists(p) && f.delete(p, true)
   }
 
@@ -1270,6 +1627,11 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
     f.mkdirs(to.getParent)
     if (!f.rename(new Path(dir(oldIdent)), to))
       throw new java.io.IOException(s"renameTable $oldIdent -> $newIdent failed")
+    // version history rides along (retained-tree paths are re-derived from
+    // the table dir, so they stay valid after the move)
+    val oldMeta = new Path(dir(oldIdent) + "__meta")
+    if (f.exists(oldMeta))
+      f.rename(oldMeta, new Path(dir(newIdent) + "__meta")): Unit
   }
 
   private def doStage(ident: Identifier, schema: StructType,
@@ -1448,14 +1810,26 @@ private[v2] object StagedWriteDistribution {
   */
 class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType,
                          partSpec: Seq[PartField])
-    extends Table with SupportsWrite with SupportsRead with SupportsDelete {
+    extends Table with SupportsWrite with SupportsRead with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / non-metadata DELETE — the group-based
+    * copy-on-write rewrite ([[StagedRowLevelOperation]]). DELETE with
+    * metadata-expressible predicates still folds back to the tiered
+    * [[deleteWhere]] via OptimizeMetadataOnlyDeleteFromTable.
+    */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new StagedRowLevelOperation(prodDir, tableSchema, partSpec, info.command())
+    }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = PartSpec.toTransforms(partSpec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** SQL `DELETE FROM` ([[StagedParquet.deleteWhere]]): metadata-only
     * partition drops, zone-map-cleared files untouched, copy-on-write for
@@ -1497,6 +1871,18 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
             new StagedParquetBatchWrite(prodDir, None, info.schema(),
               partSpec, info.queryId())
         }
+        /** `writeStream.toTable(...)` — per-epoch appends with the same
+          * two-phase file protocol; Append output mode only (Complete
+          * would re-truncate prod every trigger — stage a batch replace
+          * instead).
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          mode match {
+            case "append" => new StagedStreamingWrite(prodDir, info.schema(),
+              partSpec, info.queryId())
+            case m => throw new UnsupportedOperationException(
+              s"staged streaming write supports Append output mode only (got $m)")
+          }
         override def description(): String =
           s"StagedParquetWrite(table=$tableName, mode=$mode)"
       }
@@ -1615,8 +2001,21 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
       writeString(p, SchemaFile, schema.json)
     if (partSpec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(partSpec))
     writeString(p, SuccessFile, "")
+    // the commit manifest: in a fresh staging dir this lands at m-0 (a
+    // promoted REPLACE starts a new manifest generation); an append claims
+    // the table's next id. Row-level rewrites opt out — they change rows
+    // in place, they don't append them.
+    if (writeCommitManifest && committed.nonEmpty)
+      appendManifest(p, committed.toSeq): Unit
+    // version delta: a direct append records its adds (staging targets
+    // don't — their version is claimed by the promote/swap on PROD)
+    if (writeCommitManifest && !isStagingTarget && committed.nonEmpty)
+      recordVersion(targetDir, currentVersion(targetDir) + 1,
+        committed.toSeq, Nil, exact = false): Unit
     promoteTo.foreach(prod => promote(targetDir, prod))
   }
+
+  protected def writeCommitManifest: Boolean = true
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(targetDir)
@@ -1647,6 +2046,117 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
   }
 }
 
+/** STREAMING write into a staged table — `writeStream.toTable(...)` — the
+  * 100 TB ingest path: each micro-batch epoch appends files with the SAME
+  * two-phase protocol as a batch append (task files under
+  * `_tmp-<epoch-token>-`, renamed to final names only at task commit;
+  * driver commit sweeps only its own epoch's strays) and lands ONE commit
+  * manifest per epoch, so a downstream [[StagedMicroBatchStream]] tail
+  * sees exactly one offset increment per upstream trigger.
+  *
+  * EXACTLY-ONCE across crashes, the two halves:
+  *   - REPLAYED EPOCH (the sink committed but the engine's own commit log
+  *     didn't — restart re-runs the epoch): the epoch's manifest carries a
+  *     `#txn=<queryId>:e<epoch>` marker and a `_stream-<qid>.txt` cursor
+  *     at the table root records (last epoch, last manifest id); a commit
+  *     for an epoch at or below the cursor — or whose txn already appears
+  *     in a manifest above the cursor (the cursor-write crash window) —
+  *     DELETES its freshly written files instead of manifesting them.
+  *   - NAME COLLISIONS on replay: a restarted run's task ids restart, so
+  *     final names could collide with the first attempt's; every run
+  *     salts its token with a per-run nonce, making replayed files
+  *     fresh-named (the replay then discards them wholesale).
+  * The residual window every listing-backed table has — a crash after
+  * task renames but before driver commit leaves final-named orphans until
+  * the epoch replays or vacuum's age gate passes — is the batch append
+  * path's documented contract, unchanged here.
+  */
+class StagedStreamingWrite(prodDir: String, schema: StructType,
+                           partSpec: Seq[PartField], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import StagedParquet._
+
+  private val qid = StagedParquetWriterFactory.sanitize(queryId)
+  private val runNonce =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(6)
+  private def epochToken(epochId: Long): String = s"${qid.take(8)}${runNonce}e$epochId"
+  private def txnOf(epochId: Long): String = s"$qid:e$epochId"
+  private def cursorPath(p: Path): Path = new Path(p, s"_stream-$qid.txt")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val p = new Path(prodDir)
+    fs(p).mkdirs(p): Unit
+    val rowGroupBytes: Option[Long] =
+      try Some(SparkSession.active.conf.get("graft.staged.rowgroup.bytes").toLong)
+      catch { case _: Throwable => None }
+    StagedStreamingWriterFactory(prodDir, schema, partSpec,
+      s"${qid.take(8)}$runNonce", rowGroupBytes)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(prodDir)
+    val f = fs(p)
+    val committed = messages.flatMap(_.asInstanceOf[StagedFilesCommit].files).toSet
+    val cursor = readString(cursorPath(p)).map { s0 =>
+      val Array(e, m) = s0.trim.split(":")
+      (e.toLong, m.toLong)
+    }.getOrElse((-1L, -1L))
+    val replayed = epochId <= cursor._1 ||
+      manifestIds(p).filter(_ > cursor._2)
+        .exists(id => readManifest(p, id)._1.contains(txnOf(epochId)))
+    if (replayed) {
+      // this epoch's rows are already in the table — discard the re-run's
+      // freshly written (nonce-named, collision-free) files
+      committed.foreach(rel => f.delete(new Path(p, rel), false): Unit)
+      return
+    }
+    val token = epochToken(epochId)
+    listRelative(p).foreach { rel =>
+      if (rel.split('/').last.startsWith(s"_tmp-$token-"))
+        f.delete(new Path(p, rel), true): Unit
+    }
+    committed.foreach { rel =>
+      if (!f.exists(new Path(p, rel)))
+        throw new IllegalStateException(
+          s"stream commit: committed file $rel missing in $prodDir")
+    }
+    if (!f.exists(new Path(p, SchemaFile))) writeString(p, SchemaFile, schema.json)
+    if (partSpec.nonEmpty && !f.exists(new Path(p, PartitionFile)))
+      writeString(p, PartitionFile, PartSpec.serialize(partSpec))
+    writeString(p, SuccessFile, "")
+    val mid =
+      if (committed.nonEmpty) appendManifest(p, committed.toSeq, Some(txnOf(epochId)))
+      else cursor._2
+    if (committed.nonEmpty)
+      recordVersion(prodDir, currentVersion(prodDir) + 1,
+        committed.toSeq, Nil, exact = false): Unit
+    writeString(p, cursorPath(p).getName, s"$epochId:$mid")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(prodDir)
+    val f = fs(p)
+    val token = epochToken(epochId)
+    listRelative(p).foreach { rel =>
+      val n = rel.split('/').last
+      if (n.startsWith(s"_tmp-$token-") || n.endsWith(s"-$token.snappy.parquet"))
+        f.delete(new Path(p, rel), true): Unit
+    }
+  }
+}
+
+case class StagedStreamingWriterFactory(targetDir: String, schema: StructType,
+                                        partSpec: Seq[PartField],
+                                        tokenBase: String,
+                                        rowGroupBytes: Option[Long])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new StagedParquetDataWriter(targetDir, partitionId, taskId, schema,
+      partSpec, s"${tokenBase}e$epochId", rowGroupBytes)
+}
+
 /** Dynamic partition overwrite: data stages under `stagingDir`, and commit
   * swaps ONLY the partition directories that received rows (per-partition
   * [[StagedParquet.swapDirs]] — each swap is an atomic rename pair;
@@ -1670,14 +2180,25 @@ class DynamicOverwriteBatchWrite(stagingDir: String, prodDir: String,
       val segs = rel.split('/')
       segs.dropRight(1).mkString("/")
     }.distinct.filter(_.nonEmpty)
-    parts.foreach { part =>
-      swapDirs(s"$stagingDir/$part", s"$prodDir/$part")
+    // one version for the whole overwrite: swapped dirs retain (`~dir`),
+    // files landing in FRESH dirs record as adds
+    val v = currentVersion(prodDir) + 1
+    val swapped = parts.filter { part =>
+      swapDirs(s"$stagingDir/$part", s"$prodDir/$part",
+        Some(retainedPath(prodDir, v, part)))
     }
+    val freshAdds = committed.toSeq.filterNot(rel =>
+      swapped.contains(rel.split('/').dropRight(1).mkString("/")))
+    recordVersion(prodDir, v, freshAdds, swapped.toSeq): Unit
     // metadata refresh on prod (schema/spec unchanged by an overwrite, but
     // a first-ever dynamic write onto a created-empty table publishes them)
     writeString(prod, SchemaFile, schema.json)
     writeString(prod, PartitionFile, PartSpec.serialize(partSpec))
     writeString(prod, SuccessFile, "")
+    // an overwritten partition's OLD rows vanished in the swap — a tail
+    // that already consumed them will see these as fresh rows (the
+    // standard ignore-changes caveat); the manifest records the adds
+    if (committed.nonEmpty) appendManifest(prod, committed.toSeq): Unit
     f.delete(new Path(stagingDir), true): Unit
   }
 

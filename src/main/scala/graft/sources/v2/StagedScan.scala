@@ -387,45 +387,43 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       s"zonemap=[${dataSkip.mkString(",")}])"
 
   /** STREAMING read — `spark.readStream.table("graft_staged.ns.t")` tails
-    * the table's committed data files ([[StagedMicroBatchStream]]): each
-    * micro-batch reads exactly the files that appeared since the last
-    * offset. Committed files are immutable (the sink renames task files to
-    * final names only at commit), so the tail is consistent without any
-    * coordination with writers — the CDC-tail shape on the 100 TB ingest
-    * table.
+    * the table's commit MANIFESTS ([[StagedMicroBatchStream]]): each
+    * micro-batch reads exactly the files the manifests in its (start,
+    * end] id range added. Committed files are immutable (the sink renames
+    * task files to final names only at commit), so the tail is consistent
+    * without any coordination with appenders — the CDC-tail shape on the
+    * 100 TB ingest table, at O(new data) cost per trigger.
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StagedMicroBatchStream(tableName, prodDir, tableSchema, partSpec, required)
 }
 
-/** Offset = the sorted set of committed data files seen at discovery time.
-  * Carrying the file list IN the offset makes every (start, end] range
-  * replayable from the checkpoint alone — no driver-memory source state to
-  * lose on restart (the same trade file-manifest sources make; at very
-  * large file counts the manifest, like any lake table's, lives in the
-  * offset log the checkpoint already writes).
+/** Offset = the last consumed commit-manifest id (-1 before the first).
+  * O(1) in the offset log regardless of table size; every (start, end]
+  * range replays from the manifest files alone, so a checkpoint restart
+  * needs no driver-memory source state.
   */
-case class StagedFilesOffset(files: Seq[String])
+case class StagedManifestOffset(last: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  // the offset LOG is line-based (one line per source) — the serialized
-  // form must be a single line, so each path is URL-encoded first
-  override def json(): String =
-    files.map(f => java.net.URLEncoder.encode(f, "UTF-8")).mkString(",")
+  override def json(): String = last.toString
 }
 
-object StagedFilesOffset {
-  def fromJson(json: String): StagedFilesOffset =
-    StagedFilesOffset(json.split(",").toSeq.filter(_.nonEmpty)
-      .map(f => java.net.URLDecoder.decode(f, "UTF-8")))
-}
-
-/** File-tail micro-batch stream over a staged table: latestOffset lists
-  * the committed data files (the same conservative walk the batch scan
-  * plans from, `__old` swap debris excluded), planInputPartitions reads
-  * the end-minus-start file set — one split per new file with its
-  * partition-directory values attached, through the same
-  * [[StagedReaderFactory]] as the batch path, so identity columns
-  * reconstitute and evolution null-fills identically in both.
+/** Manifest-tail micro-batch stream over a staged table: `latestOffset`
+  * lists ONLY the `_manifests` directory (never the table's file tree —
+  * on a million-file table a trigger stays a one-directory listing), and
+  * `planInputPartitions` reads the files named by manifests (start, end]
+  * — one split per new file with its partition-directory values parsed
+  * from the relative path, through the same [[StagedReaderFactory]] as
+  * the batch path, so identity columns reconstitute and evolution
+  * null-fills identically in both.
+  *
+  * Non-append changes fail LOUDLY instead of corrupting the tail: a
+  * full-table REPLACE resets the manifest generation, so the id regresses
+  * below the checkpoint and the next batch throws; a rewrite (COW,
+  * compaction) that renamed a not-yet-consumed file throws when the
+  * manifest's path is missing. Run maintenance behind the stream's
+  * committed offset — the same contract Delta's `readChangeFeed`-less
+  * stream documents as ignoreChanges/failOnDataLoss.
   */
 class StagedMicroBatchStream(tableName: String, prodDir: String,
                              tableSchema: StructType, partSpec: Seq[PartField],
@@ -433,25 +431,34 @@ class StagedMicroBatchStream(tableName: String, prodDir: String,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def listFiles(): Seq[(String, Seq[String])] =
-    StagedScan.planPartitions(prodDir, tableSchema, partSpec, Nil)
-      .flatMap { case (vals, files) => files.map { case (f, _) => (f, vals) } }
-      .sortBy(_._1)
+  private val root = new Path(prodDir)
 
   override def latestOffset(): Offset =
-    StagedFilesOffset(listFiles().map(_._1))
-  override def initialOffset(): Offset = StagedFilesOffset(Seq.empty)
+    StagedManifestOffset(StagedParquet.manifestIds(root).lastOption.getOrElse(-1L))
+  override def initialOffset(): Offset = StagedManifestOffset(-1L)
   override def deserializeOffset(json: String): Offset =
-    StagedFilesOffset.fromJson(json)
+    StagedManifestOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[StagedFilesOffset].files.toSet
-    val endFiles = end.asInstanceOf[StagedFilesOffset].files.toSet
-    listFiles()
-      .filter { case (f, _) => endFiles.contains(f) && !seen.contains(f) }
-      .map { case (f, vals) => StagedInputPartition(vals, Seq(f),
-        tableSchema.json, partSpec, required.fieldNames.toSeq) }
-      .toArray[InputPartition]
+    val a = start.asInstanceOf[StagedManifestOffset].last
+    val b = end.asInstanceOf[StagedManifestOffset].last
+    if (b < a) throw new IllegalStateException(
+      s"staged stream: manifest id regressed from $a to $b on $tableName — " +
+        "the table was replaced or truncated under this stream; restart " +
+        "from a fresh checkpoint")
+    val f = StagedParquet.fs(root)
+    ((a + 1) to b).flatMap { id =>
+      StagedParquet.readManifest(root, id)._2.map { rel =>
+        val p = new Path(root, rel)
+        if (!f.exists(p)) throw new IllegalStateException(
+          s"staged stream: $rel (manifest m-$id) no longer exists in " +
+            s"$tableName — a rewrite (DELETE/UPDATE/compact) ran ahead of " +
+            "this stream's offset; rewrites must stay behind the tail")
+        val vals = rel.split('/').dropRight(1).toSeq.map(_.split("=", 2)(1))
+        StagedInputPartition(vals, Seq(p.toString),
+          tableSchema.json, partSpec, required.fieldNames.toSeq)
+      }
+    }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -468,7 +475,7 @@ object StagedScan {
     * midpoint — the criterion parquet-hadoop's own range filter applies —
     * falls in exactly one range.
     */
-  private[v2] def blockRanges(file: String, len: Long): Seq[(Long, Long, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
+  private[graft] def blockRanges(file: String, len: Long): Seq[(Long, Long, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new Path(file), new Configuration()))
@@ -494,7 +501,7 @@ object StagedScan {
     * ([[StagedScanBuilder.pushFilters]]); binary/decimal stats can be
     * truncated in the format and are never consulted.
     */
-  private[v2] def blockSurvives(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+  private[graft] def blockSurvives(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
       schema: StructType, filters: Seq[Filter]): Boolean = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     // pushed-literal -> the column's parquet-stats domain (Int epoch days,
@@ -1119,4 +1126,47 @@ private[v2] object FlatRowReadSupport {
     case other => throw new UnsupportedOperationException(
       s"staged scan: unsupported column type $other")
   }
+}
+
+/** Read-only table over a reconstructed historical version
+  * ([[StagedParquet.snapshotOfDir]]) — what `VERSION AS OF n` resolves to.
+  * Serves the version's generation schema/partitioning and plans one split
+  * per retained file through the same reader as live scans (identity
+  * columns reconstitute from the recorded directory values, evolution
+  * null-fills). Column pruning works; partition pruning deliberately
+  * doesn't — time travel is a forensic read, not a hot path.
+  */
+class StagedSnapshotTable(tableName: String,
+                          snap: StagedParquet.Snapshot)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = tableName
+  override def schema(): StructType = snap.schema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    PartSpec.toTransforms(snap.partSpec)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = snap.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          snap.dirs.flatMap { case (vals, files) =>
+            files.map(f => StagedInputPartition(vals, Seq(f),
+              snap.schema.json, snap.partSpec, required.fieldNames.toSeq))
+          }.toArray[InputPartition]
+        override def createReaderFactory(): PartitionReaderFactory =
+          StagedReaderFactory(snap.schema.json, snap.partSpec,
+            required.fieldNames.toSeq)
+        override def description(): String =
+          s"StagedSnapshotScan(table=$tableName, files=${snap.dirs.map(_._2.length).sum})"
+      }
+    }
 }

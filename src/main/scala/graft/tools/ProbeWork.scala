@@ -80,12 +80,46 @@ object ProbeWork {
       count1(graft.queries.Ingest.daysPrune(s, d)): Unit
       graft.sources.v2.StagedReaderFactory.readersCreated.get()
     })),
-    // files actually OPENED by the zone-mapped price band (8 range-
-    // clustered files at either scale, the band lands in ~2-3 of them —
-    // work_ratio ≈ 1; a skipping regression reads all 8)
-    "etl_minmax_skip" -> (("band_files_opened", (s, d) => {
+    // V2 splits opened by the RUNTIME-pruned day read (etl_days_dpp: no
+    // static ts predicate — the broadcast dim's collected timestamps close
+    // day dirs through SupportsRuntimeV2Filtering). The dim covers 3 UTC
+    // days at any scale and the day-partitioned write distribution bounds
+    // files/day, so the expected count is 3 at both scales (work_ratio
+    // ≈ 1 — runtime-pruned scan cost ∝ the dim's days, not the corpus);
+    // a regression that stops runtime pruning opens every day dir (~30)
+    "etl_days_dpp" -> (("dpp_splits_opened", (s, d) => {
+      graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+      count1(graft.queries.Ingest.daysDpp(s, d)): Unit
+      graft.sources.v2.StagedReaderFactory.readersCreated.get()
+    })),
+    // EXCESS files opened by the zone-mapped price band beyond the
+    // zone-map-theoretic minimum, plus 1. The raw opened count wobbles
+    // 2↔3 across scales (repartitionByRange boundaries shift with data
+    // volume — the r10 driver run read work_ratio 1.5 on identical code),
+    // so the probe reports opened − expected + 1 where `expected` is
+    // recomputed from the written files' own footers with the scan's
+    // blockSurvives: EXACT skipping reads 1 at every scale by
+    // construction (work_ratio 1.0), and any regression that opens
+    // files the footers exclude raises it
+    "etl_minmax_skip" -> (("band_excess_opens_plus1", (s, d) => {
       graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
       count1(graft.queries.Ingest.minmaxSkip(s, d)): Unit
-      graft.sources.v2.StagedReaderFactory.readersCreated.get()
+      val opened = graft.sources.v2.StagedReaderFactory.readersCreated.get()
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val dir = graft.sources.v2.StagedParquet.tableDir(s,
+        s"graft_staged.${graft.queries.Ingest.stagedNs(s, d)}.orders_by_price")
+      val schemaJson = graft.sources.v2.StagedParquet.readTable(s,
+        s"graft_staged.${graft.queries.Ingest.stagedNs(s, d)}.orders_by_price").schema
+      val filters = Seq(
+        GreaterThanOrEqual("o_totalprice", 150000.0),
+        LessThan("o_totalprice", 250000.0))
+      val f = new java.io.File(dir)
+      val expected = f.listFiles.toSeq
+        .filter(x => x.isFile && x.getName.endsWith(".parquet") &&
+          !x.getName.startsWith("_"))
+        .count(x => graft.sources.v2.StagedScan
+          .blockRanges(x.getPath, x.length).exists { case (_, _, b) =>
+            graft.sources.v2.StagedScan.blockSurvives(b, schemaJson, filters) })
+      (opened - expected) + 1
     })))
 }

@@ -26,7 +26,8 @@ class StagedBucketSpec extends AnyFunSuite {
     val df = (0L until 1000L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "v")
     df.repartition(4).writeTo(t).partitionedBy(bucket(8, col("id"))).createOrReplace()
     val dir = StagedParquet.tableDir(spark, t)
-    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filterNot(_ == "_manifests").sorted
     assert(dirs.forall(_.startsWith("id_bucket=")), dirs.mkString(","))
     assert(dirs.length <= 8 && dirs.length >= 6, s"8-way fan-out, got ${dirs.length}")
     // the layout IS the hash: spot-check a directory holds exactly its ids
@@ -64,7 +65,8 @@ class StagedBucketSpec extends AnyFunSuite {
     (0L until 800L).map(i => (i, i.toString)).toDF("id", "s")
       .coalesce(1).writeTo(t).partitionedBy(bucket(8, col("id"))).createOrReplace()
     val dir = StagedParquet.tableDir(spark, t)
-    val nDirs = new java.io.File(dir).listFiles.count(_.isDirectory)
+    val nDirs = new java.io.File(dir).listFiles
+      .count(f => f.isDirectory && f.getName.contains("="))
     assert(nDirs == 8)
     opened.set(0L)
     val rows = spark.table(t).filter($"id" === 123L).collect()

@@ -298,13 +298,47 @@ class StagedDeleteSpec extends AnyFunSuite {
     assert(spark.table(t).agg(max($"v")).as[Double].head() == 9.0)
   }
 
-  test("unsupported predicate shapes are rejected loudly, nothing deleted") {
+  test("single-key DELETE on a bucketed table: one bucket dir, zone map cuts to the key's files") {
+    import spark.implicits._
+    val t = tbl("d12")
+    // key-clustered within buckets: range-partitioned tasks each write
+    // their key band into the bucket dirs they hit, so every bucket dir
+    // holds several files with DISJOINT key ranges
+    (0L until 4000L).map(i => (i, i * 1.0)).toDF("key", "v")
+      .repartitionByRange(8, $"key").sortWithinPartitions($"key")
+      .writeTo(t).option("graft.write.distribute", "none")
+      .partitionedBy(bucket(4, col("key"))).createOrReplace()
+    val dir = StagedParquet.tableDir(spark, t)
+    val bucketDirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("key_bucket="))
+    assert(bucketDirs.length == 4)
+    val filesPerDir = bucketDirs.map(b => dataFiles(s"$dir/$b").size).toSeq
+    assert(filesPerDir.forall(_ >= 4), s"fixture needs multi-file dirs: $filesPerDir")
+    val rep = StagedParquet.deleteWhere(spark, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("key", 2024L)))
+    // one bucket dir touched (the hash prunes the other 3), and within it
+    // the footers clear every file whose key range excludes 2024
+    assert(rep.length == 1 && rep.head._2 == "rewritten", rep.toString)
+    val (affected, copied) = (rep.head._3, rep.head._4)
+    assert(affected == 1L,
+      s"key-clustered bucket dir must rewrite only the key's file, rewrote $affected")
+    assert(copied >= 3L, s"siblings must byte-copy, copied $copied")
+    assert(spark.table(t).count() == 3999L)
+    assert(spark.table(t).filter($"key" === 2024L).count() == 0L)
+    assert(spark.table(t).filter($"key" === 2023L).count() == 1L)
+  }
+
+  test("predicates beyond the metadata tiers are rejected by the library API, not half-applied") {
     import spark.implicits._
     val t = tbl("d6")
     (0L until 10L).map(i => (i, s"n$i")).toDF("id", "name")
       .writeTo(t).createOrReplace()
+    // the tiered deleteWhere cannot bound a StringContains — it must throw
+    // before touching anything (SQL DELETE with such shapes now routes
+    // through the row-level COW rewrite instead — StagedRowLevelSpec)
     intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE name LIKE 'n%'")
+      StagedParquet.deleteWhere(spark, t,
+        Seq(org.apache.spark.sql.sources.StringContains("name", "n")))
     }
     assert(spark.table(t).count() == 10L, "a rejected DELETE must not remove rows")
   }

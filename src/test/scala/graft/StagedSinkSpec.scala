@@ -20,12 +20,16 @@ class StagedSinkSpec extends AnyFunSuite {
   private def listDirs(t: String): Seq[String] = {
     val parent = new java.io.File(s"$root/$ns")
     Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(t)).map(_.getName).toSeq
+      .filter(_.getName.startsWith(t)).map(_.getName)
+      // the version-history sibling is lifecycle metadata, not leftovers
+      .filterNot(_.endsWith("__meta")).toSeq
   }
   private def listDirsIn(t: String): Seq[String] = {
     val d = new java.io.File(prodDir(t))
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).toSeq
+      .filter(_.isDirectory).map(_.getName)
+      // the commit-manifest log is table metadata, not a partition
+      .filterNot(_ == "_manifests").toSeq
   }
   private def filesIn(t: String, sub: String): Set[String] = {
     val d = new java.io.File(prodDir(t), sub)
