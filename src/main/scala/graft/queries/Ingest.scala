@@ -648,16 +648,23 @@ object Ingest {
   def timeTravel(s: SparkSession, d: String): DataFrame = {
     val ns = stagedNs(s, d)
     val tbl = s"graft_staged.$ns.orders_tt"
+    // version history survives createOrReplace BY DESIGN (a replace is
+    // itself a version), so the run's two versions are RELATIVE to the
+    // table's pre-existing history — a repeat run (or one whose source
+    // data changed under the same path) reads ITS OWN create/delete
+    // states, never a previous generation's
+    val base = graft.sources.v2.StagedParquet.currentVersion(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
     orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
-    def profile(version: Int): DataFrame =
-      s.sql(s"SELECT * FROM $tbl VERSION AS OF $version")
+    def profile(tag: Int): DataFrame =
+      s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + tag}")
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n_orders"),
           graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
-        .withColumn("version", lit(version))
+        .withColumn("version", lit(tag))
     profile(1).unionByName(profile(2))
       .select(col("version"), col("priority"), col("n_orders"), col("sum_price"))
       .orderBy("version", "priority")

@@ -59,6 +59,14 @@ object ScaleCorpus {
     */
   def build(spark: SparkSession, sfDir: String, outDir: String,
             factor: Int = 10): ScaleStrides = {
+    // provenance stamp, written by EVERY builder of this path (the bench
+    // probe section and sf1check both rebuild it): a corpus scaled from
+    // one sf can never masquerade as another's anchor — the round-11
+    // sf1 run initially validated against a 10×-sf0.01 corpus because a
+    // bench smoke had rebuilt the dir without re-stamping it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_source"),
+      sfDir.getBytes("UTF-8"))
     // events.ts is parquet TIMESTAMP(NANOS); read it as long (the same
     // session flag GraftSession/Tables.events set) and write it back as
     // long — Tables.events converts on read either way.
