@@ -304,9 +304,13 @@ object Bench {
       // expected 6 at both scales (7 day dirs survive dir pruning, the ts
       // zone map cuts the boundary day-16 file; pruned scan cost constant
       // in volume, linear in the date range), ~30 if pruning regresses.
+      // etl_delete_vectors / etl_change_feed carry the two newest
+      // scale-INVARIANT work counts: a sparse MOR delete rewrites 0 files
+      // and an untouched feed range reads 0 files at ANY scale (both
+      // probes report count+1, so work_ratio pins at exactly 1.0)
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile", "etl_days_prune", "etl_days_dpp",
-        "etl_minmax_skip").map(probeOf)
+        "etl_minmax_skip", "etl_delete_vectors", "etl_change_feed").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false
@@ -336,8 +340,10 @@ object Bench {
         "etl_update_rows", "stream_table_tail",
         // round-11 additions at 10x: runtime day pruning (dim-driven day
         // closure — the opened-splits == dim-days invariant needs a second
-        // scale point), streaming write ingest, time travel
-        "etl_days_dpp", "stream_table_ingest", "etl_time_travel")
+        // scale point), streaming write ingest, time travel, merge-on-read
+        // deletes, and the change data feed
+        "etl_days_dpp", "stream_table_ingest", "etl_time_travel",
+        "etl_delete_vectors", "etl_change_feed", "etl_sort_order")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }

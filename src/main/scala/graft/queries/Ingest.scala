@@ -670,6 +670,165 @@ object Ingest {
       .orderBy("version", "priority")
   }
 
+  /** MERGE-ON-READ deletes (deletion vectors) — the sparse-delete rung of
+    * the staged lifecycle (Iceberg's `write.delete.mode=merge-on-read`
+    * contract, via the table property `delete.mode`): two narrow price
+    * bands are deleted from a MOR table, and instead of rewriting the
+    * touched files each statement writes one tiny `_dv-*` positions file
+    * per directory ([[graft.sources.v2.StagedParquet]] PASS 1.5) — at
+    * 100 TB a point delete costs a metadata write, not a 1 GB rewrite.
+    * Three oracle-gated phases prove all three read paths:
+    *   - `live`: the V2 scan applying the vectors (positions skipped at
+    *     read; the 5-row panel is collected pre-compaction so the lazy
+    *     plan cannot observe the later state);
+    *   - `asof`: `VERSION AS OF` the post-delete version AFTER compaction
+    *     — the snapshot reconstruction resolves the DV files alive at
+    *     that version from the retained trees;
+    *   - `compacted`: compaction MATERIALIZES the vectors (rewritten
+    *     files shed the deleted rows, the `_dvflag` drops, footer-stats
+    *     agg pushdown returns).
+    * StagedDvSpec pins the mechanics: data files byte-identical after a
+    * MOR delete, dense deletes falling back to COW, count-star and agg
+    * pushdown exactness, update-after-delete non-resurrection.
+    */
+  def deleteVectors(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_mor"
+    val base = graft.sources.v2.StagedParquet.currentVersion(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 100000.0 AND o_totalprice < 101000.0")
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 250000.0 AND o_totalprice < 251000.0")
+    def profile(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+          max(col("o_totalprice")).as("max_price"))
+    val liveAgg = profile(s.table(tbl))
+    // one row per priority — a constant-size panel, materialized so the
+    // compaction below cannot leak into the 'live' phase's lazy plan
+    val live = s.createDataFrame(liveAgg.collect().toSeq.asJava, liveAgg.schema)
+      .withColumn("phase", lit("live"))
+    graft.sources.v2.StagedParquet.compact(s, tbl): Unit
+    val asof = profile(s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + 3}"))
+      .withColumn("phase", lit("asof"))
+    val compacted = profile(s.table(tbl)).withColumn("phase", lit("compacted"))
+    live.unionByName(asof).unionByName(compacted)
+      .select(col("phase"), col("priority"), col("n_orders"),
+        col("sum_price"), col("max_price"))
+      .orderBy("phase", "priority")
+  }
+
+  /** CHANGE DATA FEED — net row-level changes between two versions
+    * ([[graft.sources.v2.StagedParquet.changesBetween]], Delta's
+    * readChangeFeed shape net across the range): the table is created with
+    * the EVEN order keys, high-value ODD keys append (v+2), then a
+    * merge-on-read DELETE cuts a price band (v+3). The feed from the
+    * create version to head must report exactly:
+    *   - inserts: the appended odds OUTSIDE the band (an append deleted
+    *     within the range nets out — those rows were never visible at
+    *     either endpoint);
+    *   - deletes: the evens INSIDE the band (present at the start, gone
+    *     at the end).
+    * Cost ∝ changed directories: untouched dirs read zero bytes, appended
+    * files read alone, DV-deleted positions read through the vector's
+    * COMPLEMENT (only the deleted rows decode) — at 100 TB the feed never
+    * re-reads the table. The oracle recomputes both sides from raw
+    * orders; StagedCdfSpec pins the zero-read classification.
+    */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_cdf"
+    val base = graft.sources.v2.StagedParquet.currentVersion(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
+    val src = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    src.filter(col("o_orderkey") % 2 === 0)
+      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    src.filter(col("o_orderkey") % 2 === 1 && col("o_totalprice") >= 50000.0)
+      .writeTo(tbl).append()
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 150000.0 AND o_totalprice < 160000.0")
+    graft.sources.v2.StagedParquet.changesBetween(s, tbl, base + 1, base + 3)
+      .groupBy(col("_change_type").as("change_type"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"))
+      .orderBy("change_type", "priority")
+  }
+
+  /** DECLARED SORT ORDER (`sort.order` table property — Iceberg's
+    * write.sort-order contract): the ENGINE sorts every write into the
+    * table (RequiresDistributionAndOrdering: partition transforms, then
+    * the sort columns), rewrites and compaction re-sort, and the scan
+    * reports the order back to Catalyst (SupportsReportOrdering). Both
+    * sides here land bucket(8, custkey) + sorted-by-custkey, so the
+    * fact-dim merge join plans with ZERO exchanges (storage-partitioned
+    * join) and ZERO Sort nodes — the write paid the sort once; at 100 TB
+    * every subsequent merge join and sorted read rides it for free.
+    * StagedSortSpec pins the sort-free exchange-free plan, the
+    * honesty gate (an append breaks 1-file-per-bucket and the claim
+    * silently withdraws until compaction restores it), and the
+    * files' physical order; the oracle gates the join's content.
+    */
+  def sortOrder(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val ot = s"graft_staged.$ns.orders_sorted"
+    val ct = s"graft_staged.$ns.cust_sorted"
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .writeTo(ot).tableProperty("sort.order", "o_custkey")
+      .partitionedBy(bucket(8, col("o_custkey"))).createOrReplace()
+    customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      .writeTo(ct).tableProperty("sort.order", "c_custkey")
+      .partitionedBy(bucket(8, col("c_custkey"))).createOrReplace()
+    val o = s.table(ot)
+    val c = s.table(ct)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy((col("o_custkey") % 10).as("cust_mod"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        graft.core.Determinism.dsum(col("c_acctbal"), 18, 2).as("sum_bal"))
+      .orderBy("cust_mod")
+  }
+
+  /** Probe relation (ProbeWork): files REWRITTEN by a sparse merge-on-read
+    * DELETE — expected 0 at every scale (the DV tier writes one positions
+    * file instead of rewriting); a MOR regression rewrites the band.
+    */
+  private[graft] def morRewrittenFiles(s: SparkSession, d: String): Long = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_mor_probe"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    val rep = graft.sources.v2.StagedParquet.deleteWhere(s, tbl, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("o_totalprice", 100000.0),
+      org.apache.spark.sql.sources.LessThan("o_totalprice", 101000.0)))
+    rep.count(_._2 == "rewritten").toLong
+  }
+
+  /** Probe relation (ProbeWork): files OPENED by a change feed over an
+    * UNTOUCHED version range — expected 0 at every scale (the version
+    * deltas name no changes, so the feed plans zero reads); a
+    * classification regression diffs — and opens — the whole table.
+    */
+  private[graft] def cdfUntouchedReads(s: SparkSession, d: String): Long = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_cdf_probe"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    val v = graft.sources.v2.StagedParquet.currentVersion(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
+    graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
+    graft.sources.v2.StagedParquet.changesBetween(s, tbl, v, v).count(): Unit
+    graft.sources.v2.StagedReaderFactory.readersCreated.get()
+  }
+
   private def writeFixtureFile(path: String, content: String): Unit = {
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -696,7 +855,10 @@ object Ingest {
     "etl_update_rows"    -> (updateRows _),
     "stream_table_tail"  -> (streamTableTail _),
     "stream_table_ingest" -> (streamTableIngest _),
-    "etl_time_travel"    -> (timeTravel _)
+    "etl_time_travel"    -> (timeTravel _),
+    "etl_delete_vectors" -> (deleteVectors _),
+    "etl_change_feed"    -> (changeFeed _),
+    "etl_sort_order"     -> (sortOrder _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -871,6 +1033,53 @@ object Ingest {
                   CAST(count(*) AS BIGINT) AS n_orders,
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
            FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
-         ) ORDER BY version, priority"""
+         ) ORDER BY version, priority""",
+    // all three merge-on-read phases recomputed from raw orders with the
+    // two deleted bands cut: the DV-applying scan, the DV-aware snapshot
+    // reconstruction, and the compaction that materialized the vectors
+    // must all serve the identical survivors
+    "etl_delete_vectors" ->
+      """WITH agg AS (
+           SELECT o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                  max(o_totalprice) AS max_price
+           FROM orders
+           WHERE NOT (o_totalprice >= 100000.0 AND o_totalprice < 101000.0)
+             AND NOT (o_totalprice >= 250000.0 AND o_totalprice < 251000.0)
+           GROUP BY 1)
+         SELECT p.phase, a.priority, a.n_orders, a.sum_price, a.max_price
+         FROM (SELECT 'live' AS phase UNION ALL SELECT 'asof'
+               UNION ALL SELECT 'compacted') p
+         CROSS JOIN agg a
+         ORDER BY 1, 2""",
+    // the net change feed recomputed from raw orders: inserts = appended
+    // odds outside the deleted band (append-then-delete nets out),
+    // deletes = the evens inside it (visible at the start, gone at head)
+    "etl_change_feed" ->
+      """SELECT 'insert' AS change_type, o_orderpriority AS priority,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_orderkey % 2 = 1 AND o_totalprice >= 50000.0
+           AND NOT (o_totalprice >= 150000.0 AND o_totalprice < 160000.0)
+         GROUP BY 2
+         UNION ALL
+         SELECT 'delete', o_orderpriority,
+                CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+         FROM orders
+         WHERE o_orderkey % 2 = 0
+           AND o_totalprice >= 150000.0 AND o_totalprice < 160000.0
+         GROUP BY 2
+         ORDER BY 1, 2""",
+    // the sorted bucket-SPJ merge join must produce exactly the plain
+    // join's result — sort order and bucketing are layout, never semantics
+    "etl_sort_order" ->
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_mod,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

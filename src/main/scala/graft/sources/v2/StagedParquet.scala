@@ -83,6 +83,33 @@ object StagedParquet {
   val DroppedFile = "_dropped.txt"
   /** Commit manifests — see [[appendManifest]]. */
   val ManifestDir = "_manifests"
+  /** Persisted table properties (`key=value` per line) — TBLPROPERTIES /
+    * `tableProperty(...)`, surviving through staged replaces. The engine
+    * reads `delete.mode` here (copy-on-write | merge-on-read).
+    */
+  val PropertiesFile = "_properties.txt"
+  /** Deletion-vector files — see [[writeDv]]/[[readDvs]]. */
+  val DvPrefix = "_dv-"
+  /** Declared table sort order (comma-separated columns, ASC NULLS FIRST)
+    * — Iceberg's write.sort-order contract: the ENGINE sorts every write
+    * (requiredOrdering), rewrites re-sort, and the scan reports the order
+    * back to Catalyst so merge joins and ORDER BYs plan without Sort
+    * nodes when the layout allows ([[StagedScan.outputOrdering]]).
+    */
+  val SortOrderProp = "sort.order"
+  private[graft] def sortColsOf(props: Map[String, String]): Seq[String] =
+    props.get(SortOrderProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+  /** Root marker: at least one deletion vector was ever written. Lets
+    * every non-DV table skip per-directory DV lookups and keep the
+    * footer-stats aggregate pushdown with ZERO listing overhead; on a
+    * flagged table the scan pays one extra `listStatus` per surviving
+    * directory and the agg pushdown stands down (footer MIN/MAX/COUNT
+    * would count deleted rows). Conservative: the flag may outlive the
+    * last DV (it only disables an optimization, never correctness); a
+    * root-swapping rewrite that leaves no DVs behind drops it.
+    */
+  val DvFlagFile = "_dvflag"
 
   /** Idempotently register the catalog on the session. Setting the same
     * values again is a no-op; the confs only matter before the catalog's
@@ -277,13 +304,23 @@ object StagedParquet {
     case class DirWork(rel: String, dir: Path, bins: Seq[(String, String, Int)],
                        nFiles: Long, nOut: Long, bytes: Long)
     val work = mutable.Buffer[DirWork]()
+    // compaction MATERIALIZES deletion vectors: a dir carrying any DV is
+    // rewritten even at target size (its files shed the deleted rows and
+    // the vector), so OPTIMIZE doubles as the delete-settling pass
+    val tableHasDvs = hasDvFlag(root)
+    val dvByDir = mutable.Map.empty[String, Map[String, Seq[(Long, Long)]]]
+    def dirDvs(p: Path): Map[String, Seq[(Long, Long)]] =
+      if (!tableHasDvs) Map.empty
+      else dvByDir.getOrElseUpdate(p.toString, readDvs(p))
     for ((rel, dir) <- walk(root, partSpec.length, "")) {
       val files = f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_"))
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-      if (files.length >= minFiles && nOut < files.length) {
+      val hasDv = files.exists(st => dirDvs(dir).contains(st.getPath.getName))
+      if ((files.length >= minFiles && nOut < files.length) ||
+          (hasDv && files.nonEmpty)) {
         val fill = Array.fill(nOut.toInt)(0L)
         val bins = files.sortBy(-_.getLen).map { st =>
           val b = fill.indices.minBy(fill)
@@ -312,13 +349,42 @@ object StagedParquet {
           Row(raw, w.rel, b) }).asJava, infoSchema)
       val allFiles = work.toSeq.flatMap(_.bins.map(_._2))
       val totalBins = math.max(1, work.map(_.nOut).sum.toInt)
-      val scan = s.read.schema(dataSchema).parquet(allFiles: _*)
+      var scan = s.read.schema(dataSchema).parquet(allFiles: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      // deletion vectors materialize here: DV'd positions are dropped and
+      // the compacted files carry no vectors
+      val priorDv = work.toSeq.flatMap { w =>
+        val dvs = dirDvs(w.dir)
+        w.bins.flatMap { case (raw, full, _) =>
+          dvs.getOrElse(new Path(full).getName, Nil).map { case (s0, e0) =>
+            Row(raw, Long.box(s0), Long.box(e0)) } }
+      }
+      if (priorDv.nonEmpty) {
+        val dvDf = s.createDataFrame(priorDv.asJava, StructType(Seq(
+          StructField("__dvsrc", StringType, nullable = false),
+          StructField("__dvs", LongType, nullable = false),
+          StructField("__dve", LongType, nullable = false))))
+        val withPos = scan.withColumn("__pos",
+          col("_metadata.row_index"))
+        scan = withPos.join(broadcast(dvDf),
+          withPos("__src") === dvDf("__dvsrc") &&
+            col("__pos") >= col("__dvs") && col("__pos") < col("__dve"),
+          "left_anti").drop("__pos")
+      }
+      // OPTIMIZE re-sorts a sorted table's bins (merging two sorted files
+      // would otherwise break the declared order and silently withdraw
+      // the scan's sort-free plans)
+      val binSort = sortColsOf(tableProperties(root))
+        .filter(dataSchema.fieldNames.contains)
       withMicrosTimestamps(s) {
-        scan.join(broadcast(info), Seq("__src"))
+        val binned = scan.join(broadcast(info), Seq("__src"))
           .repartition(totalBins, col("__dir"), col("__bin"))
-          .select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+        val sorted =
+          if (binSort.isEmpty) binned
+          else binned.sortWithinPartitions(
+            (col("__dir") +: col("__bin") +: binSort.map(col)): _*)
+        sorted.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
           .write.partitionBy("__dir").mode("overwrite").parquet(staging)
       }
       for (w <- work) {
@@ -334,6 +400,8 @@ object StagedParquet {
           writeString(stagePart, SuccessFile, "")
           readString(new Path(root, DroppedFile)).foreach(
             writeString(stagePart, DroppedFile, _))
+          readString(new Path(root, PropertiesFile)).foreach(
+            writeString(stagePart, PropertiesFile, _))
           copyManifests(root, stagePart)
         }
         swapDirs(stagePart.toString, w.dir.toString,
@@ -344,6 +412,10 @@ object StagedParquet {
     }
     if (versionSwaps.nonEmpty) recordVersion(d, v, Nil, versionSwaps.toSeq): Unit
     f.delete(new Path(staging), true): Unit
+    // every DV'd dir was force-included above, so post-compaction the LIVE
+    // table holds no vectors — drop the flag and the agg pushdown returns
+    // (retained version trees keep theirs for time travel)
+    if (tableHasDvs) f.delete(new Path(root, DvFlagFile), false): Unit
     report.sortBy(_._1).toSeq
   }
 
@@ -669,6 +741,8 @@ object StagedParquet {
                 writeString(st, PartitionFile, PartSpec.serialize(partSpec))
               readString(new Path(root, DroppedFile)).foreach(
                 writeString(st, DroppedFile, _))
+              readString(new Path(root, PropertiesFile)).foreach(
+                writeString(st, PropertiesFile, _))
               copyManifests(root, st)
               swapDirs(staging, d, Some(retainedPath(d, cowVersion, "."))): Unit
               versionSwaps += "."
@@ -693,6 +767,139 @@ object StagedParquet {
               unconditional = false)
         }
       } // tier 2: a conjunct is provably false for the dir — untouched
+    }
+
+    // Per-dir DV lookups, memoized and guarded by the root flag: a table
+    // that never had a deletion vector pays ZERO extra listings here.
+    val tableHasDvs = hasDvFlag(root)
+    val dvCache = mutable.Map.empty[String, Map[String, Seq[(Long, Long)]]]
+    def dirDvs(p: Path): Map[String, Seq[(Long, Long)]] =
+      if (!tableHasDvs) Map.empty
+      else dvCache.getOrElseUpdate(p.toString, readDvs(p))
+    val versionAdds = mutable.Buffer[String]()
+
+    // PASS 1.5 — MERGE-ON-READ tier (DELETE on a table with
+    // `delete.mode=merge-on-read`): instead of rewriting tier-3 files,
+    // ONE job finds the matching ROW POSITIONS per file
+    // (`_metadata.row_index`), coalesces them to runs executor-side, and
+    // the driver writes one tiny `_dv-*` file per sparse directory — a
+    // point delete on a 1 GB file costs a metadata write, not a rewrite.
+    // DENSE directories (matched fraction above
+    // `graft.staged.dv.maxFraction`, default 0.1) fall through to the COW
+    // rewrite: once most rows go, a clean rewrite reads cheaper than a
+    // scan that skips most positions. Directories with ZERO matches drop
+    // out entirely (COW would have rewritten them identically).
+    val morMode = update.isEmpty &&
+      tableProperties(root).get("delete.mode").contains("merge-on-read")
+    if (morMode && work.nonEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.functions.{broadcast, collect_list, input_file_name, regexp_replace, sort_array}
+      import s.implicits._
+      val maxFraction =
+        try s.conf.get("graft.staged.dv.maxFraction").toDouble
+        catch { case _: Throwable => 0.1 }
+      val identIdx = partSpec.zipWithIndex.filter(_._1.kind == "identity")
+      val identFields = identIdx.map { case (pf, _) =>
+        schema(pf.name).copy(nullable = true) }
+      def identExternal(vals: Seq[String]): Seq[Any] =
+        identIdx.map { case (pf, i) =>
+          val raw = vals(i)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else schema(pf.name).dataType match {
+            case StringType  => PartSpec.unescape(raw)
+            case IntegerType => Int.box(raw.toInt)
+            case LongType    => Long.box(raw.toLong)
+            case DateType    => java.sql.Date.valueOf(raw)
+            case t => throw new UnsupportedOperationException(
+              s"staged COW: unsupported identity partition type $t")
+          }
+        }
+      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
+      val infoSchema = StructType(
+        StructField("__src", StringType, nullable = false) +:
+        StructField("__dir", StringType, nullable = false) +: identFields)
+      val info = s.createDataFrame(work.toSeq.flatMap { w =>
+        val iv = identExternal(w.vals)
+        w.affected.map(st => Row.fromSeq(
+          st.getPath.toUri.getRawPath +: sentinel(w.rel) +: iv))
+      }.asJava, infoSchema)
+      val allAffected = work.toSeq.flatMap(_.affected).map(_.getPath.toString)
+      var scan = s.read.schema(dataSchema).parquet(allAffected: _*)
+        .withColumn("__src",
+          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      // rows an earlier DV already deleted must not match (or count) again
+      val priorDv = work.toSeq.flatMap { w =>
+        val dvs = dirDvs(w.dir)
+        w.affected.flatMap(st => dvs.getOrElse(st.getPath.getName, Nil)
+          .map { case (s0, e0) =>
+            Row(st.getPath.toUri.getRawPath, Long.box(s0), Long.box(e0)) })
+      }
+      if (priorDv.nonEmpty) {
+        val dvDf = s.createDataFrame(priorDv.asJava, StructType(Seq(
+          StructField("__dvsrc", StringType, nullable = false),
+          StructField("__dvs", LongType, nullable = false),
+          StructField("__dve", LongType, nullable = false))))
+        scan = scan.join(broadcast(dvDf),
+          scan("__src") === dvDf("__dvsrc") &&
+            col("__pos") >= col("__dvs") && col("__pos") < col("__dve"),
+          "left_anti")
+      }
+      val fullPred = conjuncts.map(toCol).reduce(_ && _)
+      // coalesce positions to [start, end) runs in the EXECUTORS — the
+      // driver collects O(deleted runs), never O(deleted rows)
+      val morRows: Seq[(String, String, Array[Long])] =
+        scan.join(broadcast(info), Seq("__src"))
+          .filter(coalesce(fullPred, lit(false)))
+          .groupBy(col("__src"), col("__dir"))
+          .agg(sort_array(collect_list(col("__pos"))).as("ps"))
+          .as[(String, String, Array[Long])]
+          .map { case (src, dir0, ps) =>
+            val runs = mutable.ArrayBuffer.empty[Long]
+            var i = 0
+            while (i < ps.length) {
+              var j = i
+              while (j + 1 < ps.length && ps(j + 1) == ps(j) + 1) j += 1
+              runs += ps(i); runs += ps(j) + 1
+              i = j + 1
+            }
+            (src, dir0, runs.toArray)
+          }.collect().toSeq
+      val rawToName: Map[String, String] = work.toSeq.flatMap(w =>
+        w.affected.map(st => st.getPath.toUri.getRawPath ->
+          st.getPath.getName)).toMap
+      val byDir: Map[String, Seq[(String, Array[Long])]] = morRows
+        .groupBy(_._2).map { case (rel, rs) =>
+          (rel, rs.map(r => (rawToName(r._1), r._3))) }
+      val dense = mutable.Set.empty[String]
+      for (w <- work) {
+        val rel = sentinel(w.rel)
+        byDir.get(rel) match {
+          case None => // zero matches: neither a DV nor a rewrite
+          case Some(entries) =>
+            val matched = entries.map(_._2.grouped(2)
+              .map(p => p(1) - p(0)).sum).sum
+            val dvs = dirDvs(w.dir)
+            val live = w.affected.map { st =>
+              val blocks = StagedScan.blockRanges(st.getPath.toString, st.getLen)
+              val rows = blocks.map(_._3.getRowCount).sum
+              rows - deletedWithin(dvs.getOrElse(st.getPath.getName, Nil),
+                0L, rows)
+            }.sum
+            if (live > 0 && matched.toDouble / live > maxFraction) dense += rel
+            else {
+              val dvName = writeDv(root, w.dir, entries.map { case (n, runs) =>
+                (n, runs.grouped(2).map(p => (p(0), p(1))).toSeq) }.toMap)
+              dvCache.remove(w.dir.toString): Unit
+              versionAdds += (if (w.rel.isEmpty) dvName else s"${w.rel}/$dvName")
+              report += ((rel, "dv", entries.length.toLong, matched))
+            }
+        }
+      }
+      // only DENSE dirs proceed to the COW rewrite
+      val kept = work.filter(w => dense.contains(sentinel(w.rel)))
+      work.clear()
+      work ++= kept
     }
 
     // PASS 2: ONE partitioned rewrite job over every affected file of
@@ -744,9 +951,30 @@ object StagedParquet {
       }
       val info = s.createDataFrame(infoRows.asJava, infoSchema)
       val allAffected = work.toSeq.flatMap(_.affected).map(_.getPath.toString)
-      val scan = s.read.schema(dataSchema).parquet(allAffected: _*)
+      var scan = s.read.schema(dataSchema).parquet(allAffected: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      // rows a deletion vector already removed must not survive the
+      // rewrite (the raw file read would resurrect them); the rewrite
+      // MATERIALIZES the deletes — rewritten files carry no DV entries
+      val priorDv = work.toSeq.flatMap { w =>
+        val dvs = dirDvs(w.dir)
+        w.affected.flatMap(st => dvs.getOrElse(st.getPath.getName, Nil)
+          .map { case (s0, e0) =>
+            Row(st.getPath.toUri.getRawPath, Long.box(s0), Long.box(e0)) })
+      }
+      if (priorDv.nonEmpty) {
+        val dvDf = s.createDataFrame(priorDv.asJava, StructType(Seq(
+          StructField("__dvsrc", StringType, nullable = false),
+          StructField("__dvs", LongType, nullable = false),
+          StructField("__dve", LongType, nullable = false))))
+        val withPos = scan.withColumn("__pos",
+          col("_metadata.row_index"))
+        scan = withPos.join(broadcast(dvDf),
+          withPos("__src") === dvDf("__dvsrc") &&
+            col("__pos") >= col("__dvs") && col("__pos") < col("__dve"),
+          "left_anti").drop("__pos")
+      }
       // LEFT join + loud per-row guard: a scanned row that matched no
       // metadata row (an encoding mismatch between input_file_name() and
       // the listing) must FAIL the job, never silently drop the row —
@@ -771,8 +999,16 @@ object StagedParquet {
               when(cond, v.cast(dataSchema(c).dataType)).otherwise(col(c)))
           }
       }
+      // a sorted table's rewrite re-sorts (the declared order is a table
+      // invariant); identity columns live in the dir name, so only data
+      // columns participate
+      val cowSort = sortColsOf(tableProperties(root))
+        .filter(dataSchema.fieldNames.contains)
+      val outSorted =
+        if (cowSort.isEmpty) out
+        else out.sortWithinPartitions((col("__dir") +: cowSort.map(col)): _*)
       withMicrosTimestamps(s) {
-        out.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+        outSorted.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
           .write.partitionBy("__dir").mode("overwrite").parquet(staging)
       }
       // per-dir promotion (driver metadata only, never a Spark job):
@@ -788,6 +1024,14 @@ object StagedParquet {
           FileUtil.copy(f, st.getPath, f,
             new Path(stagePart, st.getPath.getName), false, hadoopConf): Unit
         }
+        // byte-copied siblings keep their deletion vectors — one carried
+        // DV file scoped to exactly the untouched names (rewritten files
+        // materialized theirs); on a ROOT swap the flag must ride the
+        // staging dir (the old root — flag included — is retained away)
+        val carried = dirDvs(w.dir).filter { case (n, _) =>
+          w.untouched.exists(_.getPath.getName == n) }
+        if (carried.nonEmpty)
+          writeDv(if (w.rel.isEmpty) stagePart else root, stagePart, carried): Unit
         if (w.rel.isEmpty) {
           writeString(stagePart, SchemaFile, schema.json)
           writeString(stagePart, SuccessFile, "")
@@ -795,6 +1039,8 @@ object StagedParquet {
             writeString(stagePart, PartitionFile, PartSpec.serialize(partSpec))
           readString(new Path(root, DroppedFile)).foreach(
             writeString(stagePart, DroppedFile, _))
+          readString(new Path(root, PropertiesFile)).foreach(
+            writeString(stagePart, PropertiesFile, _))
           copyManifests(root, stagePart)
         }
         swapDirs(stagePart.toString, w.dir.toString,
@@ -804,8 +1050,8 @@ object StagedParquet {
           w.affected.length.toLong, w.untouched.length.toLong))
       }
     }
-    if (versionSwaps.nonEmpty)
-      recordVersion(d, cowVersion, Nil, versionSwaps.toSeq): Unit
+    if (versionSwaps.nonEmpty || versionAdds.nonEmpty)
+      recordVersion(d, cowVersion, versionAdds.toSeq, versionSwaps.toSeq): Unit
     f.delete(new Path(staging), true): Unit
     report.sortBy(_._1).toSeq
   }
@@ -853,7 +1099,12 @@ object StagedParquet {
     val d = tableDir(s, table)
     val sj = readString(new Path(d, SchemaFile)).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $d"))
-    s.read.schema(DataType.fromJson(sj).asInstanceOf[StructType]).parquet(d)
+    // a table with deletion vectors must read through the V2 scan (the
+    // only reader that applies them); the built-in parquet source would
+    // resurrect deleted rows. Un-flagged tables keep the built-in path
+    // (identical results, zero behavior change).
+    if (hasDvFlag(new Path(d))) s.table(table)
+    else s.read.schema(DataType.fromJson(sj).asInstanceOf[StructType]).parquet(d)
   }
 
   /** Staged MERGE — the sink's upsert rung (reference: postgres.py:1092-1180
@@ -875,8 +1126,15 @@ object StagedParquet {
     */
   def upsertInto(s: SparkSession, table: String,
                  staging: org.apache.spark.sql.DataFrame,
-                 keys: Seq[String]): Unit =
-    mergedRelation(s, table, staging, keys).writeTo(table).createOrReplace()
+                 keys: Seq[String]): Unit = {
+    // REPLACE defines the new table fully — carry the live properties
+    // (delete.mode, sort.order, ...) so an upsert never silently strips
+    // the table's declared contracts
+    val props = tableProperties(new Path(tableDir(s, table)))
+    val writer = mergedRelation(s, table, staging, keys).writeTo(table)
+    props.foldLeft(writer) { case (w, (k, v)) => w.tableProperty(k, v) }
+      .createOrReplace()
+  }
 
   /** The relation [[upsertInto]] stages: prod anti-joined against the
     * staging keys, unioned with staging. Exposed so PlanSpec can pin the
@@ -1015,8 +1273,12 @@ object StagedParquet {
     * that version's GENERATION (a replace may have changed both) and, per
     * partition dir, its values and absolute file paths.
     */
+  /** @param dirs per partition dir: (values, absolute parquet paths,
+    *              deleted row-position ranges by file NAME — the deletion
+    *              vectors alive AT the reconstructed version)
+    */
   private[graft] case class Snapshot(schema: StructType, partSpec: Seq[PartField],
-      dirs: Seq[(Seq[String], Seq[String])])
+      dirs: Seq[(Seq[String], Seq[String], Map[String, Seq[(Long, Long)]])])
 
   /** `table` AS OF `version`: walks the current tree, then undoes deltas
     * newest-first down to version+1 — an added file is dropped, a swapped
@@ -1045,14 +1307,23 @@ object StagedParquet {
     val state = mutable.Map.empty[String, (Path, mutable.Set[String])]
     def rebase(): Unit = {
       state.clear()
+      val dvFlagged = hasDvFlag(new Path(baseRoot))
       StagedScan.planPartitions(baseRoot, StructType(Nil), baseSpec, Nil)
         .foreach { case (vals, files) =>
           val rel = sentinel(baseSpec.map(_.dirName).zip(vals)
             .map { case (n, v0) => s"$n=$v0" }.mkString("/"))
           val dirPath = files.headOption
             .map(fp => new Path(fp._1).getParent).getOrElse(new Path(baseRoot))
-          state(rel) = (dirPath,
-            mutable.Set(files.map(fp => new Path(fp._1).getName): _*))
+          val names = mutable.Set(files.map(fp => new Path(fp._1).getName): _*)
+          // live deletion vectors join the tracked name set — the same `+`
+          // undo that drops an added parquet file drops an added DV, so a
+          // version BEFORE the delete reads the rows back
+          if (dvFlagged)
+            f.listStatus(dirPath).foreach { st =>
+              if (st.isFile && st.getPath.getName.startsWith(DvPrefix))
+                names += st.getPath.getName
+            }
+          state(rel) = (dirPath, names)
         }
     }
     rebase()
@@ -1077,9 +1348,11 @@ object StagedParquet {
           baseSpec = specOf(baseRoot)
           rebase()
         } else {
+          // the retained tree rode a RENAME, deletion vectors included
           val names = f.listStatus(retained).toSeq.filter(st => st.isFile &&
-            st.getPath.getName.endsWith(".parquet") &&
-            !st.getPath.getName.startsWith("_")).map(_.getPath.getName)
+            ((st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith("_")) ||
+             st.getPath.getName.startsWith(DvPrefix))).map(_.getPath.getName)
           state(dirRel) = (retained, mutable.Set(names: _*))
         }
       }
@@ -1090,14 +1363,121 @@ object StagedParquet {
         s"$d version $version: no schema at $baseRoot"))
     Snapshot(schema, baseSpec,
       state.toSeq.sortBy(_._1).flatMap { case (dirRel, (base, names)) =>
-        if (names.isEmpty) None
+        val (dvNames, dataNames) =
+          names.toSeq.sorted.partition(_.startsWith(DvPrefix))
+        if (dataNames.isEmpty) None
         else {
           val vals =
             if (dirRel == ".") Seq.empty[String]
             else dirRel.split('/').toSeq.map(_.split("=", 2)(1))
-          Some((vals, names.toSeq.sorted.map(n => new Path(base, n).toString)))
+          // the deletion vectors alive AT this version (exactly the DV
+          // files the undo walk left in the set), scoped to files present
+          val dataSet = dataNames.toSet
+          val deleted = mergeDvEntries(dvNames
+            .flatMap(n => dvLines(new Path(base, n)))
+            .filter { case (fn, _) => dataSet(fn) })
+          Some((vals, dataNames.map(n => new Path(base, n).toString), deleted))
         }
       })
+  }
+
+  // ---- change data feed ---------------------------------------------------
+
+  /** Driver-side registry of ad-hoc snapshots served through
+    * `VERSION AS OF 'snap:<key>'` — how [[changesBetween]] reads a
+    * RESTRICTED reconstruction (its changed dirs only) through the normal
+    * SQL surface. Entries are tiny (paths + ranges) and scoped to the
+    * driver's lifetime.
+    */
+  private[graft] val snapshotRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  private[graft] def registerSnapshot(snap: Snapshot): String = {
+    val k = java.util.UUID.randomUUID().toString.take(12)
+    snapshotRegistry.put(k, snap): Unit
+    k
+  }
+
+  /** NET row-level changes between two versions — the change-data-feed
+    * rung (Delta's `readChangeFeed` shape, net across the range): every
+    * output row is `_change_type` 'insert' (present at `toV`, absent at
+    * `fromV`) or 'delete' (the reverse). Cost ∝ CHANGED DIRECTORIES, never
+    * table size — the version deltas already name what moved:
+    *   - an untouched dir (same file names, same vectors) reads ZERO bytes;
+    *   - a pure APPEND reads only the added files;
+    *   - a pure DV delete reads only the newly-deleted positions (the
+    *     reader is handed the vector's COMPLEMENT, so it returns exactly
+    *     the deleted rows);
+    *   - only a genuinely rewritten dir (swap) pays a two-sided
+    *     `exceptAll` diff of that dir's pre and post states.
+    * Appends later deleted within the range cancel out (net semantics).
+    * Rejects ranges crossing a REPLACE that changed schema/partitioning.
+    */
+  def changesBetween(s: SparkSession, table: String,
+                     fromV: Long, toV: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val d = tableDir(s, table)
+    val a = snapshotOfDir(d, fromV)
+    val b = snapshotOfDir(d, toV)
+    require(a.schema.json == b.schema.json && a.partSpec == b.partSpec,
+      "changesBetween: the range crosses a REPLACE that changed the " +
+        "schema or partitioning — diff the generations separately")
+    type Dir = (Seq[String], Seq[String], Map[String, Seq[(Long, Long)]])
+    val am = a.dirs.map(t => (t._1, t)).toMap
+    val bm = b.dirs.map(t => (t._1, t)).toMap
+    def byName(paths: Seq[String]): Map[String, String] =
+      paths.map(p => new Path(p).getName -> p).toMap
+    val insertDirs = mutable.Buffer.empty[Dir]
+    val deleteDirs = mutable.Buffer.empty[Dir]
+    val fullA = mutable.Buffer.empty[Dir]
+    val fullB = mutable.Buffer.empty[Dir]
+    for (key <- (am.keySet ++ bm.keySet).toSeq.sortBy(_.mkString("/"))) {
+      (am.get(key), bm.get(key)) match {
+        case (None, Some(bd)) => insertDirs += bd  // new dir: all inserts
+        case (Some(ad), None) => deleteDirs += ad  // dropped dir: all deletes
+        case (Some(ad), Some(bd)) =>
+          val an = byName(ad._2); val bn = byName(bd._2)
+          val added = (bn.keySet -- an.keySet).toSeq.sorted
+          val removed = an.keySet -- bn.keySet
+          val common = (an.keySet intersect bn.keySet).toSeq.sorted
+          val dvGrewOnly = common.forall { n =>
+            val da = ad._3.getOrElse(n, Nil)
+            val db = bd._3.getOrElse(n, Nil)
+            rangeSubtract(da, db).isEmpty // every old deletion still holds
+          }
+          if (removed.nonEmpty || !dvGrewOnly) {
+            // a rewrite/swap: pay the two-sided diff for THIS dir only
+            fullA += ad; fullB += bd
+          } else {
+            if (added.nonEmpty)
+              insertDirs += ((bd._1, added.map(bn),
+                bd._3.filter { case (n, _) => added.contains(n) }))
+            val dvDiff = common.flatMap { n =>
+              val diff = rangeSubtract(bd._3.getOrElse(n, Nil),
+                ad._3.getOrElse(n, Nil))
+              if (diff.isEmpty) None
+              else Some((n, rangeComplement(diff))) // read ONLY the deleted
+            }.toMap
+            if (dvDiff.nonEmpty)
+              deleteDirs += ((bd._1, common.filter(dvDiff.contains).map(bn),
+                dvDiff))
+          }
+      }
+    }
+    def readSnap(dirs: Seq[Dir]): org.apache.spark.sql.DataFrame =
+      if (dirs.isEmpty) s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), b.schema)
+      else {
+        val k = registerSnapshot(Snapshot(b.schema, b.partSpec, dirs))
+        s.sql(s"SELECT * FROM $table VERSION AS OF 'snap:$k'")
+      }
+    readSnap(insertDirs.toSeq)
+      .unionByName(readSnap(fullB.toSeq).exceptAll(readSnap(fullA.toSeq)))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(
+        readSnap(deleteDirs.toSeq)
+          .unionByName(readSnap(fullA.toSeq).exceptAll(readSnap(fullB.toSeq)))
+          .withColumn("_change_type", lit("delete")))
   }
 
   /** Carry the manifest log across a ROOT swap (compaction / COW on an
@@ -1127,6 +1507,129 @@ object StagedParquet {
       } catch { case _: java.io.IOException => id += 1 }
     }
     id
+  }
+
+  // ---- table properties ---------------------------------------------------
+
+  private[graft] def tableProperties(root: Path): Map[String, String] =
+    readString(new Path(root, PropertiesFile)).map(_.split("\n").toSeq
+      .filter(_.contains("=")).map { l =>
+        val kv = l.split("=", 2); (kv(0), kv(1)) }.toMap).getOrElse(Map.empty)
+
+  private[v2] def writeProperties(root: Path, props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      writeString(root, PropertiesFile,
+        props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
+  /** Keys Spark injects on CREATE/REPLACE that are catalog bookkeeping,
+    * not user table properties.
+    */
+  private val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "comment", "external")
+  private[v2] def userProps(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filter { case (k, _) =>
+      !ReservedProps.contains(k) && !k.startsWith("option.") }
+
+  // ---- deletion vectors ---------------------------------------------------
+  // MERGE-ON-READ deletes (table property `delete.mode=merge-on-read`,
+  // Iceberg's write.delete.mode contract): instead of rewriting every
+  // file a sparse DELETE touches, the statement writes one `_dv-*` file
+  // per affected directory listing DELETED ROW POSITIONS (file name +
+  // coalesced [start,end) runs — O(deleted runs) bytes). The scan unions
+  // a directory's DV files and skips those positions at read time; the
+  // next compaction (or any copy-on-write rewrite of the file) MATERIALIZES
+  // the deletes and drops the vector. At 100 TB this is the difference
+  // between a point delete costing one tiny metadata write and costing a
+  // 1 GB file rewrite — while dense deletes still take the COW tier, whose
+  // full-file rewrite reads cheaper than a scan that skips most rows.
+
+  /** Union of every `_dv-*` file in `dir`: data-file name -> sorted,
+    * coalesced deleted row-position ranges [start, end), positions
+    * FILE-absolute. Additive: each DELETE statement appends its own DV
+    * file; overlapping runs coalesce at read.
+    */
+  private[graft] def readDvs(dir: Path): Map[String, Seq[(Long, Long)]] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) Map.empty
+    else mergeDvEntries(f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(DvPrefix))
+      .flatMap(st => dvLines(st.getPath)))
+  }
+
+  /** One DV file's entries (un-merged) — time travel reads exactly the DV
+    * files alive AT a version, not a directory's whole current set.
+    */
+  private[graft] def dvLines(p: Path): Seq[(String, (Long, Long))] =
+    readString(p).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty)
+      .map { l => val q = l.split("\t"); (q(0), (q(1).toLong, q(2).toLong)) }
+
+  private[graft] def mergeDvEntries(
+      entries: Seq[(String, (Long, Long))]): Map[String, Seq[(Long, Long)]] =
+    entries.groupBy(_._1).map { case (name, rs) =>
+      (name, mergeRanges(rs.map(_._2))) }
+
+  private[graft] def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rs.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((s0, e0) :: tail, (s1, e1)) if s1 <= e0 =>
+        (s0, math.max(e0, e1)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+
+  /** Write one deletion-vector file into `dir` (returns its name) and
+    * raise the table-root [[DvFlagFile]].
+    */
+  private[v2] def writeDv(tableRoot: Path, dir: Path,
+                          entries: Map[String, Seq[(Long, Long)]]): String = {
+    val name = DvPrefix + java.util.UUID.randomUUID().toString.take(12) + ".txt"
+    val body = entries.toSeq.sortBy(_._1).flatMap { case (fn, rs) =>
+      rs.map { case (s0, e0) => s"$fn\t$s0\t$e0" } }.mkString("\n")
+    writeString(dir, name, body)
+    writeString(tableRoot, DvFlagFile, "")
+    name
+  }
+
+  private[graft] def hasDvFlag(root: Path): Boolean =
+    fs(root).exists(new Path(root, DvFlagFile))
+
+  /** Deleted-row count within the FILE-absolute row span [rowStart,
+    * rowEnd) under sorted coalesced `ranges`.
+    */
+  private[graft] def deletedWithin(ranges: Seq[(Long, Long)],
+                                   rowStart: Long, rowEnd: Long): Long =
+    ranges.map { case (s0, e0) =>
+      math.max(0L, math.min(e0, rowEnd) - math.max(s0, rowStart)) }.sum
+
+  /** `from` minus `minus` over sorted coalesced ranges — the positions
+    * deleted in a LATER vector but not an earlier one (the change feed's
+    * per-file delete set).
+    */
+  private[graft] def rangeSubtract(from: Seq[(Long, Long)],
+                                   minus: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    from.flatMap { case (s0, e0) =>
+      var cur = s0
+      val out = mutable.Buffer.empty[(Long, Long)]
+      minus.filter { case (ms, me) => me > s0 && ms < e0 }.foreach {
+        case (ms, me) =>
+          if (ms > cur) out += ((cur, math.min(ms, e0)))
+          cur = math.max(cur, me)
+      }
+      if (cur < e0) out += ((cur, e0))
+      out.toSeq
+    }
+
+  /** Complement of sorted coalesced ranges over [0, Long.MaxValue). Used
+    * to read ONLY a vector's deleted positions: handing the reader the
+    * complement as its skip set returns exactly the deleted rows.
+    */
+  private[graft] def rangeComplement(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val out = mutable.Buffer.empty[(Long, Long)]
+    var cur = 0L
+    rs.foreach { case (s0, e0) =>
+      if (s0 > cur) out += ((cur, s0))
+      cur = math.max(cur, e0)
+    }
+    if (cur < Long.MaxValue) out += ((cur, Long.MaxValue))
+    out.toSeq
   }
 
   private[v2] def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
@@ -1509,7 +2012,8 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier): Table = {
     val d = dir(ident)
     if (!isCommitted(d)) throw new NoSuchTableException(ident)
-    new StagedParquetTable(ident.name, d, loadSchema(d), loadPartSpec(d))
+    new StagedParquetTable(ident.name, d, loadSchema(d), loadPartSpec(d),
+      StagedParquet.tableProperties(new Path(d)))
   }
 
   /** `SELECT ... FROM t VERSION AS OF n` — a read-only table over the
@@ -1519,6 +2023,14 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = dir(ident)
     if (!isCommitted(d)) throw new NoSuchTableException(ident)
+    // 'snap:<key>' resolves a registered ad-hoc snapshot (the change
+    // feed's restricted reconstructions — see StagedParquet.changesBetween)
+    if (version.startsWith("snap:")) {
+      val snap = StagedParquet.snapshotRegistry.get(version.stripPrefix("snap:"))
+      if (snap == null) throw new IllegalArgumentException(
+        s"staged catalog: unknown snapshot handle '$version'")
+      return new StagedSnapshotTable(s"${ident.name}@$version", snap)
+    }
     val v = try version.trim.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"staged catalog: VERSION AS OF takes a numeric version, got '$version'")
@@ -1530,25 +2042,34 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   override def tableExists(ident: Identifier): Boolean = isCommitted(dir(ident))
 
   private def doCreate(ident: Identifier, schema: StructType,
-                       spec: Seq[PartField]): Table = {
+                       spec: Seq[PartField],
+                       props: Map[String, String]): Table = {
     val d = dir(ident)
     if (isCommitted(d)) throw new TableAlreadyExistsException(ident)
+    StagedParquet.sortColsOf(props).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"staged catalog: ${StagedParquet.SortOrderProp} column $c is " +
+          "not in the table schema"))
     val p = new Path(d)
     fs(p).mkdirs(p)
     writeString(p, SchemaFile, schema.json)
     if (spec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(spec))
+    StagedParquet.writeProperties(p, props)
     writeString(p, SuccessFile, "")
-    new StagedParquetTable(ident.name, d, schema, spec)
+    new StagedParquetTable(ident.name, d, schema, spec, props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    doCreate(ident, schema, PartSpec.fromTransforms(partitions))
+    doCreate(ident, schema, PartSpec.fromTransforms(partitions),
+      StagedParquet.userProps(properties))
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    doCreate(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
+    doCreate(ident, StagedCatalog.toStruct(columns),
+      PartSpec.fromTransforms(partitions), StagedParquet.userProps(properties))
   override def createTable(ident: Identifier, info: TableInfo): Table =
-    doCreate(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
+    doCreate(ident, info.schema(), PartSpec.fromTransforms(info.partitions()),
+      StagedParquet.userProps(info.properties()))
 
   /** Schema evolution — the append path's metadata rung: ADD COLUMN
     * rewrites the declared schema (`_schema.json`) only; committed files
@@ -1605,11 +2126,22 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
         val prior = readString(new Path(d, DroppedFile))
           .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
         writeString(new Path(d), DroppedFile, (prior :+ name).mkString("\n"))
+      case set: TableChange.SetProperty =>
+        val cur = StagedParquet.tableProperties(new Path(d))
+        writeString(new Path(d), PropertiesFile,
+          (cur + (set.property() -> set.value())).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+      case rm: TableChange.RemoveProperty =>
+        val cur = StagedParquet.tableProperties(new Path(d))
+        writeString(new Path(d), PropertiesFile,
+          (cur - rm.property()).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("\n"))
       case c => throw new UnsupportedOperationException(
         s"staged catalog: unsupported table change $c; replace the table")
     }
     writeString(new Path(d), SchemaFile, schema.json)
-    new StagedParquetTable(ident.name, d, schema, loadPartSpec(d))
+    new StagedParquetTable(ident.name, d, schema, loadPartSpec(d),
+      StagedParquet.tableProperties(new Path(d)))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1635,41 +2167,62 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
   }
 
   private def doStage(ident: Identifier, schema: StructType,
-                      spec: Seq[PartField]): StagedTable = {
+                      spec: Seq[PartField],
+                      props: Map[String, String]): StagedTable = {
     val prod = dir(ident)
     val staging = prod + "__staging." +
       java.util.UUID.randomUUID.toString.take(8)
     val parent = new Path(prod).getParent
     fs(parent).mkdirs(parent)
-    new StagedReplaceTable(ident.name, prod, staging, schema, spec)
+    // properties ride the staging dir through the promote (the commit
+    // sweep only deletes uncommitted .parquet strays, never metadata)
+    if (props.nonEmpty) {
+      StagedParquet.sortColsOf(props).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"staged catalog: ${StagedParquet.SortOrderProp} column $c is " +
+            "not in the table schema"))
+      val sp = new Path(staging)
+      fs(sp).mkdirs(sp)
+      StagedParquet.writeProperties(sp, props)
+    }
+    new StagedReplaceTable(ident.name, prod, staging, schema, spec, props)
   }
 
   // all three signature families funnel into doStage — overridden
   // explicitly so the interface defaults' delegation direction is moot
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema, PartSpec.fromTransforms(partitions))
+    doStage(ident, schema, PartSpec.fromTransforms(partitions),
+      StagedParquet.userProps(properties))
   override def stageCreate(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
+    doStage(ident, StagedCatalog.toStruct(columns),
+      PartSpec.fromTransforms(partitions), StagedParquet.userProps(properties))
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()),
+      StagedParquet.userProps(info.properties()))
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema, PartSpec.fromTransforms(partitions))
+    doStage(ident, schema, PartSpec.fromTransforms(partitions),
+      StagedParquet.userProps(properties))
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
+    doStage(ident, StagedCatalog.toStruct(columns),
+      PartSpec.fromTransforms(partitions), StagedParquet.userProps(properties))
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()),
+      StagedParquet.userProps(info.properties()))
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, schema, PartSpec.fromTransforms(partitions))
+    doStage(ident, schema, PartSpec.fromTransforms(partitions),
+      StagedParquet.userProps(properties))
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
-    doStage(ident, StagedCatalog.toStruct(columns), PartSpec.fromTransforms(partitions))
+    doStage(ident, StagedCatalog.toStruct(columns),
+      PartSpec.fromTransforms(partitions), StagedParquet.userProps(properties))
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
-    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()))
+    doStage(ident, info.schema(), PartSpec.fromTransforms(info.partitions()),
+      StagedParquet.userProps(info.properties()))
 }
 
 object StagedCatalog {
@@ -1786,6 +2339,15 @@ case class BoundBucket(keyType: DataType) extends functions.ScalarFunction[Integ
 private[v2] trait StagedWriteDistribution extends RequiresDistributionAndOrdering {
   protected def distSpec: Seq[PartField]
   protected def distEnabled: Boolean
+  /** Declared table sort order (`sort.order` property): non-empty makes
+    * the write REQUIRE within-task ordering by (partition transforms,
+    * sort columns) — Spark plans the sort, so every file the engine
+    * commits into a sorted table is genuinely sorted, and the scan's
+    * [[StagedScan.outputOrdering]] claim stays honest. Orthogonal to the
+    * distribution opt-out: a hand-shaped layout may skip the rebalance
+    * but never the declared order.
+    */
+  protected def sortCols: Seq[String] = Nil
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     if (distEnabled && distSpec.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -1793,7 +2355,12 @@ private[v2] trait StagedWriteDistribution extends RequiresDistributionAndOrderin
           .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
     else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    if (sortCols.isEmpty) Array.empty
+    else (PartSpec.toTransforms(distSpec)
+        .map(t => Expressions.sort(t,
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
+      sortCols.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))).toArray
   override def distributionStrictlyRequired(): Boolean = false
 }
 
@@ -1809,9 +2376,12 @@ private[v2] object StagedWriteDistribution {
   * only the touched partition directories.
   */
 class StagedParquetTable(tableName: String, prodDir: String, tableSchema: StructType,
-                         partSpec: Seq[PartField])
+                         partSpec: Seq[PartField],
+                         props: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead with SupportsDelete
     with SupportsRowLevelOperations {
+
+  override def properties(): util.Map[String, String] = props.asJava
 
   /** SQL UPDATE / MERGE INTO / non-metadata DELETE — the group-based
     * copy-on-write rewrite ([[StagedRowLevelOperation]]). DELETE with
@@ -1858,6 +2428,8 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
         override protected def distSpec: Seq[PartField] = partSpec
         override protected def distEnabled: Boolean =
           StagedWriteDistribution.enabled(info.options())
+        override protected def sortCols: Seq[String] =
+          StagedParquet.sortColsOf(props)
         override def toBatch: BatchWrite = mode match {
           case "truncate" =>
             new StagedParquetBatchWrite(
@@ -1874,12 +2446,20 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
         /** `writeStream.toTable(...)` — per-epoch appends with the same
           * two-phase file protocol; Append output mode only (Complete
           * would re-truncate prod every trigger — stage a batch replace
-          * instead).
+          * instead). Sorted tables reject streaming appends: a micro-batch
+          * cannot guarantee the declared file order, and a silently
+          * unsorted file would poison the scan's ordering claim.
           */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           mode match {
-            case "append" => new StagedStreamingWrite(prodDir, info.schema(),
-              partSpec, info.queryId())
+            case "append" =>
+              if (StagedParquet.sortColsOf(props).nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"table $tableName declares ${StagedParquet.SortOrderProp}; " +
+                    "streaming appends cannot guarantee it — remove the " +
+                    "property or batch-ingest")
+              new StagedStreamingWrite(prodDir, info.schema(),
+                partSpec, info.queryId())
             case m => throw new UnsupportedOperationException(
               s"staged streaming write supports Append output mode only (got $m)")
           }
@@ -1895,7 +2475,8 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
   * never touched.
   */
 class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
-                         tableSchema: StructType, partSpec: Seq[PartField])
+                         tableSchema: StructType, partSpec: Seq[PartField],
+                         props: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -1910,6 +2491,8 @@ class StagedReplaceTable(tableName: String, prodDir: String, stagingDir: String,
         override protected def distSpec: Seq[PartField] = partSpec
         override protected def distEnabled: Boolean =
           StagedWriteDistribution.enabled(info.options())
+        override protected def sortCols: Seq[String] =
+          StagedParquet.sortColsOf(props)
         override def toBatch: BatchWrite =
           new StagedParquetBatchWrite(stagingDir, None, info.schema(),
             partSpec, info.queryId())

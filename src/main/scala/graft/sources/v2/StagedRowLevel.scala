@@ -73,6 +73,12 @@ class StagedRowLevelOperation(prodDir: String, tableSchema: StructType,
         override protected def distSpec: Seq[PartField] = partSpec
         override protected def distEnabled: Boolean =
           StagedWriteDistribution.enabled(info.options())
+        // a sorted table's row-level rewrite re-sorts its replacement
+        // files (the declared order is a table invariant, not a write
+        // option)
+        override protected def sortCols: Seq[String] =
+          StagedParquet.sortColsOf(StagedParquet.tableProperties(
+            new Path(prodDir)))
         override def toBatch: BatchWrite =
           new RowLevelReplaceBatchWrite(
             prodDir + "__staging.rowlevel-" +
@@ -151,6 +157,8 @@ class RowLevelReplaceBatchWrite(staging: String, prodDir: String,
       val sp = new Path(staging)
       readString(new Path(root, DroppedFile)).foreach(
         writeString(sp, DroppedFile, _))
+      readString(new Path(root, PropertiesFile)).foreach(
+        writeString(sp, PropertiesFile, _))
       copyManifests(root, sp)
       swapDirs(staging, prodDir, Some(retainedPath(prodDir, v, "."))): Unit
       recordVersion(prodDir, v, Nil, Seq(".")): Unit
@@ -168,13 +176,16 @@ class RowLevelReplaceBatchWrite(staging: String, prodDir: String,
         if (!scannedSet.contains(rel)) {
           // insert-only group (MERGE insert, or an UPDATE that moved rows
           // across partitions): its existing rows were never scanned —
-          // byte-copy them beside the inserts before the swap
+          // byte-copy them beside the inserts before the swap. Deletion
+          // vectors ride along: the copied files keep their deleted
+          // positions, so a vector left behind would RESURRECT those rows
           val prodPart = new Path(s"$prodDir/$rel")
           if (f.exists(prodPart)) f.listStatus(prodPart).foreach { st =>
-            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                !st.getPath.getName.startsWith("_"))
+            val n = st.getPath.getName
+            if (st.isFile && ((n.endsWith(".parquet") && !n.startsWith("_")) ||
+                n.startsWith(StagedParquet.DvPrefix)))
               FileUtil.copy(f, st.getPath, f,
-                new Path(stagePart, st.getPath.getName), false, hadoopConf): Unit
+                new Path(stagePart, n), false, hadoopConf): Unit
           }
         }
         if (swapDirs(stagePart.toString, s"$prodDir/$rel",

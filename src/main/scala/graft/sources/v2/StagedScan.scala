@@ -143,6 +143,12 @@ class StagedScanBuilder(tableName: String, prodDir: String,
     // (Spark only offers an Aggregation when no residual filter sits
     // between the Aggregate and this scan — and every filter here is
     // residual by contract — so a pushed aggregation is always exact)
+    // ... unless deletion vectors exist: footer COUNT/MIN/MAX would count
+    // deleted rows, so a flagged table takes the row-scan path (which
+    // applies the vectors). One O(1) flag probe; compaction restores the
+    // pushdown by materializing the deletes and dropping the flag.
+    if (StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir)))
+      return false
     val identityCols = partSpec.filter(_.kind == "identity").map(_.name)
     val statTypes: Set[DataType] =
       Set(IntegerType, LongType, FloatType, DoubleType, DateType, TimestampType)
@@ -189,10 +195,35 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
                  required: StructType, partSpec: Seq[PartField],
                  pruning: Seq[Filter], dataSkip: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The declared `sort.order` reported back to Catalyst
+    * (SupportsReportOrdering): with key-grouped partitioning this plans
+    * merge joins and sorted reads with ZERO Sort nodes — the write paid
+    * the sort once, every read reuses it. HONESTY GATE: the claim holds
+    * per input partition, and Spark concatenates same-key splits in
+    * whatever order it groups them — so ordering is reported only when
+    * every key group planned AT MOST ONE split (the engine's write
+    * distribution lands ~1 file per partition; appends break the gate
+    * until the next compaction restores it — plans silently regain their
+    * Sort nodes, results never change). Withdrawn too when a sort column
+    * was pruned from the projection (nothing to resolve it against).
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cols = StagedParquet.sortColsOf(
+      StagedParquet.tableProperties(new Path(prodDir)))
+    if (cols.isEmpty || !cols.forall(required.fieldNames.contains))
+      return Array.empty
+    val multiSplitGroup =
+      planned.groupBy(_.rawValues.toList).values.exists(_.length > 1)
+    if (multiSplitGroup) Array.empty
+    else cols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   /** PRUNING-AWARE size statistics: the bytes the scan will actually read
     * (surviving splits only — after static partition pruning and the zone
@@ -237,23 +268,37 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
 
   private def planned: Array[StagedInputPartition] = plannedPair._1
   private def plannedBytes: Long = plannedPair._2
+  // one flag probe per scan: tables that never had a deletion vector skip
+  // every per-dir DV listing below
+  private lazy val tableHasDvs: Boolean =
+    StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir))
   private lazy val plannedPair: (Array[StagedInputPartition], Long) = {
     var bytes = 0L
     val splits = plannedDirs.flatMap { case (vals, files) =>
+      val dirDv: Map[String, Seq[(Long, Long)]] =
+        if (!tableHasDvs || files.isEmpty) Map.empty
+        else StagedParquet.readDvs(new Path(files.head._1).getParent)
       files.flatMap { case (f, len) =>
+        val dv = dirDv.getOrElse(new Path(f).getName, Nil)
         def whole = { bytes += len
           StagedInputPartition(vals, Seq(f), tableSchema.json,
-            partSpec, required.fieldNames.toSeq) }
-        def ranged(r: (Long, Long)) = { bytes += r._2 - r._1
+            partSpec, required.fieldNames.toSeq, None, dv, 0L) }
+        def ranged(r: (Long, Long), row0: Long) = { bytes += r._2 - r._1
           StagedInputPartition(vals, Seq(f),
-            tableSchema.json, partSpec, required.fieldNames.toSeq, Some(r)) }
+            tableSchema.json, partSpec, required.fieldNames.toSeq,
+            Some(r), dv, row0) }
         if (len <= splitBytes && dataSkip.isEmpty) Seq(whole)
         else {
           // one footer read decides both row-group splitting and the
           // zone-map cut; a file whose every row group is excluded plans
-          // ZERO splits — never listed, never opened
+          // ZERO splits — never listed, never opened. Each block carries
+          // its cumulative ROW offset: DV positions are file-absolute, so
+          // a range split must know the row index it starts at.
           val blocks = StagedScan.blockRanges(f, len)
-          val kept = blocks.filter { case (_, _, b) =>
+          val rowOffsets = blocks.scanLeft(0L)(_ + _._3.getRowCount)
+          val withRow = blocks.zip(rowOffsets)
+            .map { case ((s0, e0, b), row0) => (s0, e0, b, row0) }
+          val kept = withRow.filter { case (_, _, b, _) =>
             StagedScan.blockSurvives(b, tableSchema, dataSkip) }
           if (kept.isEmpty) Seq.empty
           else if (kept.length == blocks.length &&
@@ -261,12 +306,12 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
           else if (len <= splitBytes)
             // small file, some groups cut: adjacent survivors merge into
             // one range split (skipping trims I/O, not parallelism here)
-            kept.foldLeft(List.empty[(Long, Long)]) {
-              case ((ps, pe) :: tail, (s0, e0, _)) if pe == s0 =>
-                (ps, e0) :: tail
-              case (acc, (s0, e0, _)) => (s0, e0) :: acc
-            }.reverse.map(ranged)
-          else kept.map { case (s0, e0, _) => ranged((s0, e0)) }
+            kept.foldLeft(List.empty[(Long, Long, Long)]) {
+              case ((ps, pe, pr) :: tail, (s0, e0, _, _)) if pe == s0 =>
+                (ps, e0, pr) :: tail
+              case (acc, (s0, e0, _, r0)) => (s0, e0, r0) :: acc
+            }.reverse.map { case (s0, e0, r0) => ranged((s0, e0), r0) }
+          else kept.map { case (s0, e0, _, r0) => ranged((s0, e0), r0) }
         }
       }
     }.toArray
@@ -835,10 +880,18 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
   *                     the row groups whose midpoint falls inside it — the
   *                     row-group split; None reads whole files
   */
+/** @param dv       sorted coalesced DELETED row-position ranges of the
+  *                  split's (single) file — [[StagedParquet.readDvs]];
+  *                  empty on tables without deletion vectors
+  * @param rowStart  FILE-absolute row index where this split begins (0 for
+  *                  whole-file splits; a range split's first block offset)
+  */
 case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
                                 schemaJson: String, partSpec: Seq[PartField],
                                 requiredCols: Seq[String],
-                                range: Option[(Long, Long)] = None)
+                                range: Option[(Long, Long)] = None,
+                                dv: Seq[(Long, Long)] = Nil,
+                                rowStart: Long = 0L)
     extends InputPartition with HasPartitionKey {
 
   /** The split's partition-key row: typed TRANSFORM RESULTS in transform
@@ -912,6 +965,19 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
   // count-star / partition-columns-only scans project ZERO data columns;
   // parquet cannot decode an empty projection, so emit footer row counts
   private var pendingRows: Long = 0L
+  // deletion-vector skip state: `pos` is the FILE-absolute row index of
+  // the NEXT record the reader will return; ranges are sorted and pos is
+  // monotonic, so one forward pointer suffices. A split carrying a DV is
+  // single-file by construction (batch splits are per-file; multi-file
+  // stream partitions always pass dv = Nil — the tail is an append feed).
+  private val dvRanges: Array[(Long, Long)] = p.dv.toArray
+  private var pos: Long = 0L
+  private var dvIdx: Int = 0
+
+  private def dvDeleted(x: Long): Boolean = {
+    while (dvIdx < dvRanges.length && dvRanges(dvIdx)._2 <= x) dvIdx += 1
+    dvIdx < dvRanges.length && dvRanges(dvIdx)._1 <= x
+  }
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -921,13 +987,20 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(fileIter.next()), new Configuration()))
       // a range split counts only its own row groups (midpoint rule —
-      // the same criterion parquet-hadoop's range filter applies)
+      // the same criterion parquet-hadoop's range filter applies); DV'd
+      // positions subtract per block so footer counts stay exact
       try p.range match {
-        case None => pendingRows += f.getRecordCount
+        case None =>
+          val n = f.getRecordCount
+          pendingRows += n - StagedParquet.deletedWithin(p.dv, 0L, n)
         case Some((s0, e0)) =>
+          var off = 0L
           f.getFooter.getBlocks.asScala.foreach { b =>
             val mid = b.getStartingPos + b.getCompressedSize / 2
-            if (mid >= s0 && mid < e0) pendingRows += b.getRowCount
+            if (mid >= s0 && mid < e0)
+              pendingRows += b.getRowCount -
+                StagedParquet.deletedWithin(p.dv, off, off + b.getRowCount)
+            off += b.getRowCount
           }
       } finally f.close()
       true
@@ -939,6 +1012,8 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
         .map { case (s0, e0) => builder.withFileRange(s0, e0) }
         .getOrElse(builder)
         .build()
+      pos = p.rowStart
+      dvIdx = 0
       true
     }
   }
@@ -953,8 +1028,10 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
     while (true) {
       if (reader == null && !openNext()) return false
       val rec = reader.read()
-      if (rec != null) { current = rec; return true }
-      reader.close(); reader = null
+      if (rec != null) {
+        val x = pos; pos += 1
+        if (dvRanges.isEmpty || !dvDeleted(x)) { current = rec; return true }
+      } else { reader.close(); reader = null }
     }
     false
   }
@@ -1158,9 +1235,10 @@ class StagedSnapshotTable(tableName: String,
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          snap.dirs.flatMap { case (vals, files) =>
+          snap.dirs.flatMap { case (vals, files, deleted) =>
             files.map(f => StagedInputPartition(vals, Seq(f),
-              snap.schema.json, snap.partSpec, required.fieldNames.toSeq))
+              snap.schema.json, snap.partSpec, required.fieldNames.toSeq,
+              None, deleted.getOrElse(new Path(f).getName, Nil), 0L))
           }.toArray[InputPartition]
         override def createReaderFactory(): PartitionReaderFactory =
           StagedReaderFactory(snap.schema.json, snap.partSpec,

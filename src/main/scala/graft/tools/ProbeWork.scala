@@ -101,6 +101,23 @@ object ProbeWork {
     // blockSurvives: EXACT skipping reads 1 at every scale by
     // construction (work_ratio 1.0), and any regression that opens
     // files the footers exclude raises it
+    // files REWRITTEN by a sparse merge-on-read DELETE, plus 1: the DV
+    // tier's whole contract is that a sparse delete rewrites NOTHING
+    // (it writes one positions file instead), so the expected count is 0
+    // and the probe reads 1 at EVERY scale (work_ratio 1.0). A regression
+    // that drops the MOR tier back to COW rewrites the band's files and
+    // the probe jumps with the file count.
+    "etl_delete_vectors" -> (("mor_rewritten_files_plus1", (s, d) => {
+      graft.queries.Ingest.morRewrittenFiles(s, d) + 1
+    })),
+    // files OPENED by a change feed over an UNTOUCHED version range, plus
+    // 1: the feed's directory classification must read ZERO bytes when
+    // the version deltas name no changes — at 10x the table is 10x
+    // bigger and the expected count is still 0 (work_ratio 1.0). A
+    // regression that diffs unchanged dirs opens the whole table.
+    "etl_change_feed" -> (("cdf_untouched_reads_plus1", (s, d) => {
+      graft.queries.Ingest.cdfUntouchedReads(s, d) + 1
+    })),
     "etl_minmax_skip" -> (("band_excess_opens_plus1", (s, d) => {
       graft.sources.v2.StagedReaderFactory.readersCreated.set(0L)
       count1(graft.queries.Ingest.minmaxSkip(s, d)): Unit
