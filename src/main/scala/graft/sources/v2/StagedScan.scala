@@ -469,6 +469,13 @@ case class StagedManifestOffset(last: Long)
   * manifest's path is missing. Run maintenance behind the stream's
   * committed offset — the same contract Delta's `readChangeFeed`-less
   * stream documents as ignoreChanges/failOnDataLoss.
+  *
+  * Merge-on-read DELETEs are the one mutation the tail deliberately does
+  * NOT observe: a `_dv-*` write renames no data file, so the stream keeps
+  * its append-feed semantics (rows as committed; deletes never retract a
+  * delivered row — standard CDC-append behavior). Tail partitions carry
+  * `dv = Nil` by construction; a consumer that needs deletes reads the
+  * change feed ([[StagedParquet.changesBetween]]) instead.
   */
 class StagedMicroBatchStream(tableName: String, prodDir: String,
                              tableSchema: StructType, partSpec: Seq[PartField],
