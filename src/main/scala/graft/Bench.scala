@@ -310,7 +310,8 @@ object Bench {
       // probes report count+1, so work_ratio pins at exactly 1.0)
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile", "etl_days_prune", "etl_days_dpp",
-        "etl_minmax_skip", "etl_delete_vectors", "etl_change_feed").map(probeOf)
+        "etl_minmax_skip", "etl_delete_vectors", "etl_change_feed",
+        "etl_partition_evolve").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false
@@ -343,7 +344,12 @@ object Bench {
         // scale point), streaming write ingest, time travel, merge-on-read
         // deletes, and the change data feed
         "etl_days_dpp", "stream_table_ingest", "etl_time_travel",
-        "etl_delete_vectors", "etl_change_feed", "etl_sort_order")
+        "etl_delete_vectors", "etl_change_feed", "etl_sort_order",
+        // round-11 rungs at 10x: partition-spec evolution, the migrate
+        // settle pass, and the inspection relations
+        "etl_partition_evolve", "etl_layout_migrate",
+        "etl_meta_partitions", "etl_meta_files", "etl_meta_history",
+        "stream_table_upsert")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }

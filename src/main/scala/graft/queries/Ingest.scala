@@ -794,6 +794,242 @@ object Ingest {
       .orderBy("cust_mod")
   }
 
+  /** INSPECTION tables, rung 1 — `<table>.partitions`
+    * ([[graft.sources.v2.StagedMetaTables]], Iceberg's `db.table.partitions`
+    * surface; reference semantics: postgres.py's post-load
+    * `get_row_count` verification, re-expressed as a catalog relation): a
+    * merge-on-read table takes a sparse band DELETE, then the partitions
+    * metadata relation must report LIVE and DELETED counts per partition
+    * — footer record counts minus deletion-vector positions — matching
+    * the oracle's exact recomputation from raw orders. The inspection
+    * never reads a data page: one split per directory, parquet FOOTERS
+    * plus the tiny `_dv-*` files only (StagedMetaSpec pins that the flat
+    * reader is never invoked), so a 100 TB table answers from metadata.
+    */
+  def metaPartitions(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_meta_parts"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 100000.0 AND o_totalprice < 101000.0")
+    s.table(s"$tbl.partitions")
+      .select(col("o_orderpriority").as("priority"),
+        col("row_count").as("n_live"), col("deleted_count").as("n_deleted"))
+      .orderBy("priority")
+  }
+
+  /** INSPECTION tables, rung 2 — `<table>.files`: per-FILE row counts of
+    * the day-partitioned events table, re-aggregated by day directory,
+    * must reproduce the oracle's per-day counts from raw events — so
+    * every file's footer count and its day-directory placement are both
+    * exact. One split per directory, footer metadata only; the per-file
+    * inventory (path, bytes, live/deleted rows) is what a 100 TB
+    * compaction planner reads instead of listing+opening the table.
+    */
+  def metaFiles(s: SparkSession, d: String): DataFrame = {
+    val tbl = eventsByDay(s, d)
+    s.table(s"$tbl.files")
+      .groupBy(col("ts_day").as("day"))
+      .agg(sum(col("row_count")).as("n_events"))
+      .orderBy("day")
+  }
+
+  /** INSPECTION tables, rung 3 — `<table>.history`: the structural change
+    * log (one row per committed version, classified from the version
+    * delta alone: root swap = replace, directory swap = rewrite, pure
+    * DV additions = delete, file additions = append). The query drives a
+    * fresh lifecycle — append → sparse MOR delete → compaction — and the
+    * history relation must report exactly those kinds in version order
+    * (VALUES oracle; versions are RELATIVE to the table's pre-existing
+    * history, same contract as etl_time_travel). O(versions) metadata
+    * reads — no data listing at any table size.
+    */
+  def metaHistory(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_meta_hist"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    // the createOrReplace above is version base+1 ('append' on the first-
+    // ever run, 'replace' after); everything below is run-invariant
+    val base = graft.sources.v2.StagedParquet.currentVersion(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .writeTo(tbl).append()                                  // base+1: append
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 100000.0 AND o_totalprice < 101000.0")
+    graft.sources.v2.StagedParquet.compact(s, tbl): Unit      // base+3: rewrite
+    s.table(s"$tbl.history")
+      .filter(col("version") > base)
+      .select((col("version") - base).as("v"), col("change"))
+      .orderBy("v")
+  }
+
+  /** STREAMING UPSERT into a staged table (`graft.upsert.key` write
+    * option on writeStream — the CDC-sink rung, Flink/Iceberg
+    * upsert-stream semantics; reference: postgres.py:1092-1180 ON
+    * CONFLICT upsert, now as a continuous stream): a snapshot epoch and
+    * two update waves tail in from a staged source, and before each
+    * epoch's manifest lands the engine DELETES the pre-existing rows the
+    * epoch replaces — through the tiered COW core with the epoch's own
+    * files excluded, so on this merge-on-read bucket(8, key) destination
+    * each wave costs one tiny deletion vector per touched bucket plus
+    * the appended files. The final table must equal latest-per-key,
+    * recomputed exactly by the oracle: a doubled key (delete half
+    * failed) or a lost key (delete half overreached) breaks the count or
+    * the sum. At 100 TB this is the CDC-ingest shape: epoch cost ∝
+    * epoch keys (bucket dirs pruned by the shared hash, files by zone
+    * map), never table size. StagedStreamUpsertSpec pins the DV
+    * mechanics, replay idempotence, and the layout guard.
+    */
+  def streamTableUpsert(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val src = s"graft_staged.$ns.upsert_cdc_src"
+    val dst = s"graft_staged.$ns.upsert_cdc_dst"
+    val o = orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // the CDC target: merge-on-read + bucket(key) — the upsert-friendly
+    // layout (key deletes prune to the keys' buckets)
+    o.filter(lit(false)).writeTo(dst)
+      .tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(bucket(8, col("o_orderkey"))).createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    def drain(): Unit = {
+      val q = s.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("graft.upsert.key", "o_orderkey")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+    }
+    // epoch 1: the full snapshot; epochs 2-3: update waves (key-unique
+    // per epoch — the standard upsert-stream contract)
+    o.writeTo(src).createOrReplace()
+    drain()
+    o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .writeTo(src).append()
+    drain()
+    o.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .writeTo(src).append()
+    drain()
+    val agg = s.table(dst)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("priority")
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** PARTITION-SPEC EVOLUTION
+    * ([[graft.sources.v2.StagedParquet.evolvePartitioning]] — Iceberg's
+    * flagship metadata operation): the EVEN order keys land under
+    * `identity(o_orderpriority)`, the spec evolves to
+    * `bucket(8, o_custkey)` in ONE metadata commit (directories renamed
+    * under `_layouts/g-0/`, zero data bytes — at 100 TB this turns "we
+    * should have bucketed by customer" from a month-long rewrite into
+    * one commit), the ODD keys append under the NEW layout, and a band
+    * DELETE crosses BOTH generations (each classified under its own
+    * spec). The mixed-layout profile must equal the oracle's exact
+    * recomputation from raw orders — old-generation identity columns
+    * reconstituted from dir names, new-generation buckets pruned by
+    * hash, nothing lost or doubled at any seam. StagedEvolveSpec pins
+    * the metadata-only move, pruning, honesty gates, stream survival,
+    * and time travel across the evolution.
+    */
+  def partitionEvolve(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_evolved"
+    def slice(even: Boolean) = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === (if (even) 0 else 1))
+    slice(even = true)
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    graft.sources.v2.StagedParquet.evolvePartitioning(s, tbl,
+      Seq(graft.sources.v2.PartField("o_custkey", "bucket", 8))): Unit
+    slice(even = false).writeTo(tbl).append()
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    s.table(tbl)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("priority")
+  }
+
+  /** LAYOUT MIGRATION — the settle pass after an evolution
+    * ([[graft.sources.v2.StagedParquet.migrateLayouts]], Iceberg's
+    * rewrite-to-current-spec): half of orders lands under the old
+    * identity layout, the spec evolves to `bucket(8, o_custkey)`, the
+    * other half appends, then migration rewrites EXACTLY the
+    * old-generation bytes into the current layout (cost ∝ stragglers,
+    * never the table; crash-idempotent via the pinned-version marker).
+    * The post-migration profile must equal the oracle over all of
+    * orders, and the generations must be empty — which is what lets the
+    * SPJ / footer-agg / sort-order claims return.
+    */
+  def layoutMigrate(s: SparkSession, d: String): DataFrame = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_migrated"
+    def slice(even: Boolean) = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === (if (even) 0 else 1))
+    slice(even = true)
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    graft.sources.v2.StagedParquet.evolvePartitioning(s, tbl,
+      Seq(graft.sources.v2.PartField("o_custkey", "bucket", 8))): Unit
+    slice(even = false).writeTo(tbl).append()
+    graft.sources.v2.StagedParquet.migrateLayouts(s, tbl): Unit
+    require(!graft.sources.v2.StagedParquet.oldLayoutsHoldData(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl)),
+      "layout migration must empty every old generation")
+    s.table(tbl)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy("priority")
+  }
+
+  /** Probe relation (ProbeWork): data files whose (name, length) CHANGED
+    * across evolvePartitioning, plus 1 — the metadata-only contract
+    * measured: expected 0 changed at EVERY scale (work_ratio 1.0), since
+    * evolution renames directories and rewrites nothing.
+    */
+  private[graft] def evolveRewrittenFiles(s: SparkSession, d: String): Long = {
+    val ns = stagedNs(s, d)
+    val tbl = s"graft_staged.$ns.orders_evolve_probe"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(graft.sources.v2.StagedParquet.tableDir(s, tbl)))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    val before = files()
+    graft.sources.v2.StagedParquet.evolvePartitioning(s, tbl,
+      Seq(graft.sources.v2.PartField("o_custkey", "bucket", 8))): Unit
+    val after = files()
+    ((before.toSet diff after.toSet).size + (after.toSet diff before.toSet).size).toLong
+  }
+
   /** Probe relation (ProbeWork): files REWRITTEN by a sparse merge-on-read
     * DELETE — expected 0 at every scale (the DV tier writes one positions
     * file instead of rewriting); a MOR regression rewrites the band.
@@ -858,7 +1094,13 @@ object Ingest {
     "etl_time_travel"    -> (timeTravel _),
     "etl_delete_vectors" -> (deleteVectors _),
     "etl_change_feed"    -> (changeFeed _),
-    "etl_sort_order"     -> (sortOrder _)
+    "etl_sort_order"     -> (sortOrder _),
+    "etl_meta_partitions" -> (metaPartitions _),
+    "etl_meta_files"     -> (metaFiles _),
+    "etl_meta_history"   -> (metaHistory _),
+    "etl_partition_evolve" -> (partitionEvolve _),
+    "etl_layout_migrate" -> (layoutMigrate _),
+    "stream_table_upsert" -> (streamTableUpsert _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1080,6 +1322,63 @@ object Ingest {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // the partitions inspection relation recomputed from raw orders: live
+    // counts (footer minus DV positions) and deleted counts per partition
+    // must agree exactly with the band the MOR delete cut
+    "etl_meta_partitions" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 100000.0
+           AND o_totalprice < 101000.0)) AS BIGINT) AS n_live,
+         CAST(count(*) FILTER (WHERE o_totalprice >= 100000.0
+           AND o_totalprice < 101000.0) AS BIGINT) AS n_deleted
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // the per-file inventory re-aggregated by day directory must reproduce
+    // the per-day counts from raw events — footer counts and day placement
+    // both exact
+    "etl_meta_files" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the structural change log is fully determined by the query's own
+    // lifecycle: append, then a sparse merge-on-read delete, then
+    // compaction — in that version order
+    "etl_meta_history" ->
+      """SELECT CAST(v AS BIGINT) AS v, change
+         FROM (VALUES (1, 'append'), (2, 'delete'), (3, 'rewrite'))
+         AS t(v, change) ORDER BY v""",
+    // the mixed-layout profile recomputed from raw orders: the evolution
+    // seam (old identity layout + new bucket layout + a band DELETE
+    // crossing both) must cost zero rows and double none
+    "etl_partition_evolve" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders WHERE o_totalprice < 200000.0
+         GROUP BY 1 ORDER BY 1""",
+    // the post-migration profile recomputed from raw orders: settling the
+    // old generation into the current layout must preserve every row
+    "etl_layout_migrate" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // latest-per-key recomputed from raw orders: after the snapshot and
+    // two update waves, every key appears ONCE at its final value — a
+    // doubled key (delete half failed) breaks n_orders, a lost or
+    // stale-valued key breaks the sum
+    "stream_table_upsert" ->
+      """SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
+                            WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS DECIMAL(18,2)))
+           AS DOUBLE) AS sum_price,
+         max(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
+                  WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END) AS max_price
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -110,6 +110,12 @@ object StagedParquet {
     * root-swapping rewrite that leaves no DVs behind drops it.
     */
   val DvFlagFile = "_dvflag"
+  /** Partition-spec evolution — layout generations. See
+    * [[evolvePartitioning]]: old generations live under
+    * `_layouts/g-<n>/` (each with its own `_partition.json`), the CURRENT
+    * spec's data at the table root.
+    */
+  val LayoutsDir = "_layouts"
 
   /** Idempotently register the catalog on the session. Setting the same
     * values again is a no-op; the confs only matter before the catalog's
@@ -281,10 +287,17 @@ object StagedParquet {
     val schema = DataType.fromJson(sj).asInstanceOf[StructType]
     val partSpec: Seq[PartField] = readString(new Path(root, PartitionFile))
       .map(PartSpec.deserialize).getOrElse(Seq.empty)
-    val identity = partSpec.filter(_.kind == "identity").map(_.name).toSet
-    // identity partition values live in the DIR NAME, not the files — the
-    // rewrite carries exactly the stored columns, the dir name survives
-    val dataSchema = StructType(schema.fields.filterNot(fd => identity(fd.name)))
+    // every layout generation folds its own small-file debt IN PLACE
+    // (compaction is layout-preserving; migrateLayouts is the
+    // cross-layout rewrite)
+    val layouts = layoutRoots(d)
+    // same root-swap hazard as DELETE/UPDATE: an unpartitioned current
+    // layout compacts by root swap, which would strand live generations
+    // in the retained tree — settle first
+    require(partSpec.nonEmpty || layouts.length == 1 || !oldLayoutsHoldData(d),
+      s"compact on $d: the current layout is unpartitioned and " +
+        "pre-evolution generations still hold data — a root swap would " +
+        "strand them; run StagedParquet.migrateLayouts first")
     def walk(dir: Path, depth: Int, rel: String): Seq[(String, Path)] =
       if (depth == 0) Seq((rel, dir))
       else f.listStatus(dir).toSeq
@@ -302,7 +315,8 @@ object StagedParquet {
     // bins per dir). Dirs at target are never read, listed into the job,
     // or touched.
     case class DirWork(rel: String, dir: Path, bins: Seq[(String, String, Int)],
-                       nFiles: Long, nOut: Long, bytes: Long)
+                       nFiles: Long, nOut: Long, bytes: Long,
+                       spec: Seq[PartField])
     val work = mutable.Buffer[DirWork]()
     // compaction MATERIALIZES deletion vectors: a dir carrying any DV is
     // rewritten even at target size (its files shed the deleted rows and
@@ -312,7 +326,9 @@ object StagedParquet {
     def dirDvs(p: Path): Map[String, Seq[(Long, Long)]] =
       if (!tableHasDvs) Map.empty
       else dvByDir.getOrElseUpdate(p.toString, readDvs(p))
-    for ((rel, dir) <- walk(root, partSpec.length, "")) {
+    for ((lroot, lprefix, lspec) <- layouts;
+         (rel0, dir) <- walk(lroot, lspec.length, "")) {
+      val rel = Seq(lprefix, rel0).filter(_.nonEmpty).mkString("/")
       val files = f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_"))
@@ -328,7 +344,7 @@ object StagedParquet {
           (st.getPath.toUri.getRawPath, st.getPath.toString, b)
         }
         work += DirWork(if (rel.isEmpty) "." else rel, dir, bins,
-          files.length.toLong, nOut, bytes)
+          files.length.toLong, nOut, bytes, spec = lspec)
       }
     }
     // PASS 2: ONE Spark job folds every debt-carrying directory — each
@@ -340,21 +356,29 @@ object StagedParquet {
     if (work.nonEmpty) {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
+      // one fold job PER LAYOUT GENERATION with debt (stored column
+      // subsets differ per generation) — bounded by the evolution
+      // history, never the directory count
+      for (((gspec, gwork), gi) <- work.toSeq.groupBy(_.spec).toSeq.zipWithIndex) {
+      val gIdentity = gspec.filter(_.kind == "identity").map(_.name).toSet
+      val gDataSchema =
+        StructType(schema.fields.filterNot(fd => gIdentity(fd.name)))
+      val gStaging = s"$staging/w$gi"
       val infoSchema = StructType(Seq(
         StructField("__src", StringType, nullable = false),
         StructField("__dir", StringType, nullable = false),
         StructField("__bin", IntegerType, nullable = false)))
       val info = s.createDataFrame(
-        work.toSeq.flatMap(w => w.bins.map { case (raw, _, b) =>
+        gwork.flatMap(w => w.bins.map { case (raw, _, b) =>
           Row(raw, w.rel, b) }).asJava, infoSchema)
-      val allFiles = work.toSeq.flatMap(_.bins.map(_._2))
-      val totalBins = math.max(1, work.map(_.nOut).sum.toInt)
-      var scan = s.read.schema(dataSchema).parquet(allFiles: _*)
+      val allFiles = gwork.flatMap(_.bins.map(_._2))
+      val totalBins = math.max(1, gwork.map(_.nOut).sum.toInt)
+      var scan = s.read.schema(gDataSchema).parquet(allFiles: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       // deletion vectors materialize here: DV'd positions are dropped and
       // the compacted files carry no vectors
-      val priorDv = work.toSeq.flatMap { w =>
+      val priorDv = gwork.flatMap { w =>
         val dvs = dirDvs(w.dir)
         w.bins.flatMap { case (raw, full, _) =>
           dvs.getOrElse(new Path(full).getName, Nil).map { case (s0, e0) =>
@@ -376,7 +400,7 @@ object StagedParquet {
       // would otherwise break the declared order and silently withdraw
       // the scan's sort-free plans)
       val binSort = sortColsOf(tableProperties(root))
-        .filter(dataSchema.fieldNames.contains)
+        .filter(gDataSchema.fieldNames.contains)
       withMicrosTimestamps(s) {
         val binned = scan.join(broadcast(info), Seq("__src"))
           .repartition(totalBins, col("__dir"), col("__bin"))
@@ -384,13 +408,13 @@ object StagedParquet {
           if (binSort.isEmpty) binned
           else binned.sortWithinPartitions(
             (col("__dir") +: col("__bin") +: binSort.map(col)): _*)
-        sorted.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
-          .write.partitionBy("__dir").mode("overwrite").parquet(staging)
+        sorted.select((gDataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+          .write.partitionBy("__dir").mode("overwrite").parquet(gStaging)
       }
-      for (w <- work) {
+      for (w <- gwork) {
         val escaped = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(w.rel)
-        val stagePart = new Path(s"$staging/__dir=$escaped")
+        val stagePart = new Path(s"$gStaging/__dir=$escaped")
         // the swap replaces the whole directory — for an unpartitioned
         // table's ROOT the catalog metadata (manifest log included: a
         // caught-up tail survives a compaction; a behind one fails loudly
@@ -403,11 +427,14 @@ object StagedParquet {
           readString(new Path(root, PropertiesFile)).foreach(
             writeString(stagePart, PropertiesFile, _))
           copyManifests(root, stagePart)
-        }
+        } else if (!w.rel.contains("="))
+          // an unpartitioned GENERATION root: its pinned spec rides the swap
+          writeString(stagePart, PartitionFile, PartSpec.serialize(w.spec))
         swapDirs(stagePart.toString, w.dir.toString,
           Some(retainedPath(d, v, w.rel))): Unit
         versionSwaps += w.rel
         report += ((w.rel, w.nFiles, w.nOut, w.bytes))
+      }
       }
     }
     if (versionSwaps.nonEmpty) recordVersion(d, v, Nil, versionSwaps.toSeq): Unit
@@ -417,6 +444,263 @@ object StagedParquet {
     // (retained version trees keep theirs for time travel)
     if (tableHasDvs) f.delete(new Path(root, DvFlagFile), false): Unit
     report.sortBy(_._1).toSeq
+  }
+
+  // ---- partition-spec evolution (layout generations) ----------------------
+  // Iceberg's flagship metadata operation, re-expressed on the staged
+  // format: `evolvePartitioning` changes a table's partition spec WITHOUT
+  // rewriting a byte — the current layout's partition directories are
+  // RENAMED under `_layouts/g-<n>/` (which keeps the old spec in its own
+  // `_partition.json`), the root `_partition.json` becomes the new spec,
+  // and new writes land at the root in the new layout. Reads plan every
+  // generation with its own spec ([[StagedScan.planLayoutDirs]]); pruning
+  // is per-generation and conservative; SPJ / footer-agg / sort-order
+  // claims withdraw while old generations hold data (honesty gates) and
+  // return after [[migrateLayouts]] rewrites the stragglers into the
+  // current layout. At 100 TB this is the operation that turns
+  // "we should have bucketed by customer" from a month-long table rewrite
+  // into one metadata commit.
+
+  /** Every layout generation holding this table's data: old generations
+    * under `_layouts/g-<n>/` (oldest first, each with its own spec), the
+    * CURRENT layout at the table root LAST. One `exists` probe on tables
+    * that never evolved.
+    */
+  private[graft] def layoutRoots(d: String): Seq[(Path, String, Seq[PartField])] = {
+    val root = new Path(d)
+    val f = fs(root)
+    val ld = new Path(root, LayoutsDir)
+    val gens: Seq[(Path, String, Seq[PartField])] =
+      if (!f.exists(ld)) Seq.empty
+      else f.listStatus(ld).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
+        .sortBy(_.getPath.getName.stripPrefix("g-").toLong)
+        .map { st =>
+          val spec = readString(new Path(st.getPath, PartitionFile))
+            .map(PartSpec.deserialize).getOrElse(Seq.empty)
+          (st.getPath, s"$LayoutsDir/${st.getPath.getName}", spec)
+        }
+    val cur = readString(new Path(root, PartitionFile))
+      .map(PartSpec.deserialize).getOrElse(Seq.empty)
+    gens :+ ((root, "", cur))
+  }
+
+  /** Does the table carry pre-evolution layout generations? (One probe —
+    * the gate every layout-sensitive claim checks first.)
+    */
+  private[graft] def hasOldLayouts(d: String): Boolean =
+    fs(new Path(d)).exists(new Path(new Path(d), LayoutsDir))
+
+  /** Do any old generations still hold DATA? One shallow listing per
+    * generation (no recursion): migrated-empty generations keep their
+    * `_partition.json` for time travel, and this probe is what lets the
+    * footer-agg pushdown return after [[migrateLayouts]] settles them.
+    * Conservative: an empty `k=v` shell counts as data.
+    */
+  private[graft] def oldLayoutsHoldData(d: String): Boolean = {
+    val f = fs(new Path(d))
+    layoutRoots(d).dropRight(1).exists { case (lroot, _, _) =>
+      f.listStatus(lroot).exists { st =>
+        (st.isDirectory && st.getPath.getName.contains("=") &&
+          !st.getPath.getName.endsWith("__old")) ||
+        (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))
+      }
+    }
+  }
+
+  /** MIGRATE every old layout generation's rows into the CURRENT layout —
+    * the settle pass that follows [[evolvePartitioning]] (Iceberg's
+    * rewrite-data-files-to-current-spec): each generation's rows are read
+    * with ITS spec (identity columns reconstituted from dir names),
+    * appended through the table's own engine write (current-layout
+    * routing, distribution, declared sort, manifest, version delta), and
+    * the generation's data directories then swap to retained trees in one
+    * version. Cost ∝ old-generation bytes, never the table. After it the
+    * generations are empty shells (their `_partition.json` stays for time
+    * travel) and every withdrawn claim — SPJ, footer aggregation, sort
+    * order — returns.
+    *
+    * Crash-idempotent under the single-writer maintenance contract: a
+    * `_migrated` marker pinning the pre-append version makes the append
+    * exactly-once — a rerun after ANY crash converges with no duplicated
+    * and no lost rows (marker present + version advanced ⇒ the append
+    * committed ⇒ skip straight to the drop; marker present + version
+    * unchanged ⇒ redo the append, whose own two-phase commit left only
+    * vacuumable `_tmp-` debris). Like all multi-directory maintenance,
+    * readers BETWEEN the append commit and the drops can observe a
+    * migrated row twice — run it in the maintenance window.
+    * Returns (generation rel, rows migrated) per settled generation.
+    */
+  def migrateLayouts(s: SparkSession, table: String): Seq[(String, Long)] = {
+    val d = tableDir(s, table)
+    val root = new Path(d)
+    val f = fs(root)
+    val sj = readString(new Path(root, SchemaFile)).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $d"))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val gens = layoutRoots(d).dropRight(1)
+    val out = mutable.Buffer[(String, Long)]()
+    for ((lroot, prefix, lspec) <- gens) {
+      val dvFlagged = hasDvFlag(root)
+      val dirs = StagedScan.planPartitions(lroot.toString, schema, lspec, Nil)
+        .map { case (vals, files) =>
+          val dirPath = new Path(files.head._1).getParent
+          val dvs = if (dvFlagged) readDvs(dirPath) else Map.empty[String, Seq[(Long, Long)]]
+          val dirRel = lspec.map(_.dirName).zip(vals)
+            .map { case (n, v0) => s"$n=$v0" }.mkString("/")
+          SnapDir(Seq(prefix, dirRel).filter(_.nonEmpty).mkString("/"), vals,
+            files.map(_._1), dvs.filter { case (n, _) =>
+              files.exists(fp => new Path(fp._1).getName == n) }, lspec)
+        }
+      if (dirs.nonEmpty) {
+        val marker = new Path(lroot, "_migrated")
+        val pinned = readString(marker).map(_.stripPrefix("pending:").toLong)
+        val v0 = pinned.getOrElse(currentVersion(d))
+        if (pinned.isEmpty) writeString(lroot, "_migrated", s"pending:$v0")
+        // rows migrated, from footer counts minus live DV positions —
+        // metadata only, no second data pass
+        val migrated = dirs.map { sd =>
+          sd.files.map(fp => StagedScan
+            .blockRanges(fp, f.getFileStatus(new Path(fp)).getLen)
+            .map(_._3.getRowCount).sum).sum -
+            sd.deleted.values.flatten.map(r => r._2 - r._1).sum
+        }.sum
+        if (currentVersion(d) == v0) {
+          // the append: one job, rows re-routed through the current layout
+          val k = registerSnapshot(Snapshot(schema, lspec, dirs))
+          val df = s.sql(s"SELECT * FROM $table VERSION AS OF 'snap:$k'")
+          df.writeTo(table).append()
+          snapshotRegistry.remove(k): Unit
+        }
+        // the drop: every generation data dir swaps to retained, ONE version
+        val v = currentVersion(d) + 1
+        val swaps = mutable.Buffer[String]()
+        if (lspec.isEmpty) {
+          // unpartitioned generation: retain it wholesale, re-pin its spec
+          val keep = retainedPath(d, v, prefix)
+          f.mkdirs(keep.getParent): Unit
+          f.delete(marker, false): Unit
+          if (!f.rename(lroot, keep))
+            throw new java.io.IOException(
+              s"migrateLayouts: cannot retain $lroot at $keep")
+          f.mkdirs(lroot): Unit
+          writeString(lroot, PartitionFile, PartSpec.serialize(lspec))
+          swaps += prefix
+        } else {
+          f.listStatus(lroot).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.contains("=") &&
+                !st.getPath.getName.endsWith("__old")) {
+              val rel = s"$prefix/${st.getPath.getName}"
+              val keep = retainedPath(d, v, rel)
+              f.mkdirs(keep.getParent): Unit
+              if (!f.rename(st.getPath, keep))
+                throw new java.io.IOException(
+                  s"migrateLayouts: cannot retain ${st.getPath} at $keep")
+              swaps += rel
+            }
+          }
+          f.delete(marker, false): Unit
+        }
+        recordVersion(d, v, Nil, swaps.toSeq): Unit
+        out += ((prefix, migrated))
+      }
+    }
+    out.toSeq
+  }
+
+  /** EVOLVE the table's partition spec — metadata-only (O(directories)
+    * renames, zero data bytes): the current layout moves whole under
+    * `_layouts/g-<n>/` with its spec pinned beside it, the root takes the
+    * new spec, the commit-manifest log is TRANSLATED 1:1 to the moved
+    * paths (a lagging or fresh stream tail keeps reading — every consumed
+    * offset stays consumed, every unconsumed entry resolves at its new
+    * path), and the version delta records one `!evolve=g-<n>` line so
+    * time travel reconstructs pre-evolution versions at the old layout.
+    * Returns the new generation's id.
+    */
+  def evolvePartitioning(s: SparkSession, table: String,
+                         newSpec: Seq[PartField]): Long = {
+    val d = tableDir(s, table)
+    val root = new Path(d)
+    val f = fs(root)
+    val sj = readString(new Path(root, SchemaFile)).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $d"))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val curSpec: Seq[PartField] = readString(new Path(root, PartitionFile))
+      .map(PartSpec.deserialize).getOrElse(Seq.empty)
+    require(newSpec != curSpec,
+      s"evolvePartitioning: the new spec equals the current one ($curSpec)")
+    newSpec.foreach { pf =>
+      require(schema.fieldNames.contains(pf.name),
+        s"evolvePartitioning: unknown column ${pf.name}")
+      require(pf.kind == "identity" || pf.kind == "days" || pf.kind == "bucket",
+        s"evolvePartitioning: unsupported transform ${pf.kind}")
+      if (pf.kind == "bucket") require(pf.buckets > 0,
+        s"evolvePartitioning: bucket(${pf.buckets}) on ${pf.name}")
+    }
+    val ld = new Path(root, LayoutsDir)
+    f.mkdirs(ld): Unit
+    val gid = f.listStatus(ld).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
+      .map(_.getPath.getName.stripPrefix("g-").toLong)
+      .maxOption.map(_ + 1).getOrElse(0L)
+    val gen = new Path(ld, s"g-$gid")
+    f.mkdirs(gen): Unit
+    // move the current layout's data into the generation — renames only
+    if (curSpec.isEmpty) {
+      // unpartitioned: loose root data files (and their deletion vectors)
+      f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && ((n.endsWith(".parquet") && !n.startsWith("_")) ||
+            n.startsWith(DvPrefix))) {
+          if (!f.rename(st.getPath, new Path(gen, n)))
+            throw new java.io.IOException(
+              s"evolvePartitioning: cannot move $n under $gen")
+        }
+      }
+    } else {
+      f.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.contains("=") &&
+            !st.getPath.getName.endsWith("__old")) {
+          if (!f.rename(st.getPath, new Path(gen, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"evolvePartitioning: cannot move ${st.getPath.getName} under $gen")
+        }
+      }
+    }
+    writeString(gen, PartitionFile, PartSpec.serialize(curSpec))
+    if (newSpec.nonEmpty)
+      writeString(root, PartitionFile, PartSpec.serialize(newSpec))
+    else f.delete(new Path(root, PartitionFile), false): Unit
+    translateManifests(root, rel => s"$LayoutsDir/g-$gid/$rel")
+    recordVersion(d, currentVersion(d) + 1, Nil, Nil,
+      marks = Seq(s"!evolve=g-$gid")): Unit
+    gid
+  }
+
+  /** Rewrite every manifest's entries through `move` (evolution's 1:1
+    * path translation). Per-manifest atomic: write the translated body to
+    * a `_tmp-` sibling, then rename over — a crash mid-log leaves each
+    * manifest either fully old or fully new, and an old entry's path
+    * either still resolves (not yet moved) or fails LOUDLY, never
+    * silently skips.
+    */
+  private def translateManifests(root: Path, move: String => String): Unit = {
+    val f = fs(root)
+    manifestIds(root).foreach { id =>
+      val p = manifestPath(root, id)
+      val content = readString(p).getOrElse("")
+      val out = content.split("\n").map { l =>
+        if (l.isEmpty || l.startsWith("#")) l else move(l)
+      }.mkString("\n")
+      val tmp = new Path(p.getParent, s"_tmp-${p.getName}")
+      val o = f.create(tmp, true)
+      try o.write(out.getBytes("UTF-8")) finally o.close()
+      f.delete(p, false): Unit
+      if (!f.rename(tmp, p))
+        throw new java.io.IOException(s"evolvePartitioning: cannot publish $p")
+    }
   }
 
   /** DELETE WHERE — the row-removal rung of the lake-table contract,
@@ -475,9 +759,15 @@ object StagedParquet {
     * catalog-qualified name). `update` None = delete rows matching the
     * predicate; Some(set) = rewrite them with the SET columns applied.
     */
+  /** @param excludeNames data-file NAMES the statement must not touch —
+    *        the streaming upsert's just-committed epoch files (visible in
+    *        the tree before their manifest lands, but semantically the
+    *        NEW rows the delete half must not see)
+    */
   private[v2] def cowWhereDir(s: SparkSession, d: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter],
-                  update: Option[Seq[(String, org.apache.spark.sql.Column)]]): Seq[(String, String, Long, Long)] = {
+                  update: Option[Seq[(String, org.apache.spark.sql.Column)]],
+                  excludeNames: Set[String] = Set.empty): Seq[(String, String, Long, Long)] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val root = new Path(d)
@@ -490,13 +780,29 @@ object StagedParquet {
     val dataSchema = StructType(PartSpec.dataFields(schema, partSpec).map(_._1))
     val conjuncts = flattenAnd(filters)
     require(canDelete(conjuncts), s"unsupported DELETE/UPDATE predicate: $filters")
+    // every layout generation participates (partition-spec evolution):
+    // rows matching the predicate must go whether they live in the
+    // current layout or a pre-evolution one
+    val layouts = layoutRoots(d)
+    // an UNPARTITIONED current layout mutates by ROOT swap, and a root
+    // swap would carry the live generations into the retained tree —
+    // rejected at analysis (never half-applied): settle the generations
+    // first, then the root swap is safe again
+    require(partSpec.nonEmpty || layouts.length == 1 || !oldLayoutsHoldData(d),
+      s"DELETE/UPDATE on $d: the current layout is unpartitioned and " +
+        "pre-evolution generations still hold data — a root swap would " +
+        "strand them; run StagedParquet.migrateLayouts first")
     update.foreach { set =>
-      val partRefs = partSpec.map(_.name).toSet
+      // a SET target must be a stored data column in EVERY generation —
+      // a column any layout keeps in its directory names cannot change
+      // without moving rows across directories
+      val partRefs = layouts.flatMap(_._3).map(_.name).toSet
       val bad = set.map(_._1).filter(partRefs)
       require(bad.isEmpty,
         s"updateWhere: SET on partition-referenced columns $bad would move " +
           "rows across directories — rewrite the table instead")
-      set.foreach { case (c, _) => require(dataSchema.fieldNames.contains(c),
+      set.foreach { case (c, _) => require(
+        schema.fieldNames.contains(c) && !partRefs(c),
         s"updateWhere: unknown column $c") }
     }
 
@@ -519,17 +825,19 @@ object StagedParquet {
       case d0: java.time.LocalDate => Some(d0.toEpochDay)
       case _                      => None
     }
-    // verdict of one conjunct against one directory's partition values:
+    // verdict of one conjunct against one directory's partition values
+    // UNDER THAT DIRECTORY'S SPEC (generations differ after evolution):
     // Some(true) = true for EVERY row in the dir, Some(false) = false for
     // every row, None = undecidable from the dir name (goes to tier 3)
-    def dirVerdict(c: Filter, vals: Seq[String]): Option[Boolean] = {
+    def dirVerdict(c: Filter, vals: Seq[String],
+                   spec: Seq[PartField]): Option[Boolean] = {
       def identVal(a: String): Option[Any] = {
-        val i = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == a)
+        val i = spec.indexWhere(pf => pf.kind == "identity" && pf.name == a)
         if (i < 0) None
         else Some(canon(StagedScan.partValue(schema(a).dataType, vals(i))))
       }
       def dirDay(a: String): Option[Option[Long]] = {
-        val i = partSpec.indexWhere(pf => pf.kind == "days" && pf.name == a)
+        val i = spec.indexWhere(pf => pf.kind == "days" && pf.name == a)
         if (i < 0) None
         else Some(if (vals(i) == "__HIVE_DEFAULT_PARTITION__") None
                   else Some(java.time.LocalDate.parse(vals(i)).toEpochDay))
@@ -539,8 +847,8 @@ object StagedParquet {
       // bucketed 100 TB table touches 1/n of the directories); the SAME
       // bucket proves nothing (other keys share it) → undecided
       def dirBucket(a: String): Option[(String, Int)] = {
-        val i = partSpec.indexWhere(pf => pf.kind == "bucket" && pf.name == a)
-        if (i < 0) None else Some((vals(i), partSpec(i).buckets))
+        val i = spec.indexWhere(pf => pf.kind == "bucket" && pf.name == a)
+        if (i < 0) None else Some((vals(i), spec(i).buckets))
       }
       def bucketVerdictEq(a: String, v: Any): Option[Boolean] =
         dirBucket(a).flatMap { case (raw, n) =>
@@ -643,19 +951,19 @@ object StagedParquet {
         // unsatisfiable f proves NOTHING for Not(f) — f may be NULL, and
         // NOT(NULL) is NULL, which DELETE must keep
         case And(l, r) => // nested under Or/Not (top-level Ands are flattened)
-          (dirVerdict(l, vals), dirVerdict(r, vals)) match {
+          (dirVerdict(l, vals, spec), dirVerdict(r, vals, spec)) match {
             case (Some(true), Some(true))            => Some(true)
             case (Some(false), _) | (_, Some(false)) => Some(false)
             case _                                   => None
           }
         case Or(l, r) =>
-          (dirVerdict(l, vals), dirVerdict(r, vals)) match {
+          (dirVerdict(l, vals, spec), dirVerdict(r, vals, spec)) match {
             case (Some(true), _) | (_, Some(true))   => Some(true)
             case (Some(false), Some(false))          => Some(false)
             case _                                   => None
           }
         case Not(f0) =>
-          dirVerdict(f0, vals) match {
+          dirVerdict(f0, vals, spec) match {
             case Some(true) => Some(false)
             case _          => None
           }
@@ -703,7 +1011,16 @@ object StagedParquet {
     def dataFilesOf(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith("_"))
+          !st.getPath.getName.startsWith("_") &&
+          !excludeNames(st.getPath.getName))
+    // excluded (epoch) files present in a dir: they must ride every swap
+    // as byte-copied siblings — a dir swap replaces the WHOLE directory,
+    // and a file in neither the rewrite nor the copy list would vanish
+    def excludedFilesOf(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (excludeNames.isEmpty) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          excludeNames(st.getPath.getName))
 
     // PASS 1 (driver metadata only): classify every directory. Tier-1
     // DELETE dirs drop immediately (no byte read); dirs needing a rewrite
@@ -715,12 +1032,17 @@ object StagedParquet {
     case class DirWork(rel: String, dir: Path, vals: Seq[String],
                        affected: Seq[org.apache.hadoop.fs.FileStatus],
                        untouched: Seq[org.apache.hadoop.fs.FileStatus],
-                       unconditional: Boolean)
+                       unconditional: Boolean, spec: Seq[PartField])
     val work = mutable.Buffer[DirWork]()
-    for ((rel, dir, vals) <- walk(root, partSpec.length, "")) {
-      val verdicts = conjuncts.map(c => dirVerdict(c, vals))
+    for ((lroot, lprefix, lspec) <- layouts;
+         (rel0, dir, vals) <- walk(lroot, lspec.length, "")) {
+      // rel is TABLE-relative (generation prefix included) — version
+      // deltas, retained trees, and swap targets all key on it
+      val rel = Seq(lprefix, rel0).filter(_.nonEmpty).mkString("/")
+      val verdicts = conjuncts.map(c => dirVerdict(c, vals, lspec))
       if (!verdicts.contains(Some(false))) {
         val remaining = conjuncts.zip(verdicts).collect { case (c, None) => c }
+        val epochFiles = excludedFilesOf(dir)
         if (remaining.isEmpty) {
           // tier 1: every conjunct all-true. DELETE drops the directory
           // without reading a byte (root of an unpartitioned table: swap
@@ -730,8 +1052,16 @@ object StagedParquet {
             case Some(_) =>
               val files = dataFilesOf(dir)
               if (files.nonEmpty)
-                work += DirWork(rel, dir, vals, files, Seq.empty,
-                  unconditional = true)
+                work += DirWork(rel, dir, vals, files, epochFiles,
+                  unconditional = true, spec = lspec)
+            case None if epochFiles.nonEmpty =>
+              // the dir holds just-committed epoch files the statement
+              // must not touch — no metadata drop; rewrite the OLD files
+              // to nothing and carry the epoch files as copied siblings
+              val files = dataFilesOf(dir)
+              if (files.nonEmpty)
+                work += DirWork(rel, dir, vals, files, epochFiles,
+                  unconditional = false, spec = lspec)
             case None if rel.isEmpty =>
               val st = new Path(staging)
               f.mkdirs(st): Unit
@@ -747,6 +1077,18 @@ object StagedParquet {
               swapDirs(staging, d, Some(retainedPath(d, cowVersion, "."))): Unit
               versionSwaps += "."
               report += ((".", "dropped", 0L, 0L))
+            case None if rel0.isEmpty =>
+              // an UNPARTITIONED generation root: retain it wholesale and
+              // re-pin its spec in place (snapshot lookups need it)
+              val keep = retainedPath(d, cowVersion, rel)
+              f.mkdirs(keep.getParent): Unit
+              if (!f.rename(dir, keep))
+                throw new java.io.IOException(
+                  s"DELETE: cannot retain dropped generation $dir at $keep")
+              f.mkdirs(dir): Unit
+              writeString(dir, PartitionFile, PartSpec.serialize(lspec))
+              versionSwaps += rel
+              report += ((rel, "dropped", 0L, 0L))
             case None =>
               val keep = retainedPath(d, cowVersion, rel)
               f.mkdirs(keep.getParent): Unit
@@ -758,13 +1100,14 @@ object StagedParquet {
           }
         } else {
           // tier 3: only files the zone map cannot clear are rewritten;
-          // cleared siblings are byte-copied at swap time (tier 2: the
-          // zone map cleared every file — the dir is never touched)
+          // cleared siblings — and any excluded epoch files — are
+          // byte-copied at swap time (tier 2: the zone map cleared every
+          // file — the dir is never touched)
           val (affected, untouched) = dataFilesOf(dir).partition(st =>
             fileMayMatch(st.getPath.toString, st.getLen, remaining))
           if (affected.nonEmpty)
-            work += DirWork(rel, dir, vals, affected, untouched,
-              unconditional = false)
+            work += DirWork(rel, dir, vals, affected, untouched ++ epochFiles,
+              unconditional = false, spec = lspec)
         }
       } // tier 2: a conjunct is provably false for the dir — untouched
     }
@@ -798,7 +1141,15 @@ object StagedParquet {
       val maxFraction =
         try s.conf.get("graft.staged.dv.maxFraction").toDouble
         catch { case _: Throwable => 0.1 }
-      val identIdx = partSpec.zipWithIndex.filter(_._1.kind == "identity")
+      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
+      val dense = mutable.Set.empty[String]
+      // one find-positions job PER LAYOUT GENERATION with affected files
+      // (each generation stores a different column subset in its files);
+      // generations are few, so the job count stays bounded by the
+      // evolution history, never the directory count
+      for ((gspec, gwork) <- work.toSeq.groupBy(_.spec)) {
+      val gDataSchema = StructType(PartSpec.dataFields(schema, gspec).map(_._1))
+      val identIdx = gspec.zipWithIndex.filter(_._1.kind == "identity")
       val identFields = identIdx.map { case (pf, _) =>
         schema(pf.name).copy(nullable = true) }
       def identExternal(vals: Seq[String]): Seq[Any] =
@@ -814,22 +1165,21 @@ object StagedParquet {
               s"staged COW: unsupported identity partition type $t")
           }
         }
-      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
       val infoSchema = StructType(
         StructField("__src", StringType, nullable = false) +:
         StructField("__dir", StringType, nullable = false) +: identFields)
-      val info = s.createDataFrame(work.toSeq.flatMap { w =>
+      val info = s.createDataFrame(gwork.flatMap { w =>
         val iv = identExternal(w.vals)
         w.affected.map(st => Row.fromSeq(
           st.getPath.toUri.getRawPath +: sentinel(w.rel) +: iv))
       }.asJava, infoSchema)
-      val allAffected = work.toSeq.flatMap(_.affected).map(_.getPath.toString)
-      var scan = s.read.schema(dataSchema).parquet(allAffected: _*)
+      val allAffected = gwork.flatMap(_.affected).map(_.getPath.toString)
+      var scan = s.read.schema(gDataSchema).parquet(allAffected: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
         .withColumn("__pos", col("_metadata.row_index"))
       // rows an earlier DV already deleted must not match (or count) again
-      val priorDv = work.toSeq.flatMap { w =>
+      val priorDv = gwork.flatMap { w =>
         val dvs = dirDvs(w.dir)
         w.affected.flatMap(st => dvs.getOrElse(st.getPath.getName, Nil)
           .map { case (s0, e0) =>
@@ -865,14 +1215,13 @@ object StagedParquet {
             }
             (src, dir0, runs.toArray)
           }.collect().toSeq
-      val rawToName: Map[String, String] = work.toSeq.flatMap(w =>
+      val rawToName: Map[String, String] = gwork.flatMap(w =>
         w.affected.map(st => st.getPath.toUri.getRawPath ->
           st.getPath.getName)).toMap
       val byDir: Map[String, Seq[(String, Array[Long])]] = morRows
         .groupBy(_._2).map { case (rel, rs) =>
           (rel, rs.map(r => (rawToName(r._1), r._3))) }
-      val dense = mutable.Set.empty[String]
-      for (w <- work) {
+      for (w <- gwork) {
         val rel = sentinel(w.rel)
         byDir.get(rel) match {
           case None => // zero matches: neither a DV nor a rewrite
@@ -896,6 +1245,7 @@ object StagedParquet {
             }
         }
       }
+      }
       // only DENSE dirs proceed to the COW rewrite
       val kept = work.filter(w => dense.contains(sentinel(w.rel)))
       work.clear()
@@ -915,7 +1265,16 @@ object StagedParquet {
     if (work.nonEmpty) {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace, when}
-      val identIdx = partSpec.zipWithIndex.filter(_._1.kind == "identity")
+      // rel "" (unpartitioned root) needs a non-empty partition value —
+      // "." can never collide with a real `k=v/...` rel path
+      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
+      // one rewrite job PER LAYOUT GENERATION with affected files (the
+      // stored column subset differs per generation); bounded by the
+      // evolution history, never the directory count
+      for (((gspec, gwork), gi) <- work.toSeq.groupBy(_.spec).toSeq.zipWithIndex) {
+      val gDataSchema = StructType(PartSpec.dataFields(schema, gspec).map(_._1))
+      val gStaging = s"$staging/w$gi"
+      val identIdx = gspec.zipWithIndex.filter(_._1.kind == "identity")
       val identFields = identIdx.map { case (pf, _) =>
         schema(pf.name).copy(nullable = true) }
       def identExternal(vals: Seq[String]): Seq[Any] =
@@ -931,9 +1290,6 @@ object StagedParquet {
               s"staged COW: unsupported identity partition type $t")
           }
         }
-      // rel "" (unpartitioned root) needs a non-empty partition value —
-      // "." can never collide with a real `k=v/...` rel path
-      def sentinel(rel: String): String = if (rel.isEmpty) "." else rel
       // join key: the file path in its URI-RAW form — input_file_name()
       // reports the Hadoop Path's URI encoding (a `%` in an escaped
       // partition dir name arrives as `%25`), and getRawPath is that same
@@ -943,21 +1299,21 @@ object StagedParquet {
         StructField("__dir", StringType, nullable = false) +:
         StructField("__uncond", BooleanType, nullable = false) +:
         identFields)
-      val infoRows: Seq[Row] = work.toSeq.flatMap { w =>
+      val infoRows: Seq[Row] = gwork.flatMap { w =>
         val iv = identExternal(w.vals)
         w.affected.map(st => Row.fromSeq(
           st.getPath.toUri.getRawPath +: sentinel(w.rel) +:
             Boolean.box(w.unconditional) +: iv))
       }
       val info = s.createDataFrame(infoRows.asJava, infoSchema)
-      val allAffected = work.toSeq.flatMap(_.affected).map(_.getPath.toString)
-      var scan = s.read.schema(dataSchema).parquet(allAffected: _*)
+      val allAffected = gwork.flatMap(_.affected).map(_.getPath.toString)
+      var scan = s.read.schema(gDataSchema).parquet(allAffected: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       // rows a deletion vector already removed must not survive the
       // rewrite (the raw file read would resurrect them); the rewrite
       // MATERIALIZES the deletes — rewritten files carry no DV entries
-      val priorDv = work.toSeq.flatMap { w =>
+      val priorDv = gwork.flatMap { w =>
         val dvs = dirDvs(w.dir)
         w.affected.flatMap(st => dvs.getOrElse(st.getPath.getName, Nil)
           .map { case (s0, e0) =>
@@ -996,29 +1352,29 @@ object StagedParquet {
             coalesce(fullPred, lit(false))
           set.foldLeft(joined) { case (df0, (c, v)) =>
             df0.withColumn(c,
-              when(cond, v.cast(dataSchema(c).dataType)).otherwise(col(c)))
+              when(cond, v.cast(gDataSchema(c).dataType)).otherwise(col(c)))
           }
       }
       // a sorted table's rewrite re-sorts (the declared order is a table
       // invariant); identity columns live in the dir name, so only data
       // columns participate
       val cowSort = sortColsOf(tableProperties(root))
-        .filter(dataSchema.fieldNames.contains)
+        .filter(gDataSchema.fieldNames.contains)
       val outSorted =
         if (cowSort.isEmpty) out
         else out.sortWithinPartitions((col("__dir") +: cowSort.map(col)): _*)
       withMicrosTimestamps(s) {
-        outSorted.select((dataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
-          .write.partitionBy("__dir").mode("overwrite").parquet(staging)
+        outSorted.select((gDataSchema.fieldNames.map(col) :+ col("__dir")).toSeq: _*)
+          .write.partitionBy("__dir").mode("overwrite").parquet(gStaging)
       }
       // per-dir promotion (driver metadata only, never a Spark job):
       // byte-copy the zone-map-cleared siblings beside the rewritten
       // files and swap each directory atomically — a crash leaves the
       // old rows or the new ones, never a half-deleted directory
-      for (w <- work) {
+      for (w <- gwork) {
         val escaped = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(sentinel(w.rel))
-        val stagePart = new Path(s"$staging/__dir=$escaped")
+        val stagePart = new Path(s"$gStaging/__dir=$escaped")
         if (!f.exists(stagePart)) f.mkdirs(stagePart): Unit // all rows deleted
         w.untouched.foreach { st =>
           FileUtil.copy(f, st.getPath, f,
@@ -1042,12 +1398,15 @@ object StagedParquet {
           readString(new Path(root, PropertiesFile)).foreach(
             writeString(stagePart, PropertiesFile, _))
           copyManifests(root, stagePart)
-        }
+        } else if (!w.rel.contains("="))
+          // an unpartitioned GENERATION root: its pinned spec rides the swap
+          writeString(stagePart, PartitionFile, PartSpec.serialize(w.spec))
         swapDirs(stagePart.toString, w.dir.toString,
           Some(retainedPath(d, cowVersion, sentinel(w.rel)))): Unit
         versionSwaps += sentinel(w.rel)
         report += ((sentinel(w.rel), "rewritten",
           w.affected.length.toLong, w.untouched.length.toLong))
+      }
       }
     }
     if (versionSwaps.nonEmpty || versionAdds.nonEmpty)
@@ -1101,9 +1460,13 @@ object StagedParquet {
       throw new IllegalArgumentException(s"no committed table at $d"))
     // a table with deletion vectors must read through the V2 scan (the
     // only reader that applies them); the built-in parquet source would
-    // resurrect deleted rows. Un-flagged tables keep the built-in path
-    // (identical results, zero behavior change).
-    if (hasDvFlag(new Path(d))) s.table(table)
+    // resurrect deleted rows. An EVOLVED table must too: its
+    // pre-evolution generations live under `_layouts/` — an
+    // underscore-prefixed dir the built-in source treats as hidden and
+    // silently drops. Un-flagged, un-evolved tables keep the built-in
+    // path (identical results, zero behavior change).
+    if (hasDvFlag(new Path(d)) ||
+        (hasOldLayouts(d) && oldLayoutsHoldData(d))) s.table(table)
     else s.read.schema(DataType.fromJson(sj).asInstanceOf[StructType]).parquet(d)
   }
 
@@ -1246,11 +1609,13 @@ object StagedParquet {
     */
   private[v2] def recordVersion(prodDir: String, v: Long,
                                 adds: Seq[String], swaps: Seq[String],
-                                exact: Boolean = true): Long = {
+                                exact: Boolean = true,
+                                marks: Seq[String] = Nil): Long = {
     val md = metaDir(prodDir)
     val f = fs(md)
     f.mkdirs(md): Unit
-    val body = (swaps.sorted.map("~" + _) ++ adds.sorted.map("+" + _)).mkString("\n")
+    val body = (marks ++ swaps.sorted.map("~" + _) ++
+      adds.sorted.map("+" + _)).mkString("\n")
     var id = v
     var done = false
     while (!done) {
@@ -1273,12 +1638,19 @@ object StagedParquet {
     * that version's GENERATION (a replace may have changed both) and, per
     * partition dir, its values and absolute file paths.
     */
-  /** @param dirs per partition dir: (values, absolute parquet paths,
-    *              deleted row-position ranges by file NAME — the deletion
-    *              vectors alive AT the reconstructed version)
+  /** One reconstructed partition directory: its table-relative path
+    * (including any `_layouts/g-<n>/` generation prefix), dir values,
+    * absolute parquet paths, the deletion vectors alive AT the
+    * reconstructed version (by file name), and the SPEC its values parse
+    * under — per-dir because a snapshot of an evolved table mixes layout
+    * generations.
     */
+  private[graft] case class SnapDir(rel: String, vals: Seq[String],
+      files: Seq[String], deleted: Map[String, Seq[(Long, Long)]],
+      spec: Seq[PartField])
+
   private[graft] case class Snapshot(schema: StructType, partSpec: Seq[PartField],
-      dirs: Seq[(Seq[String], Seq[String], Map[String, Seq[(Long, Long)]])])
+      dirs: Seq[SnapDir])
 
   /** `table` AS OF `version`: walks the current tree, then undoes deltas
     * newest-first down to version+1 — an added file is dropped, a swapped
@@ -1303,29 +1675,43 @@ object StagedParquet {
     def sentinel(rel: String) = if (rel.isEmpty) "." else rel
     var baseRoot = d
     var baseSpec = specOf(d)
-    // dirRel -> (physical dir path, file names)
-    val state = mutable.Map.empty[String, (Path, mutable.Set[String])]
+    // full rel (any `_layouts/g-<n>/` prefix included) ->
+    //   (physical dir path, file names, the dir's spec)
+    val state = mutable.Map.empty[String, (Path, mutable.Set[String], Seq[PartField])]
     def rebase(): Unit = {
       state.clear()
+      baseSpec = specOf(baseRoot)
       val dvFlagged = hasDvFlag(new Path(baseRoot))
-      StagedScan.planPartitions(baseRoot, StructType(Nil), baseSpec, Nil)
-        .foreach { case (vals, files) =>
-          val rel = sentinel(baseSpec.map(_.dirName).zip(vals)
-            .map { case (n, v0) => s"$n=$v0" }.mkString("/"))
-          val dirPath = files.headOption
-            .map(fp => new Path(fp._1).getParent).getOrElse(new Path(baseRoot))
-          val names = mutable.Set(files.map(fp => new Path(fp._1).getName): _*)
-          // live deletion vectors join the tracked name set — the same `+`
-          // undo that drops an added parquet file drops an added DV, so a
-          // version BEFORE the delete reads the rows back
-          if (dvFlagged)
-            f.listStatus(dirPath).foreach { st =>
-              if (st.isFile && st.getPath.getName.startsWith(DvPrefix))
-                names += st.getPath.getName
-            }
-          state(rel) = (dirPath, names)
-        }
+      // every layout generation, each under its own spec — a snapshot of
+      // an evolved table is a MIXED-layout state
+      for ((lroot, prefix, lspec) <- layoutRoots(baseRoot))
+        StagedScan.planPartitions(lroot.toString, StructType(Nil), lspec, Nil)
+          .foreach { case (vals, files) =>
+            val dirRel = lspec.map(_.dirName).zip(vals)
+              .map { case (n, v0) => s"$n=$v0" }.mkString("/")
+            val rel = sentinel(
+              Seq(prefix, dirRel).filter(_.nonEmpty).mkString("/"))
+            val dirPath = files.headOption
+              .map(fp => new Path(fp._1).getParent).getOrElse(lroot)
+            val names = mutable.Set(files.map(fp => new Path(fp._1).getName): _*)
+            // live deletion vectors join the tracked name set — the same
+            // `+` undo that drops an added parquet file drops an added DV,
+            // so a version BEFORE the delete reads the rows back
+            if (dvFlagged)
+              f.listStatus(dirPath).foreach { st =>
+                if (st.isFile && st.getPath.getName.startsWith(DvPrefix))
+                  names += st.getPath.getName
+              }
+            state(rel) = (dirPath, names, lspec)
+          }
     }
+    // spec a swapped-in dir parses under: its generation's pinned spec if
+    // layout-prefixed, else the base root's current spec
+    def specFor(dirRel: String): Seq[PartField] =
+      if (dirRel == LayoutsDir || dirRel.startsWith(LayoutsDir + "/")) {
+        val segs = dirRel.split('/')
+        specOf(new Path(new Path(baseRoot), segs.take(2).mkString("/")).toString)
+      } else baseSpec
     rebase()
     for (v <- cur to (version + 1) by -1) {
       val sv = readString(new Path(metaDir(d), s"s-$v")).getOrElse("")
@@ -1345,7 +1731,6 @@ object StagedParquet {
           // a whole-generation swap: everything before it lives under the
           // retained root, with ITS schema and partitioning
           baseRoot = retained.toString
-          baseSpec = specOf(baseRoot)
           rebase()
         } else {
           // the retained tree rode a RENAME, deletion vectors included
@@ -1353,8 +1738,22 @@ object StagedParquet {
             ((st.getPath.getName.endsWith(".parquet") &&
               !st.getPath.getName.startsWith("_")) ||
              st.getPath.getName.startsWith(DvPrefix))).map(_.getPath.getName)
-          state(dirRel) = (retained, mutable.Set(names: _*))
+          state(dirRel) = (retained, mutable.Set(names: _*), specFor(dirRel))
         }
+      }
+      // "!evolve=g-<n>": undo the evolution — the generation's entries
+      // WERE the root layout. Keys re-root (strip the prefix) and the
+      // base spec reverts to the generation's pinned spec; entry specs
+      // already carry it.
+      lines.filter(_.startsWith("!evolve=")).foreach { l =>
+        val prefix = s"$LayoutsDir/${l.stripPrefix("!evolve=")}"
+        val moved = state.keys
+          .filter(k => k == prefix || k.startsWith(prefix + "/")).toSeq
+        for (k <- moved) {
+          val nk = sentinel(k.stripPrefix(prefix).stripPrefix("/"))
+          state(nk) = state.remove(k).get
+        }
+        baseSpec = specOf(new Path(new Path(baseRoot), prefix).toString)
       }
     }
     val schema = readString(new Path(baseRoot, SchemaFile))
@@ -1362,21 +1761,22 @@ object StagedParquet {
       .getOrElse(throw new IllegalStateException(
         s"$d version $version: no schema at $baseRoot"))
     Snapshot(schema, baseSpec,
-      state.toSeq.sortBy(_._1).flatMap { case (dirRel, (base, names)) =>
+      state.toSeq.sortBy(_._1).flatMap { case (dirRel, (base, names, spec)) =>
         val (dvNames, dataNames) =
           names.toSeq.sorted.partition(_.startsWith(DvPrefix))
         if (dataNames.isEmpty) None
         else {
-          val vals =
-            if (dirRel == ".") Seq.empty[String]
-            else dirRel.split('/').toSeq.map(_.split("=", 2)(1))
+          // generation-prefix segments carry no '=', dir values do
+          val vals = dirRel.split('/').toSeq
+            .filter(_.contains("=")).map(_.split("=", 2)(1))
           // the deletion vectors alive AT this version (exactly the DV
           // files the undo walk left in the set), scoped to files present
           val dataSet = dataNames.toSet
           val deleted = mergeDvEntries(dvNames
             .flatMap(n => dvLines(new Path(base, n)))
             .filter { case (fn, _) => dataSet(fn) })
-          Some((vals, dataNames.map(n => new Path(base, n).toString), deleted))
+          Some(SnapDir(dirRel, vals,
+            dataNames.map(n => new Path(base, n).toString), deleted, spec))
         }
       })
   }
@@ -1419,30 +1819,40 @@ object StagedParquet {
     val d = tableDir(s, table)
     val a = snapshotOfDir(d, fromV)
     val b = snapshotOfDir(d, toV)
+    // a partition-spec EVOLUTION inside the range renames every committed
+    // file (layout move): the per-dir diff below would misread it as a
+    // full rewrite of every directory — reject loudly instead (checked
+    // FIRST: an evolution also changes the spec, and this message names
+    // the actual cause)
+    require(!((fromV + 1) to toV).exists(v =>
+      readString(new Path(metaDir(d), s"s-$v"))
+        .exists(_.split("\n").exists(_.startsWith("!evolve=")))),
+      "changesBetween: the range crosses a partition-spec evolution — " +
+        "diff up to the evolution version and from it separately")
     require(a.schema.json == b.schema.json && a.partSpec == b.partSpec,
       "changesBetween: the range crosses a REPLACE that changed the " +
         "schema or partitioning — diff the generations separately")
-    type Dir = (Seq[String], Seq[String], Map[String, Seq[(Long, Long)]])
-    val am = a.dirs.map(t => (t._1, t)).toMap
-    val bm = b.dirs.map(t => (t._1, t)).toMap
+    type Dir = SnapDir
+    val am = a.dirs.map(t => (t.rel, t)).toMap
+    val bm = b.dirs.map(t => (t.rel, t)).toMap
     def byName(paths: Seq[String]): Map[String, String] =
       paths.map(p => new Path(p).getName -> p).toMap
     val insertDirs = mutable.Buffer.empty[Dir]
     val deleteDirs = mutable.Buffer.empty[Dir]
     val fullA = mutable.Buffer.empty[Dir]
     val fullB = mutable.Buffer.empty[Dir]
-    for (key <- (am.keySet ++ bm.keySet).toSeq.sortBy(_.mkString("/"))) {
+    for (key <- (am.keySet ++ bm.keySet).toSeq.sorted) {
       (am.get(key), bm.get(key)) match {
         case (None, Some(bd)) => insertDirs += bd  // new dir: all inserts
         case (Some(ad), None) => deleteDirs += ad  // dropped dir: all deletes
         case (Some(ad), Some(bd)) =>
-          val an = byName(ad._2); val bn = byName(bd._2)
+          val an = byName(ad.files); val bn = byName(bd.files)
           val added = (bn.keySet -- an.keySet).toSeq.sorted
           val removed = an.keySet -- bn.keySet
           val common = (an.keySet intersect bn.keySet).toSeq.sorted
           val dvGrewOnly = common.forall { n =>
-            val da = ad._3.getOrElse(n, Nil)
-            val db = bd._3.getOrElse(n, Nil)
+            val da = ad.deleted.getOrElse(n, Nil)
+            val db = bd.deleted.getOrElse(n, Nil)
             rangeSubtract(da, db).isEmpty // every old deletion still holds
           }
           if (removed.nonEmpty || !dvGrewOnly) {
@@ -1450,17 +1860,18 @@ object StagedParquet {
             fullA += ad; fullB += bd
           } else {
             if (added.nonEmpty)
-              insertDirs += ((bd._1, added.map(bn),
-                bd._3.filter { case (n, _) => added.contains(n) }))
+              insertDirs += bd.copy(files = added.map(bn),
+                deleted = bd.deleted.filter { case (n, _) => added.contains(n) })
             val dvDiff = common.flatMap { n =>
-              val diff = rangeSubtract(bd._3.getOrElse(n, Nil),
-                ad._3.getOrElse(n, Nil))
+              val diff = rangeSubtract(bd.deleted.getOrElse(n, Nil),
+                ad.deleted.getOrElse(n, Nil))
               if (diff.isEmpty) None
               else Some((n, rangeComplement(diff))) // read ONLY the deleted
             }.toMap
             if (dvDiff.nonEmpty)
-              deleteDirs += ((bd._1, common.filter(dvDiff.contains).map(bn),
-                dvDiff))
+              deleteDirs += bd.copy(
+                files = common.filter(dvDiff.contains).map(bn),
+                deleted = dvDiff)
           }
       }
     }
@@ -2011,7 +2422,19 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val d = dir(ident)
-    if (!isCommitted(d)) throw new NoSuchTableException(ident)
+    if (!isCommitted(d)) {
+      // inspection tables ride a dotted suffix on a committed table's
+      // identifier (Iceberg's `db.table.files` surface): the suffix
+      // resolves here as Identifier(ns :+ table, suffix)
+      if (ident.namespace.nonEmpty && StagedMetaTables.Kinds(ident.name)) {
+        val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+        val pd = dir(parent)
+        if (isCommitted(pd))
+          return StagedMetaTables.forKind(ident.name, parent.name, pd,
+            loadSchema(pd), loadPartSpec(pd))
+      }
+      throw new NoSuchTableException(ident)
+    }
     new StagedParquetTable(ident.name, d, loadSchema(d), loadPartSpec(d),
       StagedParquet.tableProperties(new Path(d)))
   }
@@ -2436,6 +2859,17 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
               prodDir + "__staging." + info.queryId().take(8),
               Some(prodDir), info.schema(), partSpec, info.queryId())
           case "dynamic" =>
+            // a dynamic overwrite replaces CURRENT-layout directories; an
+            // old generation may hold rows of the same logical partitions
+            // under a different dir shape — they would silently survive
+            // as stale duplicates. Fail at plan time; settle first.
+            if (StagedParquet.hasOldLayouts(prodDir) &&
+                StagedParquet.oldLayoutsHoldData(prodDir))
+              throw new UnsupportedOperationException(
+                s"$tableName holds pre-evolution layout generations; run " +
+                  "StagedParquet.migrateLayouts before a dynamic partition " +
+                  "overwrite (old-generation rows of an overwritten " +
+                  "partition would survive as stale duplicates)")
             new DynamicOverwriteBatchWrite(
               prodDir + "__staging." + info.queryId().take(8),
               prodDir, info.schema(), partSpec, info.queryId())
@@ -2458,8 +2892,22 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
                   s"table $tableName declares ${StagedParquet.SortOrderProp}; " +
                     "streaming appends cannot guarantee it — remove the " +
                     "property or batch-ingest")
+              val upsertKey = Option(info.options().get("graft.upsert.key"))
+              upsertKey.foreach { k =>
+                require(tableSchema.fieldNames.contains(k),
+                  s"graft.upsert.key: unknown column $k")
+                // the key must be a stored DATA column in every layout:
+                // an identity-partitioned key would tier the epoch's
+                // key-delete to whole-directory drops (wrong rows), and
+                // a days-source key is not an identity at all
+                val bad = StagedParquet.layoutRoots(prodDir).flatMap(_._3)
+                  .exists(pf => pf.name == k && pf.kind != "bucket")
+                require(!bad,
+                  s"graft.upsert.key: $k is identity/days-partitioned — " +
+                    "bucket(n, key) is the upsert-friendly layout")
+              }
               new StagedStreamingWrite(prodDir, info.schema(),
-                partSpec, info.queryId())
+                partSpec, info.queryId(), upsertKey)
             case m => throw new UnsupportedOperationException(
               s"staged streaming write supports Append output mode only (got $m)")
           }
@@ -2654,8 +3102,24 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
   * the epoch replays or vacuum's age gate passes — is the batch append
   * path's documented contract, unchanged here.
   */
+/** @param upsertKey STREAMING UPSERT mode (`graft.upsert.key` write
+  *        option — the CDC sink shape, Flink/Iceberg upsert-stream
+  *        semantics): before each epoch's manifest lands, rows whose key
+  *        matches an epoch row are DELETED through the tiered COW core
+  *        (merge-on-read tables pay one tiny deletion vector per touched
+  *        directory; a bucket(key) layout prunes the match to the keys'
+  *        buckets, the zone map to overlapping files — a 100 TB CDC
+  *        target absorbs an epoch at cost ∝ touched keys). The epoch's
+  *        own files are excluded from the delete, and the whole pair is
+  *        replay-idempotent: a replayed epoch short-circuits on the txn
+  *        marker, and a crash between the delete and the manifest redoes
+  *        a delete that matches nothing new (prior deletions anti-join).
+  *        The INPUT must be key-unique per micro-batch (the standard
+  *        upsert-stream contract — pre-aggregate latest-per-key).
+  */
 class StagedStreamingWrite(prodDir: String, schema: StructType,
-                           partSpec: Seq[PartField], queryId: String)
+                           partSpec: Seq[PartField], queryId: String,
+                           upsertKey: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import StagedParquet._
 
@@ -2708,6 +3172,21 @@ class StagedStreamingWrite(prodDir: String, schema: StructType,
     if (partSpec.nonEmpty && !f.exists(new Path(p, PartitionFile)))
       writeString(p, PartitionFile, PartSpec.serialize(partSpec))
     writeString(p, SuccessFile, "")
+    // UPSERT half: delete the PRE-EXISTING rows this epoch replaces —
+    // key values read from the epoch's own (tiny) files, the delete
+    // tiered as usual with the epoch files excluded. Runs BEFORE the
+    // manifest so a crash leaves a redoable state (see scaladoc).
+    for (key <- upsertKey if committed.nonEmpty) {
+      val s = SparkSession.active
+      val vals = s.read
+        .schema(StructType(Seq(schema(key))))
+        .parquet(committed.toSeq.map(rel => new Path(p, rel).toString): _*)
+        .distinct().collect().map(_.get(0)).filter(_ != null)
+      if (vals.nonEmpty)
+        cowWhereDir(s, prodDir,
+          Seq(org.apache.spark.sql.sources.In(key, vals)), None,
+          excludeNames = committed.map(_.split('/').last)): Unit
+    }
     val mid =
       if (committed.nonEmpty) appendManifest(p, committed.toSeq, Some(txnOf(epochId)))
       else cursor._2

@@ -111,11 +111,18 @@ class StagedRowLevelScan(prodDir: String, tableSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = super.planInputPartitions()
+    // table-relative dir of each split FROM ITS FILE PATH — spec-agnostic,
+    // so pre-evolution generations (`_layouts/g-<n>/...` splits, whose
+    // specs differ) record correctly. Their replacement rows re-route
+    // through the CURRENT layout's write, so a row-level statement also
+    // MIGRATES every directory it touches out of the old generation (the
+    // old dir swaps empty; unscanned old dirs stay put).
+    val rootPath = new Path(prodDir).toUri.getPath
     val dirs = parts.map { ip =>
       val p = ip.asInstanceOf[StagedInputPartition]
-      partSpec.zip(p.rawValues)
-        .map { case (pf, v) => s"${pf.dirName}=$v" }.mkString("/")
-    }.distinct.toSeq
+      new Path(p.files.head).getParent.toUri.getPath
+        .stripPrefix(rootPath).stripPrefix("/")
+    }.filter(_.nonEmpty).distinct.toSeq
     op.scannedDirs.set(dirs)
     parts
   }

@@ -149,6 +149,14 @@ class StagedScanBuilder(tableName: String, prodDir: String,
     // pushdown by materializing the deletes and dropping the flag.
     if (StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir)))
       return false
+    // partition-spec evolution: old-generation files group by DIRECTORY
+    // values of a different spec and may lack today's grouped column in
+    // their footers — footer answers would be wrong, so the pushdown
+    // stands down while old layouts hold data (migrateLayouts empties
+    // them and the pushdown returns; the probe is one shallow listing
+    // per generation, zero on never-evolved tables)
+    if (StagedParquet.hasOldLayouts(prodDir) &&
+        StagedParquet.oldLayoutsHoldData(prodDir)) return false
     val identityCols = partSpec.filter(_.kind == "identity").map(_.name)
     val statTypes: Set[DataType] =
       Set(IntegerType, LongType, FloatType, DoubleType, DateType, TimestampType)
@@ -220,7 +228,9 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
       return Array.empty
     val multiSplitGroup =
       planned.groupBy(_.rawValues.toList).values.exists(_.length > 1)
-    if (multiSplitGroup) Array.empty
+    // mixed layout generations also withdraw the claim (their splits
+    // interleave in key-value order only within a generation)
+    if (multiSplitGroup || plannedDirs.exists(_._3 != partSpec)) Array.empty
     else cols.map(c => Expressions.sort(Expressions.column(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
@@ -258,8 +268,8 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     * joins nothing. Small files skip the footer read at plan time (no
     * metadata pass unless a file can actually split).
     */
-  private lazy val plannedDirs: Seq[(Seq[String], Seq[(String, Long)])] =
-    StagedScan.planPartitions(prodDir, tableSchema, partSpec, pruning)
+  private lazy val plannedDirs: Seq[(Seq[String], Seq[(String, Long)], Seq[PartField])] =
+    StagedScan.planLayoutDirs(prodDir, tableSchema, partSpec, pruning)
 
   private lazy val splitBytes: Long =
     try org.apache.spark.sql.SparkSession.active.conf
@@ -274,20 +284,29 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir))
   private lazy val plannedPair: (Array[StagedInputPartition], Long) = {
     var bytes = 0L
-    val splits = plannedDirs.flatMap { case (vals, files) =>
+    val splits = plannedDirs.flatMap { case (vals, files, spec) =>
       val dirDv: Map[String, Seq[(Long, Long)]] =
         if (!tableHasDvs || files.isEmpty) Map.empty
         else StagedParquet.readDvs(new Path(files.head._1).getParent)
+      // EVOLUTION GUARD: a skip filter on a column this generation's spec
+      // stores in the DIRECTORY NAME must never reach the zone map — the
+      // column is absent from the generation's footers, and blockSurvives
+      // would read "absent = all null" and skip live rows
+      val dirIdentity = spec.filter(_.kind == "identity").map(_.name).toSet
+      val dirSkip =
+        if (dirIdentity.isEmpty) dataSkip
+        else dataSkip.filterNot(f =>
+          StagedScan.filterAttr(f).exists(dirIdentity))
       files.flatMap { case (f, len) =>
         val dv = dirDv.getOrElse(new Path(f).getName, Nil)
         def whole = { bytes += len
           StagedInputPartition(vals, Seq(f), tableSchema.json,
-            partSpec, required.fieldNames.toSeq, None, dv, 0L) }
+            spec, required.fieldNames.toSeq, None, dv, 0L) }
         def ranged(r: (Long, Long), row0: Long) = { bytes += r._2 - r._1
           StagedInputPartition(vals, Seq(f),
-            tableSchema.json, partSpec, required.fieldNames.toSeq,
+            tableSchema.json, spec, required.fieldNames.toSeq,
             Some(r), dv, row0) }
-        if (len <= splitBytes && dataSkip.isEmpty) Seq(whole)
+        if (len <= splitBytes && dirSkip.isEmpty) Seq(whole)
         else {
           // one footer read decides both row-group splitting and the
           // zone-map cut; a file whose every row group is excluded plans
@@ -299,7 +318,7 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
           val withRow = blocks.zip(rowOffsets)
             .map { case ((s0, e0, b), row0) => (s0, e0, b, row0) }
           val kept = withRow.filter { case (_, _, b, _) =>
-            StagedScan.blockSurvives(b, tableSchema, dataSkip) }
+            StagedScan.blockSurvives(b, tableSchema, dirSkip) }
           if (kept.isEmpty) Seq.empty
           else if (kept.length == blocks.length &&
             (len <= splitBytes || blocks.length == 1)) Seq(whole)
@@ -349,16 +368,21 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     */
   private def runtimeSurvives(p: StagedInputPartition): Boolean = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    // the SPLIT's own spec, not the scan's: under partition-spec
+    // evolution an old-generation split stores today's partition column
+    // in its data files — its spec has no entry for it, so every lookup
+    // below misses and the split conservatively survives
+    val spec = p.partSpec
     def dirValue(name: String): Option[Any] = {
-      val i = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == name)
+      val i = spec.indexWhere(pf => pf.kind == "identity" && pf.name == name)
       if (i < 0) None
-      else Some(StagedScan.partValue(tableSchema(partSpec(i).name).dataType,
+      else Some(StagedScan.partValue(tableSchema(spec(i).name).dataType,
         p.rawValues(i)))
     }
     // directory day for a days-transform SOURCE column; None = not days
     // partitioned on it / null dir (keep)
     def dirDay(name: String): Option[Long] = {
-      val i = partSpec.indexWhere(pf => pf.kind == "days" && pf.name == name)
+      val i = spec.indexWhere(pf => pf.kind == "days" && pf.name == name)
       if (i < 0 || p.rawValues(i) == "__HIVE_DEFAULT_PARTITION__") None
       else Some(java.time.LocalDate.parse(p.rawValues(i)).toEpochDay)
     }
@@ -372,9 +396,9 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     // bucket id of the dir + the literal's bucket under the same hash;
     // runtime `key IN (dim keys)` closes every other bucket directory
     def dirBucket(name: String): Option[(Int, Int)] = {
-      val i = partSpec.indexWhere(pf => pf.kind == "bucket" && pf.name == name)
+      val i = spec.indexWhere(pf => pf.kind == "bucket" && pf.name == name)
       if (i < 0 || p.rawValues(i) == "__HIVE_DEFAULT_PARTITION__") None
-      else Some((p.rawValues(i).toInt, partSpec(i).buckets))
+      else Some((p.rawValues(i).toInt, spec(i).buckets))
     }
     def litBucket(name: String, l: Literal[_], n: Int): Option[Int] =
       BucketHash.idFor(tableSchema(name).dataType, l.value(), n)
@@ -417,7 +441,13 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
     * tables report unknown partitioning.
     */
   override def outputPartitioning(): Partitioning =
-    if (partSpec.nonEmpty)
+    // EVOLUTION HONESTY GATE: the key-grouped claim holds only when every
+    // PLANNED split carries the current spec — a surviving old-generation
+    // split has no directory value for today's transforms, so the claim
+    // must withdraw (plans regain their Exchanges, results never change).
+    // Empty or fully-pruned old generations cost the claim nothing, and a
+    // round-trip evolution (A→B→A) keeps it: same spec, same keys.
+    if (partSpec.nonEmpty && plannedDirs.forall(_._3 == partSpec))
       new KeyGroupedPartitioning(
         PartSpec.toTransforms(partSpec)
           .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
@@ -499,6 +529,17 @@ class StagedMicroBatchStream(tableName: String, prodDir: String,
         "the table was replaced or truncated under this stream; restart " +
         "from a fresh checkpoint")
     val f = StagedParquet.fs(root)
+    // partition-spec evolution moved committed files under
+    // `_layouts/g-<n>/` and TRANSLATED the manifest log 1:1, so a lagging
+    // or fresh tail keeps reading — each translated entry resolves its
+    // GENERATION's spec (one tiny read per generation per batch) and its
+    // dir values from the k=v segments only
+    val genSpecs = scala.collection.mutable.Map.empty[String, Seq[PartField]]
+    def specOfGen(genRel: String): Seq[PartField] =
+      genSpecs.getOrElseUpdate(genRel,
+        StagedParquet.readString(
+          new Path(new Path(root, genRel), StagedParquet.PartitionFile))
+          .map(PartSpec.deserialize).getOrElse(Seq.empty))
     ((a + 1) to b).flatMap { id =>
       StagedParquet.readManifest(root, id)._2.map { rel =>
         val p = new Path(root, rel)
@@ -506,9 +547,14 @@ class StagedMicroBatchStream(tableName: String, prodDir: String,
           s"staged stream: $rel (manifest m-$id) no longer exists in " +
             s"$tableName — a rewrite (DELETE/UPDATE/compact) ran ahead of " +
             "this stream's offset; rewrites must stay behind the tail")
-        val vals = rel.split('/').dropRight(1).toSeq.map(_.split("=", 2)(1))
+        val segs = rel.split('/').toSeq
+        val (entrySpec, dirSegs) =
+          if (segs.length >= 2 && segs.head == StagedParquet.LayoutsDir)
+            (specOfGen(segs.take(2).mkString("/")), segs.drop(2).dropRight(1))
+          else (partSpec, segs.dropRight(1))
+        val vals = dirSegs.map(_.split("=", 2)(1))
         StagedInputPartition(vals, Seq(p.toString),
-          tableSchema.json, partSpec, required.fieldNames.toSeq)
+          tableSchema.json, entrySpec, required.fieldNames.toSeq)
       }
     }.toArray[InputPartition]
   }
@@ -645,6 +691,32 @@ object StagedScan {
     * a footer read. Shared by the row scan and the aggregate-pushdown
     * scan.
     */
+  /** Layout-aware partition planning across SPEC GENERATIONS
+    * ([[StagedParquet.layoutRoots]] — partition-spec evolution): every
+    * generation root is planned with ITS OWN spec, the current layout
+    * last. Pruning stays evolution-conservative for free: a filter on a
+    * column a generation does not partition by simply never prunes that
+    * generation's directories (its rows carry the column in the data
+    * files and the residual filter cuts them).
+    */
+  private[v2] def planLayoutDirs(prodDir: String, tableSchema: StructType,
+      curSpec: Seq[PartField], pruning: Seq[Filter])
+      : Seq[(Seq[String], Seq[(String, Long)], Seq[PartField])] =
+    StagedParquet.layoutRoots(prodDir).flatMap { case (lroot, _, spec) =>
+      planPartitions(lroot.toString, tableSchema, spec, pruning)
+        .map { case (vals, files) => (vals, files, spec) }
+    }
+
+  /** The single attribute a pushed skip filter references; None for
+    * shapes pushFilters never admits.
+    */
+  private[v2] def filterAttr(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a); case In(a, _) => Some(a)
+    case IsNotNull(a) => Some(a); case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a); case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a); case _ => None
+  }
+
   private[v2] def planPartitions(prodDir: String, tableSchema: StructType,
       partSpec: Seq[PartField], pruning: Seq[Filter]): Seq[(Seq[String], Seq[(String, Long)])] = {
     def canon(v: Any): Any = v match {
@@ -933,7 +1005,9 @@ case class StagedReaderFactory(schemaJson: String, partSpec: Seq[PartField],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StagedReaderFactory.readersCreated.incrementAndGet(): Unit
     val p = partition.asInstanceOf[StagedInputPartition]
-    new StagedPartitionReader(p, schemaJson, partSpec, requiredCols)
+    // the SPLIT's spec, not the factory's: under partition-spec evolution
+    // each generation's identity columns reconstitute from ITS dir values
+    new StagedPartitionReader(p, schemaJson, p.partSpec, requiredCols)
   }
 }
 
@@ -1242,16 +1316,16 @@ class StagedSnapshotTable(tableName: String,
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          snap.dirs.flatMap { case (vals, files, deleted) =>
-            files.map(f => StagedInputPartition(vals, Seq(f),
-              snap.schema.json, snap.partSpec, required.fieldNames.toSeq,
-              None, deleted.getOrElse(new Path(f).getName, Nil), 0L))
+          snap.dirs.flatMap { sd =>
+            sd.files.map(f => StagedInputPartition(sd.vals, Seq(f),
+              snap.schema.json, sd.spec, required.fieldNames.toSeq,
+              None, sd.deleted.getOrElse(new Path(f).getName, Nil), 0L))
           }.toArray[InputPartition]
         override def createReaderFactory(): PartitionReaderFactory =
           StagedReaderFactory(snap.schema.json, snap.partSpec,
             required.fieldNames.toSeq)
         override def description(): String =
-          s"StagedSnapshotScan(table=$tableName, files=${snap.dirs.map(_._2.length).sum})"
+          s"StagedSnapshotScan(table=$tableName, files=${snap.dirs.map(_.files.length).sum})"
       }
     }
 }

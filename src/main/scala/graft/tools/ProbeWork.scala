@@ -110,6 +110,14 @@ object ProbeWork {
     "etl_delete_vectors" -> (("mor_rewritten_files_plus1", (s, d) => {
       graft.queries.Ingest.morRewrittenFiles(s, d) + 1
     })),
+    // data files CHANGED by a partition-spec evolution, plus 1: the
+    // metadata-only contract — evolution renames directories and
+    // rewrites NOTHING, so the expected count is 0 and the probe reads 1
+    // at EVERY scale (work_ratio 1.0). A regression that rewrites the
+    // table during evolve jumps with the file count.
+    "etl_partition_evolve" -> (("evolve_changed_files_plus1", (s, d) => {
+      graft.queries.Ingest.evolveRewrittenFiles(s, d) + 1
+    })),
     // files OPENED by a change feed over an UNTOUCHED version range, plus
     // 1: the feed's directory classification must read ZERO bytes when
     // the version deltas name no changes — at 10x the table is 10x
