@@ -48,12 +48,18 @@ object StagedMetaTables {
     new StagedMetaTable(kind, tableName, prodDir, tableSchema, partSpec)
 
   /** Unescaped, null-normalized partition value columns — one STRING
-    * column per partition field, named by its DIRECTORY name
-    * (`o_orderpriority`, `ts_day`, `custkey_bucket`), so the relation is
-    * self-describing about the transform that produced each level.
+    * column per CURRENT-spec partition field, named by its DIRECTORY
+    * name (`o_orderpriority`, `ts_day`, `custkey_bucket`), so the
+    * relation is self-describing about the transform that produced each
+    * level. A leading `partition` column carries the table-relative
+    * directory path verbatim — on an EVOLVED table a pre-evolution
+    * directory (`_layouts/g-<n>/...`, a different spec) fills only the
+    * fields its own spec shares with the current one and stays fully
+    * described by `partition`.
     */
   private[v2] def partCols(spec: Seq[PartField]): Seq[StructField] =
-    spec.map(pf => StructField(pf.dirName, StringType, nullable = true))
+    StructField("partition", StringType, nullable = false) +:
+      spec.map(pf => StructField(pf.dirName, StringType, nullable = true))
 
   private[v2] def schemaFor(kind: String, spec: Seq[PartField]): StructType =
     kind match {
@@ -122,13 +128,21 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
 
   override def planInputPartitions(): Array[InputPartition] = kind match {
     case "partitions" | "files" =>
-      // one split per partition directory; footer+DV reads happen in the
-      // EXECUTOR readers, so a wide table inspects in parallel
+      // one split per partition directory ACROSS LAYOUT GENERATIONS
+      // (evolution-aware: pre-evolution dirs report under their own
+      // spec); footer+DV reads happen in the EXECUTOR readers, so a wide
+      // table inspects in parallel
       val dvFlagged = StagedParquet.hasDvFlag(new Path(prodDir))
-      StagedScan.planPartitions(prodDir, tableSchema, partSpec, Nil)
-        .map { case (vals, files) =>
-          MetaDirPartition(vals, files, dvFlagged): InputPartition
-        }.toArray
+      StagedParquet.layoutRoots(prodDir).flatMap { case (lroot, prefix, lspec) =>
+        StagedScan.planPartitions(lroot.toString, tableSchema, lspec, Nil)
+          .map { case (vals, files) =>
+            val dirRel = lspec.map(_.dirName).zip(vals)
+              .map { case (n, v0) => s"$n=$v0" }.mkString("/")
+            val rel = Seq(prefix, dirRel).filter(_.nonEmpty).mkString("/")
+            MetaDirPartition(if (rel.isEmpty) "." else rel, vals, files,
+              dvFlagged, lspec): InputPartition
+          }
+      }.toArray
     case "history" =>
       val d = prodDir
       val md = StagedParquet.metaDir(d)
@@ -165,14 +179,20 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
     MetaReaderFactory(kind, partSpec)
 }
 
-/** @param rawValues partition dir values (partSpec order, still escaped)
+/** @param rel       table-relative dir path (generation prefix included;
+  *                   "." = an unpartitioned root)
+  * @param rawValues partition dir values (the DIR's spec order, escaped)
   * @param files     (absolute path, length) of the dir's committed files
   * @param dvFlagged whether the table ever wrote deletion vectors (skips
   *                  the per-dir DV listing on tables that never did)
+  * @param dirSpec   the spec the dir's values parse under (≠ the current
+  *                  spec for pre-evolution generations)
   */
-private[v2] case class MetaDirPartition(rawValues: Seq[String],
+private[v2] case class MetaDirPartition(rel: String,
+                                        rawValues: Seq[String],
                                         files: Seq[(String, Long)],
-                                        dvFlagged: Boolean)
+                                        dvFlagged: Boolean,
+                                        dirSpec: Seq[PartField])
     extends InputPartition
 
 /** Driver-computed metadata rows (history/manifests — O(log) entries),
@@ -198,11 +218,19 @@ private[v2] case class MetaReaderFactory(kind: String, partSpec: Seq[PartField])
         override def close(): Unit = ()
       }
       case p: MetaDirPartition => new PartitionReader[InternalRow] {
-        private val partVals: Seq[Any] = partSpec.zip(p.rawValues).map {
-          case (_, raw) =>
-            if (raw == "__HIVE_DEFAULT_PARTITION__") null
-            else UTF8String.fromString(PartSpec.unescape(raw))
-        }
+        // each CURRENT-spec column fills from the dir's OWN spec by
+        // directory name (null where the dir's generation lacks the
+        // field); the `partition` path column describes every dir fully
+        private val byDirName: Map[String, String] =
+          p.dirSpec.map(_.dirName).zip(p.rawValues).toMap
+        private val partVals: Seq[Any] =
+          UTF8String.fromString(p.rel) +: partSpec.map { pf =>
+            byDirName.get(pf.dirName) match {
+              case Some(raw) if raw != "__HIVE_DEFAULT_PARTITION__" =>
+                UTF8String.fromString(PartSpec.unescape(raw))
+              case _ => null
+            }
+          }
         // footer record counts + live DV-deleted positions, one metadata
         // pass per file — no data pages are ever read
         private lazy val fileRows: Seq[(String, Long, Long, Long)] = {

@@ -119,6 +119,30 @@ class StagedMetaSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("file_count") >= 1L))
   }
 
+  test("inspection tables are evolution-aware (old generations report)") {
+    import spark.implicits._
+    val t = tbl("evo")
+    (0L until 600L).map(i => (i, s"g${i % 2}", i % 3)).toDF("id", "g", "k")
+      .writeTo(t).partitionedBy(col("g")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(graft.sources.v2.PartField("k", "identity"))): Unit
+    (600L until 900L).map(i => (i, s"g${i % 2}", i % 3)).toDF("id", "g", "k")
+      .writeTo(t).append()
+    val rows = spark.table(s"$t.partitions").collect()
+    // 2 old-generation dirs + 3 current-layout dirs, all reporting
+    assert(rows.length == 5, s"expected 5 dirs, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("row_count")).sum == 900L)
+    val (old, cur) = rows.partition(
+      _.getAs[String]("partition").startsWith("_layouts/"))
+    assert(old.length == 2 && cur.length == 3)
+    // old dirs carry no value for the CURRENT spec's field (their
+    // generation never had it) but stay fully described by `partition`;
+    // current dirs fill it
+    assert(old.forall(r => r.getAs[String]("k") == null &&
+      r.getAs[String]("partition").contains("g=")))
+    assert(cur.forall(r => r.getAs[String]("k") != null))
+  }
+
   test("metadata suffix on a missing table still errors") {
     intercept[Exception] {
       spark.table(s"${tbl("nope")}.partitions").collect()
