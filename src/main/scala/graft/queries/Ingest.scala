@@ -907,15 +907,20 @@ object Ingest {
         .toTable(dst)
       q.awaitTermination()
     }
-    // epoch 1: the full snapshot; epochs 2-3: update waves (key-unique
-    // per epoch — the standard upsert-stream contract)
+    // epoch 1: the full snapshot; epochs 2-3: SPARSE update waves (2% /
+    // 1% of keys — the realistic CDC epoch shape, and the shape the DV
+    // tier exists for: each wave writes one tiny deletion vector per
+    // touched bucket instead of rewriting it; key-unique per epoch, the
+    // standard upsert-stream contract). Dense waves — where a rewrite
+    // reads cheaper than vectors — take the COW fallback automatically
+    // (StagedStreamUpsertSpec covers the tiering).
     o.writeTo(src).createOrReplace()
     drain()
-    o.filter(col("o_orderkey") % 2 === 0)
+    o.filter(col("o_orderkey") % 50 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .writeTo(src).append()
     drain()
-    o.filter(col("o_orderkey") % 4 === 0)
+    o.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 3)
       .writeTo(src).append()
     drain()
@@ -1372,12 +1377,12 @@ object Ingest {
     "stream_table_upsert" ->
       """SELECT o_orderpriority AS priority,
          CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
-                            WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+         CAST(sum(CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 3
+                            WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
                             ELSE o_totalprice END AS DECIMAL(18,2)))
            AS DOUBLE) AS sum_price,
-         max(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
-                  WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+         max(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 3
+                  WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
                   ELSE o_totalprice END) AS max_price
          FROM orders GROUP BY 1 ORDER BY 1"""
   )
