@@ -39,6 +39,29 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  /** Drop the staged-table trees a data dir's queries accumulate under
+    * /tmp/graft_stage (V2 lifecycle tables retain every replaced prod
+    * version for time travel, so 6 runs × 31 createOrReplace calls × 247
+    * queries piles up GBs across a full run — the /tmp pressure behind the
+    * r11 driver bench's executor heartbeat death). Every query restages its
+    * own tables per invocation (31/31 are createOrReplace), so deleting
+    * BETWEEN queries is free: the next run rebuilds exactly what it times
+    * anyway, minus the retain-old-version step it no longer needs.
+    */
+  private def cleanStaging(dataDirs: String*): Unit = {
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q): Unit)
+      }
+    for (d <- dataDirs; hex = java.lang.Integer.toHexString(d.hashCode)) {
+      rmTree(java.nio.file.Paths.get("/tmp/graft_stage/v2", "x" + hex))
+      rmTree(java.nio.file.Paths.get("/tmp/graft_stage/v2", "probe" + hex))
+      rmTree(java.nio.file.Paths.get("/tmp/graft_stage", hex))
+    }
+  }
+
   /** Best-of-N sample count (N timed runs after one warm-up). Default 5:
     * the driver's re-run previously defaulted to 3 while the committed
     * artifact used 5, and the protocol mismatch alone read as a 1.39×
@@ -122,7 +145,17 @@ object Bench {
     // the comma-separated prefixes (full suite when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val spark = graft.core.GraftSession.local("graft-bench")
+    var spark = graft.core.GraftSession.local("graft-bench")
+    // crash isolation (r11 VERDICT #1): a leg that kills the SparkContext
+    // (executor self-termination, fatal job error) must cost ITS row, not
+    // every row after it — each loop re-checks and rebuilds the session so
+    // neighbors record real numbers instead of inheriting -1.0
+    def ensureAlive(): Unit =
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = graft.core.GraftSession.local("graft-bench")
+      }
     val selected = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.exists(n.startsWith)))
       .sortBy(n => (scala.util.hashing.MurmurHash3.stringHash(n), n))
@@ -160,8 +193,10 @@ object Bench {
         s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nf,"partial":true,"completed":${done.length},"of":${selected.length},"queries":$qsJ$extra$budgetJson,"sf":"$sfDir"}""")
     }
     for (name <- selected) {
+      ensureAlive()
       resultsBuf += name -> fmt(timeQuery(spark, name, sfDir, nextSamples())._1)
       flushPartial("")
+      cleanStaging(sfDir)
     }
     val results = resultsBuf.sortBy(_._1).toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -202,6 +237,7 @@ object Bench {
         s""","scale_probes":[${probeRows.mkString(",")}]""")
       try {
       def probeOf(q: String): String = {
+        ensureAlive()
         val n = nextSamples()
         val (baseSec0, baseRows) = timeQuery(spark, q, sfDir, n)
         val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir, n)
@@ -219,6 +255,10 @@ object Bench {
         val row = s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$baseRows,"scaled_rows":$scaledRows$work}"""
         probeRows += row
         flushProbes()
+        // each probe row's staging debris is dropped as soon as its work
+        // counters have read it — r11's executor death came mid-probe with
+        // the full 247-query surface's staged trees still on /tmp
+        cleanStaging(sfDir, scaleDir)
         row
       }
       val ann = probeOf("ann_ivf")
@@ -358,8 +398,14 @@ object Bench {
         s""","sf1":{"dir":"$scaleDir","factor":10,"total_sec":$tot,"queries":$qj}"""
       }
       for (q <- heavies) {
+        ensureAlive()
         timedBuf += q -> fmt(timeQuery(spark, q, scaleDir, nextSamples())._1)
         flushPartial(probeJson + sf1Fragment())
+        // the sf1 lifecycle queries stage GENUINE 10× V2 tables (plus their
+        // retained versions) per run — without per-query cleanup the tree
+        // grows monotonically through the 34-query section and the r11
+        // driver run died to heap/tmp pressure exactly here
+        cleanStaging(scaleDir)
       }
       sf1Fragment()
     }

@@ -34,6 +34,15 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Single-JVM resilience: local[n] runs driver + executor in one heap,
+      // so a multi-second full GC stalls BOTH sides of the heartbeat RPC at
+      // once. At the 10s default a 45-minute bench accumulated 60 failed
+      // heartbeats and the executor self-terminated mid-run (r11 driver
+      // bench, rc=1). 60s intervals with a 600s network timeout tolerate
+      // the worst observed stall with a 10× margin and cost nothing when
+      // healthy; on a real cluster spark-submit overrides apply as usual.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     // getOrCreate returns any PRE-EXISTING session, silently ignoring every
     // builder config — re-apply the runtime-settable ones so graft behaves
