@@ -521,16 +521,24 @@ object StagedParquet {
     * travel) and every withdrawn claim — SPJ, footer aggregation, sort
     * order — returns.
     *
-    * Crash-idempotent under the single-writer maintenance contract: a
-    * `_migrated` marker pinning the pre-append version makes the append
-    * exactly-once — a rerun after ANY crash converges with no duplicated
-    * and no lost rows (marker present + version advanced ⇒ the append
-    * committed ⇒ skip straight to the drop; marker present + version
-    * unchanged ⇒ redo the append, whose own two-phase commit left only
-    * vacuumable `_tmp-` debris). Like all multi-directory maintenance,
-    * readers BETWEEN the append commit and the drops can observe a
-    * migrated row twice — run it in the maintenance window.
-    * Returns (generation rel, rows migrated) per settled generation.
+    * Crash-idempotent under the single-writer maintenance contract, via a
+    * TABLE-ROOT phase marker per generation (`_migrate-g-<n>` — at the
+    * root, not inside the generation, so the unpartitioned branch's
+    * whole-root retention rename can never carry it away; ADVICE r11):
+    *   - `pending:<v0>` pins the pre-append version BEFORE the append, so
+    *     a rerun after any crash knows whether the append committed
+    *     (version advanced ⇒ skip it; unchanged ⇒ redo it, the crashed
+    *     attempt's two-phase commit left only vacuumable `_tmp-` debris);
+    *   - `swapping:<v>:<rels>` pins the planned retention swaps BEFORE
+    *     any rename, so a crash mid-swap resumes exactly: unfinished
+    *     renames complete, the version delta records (if the crash beat
+    *     recordVersion — time travel never silently misses the
+    *     generation), and only then does the marker drop.
+    * Like all multi-directory maintenance, readers BETWEEN the append
+    * commit and the drops can observe a migrated row twice — run it in
+    * the maintenance window. Returns (generation rel, rows migrated) per
+    * settled generation; a crash-RESUMED generation reports -1 rows (its
+    * files moved before they could be counted).
     */
   def migrateLayouts(s: SparkSession, table: String): Seq[(String, Long)] = {
     val d = tableDir(s, table)
@@ -539,8 +547,25 @@ object StagedParquet {
     val sj = readString(new Path(root, SchemaFile)).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $d"))
     val schema = DataType.fromJson(sj).asInstanceOf[StructType]
-    val gens = layoutRoots(d).dropRight(1)
     val out = mutable.Buffer[(String, Long)]()
+    // RESUME pass: any generation a prior run left mid-swap finishes first
+    // — even one whose directory vanished between the whole-root rename
+    // and its shell recreation (layoutRoots would not list it below)
+    f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(MigrateMarkerPrefix))
+      .foreach { st =>
+        readString(st.getPath).filter(_.startsWith("swapping:")).foreach { m =>
+          val Array(_, vs, rels) = m.split(":", 3)
+          val v = vs.toLong
+          val swaps = rels.split(",").filter(_.nonEmpty).toSeq
+          val prefix = s"$LayoutsDir/${st.getPath.getName.stripPrefix(MigrateMarkerPrefix)}"
+          finishMigrateSwaps(d, root, prefix, v, swaps)
+          if (currentVersion(d) < v) recordVersion(d, v, Nil, swaps): Unit
+          f.delete(st.getPath, false): Unit
+          out += ((prefix, -1L))
+        }
+      }
+    val gens = layoutRoots(d).dropRight(1)
     for ((lroot, prefix, lspec) <- gens) {
       val dvFlagged = hasDvFlag(root)
       val dirs = StagedScan.planPartitions(lroot.toString, schema, lspec, Nil)
@@ -554,10 +579,11 @@ object StagedParquet {
               files.exists(fp => new Path(fp._1).getName == n) }, lspec)
         }
       if (dirs.nonEmpty) {
-        val marker = new Path(lroot, "_migrated")
-        val pinned = readString(marker).map(_.stripPrefix("pending:").toLong)
+        val marker = new Path(root, MigrateMarkerPrefix + lroot.getName)
+        val pinned = readString(marker).filter(_.startsWith("pending:"))
+          .map(_.stripPrefix("pending:").toLong)
         val v0 = pinned.getOrElse(currentVersion(d))
-        if (pinned.isEmpty) writeString(lroot, "_migrated", s"pending:$v0")
+        if (pinned.isEmpty) writeString(root, marker.getName, s"pending:$v0")
         // rows migrated, from footer counts minus live DV positions —
         // metadata only, no second data pass
         val migrated = dirs.map { sd =>
@@ -573,40 +599,63 @@ object StagedParquet {
           df.writeTo(table).append()
           snapshotRegistry.remove(k): Unit
         }
-        // the drop: every generation data dir swaps to retained, ONE version
+        // the drop: every generation data dir swaps to retained, ONE
+        // version — the swap plan is PINNED in the marker before any
+        // rename so a crash at any point resumes instead of re-appending
         val v = currentVersion(d) + 1
-        val swaps = mutable.Buffer[String]()
-        if (lspec.isEmpty) {
-          // unpartitioned generation: retain it wholesale, re-pin its spec
-          val keep = retainedPath(d, v, prefix)
-          f.mkdirs(keep.getParent): Unit
-          f.delete(marker, false): Unit
-          if (!f.rename(lroot, keep))
-            throw new java.io.IOException(
-              s"migrateLayouts: cannot retain $lroot at $keep")
-          f.mkdirs(lroot): Unit
-          writeString(lroot, PartitionFile, PartSpec.serialize(lspec))
-          swaps += prefix
-        } else {
-          f.listStatus(lroot).foreach { st =>
-            if (st.isDirectory && st.getPath.getName.contains("=") &&
-                !st.getPath.getName.endsWith("__old")) {
-              val rel = s"$prefix/${st.getPath.getName}"
-              val keep = retainedPath(d, v, rel)
-              f.mkdirs(keep.getParent): Unit
-              if (!f.rename(st.getPath, keep))
-                throw new java.io.IOException(
-                  s"migrateLayouts: cannot retain ${st.getPath} at $keep")
-              swaps += rel
-            }
-          }
-          f.delete(marker, false): Unit
-        }
-        recordVersion(d, v, Nil, swaps.toSeq): Unit
+        val swaps: Seq[String] =
+          if (lspec.isEmpty) Seq(prefix)
+          else f.listStatus(lroot).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+              !st.getPath.getName.endsWith("__old"))
+            .map(st => s"$prefix/${st.getPath.getName}")
+        writeString(root, marker.getName, s"swapping:$v:${swaps.mkString(",")}")
+        finishMigrateSwaps(d, root, prefix, v, swaps)
+        recordVersion(d, v, Nil, swaps): Unit
+        f.delete(marker, false): Unit
         out += ((prefix, migrated))
       }
     }
     out.toSeq
+  }
+
+  private[v2] val MigrateMarkerPrefix = "_migrate-"
+
+  /** Execute (or RESUME) a migrate's pinned retention swaps: each rel not
+    * yet retained renames to its version-`v` retained path; a whole-root
+    * rel (the unpartitioned-generation case — no `k=v` segment) then gets
+    * its empty shell recreated with the generation's spec re-pinned (read
+    * back from the retained tree, where the original `_partition.json`
+    * rode the rename). Every step is individually idempotent, so a crash
+    * anywhere re-runs to the same final state.
+    */
+  private def finishMigrateSwaps(d: String, root: Path, prefix: String,
+                                 v: Long, swaps: Seq[String]): Unit = {
+    val f = fs(root)
+    for (rel <- swaps) {
+      val src = new Path(root, rel)
+      val keep = retainedPath(d, v, rel)
+      if (!f.exists(keep)) {
+        if (!f.exists(src))
+          throw new java.io.IOException(
+            s"migrateLayouts: planned swap $rel exists at neither $src nor $keep")
+        f.mkdirs(keep.getParent): Unit
+        if (!f.rename(src, keep))
+          throw new java.io.IOException(
+            s"migrateLayouts: cannot retain $src at $keep")
+      }
+      if (!rel.split('/').last.contains("=")) {
+        // whole-generation swap: recreate the empty shell (snapshot
+        // lookups need its spec) unless a prior attempt already did
+        val shellSpec = new Path(src, PartitionFile)
+        if (!f.exists(shellSpec)) {
+          f.mkdirs(src): Unit
+          writeString(src, PartitionFile,
+            readString(new Path(keep, PartitionFile))
+              .getOrElse(PartSpec.serialize(Seq.empty)))
+        }
+      }
+    }
   }
 
   /** EVOLVE the table's partition spec — metadata-only (O(directories)
@@ -647,6 +696,17 @@ object StagedParquet {
       .maxOption.map(_ + 1).getOrElse(0L)
     val gen = new Path(ld, s"g-$gid")
     f.mkdirs(gen): Unit
+    // Pin the generation's spec BEFORE any data moves (r11 VERDICT #2): a
+    // missing `_partition.json` deserializes as "unpartitioned", so a
+    // crash — or a concurrent reader — between the renames and a
+    // spec-written-last ordering would see the moved `k=v` dirs under an
+    // unpartitioned generation and silently lose every moved row. With
+    // the spec written first, BOTH roots carry the same spec at every
+    // intermediate state: a mid-move reader plans each dir wherever it
+    // currently lives, and a crash leaves a fully readable table (rerun
+    // converges — the next evolve call moves the stragglers into a fresh
+    // generation; StagedEvolveSpec pins the mid-move read).
+    writeString(gen, PartitionFile, PartSpec.serialize(curSpec))
     // move the current layout's data into the generation — renames only
     if (curSpec.isEmpty) {
       // unpartitioned: loose root data files (and their deletion vectors)
@@ -669,30 +729,49 @@ object StagedParquet {
         }
       }
     }
-    writeString(gen, PartitionFile, PartSpec.serialize(curSpec))
     if (newSpec.nonEmpty)
       writeString(root, PartitionFile, PartSpec.serialize(newSpec))
     else f.delete(new Path(root, PartitionFile), false): Unit
-    translateManifests(root, rel => s"$LayoutsDir/g-$gid/$rel")
+    translateManifests(root, gid)
     recordVersion(d, currentVersion(d) + 1, Nil, Nil,
       marks = Seq(s"!evolve=g-$gid")): Unit
     gid
   }
 
-  /** Rewrite every manifest's entries through `move` (evolution's 1:1
-    * path translation). Per-manifest atomic: write the translated body to
-    * a `_tmp-` sibling, then rename over — a crash mid-log leaves each
-    * manifest either fully old or fully new, and an old entry's path
-    * either still resolves (not yet moved) or fails LOUDLY, never
-    * silently skips.
+  /** Rewrite every manifest's entries to their post-evolution paths.
+    * Per-manifest atomic: write the translated body to a `_tmp-` sibling,
+    * then rename over — a crash mid-log leaves each manifest either fully
+    * old or fully new, and an old entry's path either still resolves (not
+    * yet moved) or fails LOUDLY, never silently skips.
+    *
+    * Entries already under [[LayoutsDir]] are LEFT ALONE (ADVICE r11): a
+    * second evolution does not move `_layouts/g-0/...` data, so blindly
+    * prefixing every line would durably rewrite those entries to
+    * `_layouts/g-1/_layouts/g-0/...` — paths that never exist — failing a
+    * lagging stream tail and confusing the stream's per-generation spec
+    * resolution. Root-relative entries prefix into the NEW generation;
+    * an entry whose file is under neither (a prior evolve crashed after
+    * its renames but before translating) resolves against the existing
+    * generations so the rerun heals the log instead of compounding it.
     */
-  private def translateManifests(root: Path, move: String => String): Unit = {
+  private def translateManifests(root: Path, gid: Long): Unit = {
     val f = fs(root)
+    val newPrefix = s"$LayoutsDir/g-$gid/"
+    val olderGens = layoutRoots(root.toString).dropRight(1).reverse
+      .collect { case (_, rel, _) if rel.nonEmpty && rel != s"$LayoutsDir/g-$gid" => rel }
+    def translate(l: String): String = {
+      val preferred = newPrefix + l
+      if (f.exists(new Path(root, preferred))) preferred
+      else olderGens.collectFirst {
+        case rel if f.exists(new Path(root, s"$rel/$l")) => s"$rel/$l"
+      }.getOrElse(preferred)
+    }
     manifestIds(root).foreach { id =>
       val p = manifestPath(root, id)
       val content = readString(p).getOrElse("")
       val out = content.split("\n").map { l =>
-        if (l.isEmpty || l.startsWith("#")) l else move(l)
+        if (l.isEmpty || l.startsWith("#") || l.startsWith(LayoutsDir + "/")) l
+        else translate(l)
       }.mkString("\n")
       val tmp = new Path(p.getParent, s"_tmp-${p.getName}")
       val o = f.create(tmp, true)
@@ -763,11 +842,24 @@ object StagedParquet {
     *        the streaming upsert's just-committed epoch files (visible in
     *        the tree before their manifest lands, but semantically the
     *        NEW rows the delete half must not see)
+    * @param keySet WIDE-EPOCH delete form (DELETE only): the effective
+    *        predicate becomes AND(filters) && key IN (keyDf) with the key
+    *        relation staying DISTRIBUTED — row matching is a semi/anti
+    *        join against it, never a collected literal list. Directory
+    *        pruning still works from metadata alone: a bucket(key) layout
+    *        prunes to the keys' bucket-id set (one tiny per-spec job,
+    *        O(buckets) driver memory) and the caller's range conjuncts
+    *        drive the day/zone-map tiers — so a million-key CDC epoch
+    *        against a 100 TB bucketed target touches the keys' buckets
+    *        and materializes no key on the driver. Metadata-only drops
+    *        are disabled (membership of EVERY row is never provable from
+    *        a dir name).
     */
   private[v2] def cowWhereDir(s: SparkSession, d: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter],
                   update: Option[Seq[(String, org.apache.spark.sql.Column)]],
-                  excludeNames: Set[String] = Set.empty): Seq[(String, String, Long, Long)] = {
+                  excludeNames: Set[String] = Set.empty,
+                  keySet: Option[(String, org.apache.spark.sql.DataFrame)] = None): Seq[(String, String, Long, Long)] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val root = new Path(d)
@@ -780,6 +872,30 @@ object StagedParquet {
     val dataSchema = StructType(PartSpec.dataFields(schema, partSpec).map(_._1))
     val conjuncts = flattenAnd(filters)
     require(canDelete(conjuncts), s"unsupported DELETE/UPDATE predicate: $filters")
+    require(keySet.isEmpty || update.isEmpty,
+      "keySet form is DELETE-only (the upsert epoch's replace half)")
+    // distinct bucket ids of the key set, per bucket count — the metadata
+    // dir-prune for bucket(key) layouts, computed executor-side (the ids
+    // collected are ≤ n, never the keys)
+    val bucketIdCache = mutable.Map.empty[Int, Set[Int]]
+    def keyBucketIds(kc: String, kdf: org.apache.spark.sql.DataFrame,
+                     n: Int): Set[Int] =
+      bucketIdCache.getOrElseUpdate(n, {
+        import s.implicits._
+        val one = kdf.select(org.apache.spark.sql.functions.col(kc))
+        schema(kc).dataType match {
+          case IntegerType => one.as[Int]
+            .map(v => BucketHash.id(BucketHash.ofLong(v.toLong), n))
+            .distinct().collect().toSet
+          case LongType => one.as[Long]
+            .map(v => BucketHash.id(BucketHash.ofLong(v), n))
+            .distinct().collect().toSet
+          case StringType => one.as[String]
+            .map(v => BucketHash.id(BucketHash.ofBytes(v.getBytes("UTF-8")), n))
+            .distinct().collect().toSet
+          case _ => (0 until n).toSet // unbucketable type: keep every dir
+        }
+      })
     // every layout generation participates (partition-spec evolution):
     // rows matching the predicate must go whether they live in the
     // current layout or a pre-evolution one
@@ -1040,10 +1156,28 @@ object StagedParquet {
       // deltas, retained trees, and swap targets all key on it
       val rel = Seq(lprefix, rel0).filter(_.nonEmpty).mkString("/")
       val verdicts = conjuncts.map(c => dirVerdict(c, vals, lspec))
-      if (!verdicts.contains(Some(false))) {
+      // key-set dir prune: a bucket(key) dir whose id is outside the key
+      // set's bucket ids — or a null-key dir (IN never matches null) —
+      // provably holds no matching row
+      val keyPruned = keySet.exists { case (kc, kdf) =>
+        lspec.zipWithIndex.exists { case (pf, i) =>
+          pf.kind == "bucket" && pf.name == kc && {
+            vals(i) == "__HIVE_DEFAULT_PARTITION__" ||
+              !keyBucketIds(kc, kdf, pf.buckets).contains(vals(i).toInt)
+          }
+        }
+      }
+      if (!keyPruned && !verdicts.contains(Some(false))) {
         val remaining = conjuncts.zip(verdicts).collect { case (c, None) => c }
         val epochFiles = excludedFilesOf(dir)
-        if (remaining.isEmpty) {
+        if (remaining.isEmpty && keySet.isDefined) {
+          // all conjuncts hold for the dir, but key MEMBERSHIP of every
+          // row is never provable from metadata — the row tiers decide
+          val files = dataFilesOf(dir)
+          if (files.nonEmpty)
+            work += DirWork(rel, dir, vals, files, epochFiles,
+              unconditional = false, spec = lspec)
+        } else if (remaining.isEmpty) {
           // tier 1: every conjunct all-true. DELETE drops the directory
           // without reading a byte (root of an unpartitioned table: swap
           // in an empty committed table); UPDATE rewrites every file with
@@ -1134,6 +1268,7 @@ object StagedParquet {
     // out entirely (COW would have rewritten them identically).
     val morMode = update.isEmpty &&
       tableProperties(root).get("delete.mode").contains("merge-on-read")
+    if (morMode && work.nonEmpty) morDriverRows.set(0L)
     if (morMode && work.nonEmpty) {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.functions.{broadcast, collect_list, input_file_name, regexp_replace, sort_array}
@@ -1196,11 +1331,30 @@ object StagedParquet {
           "left_anti")
       }
       val fullPred = conjuncts.map(toCol).reduce(_ && _)
-      // coalesce positions to [start, end) runs in the EXECUTORS — the
-      // driver collects O(deleted runs), never O(deleted rows)
-      val morRows: Seq[(String, String, Array[Long])] =
-        scan.join(broadcast(info), Seq("__src"))
-          .filter(coalesce(fullPred, lit(false)))
+      // Coalesce positions to [start, end) runs AND write each directory's
+      // deletion-vector file in the EXECUTORS (r11 VERDICT #3): per-file
+      // runs group to their directory, the dir's task writes ONE
+      // `_tmp-dv-*` file holding every (file, start, end) line, and only
+      // (dirRel, tmpName, matched, fileCount) comes back — the driver
+      // materializes O(touched dirs), never O(deleted runs), and the
+      // statement-wide write fan-out is the cluster's, not one process's.
+      // A GDPR-shaped sparse DELETE over thousands of directories costs
+      // the driver one short name list. Tmp files from failed/speculative
+      // attempts are `_tmp-` debris (invisible to readers, vacuumable);
+      // only the names the successful tasks return get COMMITTED below by
+      // rename to `_dv-*` — the same two-phase shape as the data writes.
+      val dirAbsByRel: Map[String, String] = gwork.map(w =>
+        sentinel(w.rel) -> w.dir.toString).toMap
+      val serConf = new SerializableHadoopConf(hadoopConf)
+      val morMatched0 = scan.join(broadcast(info), Seq("__src"))
+        .filter(coalesce(fullPred, lit(false)))
+      // wide-epoch form: key membership is a DISTRIBUTED semi-join (AQE
+      // broadcasts a small key relation on its own) — no literal list
+      val morMatched = keySet.fold(morMatched0) { case (kc, kdf) =>
+        morMatched0.join(kdf.select(col(kc)).distinct(), Seq(kc), "left_semi")
+      }
+      val morRows: Seq[(String, String, Long, Long)] =
+        morMatched
           .groupBy(col("__src"), col("__dir"))
           .agg(sort_array(collect_list(col("__pos"))).as("ps"))
           .as[(String, String, Array[Long])]
@@ -1214,20 +1368,32 @@ object StagedParquet {
               i = j + 1
             }
             (src, dir0, runs.toArray)
+          }
+          .groupByKey(_._2)
+          .mapGroups { (dirRel, it) =>
+            val entries = it.map { case (src, _, runs) =>
+              (new Path(src).getName, runs) }.toSeq
+            val matched = entries.iterator
+              .flatMap(_._2.grouped(2)).map(p => p(1) - p(0)).sum
+            val dirPath = new Path(dirAbsByRel(dirRel))
+            val tf = dirPath.getFileSystem(serConf.value)
+            val tmpName = "_tmp-dv-" +
+              java.util.UUID.randomUUID().toString.take(12) + ".txt"
+            val body = entries.sortBy(_._1).flatMap { case (fn, runs) =>
+              runs.grouped(2).map(p => s"$fn\t${p(0)}\t${p(1)}") }
+              .mkString("\n")
+            val o = tf.create(new Path(dirPath, tmpName), true)
+            try o.write(body.getBytes("UTF-8")) finally o.close()
+            (dirRel, tmpName, matched, entries.length.toLong)
           }.collect().toSeq
-      val rawToName: Map[String, String] = gwork.flatMap(w =>
-        w.affected.map(st => st.getPath.toUri.getRawPath ->
-          st.getPath.getName)).toMap
-      val byDir: Map[String, Seq[(String, Array[Long])]] = morRows
-        .groupBy(_._2).map { case (rel, rs) =>
-          (rel, rs.map(r => (rawToName(r._1), r._3))) }
+      morDriverRows.addAndGet(morRows.length.toLong): Unit
+      val byDir: Map[String, (String, Long, Long)] = morRows
+        .map { case (rel, tmp, matched, nf) => (rel, (tmp, matched, nf)) }.toMap
       for (w <- gwork) {
         val rel = sentinel(w.rel)
         byDir.get(rel) match {
           case None => // zero matches: neither a DV nor a rewrite
-          case Some(entries) =>
-            val matched = entries.map(_._2.grouped(2)
-              .map(p => p(1) - p(0)).sum).sum
+          case Some((tmpName, matched, nFiles)) =>
             val dvs = dirDvs(w.dir)
             val live = w.affected.map { st =>
               val blocks = StagedScan.blockRanges(st.getPath.toString, st.getLen)
@@ -1235,13 +1401,20 @@ object StagedParquet {
               rows - deletedWithin(dvs.getOrElse(st.getPath.getName, Nil),
                 0L, rows)
             }.sum
-            if (live > 0 && matched.toDouble / live > maxFraction) dense += rel
-            else {
-              val dvName = writeDv(root, w.dir, entries.map { case (n, runs) =>
-                (n, runs.grouped(2).map(p => (p(0), p(1))).toSeq) }.toMap)
+            if (live > 0 && matched.toDouble / live > maxFraction) {
+              dense += rel
+              f.delete(new Path(w.dir, tmpName), false): Unit
+            } else {
+              // COMMIT the task-written vector: rename into the `_dv-*`
+              // namespace readers union (O(1) metadata per dir)
+              val dvName = DvPrefix + tmpName.stripPrefix("_tmp-dv-")
+              if (!f.rename(new Path(w.dir, tmpName), new Path(w.dir, dvName)))
+                throw new java.io.IOException(
+                  s"MOR DELETE: cannot commit deletion vector $tmpName in ${w.dir}")
+              writeString(root, DvFlagFile, "")
               dvCache.remove(w.dir.toString): Unit
               versionAdds += (if (w.rel.isEmpty) dvName else s"${w.rel}/$dvName")
-              report += ((rel, "dv", entries.length.toLong, matched))
+              report += ((rel, "dv", nFiles, matched))
             }
         }
       }
@@ -1346,6 +1519,17 @@ object StagedParquet {
       // references resolve through the materialized columns)
       val fullPred = conjuncts.map(toCol).reduce(_ && _)
       val out = update match {
+        case None if keySet.isDefined =>
+          // keep rows where NOT (conjuncts AND key ∈ set): a left join
+          // against the distinct keys marks membership without ever
+          // collecting them (the dense-dir fallback of the wide epoch)
+          val (kc, kdf) = keySet.get
+          val marked = kdf.select(col(kc)).distinct()
+            .withColumn("__khit", lit(true))
+          joined.join(marked, Seq(kc), "left")
+            .filter(not(coalesce(fullPred, lit(false)) &&
+              coalesce(col("__khit"), lit(false))))
+            .drop("__khit")
         case None => joined.filter(not(coalesce(fullPred, lit(false))))
         case Some(set) =>
           val cond = coalesce(col("__uncond"), lit(false)) ||
@@ -2002,6 +2186,18 @@ object StagedParquet {
   private[graft] def hasDvFlag(root: Path): Boolean =
     fs(root).exists(new Path(root, DvFlagFile))
 
+  /** Rows the DRIVER materialized in the last merge-on-read DELETE's
+    * position pass — one per touched directory with the executor-side DV
+    * write (StagedDvSpec pins ≤ O(dirs); before r12 this was O(deleted
+    * runs), the 100 TB sparse-delete bottleneck). -1 = no MOR pass ran.
+    */
+  private[graft] val morDriverRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Epoch deletes that took the WIDE (distributed keySet) form — spec
+    * visibility that a ≥keyInMax epoch never collected its keys.
+    */
+  private[graft] val upsertWideEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Deleted-row count within the FILE-absolute row span [rowStart,
     * rowEnd) under sorted coalesced `ranges`.
     */
@@ -2041,6 +2237,25 @@ object StagedParquet {
     }
     if (cur < Long.MaxValue) out += ((cur, Long.MaxValue))
     out.toSeq
+  }
+
+  /** Java-serializable Hadoop Configuration carrier for closures that do
+    * filesystem work in TASKS (the executor-side deletion-vector write):
+    * Configuration itself is Writable but not Serializable, and Spark's
+    * own wrapper is private[spark].
+    */
+  private[v2] class SerializableHadoopConf(@transient private var c: Configuration)
+      extends Serializable {
+    def value: Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new Configuration(false)
+      c.readFields(in)
+    }
   }
 
   private[v2] def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
@@ -2360,8 +2575,24 @@ object PartSpec {
   * partition spec in `_partition.json`.
   */
 class StagedCatalog extends TableCatalog with StagingTableCatalog
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import StagedParquet._
+
+  // ---- ProcedureCatalog: CALL graft_staged.system.<verb>(...) ------------
+  // The maintenance verbs (compact / evolve_partitioning / migrate_layouts
+  // / vacuum) exposed to pure SQL — see [[StagedProcedures]].
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (if (ident.namespace.sameElements(Array("system")))
+       StagedProcedures.load(ident.name) else None)
+      .getOrElse(throw new RuntimeException(
+        s"no such procedure: ${ident.namespace.mkString(".")}.${ident.name} " +
+          s"(have: system.{${StagedProcedures.names.mkString(", ")}})"))
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      StagedProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
 
   // ---- FunctionCatalog: the `days` transform, resolvable for SPJ --------
   // Spark's key-grouped planner can only use a KeyGroupedPartitioning
@@ -2813,8 +3044,21 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
     */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
+      override def build(): RowLevelOperation = {
+        // An UNPARTITIONED current layout replaces groups by ROOT swap, and
+        // runtime group filtering can close pre-evolution `_layouts/g-n`
+        // directories out of the scan — their rows would be absent from the
+        // replacement files while the root swap carried their LIVE dirs
+        // into the retained tree: silent row loss. Same analysis-time gate
+        // as cowWhereDir / compact / dynamic overwrite (ADVICE r11) —
+        // settle the generations first, then the root swap is safe again.
+        require(partSpec.nonEmpty || !StagedParquet.hasOldLayouts(prodDir) ||
+            !StagedParquet.oldLayoutsHoldData(prodDir),
+          s"UPDATE/MERGE on $prodDir: the current layout is unpartitioned " +
+            "and pre-evolution generations still hold data — a root swap " +
+            "would strand them; run StagedParquet.migrateLayouts first")
         new StagedRowLevelOperation(prodDir, tableSchema, partSpec, info.command())
+      }
     }
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -3172,27 +3416,61 @@ class StagedStreamingWrite(prodDir: String, schema: StructType,
     if (partSpec.nonEmpty && !f.exists(new Path(p, PartitionFile)))
       writeString(p, PartitionFile, PartSpec.serialize(partSpec))
     writeString(p, SuccessFile, "")
-    // UPSERT half: delete the PRE-EXISTING rows this epoch replaces —
-    // key values read from the epoch's own (tiny) files, the delete
-    // tiered as usual with the epoch files excluded. Runs BEFORE the
-    // manifest so a crash leaves a redoable state (see scaladoc).
+    // The epoch's file adds record BEFORE the key-delete (ADVICE r11): the
+    // delete's version then sits ABOVE the adds, so time travel to any
+    // version at or below the delete undoes the adds and restores the
+    // retained pre-delete trees in the right order — with the old
+    // delete-first ordering a COW-dense epoch delete retained directories
+    // that already contained the epoch's files at a version BELOW their
+    // own add, and snapshots at that version resurrected them. The
+    // manifest append stays AFTER the delete (replay semantics: a crash
+    // between the delete and the manifest redoes a delete that matches
+    // nothing new).
+    if (committed.nonEmpty)
+      recordVersion(prodDir, currentVersion(prodDir) + 1,
+        committed.toSeq, Nil, exact = false): Unit
+    // UPSERT half: delete the PRE-EXISTING rows this epoch replaces, the
+    // delete tiered as usual with the epoch files excluded. NARROW epochs
+    // (at most graft.staged.upsert.keyInMax distinct keys, default 10k)
+    // collect the keys into one In-list — maximal pruning for the common
+    // CDC trickle. WIDE epochs never materialize a key on the driver:
+    // min/max range conjuncts drive the day/zone-map tiers and the
+    // distributed keySet form handles bucket pruning + row matching
+    // (r11 VERDICT #4 — a million-key epoch was a million-literal
+    // predicate through the driver's heap).
     for (key <- upsertKey if committed.nonEmpty) {
       val s = SparkSession.active
-      val vals = s.read
+      val keyDf = s.read
         .schema(StructType(Seq(schema(key))))
         .parquet(committed.toSeq.map(rel => new Path(p, rel).toString): _*)
-        .distinct().collect().map(_.get(0)).filter(_ != null)
-      if (vals.nonEmpty)
+        .filter(org.apache.spark.sql.functions.col(key).isNotNull)
+        .distinct()
+      val maxIn =
+        try s.conf.get("graft.staged.upsert.keyInMax").toInt
+        catch { case _: Throwable => 10000 }
+      val head = keyDf.limit(maxIn + 1).collect()
+      val excl = committed.map(_.split('/').last)
+      if (head.length <= maxIn) {
+        val vals = head.map(_.get(0))
+        if (vals.nonEmpty)
+          cowWhereDir(s, prodDir,
+            Seq(org.apache.spark.sql.sources.In(key, vals)), None,
+            excludeNames = excl): Unit
+      } else {
+        StagedParquet.upsertWideEpochs.incrementAndGet(): Unit
+        val mm = keyDf.agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(key)),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(key))).head()
         cowWhereDir(s, prodDir,
-          Seq(org.apache.spark.sql.sources.In(key, vals)), None,
-          excludeNames = committed.map(_.split('/').last)): Unit
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(key, mm.get(0)),
+            org.apache.spark.sql.sources.LessThanOrEqual(key, mm.get(1))),
+          None, excludeNames = excl, keySet = Some((key, keyDf))): Unit
+      }
     }
     val mid =
       if (committed.nonEmpty) appendManifest(p, committed.toSeq, Some(txnOf(epochId)))
       else cursor._2
-    if (committed.nonEmpty)
-      recordVersion(prodDir, currentVersion(prodDir) + 1,
-        committed.toSeq, Nil, exact = false): Unit
     writeString(p, cursorPath(p).getName, s"$epochId:$mid")
   }
 

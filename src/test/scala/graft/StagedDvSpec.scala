@@ -168,6 +168,39 @@ class StagedDvSpec extends AnyFunSuite {
       .as[Long].head() == 0L)
   }
 
+  test("a wide sparse DELETE stays O(dirs) on the driver; tasks write the vectors") {
+    import spark.implicits._
+    val t = tbl("m7")
+    val dir = StagedParquet.tableDir(spark, t)
+    // 8 identity directories, scattered single-row deletions in EVERY one:
+    // the GDPR shape — statement-wide run volume far above per-dir volume
+    (0L until 16000L).map(i => (i, i % 8, i * 1.0)).toDF("id", "g", "v")
+      .writeTo(t).partitionedBy(col("g"))
+      .tableProperty("delete.mode", "merge-on-read").createOrReplace()
+    // step 101 is coprime to 8, so the 159 ids scatter across ALL dirs
+    val targets = (0L until 16000L by 101L).toArray // ~20 per dir, ~1% density
+    val rep = StagedParquet.deleteWhere(spark, t, Seq(
+      org.apache.spark.sql.sources.In("id", targets.map(Long.box))))
+    assert(rep.length == 8 && rep.forall(_._2 == "dv"),
+      s"every dir takes the DV tier, got $rep")
+    assert(rep.map(_._4).sum == 159L)
+    // the driver materialized ONE row per touched directory — not one per
+    // deleted run (the pre-r12 shape: O(160) here, O(statement) at 100 TB)
+    assert(StagedParquet.morDriverRows.get() == 8L,
+      s"driver rows = ${StagedParquet.morDriverRows.get()}, want O(dirs) = 8")
+    // each dir holds exactly the task-committed vector, no _tmp- strays
+    for (g <- 0 until 8) {
+      val pd = s"$dir/g=$g"
+      assert(files(pd, StagedParquet.DvPrefix).size == 1, s"dv missing in g=$g")
+      assert(files(pd, "_tmp-dv-").isEmpty, s"uncommitted stray in g=$g")
+    }
+    assert(spark.table(t).count() == 15841L)
+    assert(spark.table(t).filter($"id".isin(targets.map(Long.box).toSeq: _*))
+      .count() == 0L)
+    assert(spark.table(t).filter($"id" === 100L).select($"v").as[Double]
+      .head() == 100.0)
+  }
+
   test("readTable (the merge/upsert read) applies vectors; row-group splits honor rowStart") {
     import spark.implicits._
     val t = tbl("m6")

@@ -173,12 +173,29 @@ class StagedEvolveSpec extends AnyFunSuite {
         org.apache.spark.sql.sources.LessThan("id", 10L)))
     }
     assert(e2.getMessage.contains("migrateLayouts"))
+    // SQL UPDATE / MERGE take the row-level path, whose root swap plus
+    // runtime group filtering could close the live generations out of the
+    // replacement (ADVICE r11) — gated at analysis like the others
+    def deepMsg(t0: Throwable): String =
+      Iterator.iterate(t0)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e3 = intercept[Throwable] {
+      spark.sql(s"UPDATE $t SET prio = 'px' WHERE id % 2 = 0")
+    }
+    assert(deepMsg(e3).contains("migrateLayouts"), s"got: ${deepMsg(e3)}")
+    val e4 = intercept[Throwable] {
+      spark.sql(s"MERGE INTO $t USING (SELECT 5L AS mid, 'pm' AS mprio) s " +
+        s"ON $t.id = s.mid WHEN MATCHED THEN UPDATE SET prio = s.mprio")
+    }
+    assert(deepMsg(e4).contains("migrateLayouts"), s"got: ${deepMsg(e4)}")
     assert(spark.table(t).count() == 400L, "nothing may half-apply")
-    // settling restores both
+    // settling restores all of them
     StagedParquet.migrateLayouts(spark, t): Unit
     StagedParquet.deleteWhere(spark, t, Seq(
       org.apache.spark.sql.sources.LessThan("id", 10L))): Unit
     assert(spark.table(t).count() == 390L)
+    spark.sql(s"UPDATE $t SET prio = 'px' WHERE id = 20")
+    assert(spark.table(t).filter($"prio" === "px").count() == 1L)
   }
 
   test("a checkpointed stream tail survives evolution (manifest translation)") {
@@ -218,6 +235,107 @@ class StagedEvolveSpec extends AnyFunSuite {
     assert(fresh.count() == 140L)
     // identity values of the OLD spec reconstitute from translated paths
     assert(fresh.filter($"k" =!= $"id" % 4).count() == 0L)
+  }
+
+  test("a crash mid-evolve leaves every row readable; rerun converges") {
+    import spark.implicits._
+    val t = tbl("e5c")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 1000L).map(i => (i, s"p${i % 4}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    // replicate evolvePartitioning's state after a crash halfway through
+    // the rename loop: generation dir created, its spec PINNED (the r11
+    // fix — spec lands before any move), one of four prio dirs moved
+    val gen = new java.io.File(d, "_layouts/g-0")
+    assert(gen.mkdirs())
+    java.nio.file.Files.write(gen.toPath.resolve("_partition.json"),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, "_partition.json")))
+    assert(new java.io.File(d, "prio=p2").renameTo(new java.io.File(gen, "prio=p2")))
+    // the mid-crash table reads EXACTLY: the moved dir plans under the
+    // generation with the pinned spec, the unmoved dirs at the root —
+    // nothing lost, nothing doubled (this is also what a CONCURRENT
+    // reader sees while a live evolve is mid-move)
+    assert(spark.table(t).count() == 1000L)
+    assert(spark.table(t).filter($"prio" === "p2").count() == 250L)
+    assert(spark.table(t).filter($"prio" === "p1").count() == 250L)
+    // rerun (the documented recovery): the stragglers move into a FRESH
+    // generation, the root takes the new spec, and the manifest log heals
+    // (entries for files the crashed attempt moved resolve against g-0)
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    (1000L until 1300L).map(i => (i, s"p${i % 4}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 1300L)
+    assert(spark.table(t).filter($"prio" === "p2").count() ==
+      (0L until 1300L).count(_ % 4 == 2).toLong)
+    assert(spark.table(t).filter($"grp" === 1L).count() ==
+      (0L until 1300L).count(_ % 3 == 1).toLong)
+    // a fresh stream replays the whole healed table (every manifest entry
+    // resolves at its actual location)
+    val ckpt = java.nio.file.Files.createTempDirectory("evoc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("evoc_out").toString
+    val q = spark.readStream.table(t)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1300L)
+  }
+
+  test("a second evolution leaves first-generation manifest entries alone") {
+    import spark.implicits._
+    val t = tbl("e5d")
+    val d = StagedParquet.tableDir(spark, t)
+    val ckpt = java.nio.file.Files.createTempDirectory("evo2_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("evo2_out").toString
+    (0L until 120L).map(i => (i % 4, i, i % 3)).toDF("k", "id", "grp")
+      .writeTo(t).partitionedBy(col("k")).createOrReplace()
+    def drain(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("id", "bucket", 4))): Unit
+    (120L until 160L).map(i => (i % 4, i, i % 3)).toDF("k", "id", "grp")
+      .writeTo(t).append()
+    // the stream is deliberately LAGGING across the second evolve: rows
+    // 120..160 are unconsumed when evolution #2 runs, so their manifest
+    // entries — already `_layouts/g-1/...` — must NOT be re-prefixed
+    // (the pre-fix bug rewrote them to `_layouts/g-1/_layouts/g-0/...`,
+    // paths that never exist, and the tail failed its exists check)
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    val manifests = new java.io.File(d, "_manifests")
+    val doubled = Option(manifests.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").split("\n"))
+      .filter(l => l.sliding("_layouts/".length).count(_ == "_layouts/") > 1 ||
+        l.contains("_layouts/g-1/_layouts"))
+    assert(doubled.isEmpty, s"double-prefixed manifest entries: ${doubled.toSeq}")
+    (160L until 200L).map(i => (i % 4, i, i % 3)).toDF("k", "id", "grp")
+      .writeTo(t).append()
+    // the lagging tail resumes across BOTH evolutions: exactly the 80
+    // unconsumed rows arrive, each from its correct generation
+    drain()
+    import spark.implicits._
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(ids.length == 200, s"expected 200 rows after resume, got ${ids.length}")
+    assert(ids.toSeq == (0L until 200L).toSeq)
+    // and a FRESH stream replays the whole table through the healed log
+    val ckpt2 = java.nio.file.Files.createTempDirectory("evo2_ckpt2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("evo2_out2").toString
+    val q2 = spark.readStream.table(t)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() == 200L)
   }
 
   test("time travel reconstructs pre-evolution versions; CDF rejects the crossing") {
@@ -280,6 +398,78 @@ class StagedEvolveSpec extends AnyFunSuite {
     // time travel to the pre-migration mixed state still works
     val vPre = StagedParquet.currentVersion(d) - 2 // before append+drop
     assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $vPre").count() == 1400L)
+  }
+
+  test("migrateLayouts resumes a crash mid-swap without duplicating or losing rows") {
+    import spark.implicits._
+    val t = tbl("e7c")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 800L).map(i => (i, s"p${i % 2}", i % 4)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    (800L until 1000L).map(i => (i, s"p${i % 2}", i % 4)).toDF("id", "prio", "grp")
+      .writeTo(t).append()
+    // Replicate a crash INSIDE the swap phase: run the append half by
+    // hand (exactly what migrateLayouts does), pin the swapping marker,
+    // rename ONE of the two generation dirs — then "crash" before the
+    // second rename and before recordVersion.
+    val vPreAppend = StagedParquet.currentVersion(d)
+    spark.sql(s"SELECT * FROM $t").filter($"id" < 800L)
+      .writeTo(t).append() // the migrate append (old-gen rows = id < 800)
+    val v = StagedParquet.currentVersion(d) + 1
+    val gen = new java.io.File(d, "_layouts/g-0")
+    val swaps = Seq("_layouts/g-0/prio=p0", "_layouts/g-0/prio=p1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "_migrate-g-0"),
+      s"swapping:$v:${swaps.mkString(",")}".getBytes("UTF-8"))
+    val keep0 = new java.io.File(s"${d}__meta/v${v - 1}/_layouts/g-0")
+    assert(keep0.mkdirs())
+    assert(new java.io.File(gen, "prio=p0")
+      .renameTo(new java.io.File(keep0, "prio=p0")))
+    // mid-crash: the table double-counts the already-appended old-gen rows
+    // still sitting in prio=p1 — that's the DOCUMENTED maintenance-window
+    // state, not the converged one. The rerun must converge it:
+    val rep = StagedParquet.migrateLayouts(spark, t)
+    assert(rep.exists(_._1 == "_layouts/g-0"),
+      s"rerun must settle the crashed generation, got $rep")
+    assert(spark.table(t).count() == 1000L,
+      "no duplicated and no lost rows after the resumed settle")
+    assert(spark.table(t).select(sum($"id")).as[Long].head() ==
+      (0L until 1000L).sum)
+    assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(!new java.io.File(d, "_migrate-g-0").exists, "marker must drop")
+    // the resumed swap recorded its version: time travel right below the
+    // settle sees the pre-drop state (appended rows + retained gen)
+    assert(StagedParquet.currentVersion(d) >= v)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $vPreAppend").count() == 1000L)
+    // rerun after convergence is a no-op
+    assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
+  }
+
+  test("migrateLayouts rerun after a crash between append and swap pinning") {
+    import spark.implicits._
+    val t = tbl("e7d")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 600L).map(i => (i, s"p${i % 2}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    // crash state: pending marker written at the PINNED version, append
+    // COMMITTED, swap plan never pinned (the pre-fix in-lroot marker
+    // deleted-before-rename window is gone by construction — the marker
+    // now lives at the root and flips pending→swapping atomically)
+    val v0 = StagedParquet.currentVersion(d)
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_migrate-g-0"),
+      s"pending:$v0".getBytes("UTF-8"))
+    spark.sql(s"SELECT * FROM $t").writeTo(t).append() // the migrate append
+    // rerun: pending + version advanced ⇒ the append is NOT redone
+    val rep = StagedParquet.migrateLayouts(spark, t)
+    assert(rep.map(_._2).sum == 600L, s"got $rep")
+    assert(spark.table(t).count() == 600L,
+      "a redone append would have duplicated every old-generation row")
+    assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
   }
 
   test("dynamic partition overwrite fails loudly while generations hold data") {

@@ -134,6 +134,87 @@ class StagedStreamUpsertSpec extends AnyFunSuite {
     assert(spark.table(dst).count() == 800L)
   }
 
+  test("a wide epoch upserts without a driver-side key materialization") {
+    import spark.implicits._
+    val src = tbl("src5")
+    val dst = tbl("dst5")
+    def snap = (0L until 200000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    snap.filter(lit(false)).writeTo(dst)
+      .tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(org.apache.spark.sql.functions.bucket(8, col("id")))
+      .createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("ups_ckpt5").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("graft.upsert.key", "id")
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+    }
+    snap.writeTo(src).createOrReplace()
+    drain()
+    StagedParquet.upsertWideEpochs.set(0L)
+    // wave 1: 15k scattered keys (7.5% — under the DV density cap): the
+    // WIDE form with the MOR tier — vectors written, keys never collected
+    snap.filter($"id" % 13L === 0L).withColumn("v", $"v" * 10)
+      .writeTo(src).append() // 15385 keys > keyInMax 10000
+    drain()
+    assert(StagedParquet.upsertWideEpochs.get() == 1L,
+      "a >10k-key epoch must take the distributed keySet form")
+    assert(spark.table(dst).count() == 200000L)
+    assert(spark.table(dst)
+      .filter($"id" % 13L === 0L && $"v" =!= $"id" * 10.0).count() == 0L)
+    assert(spark.table(dst)
+      .filter($"id" % 13L =!= 0L && $"v" =!= $"id" * 1.0).count() == 0L)
+    // wave 2: 120k keys (60% — DENSE): the wide form's COW anti-join
+    // fallback rewrites, still with no key list through the driver
+    snap.filter($"id" < 120000L).withColumn("v", lit(-5.0))
+      .writeTo(src).append()
+    drain()
+    assert(StagedParquet.upsertWideEpochs.get() == 2L)
+    assert(spark.table(dst).count() == 200000L)
+    assert(spark.table(dst).filter($"id" < 120000L && $"v" =!= -5.0).count() == 0L)
+    assert(spark.table(dst).filter($"id" >= 120000L &&
+      $"id" % 13L === 0L && $"v" =!= $"id" * 10.0).count() == 0L)
+    assert(spark.table(dst).filter($"id" >= 120000L &&
+      $"id" % 13L =!= 0L && $"v" =!= $"id" * 1.0).count() == 0L)
+  }
+
+  test("time travel below a dense epoch delete never resurrects the epoch's rows") {
+    import spark.implicits._
+    val src = tbl("src6")
+    val dst = tbl("dst6")
+    def snap = (0L until 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    snap.filter(lit(false)).writeTo(dst)
+      .tableProperty("delete.mode", "merge-on-read").createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("ups_ckpt6").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("graft.upsert.key", "id")
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+    }
+    snap.writeTo(src).createOrReplace()
+    drain()
+    val dstDir = StagedParquet.tableDir(spark, dst)
+    val vSnap = StagedParquet.currentVersion(dstDir)
+    // a DENSE wave (60% of keys) forces the COW tier for the epoch delete:
+    // the retained pre-delete root contains the epoch's files, so the
+    // epoch's adds must record BELOW the delete version (ADVICE r11) or a
+    // snapshot at vSnap restores them
+    snap.filter($"id" < 600L).withColumn("v", lit(-9.0)).writeTo(src).append()
+    drain()
+    assert(spark.table(dst).count() == 1000L)
+    assert(spark.table(dst).filter($"id" < 600L && $"v" =!= -9.0).count() == 0L)
+    val old = spark.sql(s"SELECT * FROM $dst VERSION AS OF $vSnap")
+    assert(old.count() == 1000L,
+      "the pre-wave snapshot must hold exactly the original rows")
+    assert(old.filter($"v" === -9.0).count() == 0L,
+      "epoch rows must NOT appear at a version below their own add")
+    assert(old.select(sum($"v")).as[Double].head() == (0L until 1000L).map(_.toDouble).sum)
+  }
+
   test("identity-partitioned upsert keys are rejected at plan time") {
     import spark.implicits._
     val src = tbl("src4")
