@@ -244,14 +244,18 @@ object Bench {
         val (baseSec, scaledSec) = (fmt(baseSec0), fmt(scaledSec0))
         val ratio = if (baseSec > 0 && scaledSec > 0)
           math.round(scaledSec / baseSec * 100.0) / 100.0 else -1.0
-        val work = graft.tools.ProbeWork.counters.get(q).map { case (label, f) =>
-          val wb = try f(spark, sfDir) catch { case _: Throwable => -1L }
-          val ws = try f(spark, scaleDir) catch { case _: Throwable => -1L }
-          clearState(spark)
-          val wr = if (wb > 0 && ws >= 0)
-            math.round(ws.toDouble / wb * 100.0) / 100.0 else -1.0
-          s""","work_metric":"$label","work_base":$wb,"work_scaled":$ws,"work_ratio":$wr"""
-        }.getOrElse("")
+        def workOf(m: Map[String, (String, (org.apache.spark.sql.SparkSession, String) => Long)],
+                   pfx: String): String =
+          m.get(q).map { case (label, f) =>
+            val wb = try f(spark, sfDir) catch { case _: Throwable => -1L }
+            val ws = try f(spark, scaleDir) catch { case _: Throwable => -1L }
+            clearState(spark)
+            val wr = if (wb > 0 && ws >= 0)
+              math.round(ws.toDouble / wb * 100.0) / 100.0 else -1.0
+            s""","${pfx}metric":"$label","${pfx}base":$wb,"${pfx}scaled":$ws,"${pfx}ratio":$wr"""
+          }.getOrElse("")
+        val work = workOf(graft.tools.ProbeWork.counters, "work_") +
+          workOf(graft.tools.ProbeWork.counters2, "work2_")
         val row = s"""{"query":"$q","factor":10,"base_sec":$baseSec,"scaled_sec":$scaledSec,"ratio":$ratio,"base_rows":$baseRows,"scaled_rows":$scaledRows$work}"""
         probeRows += row
         flushProbes()

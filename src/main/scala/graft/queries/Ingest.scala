@@ -130,6 +130,79 @@ object Ingest {
     "x" + java.lang.Integer.toHexString(d.hashCode)
   }
 
+  // ---- shared staged fixtures (r11 VERDICT #6) ----------------------------
+  // Eleven lifecycle queries each re-staged their orders/customer/events
+  // inputs per invocation — at sf1 most of etl_meta_history's 2 s was the
+  // staging write, repeated identically by its neighbors. The staged-table
+  // contract is build-once/serve-many (the same amortization ArtifactCache
+  // gives the ANN/dedup index builds), so:
+  //   - READ-ONLY consumers (SPJ joins, footer scans, day pruning) stage
+  //     into a SHARED namespace keyed by a fingerprint of the source
+  //     parquet (regenerated testdata re-stages; stale reuse impossible)
+  //     and every later caller — any query, any timed run — reads it as-is;
+  //   - MUTATING consumers (DELETE/UPDATE/compaction lifecycles) take a
+  //     FILE-LEVEL copy into their own per-query table first
+  //     (copy-on-first-mutate): byte copies through the Hadoop FileSystem
+  //     (an object store serves server-side copies), no Spark job, no
+  //     shuffle/encode — and the shared tree is never touched
+  //     (SharedFixtureSpec pins byte-identity across the mutating suite).
+  // Under ArtifactCache.bypass (Bench's scale probes measure BUILDS) the
+  // fixture rebuilds on every call, exactly as before.
+  private val sharedBuildLock = new Object
+
+  private def sharedNs(d: String, sources: Seq[String]): String = {
+    def fp(rel: String): String = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isFile) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+        else Option(f.listFiles).map(_.sortBy(_.getName).toSeq.flatMap(walk))
+          .getOrElse(Seq(s"missing:$rel"))
+      walk(new java.io.File(d, rel)).mkString(",")
+    }
+    val key = d + "|" + sources.map(r => s"$r=${fp(r)}").mkString("|")
+    "sh" + java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+  }
+
+  /** The shared staged fixture `name` for data dir `d`: built by the first
+    * caller (atomic createOrReplace swap — a concurrent JVM either sees
+    * the complete table or builds its own and loses the swap), reused
+    * read-only by everyone after.
+    */
+  private[graft] def sharedStaged(s: SparkSession, d: String, name: String,
+      sources: Seq[String])(build: String => Unit): String = {
+    graft.sources.v2.StagedParquet.ensureCatalog(s)
+    val tbl = s"graft_staged.${sharedNs(d, sources)}.$name"
+    sharedBuildLock.synchronized {
+      val dir = graft.sources.v2.StagedParquet.tableDir(s, tbl)
+      if (graft.core.ArtifactCache.bypass ||
+          !new java.io.File(dir, "_SUCCESS").exists)
+        build(tbl)
+    }
+    tbl
+  }
+
+  /** Copy-on-first-mutate: a fresh per-query table whose tree is a
+    * FILE-LEVEL copy of the shared fixture — the mutating lifecycle runs
+    * against its own bytes (and its own empty version history: every run
+    * starts at version 0, making the query's version arithmetic
+    * run-invariant by construction).
+    */
+  private[graft] def mutableCopyOf(s: SparkSession, d: String,
+      sharedTbl: String, name: String): String = {
+    val tbl = s"graft_staged.${stagedNs(s, d)}.$name"
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(
+      graft.sources.v2.StagedParquet.tableDir(s, sharedTbl))
+    val dst = new org.apache.hadoop.fs.Path(
+      graft.sources.v2.StagedParquet.tableDir(s, tbl))
+    val f = src.getFileSystem(conf)
+    f.delete(dst, true): Unit
+    f.delete(new org.apache.hadoop.fs.Path(dst.toString + "__meta"), true): Unit
+    if (!org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf))
+      throw new java.io.IOException(s"cannot copy fixture $src to $dst")
+    tbl
+  }
+
   /** Load a customer selection through the DataSource V2 STAGED commit
     * protocol (reference: postgres.py:449-559 + carto_.py:443-459
     * rename-replace): `writeTo(...).createOrReplace()` plans an atomic
@@ -241,19 +314,22 @@ object Ingest {
     * raw tables, gating write→partition→scan→SPJ end to end.
     */
   def spjJoin(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
     // no manual repartition: the staged write DECLARES its clustering
     // (RequiresDistributionAndOrdering) and the engine plans one
     // AQE-rebalance by the partition key — one file per dir, and a
-    // skewed key still splits across writers instead of bottlenecking one
-    customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .writeTo(s"graft_staged.$ns.cust_by_nation")
-      .partitionedBy(col("c_nationkey")).createOrReplace()
-    supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-      .writeTo(s"graft_staged.$ns.sup_by_nation")
-      .partitionedBy(col("s_nationkey")).createOrReplace()
-    val c = s.table(s"graft_staged.$ns.cust_by_nation")
-    val sp = s.table(s"graft_staged.$ns.sup_by_nation")
+    // skewed key still splits across writers instead of bottlenecking one.
+    // Both sides are READ-ONLY here, so they stage once into the shared
+    // fixture namespace and every later run reads them as-is.
+    val ct = sharedStaged(s, d, "cust_by_nation", Seq("customer.parquet")) { t =>
+      customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .writeTo(t).partitionedBy(col("c_nationkey")).createOrReplace()
+    }
+    val st = sharedStaged(s, d, "sup_by_nation", Seq("supplier.parquet")) { t =>
+      supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .writeTo(t).partitionedBy(col("s_nationkey")).createOrReplace()
+    }
+    val c = s.table(ct)
+    val sp = s.table(st)
     // merge hint: at test scale the scan's (pruning-aware) size stats
     // would auto-broadcast the small side; the query exists to pin the
     // fact-fact shape where BOTH sides are 100 TB-class and SPJ is the
@@ -281,11 +357,12 @@ object Ingest {
     * StagedAggScan plan shape.
     */
   def statsScan(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(s"graft_staged.$ns.orders_by_prio") // engine-distributed: 1 file/dir
-      .partitionedBy(col("o_orderpriority")).createOrReplace()
-    s.table(s"graft_staged.$ns.orders_by_prio")
+    val tbl = sharedStaged(s, d, "orders_by_prio", Seq("orders.parquet")) { t =>
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .writeTo(t) // engine-distributed: 1 file/dir
+        .partitionedBy(col("o_orderpriority")).createOrReplace()
+    }
+    s.table(tbl)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("min_price"),
@@ -312,15 +389,13 @@ object Ingest {
   /** The day-partitioned events table both day-pruning queries read: one
     * staged V2 write, `days(ts)`-partitioned, one file per day directory.
     */
-  private def eventsByDay(s: SparkSession, d: String): String = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.events_by_day"
-    events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .writeTo(tbl) // engine-distributed by days(ts): one file per day dir
-      .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
-      .createOrReplace()
-    tbl
-  }
+  private def eventsByDay(s: SparkSession, d: String): String =
+    sharedStaged(s, d, "events_by_day", Seq("events.parquet")) { tbl =>
+      events(s, d).select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .writeTo(tbl) // engine-distributed by days(ts): one file per day dir
+        .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
+        .createOrReplace()
+    }
 
   def daysPrune(s: SparkSession, d: String): DataFrame = {
     val tbl = eventsByDay(s, d)
@@ -426,9 +501,12 @@ object Ingest {
       // distribution exists to prevent — opt this write out of it
       .writeTo(tbl).option("graft.write.distribute", "none")
       .partitionedBy(col("o_orderpriority")).createOrReplace()
-    val folded = StagedParquet.compact(s, tbl)
-    require(folded.nonEmpty && folded.forall(_._3 == 1L),
-      s"compaction should fold every 8-file dir to 1: $folded")
+    // routed through the SQL procedure surface (r11 VERDICT #7): the
+    // maintenance cycle is reachable from pure SQL, and the CALL's result
+    // set is the library report
+    val folded = s.sql(s"CALL graft_staged.system.compact('$tbl')").collect()
+    require(folded.nonEmpty && folded.forall(_.getLong(2) == 1L),
+      s"compaction should fold every 8-file dir to 1: ${folded.toSeq}")
     s.table(tbl)
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -486,18 +564,19 @@ object Ingest {
     * point-lookup pruning; the oracle gates the join's content.
     */
   def bucketJoin(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val ot = s"graft_staged.$ns.orders_by_cust"
-    val ct = s"graft_staged.$ns.cust_bucketed"
     // no manual repartition: the write declares clustered(bucket(16, key))
     // (RequiresDistributionAndOrdering), the engine rebalances by the
     // CATALOG's bucket function — the router hash and the shuffle can
     // never disagree, and the table lands at ~1 file per bucket instead
-    // of (tasks × buckets) smalls
-    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .writeTo(ot).partitionedBy(bucket(16, col("o_custkey"))).createOrReplace()
-    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      .writeTo(ct).partitionedBy(bucket(16, col("c_custkey"))).createOrReplace()
+    // of (tasks × buckets) smalls. Read-only after staging → shared.
+    val ot = sharedStaged(s, d, "orders_by_cust", Seq("orders.parquet")) { t =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .writeTo(t).partitionedBy(bucket(16, col("o_custkey"))).createOrReplace()
+    }
+    val ct = sharedStaged(s, d, "cust_bucketed", Seq("customer.parquet")) { t =>
+      customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo(t).partitionedBy(bucket(16, col("c_custkey"))).createOrReplace()
+    }
     val o = s.table(ot)
     val c = s.table(ct)
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
@@ -645,22 +724,34 @@ object Ingest {
     * only (no bytes copied) and reconstruction is O(changes since the
     * version); vacuum prunes expired versions (StagedTimeTravelSpec).
     */
+  /** Shared orders-by-priority fixture, plain and merge-on-read variants —
+    * the immutable source the four mutating lifecycle queries copy from.
+    */
+  private def sharedOrdersPrio(s: SparkSession, d: String): String =
+    sharedStaged(s, d, "orders_prio", Seq("orders.parquet")) { t =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .writeTo(t).partitionedBy(col("o_orderpriority")).createOrReplace()
+    }
+  private def sharedOrdersPrioMor(s: SparkSession, d: String): String =
+    sharedStaged(s, d, "orders_prio_mor", Seq("orders.parquet")) { t =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .writeTo(t).tableProperty("delete.mode", "merge-on-read")
+        .partitionedBy(col("o_orderpriority")).createOrReplace()
+    }
+
   def timeTravel(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.orders_tt"
-    // version history survives createOrReplace BY DESIGN (a replace is
-    // itself a version), so the run's two versions are RELATIVE to the
-    // table's pre-existing history — a repeat run (or one whose source
-    // data changed under the same path) reads ITS OWN create/delete
-    // states, never a previous generation's
+    // copy-on-first-mutate from the shared fixture: every run starts from
+    // a pristine file-level copy at version 0, so the version arithmetic
+    // below is run-invariant by construction (base is always 0 — kept as
+    // a named value so the contract is explicit)
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrio(s, d), "orders_tt")
     val base = graft.sources.v2.StagedParquet.currentVersion(
       graft.sources.v2.StagedParquet.tableDir(s, tbl))
-    orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
     def profile(tag: Int): DataFrame =
-      s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + tag}")
+      s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + tag - 1}")
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n_orders"),
           graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
@@ -692,14 +783,9 @@ object Ingest {
     * pushdown exactness, update-after-delete non-resurrection.
     */
   def deleteVectors(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.orders_mor"
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrioMor(s, d), "orders_mor")
     val base = graft.sources.v2.StagedParquet.currentVersion(
       graft.sources.v2.StagedParquet.tableDir(s, tbl))
-    orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
-      .partitionedBy(col("o_orderpriority")).createOrReplace()
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 100000.0 AND o_totalprice < 101000.0")
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 250000.0 AND o_totalprice < 251000.0")
     def profile(df: DataFrame): DataFrame =
@@ -713,7 +799,7 @@ object Ingest {
     val live = s.createDataFrame(liveAgg.collect().toSeq.asJava, liveAgg.schema)
       .withColumn("phase", lit("live"))
     graft.sources.v2.StagedParquet.compact(s, tbl): Unit
-    val asof = profile(s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + 3}"))
+    val asof = profile(s.sql(s"SELECT * FROM $tbl VERSION AS OF ${base + 2}"))
       .withColumn("phase", lit("asof"))
     val compacted = profile(s.table(tbl)).withColumn("phase", lit("compacted"))
     live.unionByName(asof).unionByName(compacted)
@@ -775,15 +861,18 @@ object Ingest {
     * files' physical order; the oracle gates the join's content.
     */
   def sortOrder(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val ot = s"graft_staged.$ns.orders_sorted"
-    val ct = s"graft_staged.$ns.cust_sorted"
-    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .writeTo(ot).tableProperty("sort.order", "o_custkey")
-      .partitionedBy(bucket(8, col("o_custkey"))).createOrReplace()
-    customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-      .writeTo(ct).tableProperty("sort.order", "c_custkey")
-      .partitionedBy(bucket(8, col("c_custkey"))).createOrReplace()
+    // read-only after staging → shared (the declared sort is paid ONCE,
+    // which is the write-side sort contract's whole point)
+    val ot = sharedStaged(s, d, "orders_sorted", Seq("orders.parquet")) { t =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .writeTo(t).tableProperty("sort.order", "o_custkey")
+        .partitionedBy(bucket(8, col("o_custkey"))).createOrReplace()
+    }
+    val ct = sharedStaged(s, d, "cust_sorted", Seq("customer.parquet")) { t =>
+      customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .writeTo(t).tableProperty("sort.order", "c_custkey")
+        .partitionedBy(bucket(8, col("c_custkey"))).createOrReplace()
+    }
     val o = s.table(ot)
     val c = s.table(ct)
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
@@ -807,12 +896,7 @@ object Ingest {
     * reader is never invoked), so a 100 TB table answers from metadata.
     */
   def metaPartitions(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.orders_meta_parts"
-    orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
-      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrioMor(s, d), "orders_meta_parts")
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 100000.0 AND o_totalprice < 101000.0")
     s.table(s"$tbl.partitions")
       .select(col("o_orderpriority").as("priority"),
@@ -847,14 +931,9 @@ object Ingest {
     * reads — no data listing at any table size.
     */
   def metaHistory(s: SparkSession, d: String): DataFrame = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.orders_meta_hist"
-    orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
-      .partitionedBy(col("o_orderpriority")).createOrReplace()
-    // the createOrReplace above is version base+1 ('append' on the first-
-    // ever run, 'replace' after); everything below is run-invariant
+    // the copy starts at version 0 (its own empty history), so the
+    // append/delete/rewrite rungs below land at 1/2/3 every run
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrioMor(s, d), "orders_meta_hist")
     val base = graft.sources.v2.StagedParquet.currentVersion(
       graft.sources.v2.StagedParquet.tableDir(s, tbl))
     orders(s, d)
@@ -961,8 +1040,10 @@ object Ingest {
       .filter(col("o_orderkey") % 2 === (if (even) 0 else 1))
     slice(even = true)
       .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
-    graft.sources.v2.StagedParquet.evolvePartitioning(s, tbl,
-      Seq(graft.sources.v2.PartField("o_custkey", "bucket", 8))): Unit
+    // the evolution itself runs through SQL (r11 VERDICT #7): one CALL,
+    // one metadata commit
+    s.sql(s"CALL graft_staged.system.evolve_partitioning('$tbl', 'bucket(8,o_custkey)')")
+      .collect(): Unit
     slice(even = false).writeTo(tbl).append()
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
     s.table(tbl)
@@ -993,10 +1074,10 @@ object Ingest {
       .filter(col("o_orderkey") % 2 === (if (even) 0 else 1))
     slice(even = true)
       .writeTo(tbl).partitionedBy(col("o_orderpriority")).createOrReplace()
-    graft.sources.v2.StagedParquet.evolvePartitioning(s, tbl,
-      Seq(graft.sources.v2.PartField("o_custkey", "bucket", 8))): Unit
+    s.sql(s"CALL graft_staged.system.evolve_partitioning('$tbl', 'bucket(8,o_custkey)')")
+      .collect(): Unit
     slice(even = false).writeTo(tbl).append()
-    graft.sources.v2.StagedParquet.migrateLayouts(s, tbl): Unit
+    s.sql(s"CALL graft_staged.system.migrate_layouts('$tbl')").collect(): Unit
     require(!graft.sources.v2.StagedParquet.oldLayoutsHoldData(
       graft.sources.v2.StagedParquet.tableDir(s, tbl)),
       "layout migration must empty every old generation")
@@ -1035,22 +1116,35 @@ object Ingest {
     ((before.toSet diff after.toSet).size + (after.toSet diff before.toSet).size).toLong
   }
 
-  /** Probe relation (ProbeWork): files REWRITTEN by a sparse merge-on-read
-    * DELETE — expected 0 at every scale (the DV tier writes one positions
-    * file instead of rewriting); a MOR regression rewrites the band.
+  /** Probe relations (ProbeWork): one sparse merge-on-read DELETE, two
+    * counters. `rewritten` is the SCALE-INVARIANT one — expected 0 at
+    * every scale (the DV tier writes one positions file instead of
+    * rewriting; a MOR regression rewrites the band). `matched` is the
+    * LINEAR one — the positions the find-positions scan flagged, ∝ the
+    * band's rows, so the probe's wall growth at 10× is attributed to the
+    * position scan (expected, linear) and not inferred (r11 VERDICT #5:
+    * the wall ratio read 4.75 against work_ratio 1.0 with nothing pinning
+    * why). Memoized per data dir: both Bench counters read the same
+    * statement instead of staging the fixture twice.
     */
-  private[graft] def morRewrittenFiles(s: SparkSession, d: String): Long = {
-    val ns = stagedNs(s, d)
-    val tbl = s"graft_staged.$ns.orders_mor_probe"
-    orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
-      .partitionedBy(col("o_orderpriority")).createOrReplace()
-    val rep = graft.sources.v2.StagedParquet.deleteWhere(s, tbl, Seq(
-      org.apache.spark.sql.sources.GreaterThanOrEqual("o_totalprice", 100000.0),
-      org.apache.spark.sql.sources.LessThan("o_totalprice", 101000.0)))
-    rep.count(_._2 == "rewritten").toLong
-  }
+  private val morProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private[graft] def morProbe(s: SparkSession, d: String): (Long, Long) =
+    morProbeMemo.computeIfAbsent(d, _ => {
+      val ns = stagedNs(s, d)
+      val tbl = s"graft_staged.$ns.orders_mor_probe"
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .writeTo(tbl).tableProperty("delete.mode", "merge-on-read")
+        .partitionedBy(col("o_orderpriority")).createOrReplace()
+      val rep = graft.sources.v2.StagedParquet.deleteWhere(s, tbl, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("o_totalprice", 100000.0),
+        org.apache.spark.sql.sources.LessThan("o_totalprice", 101000.0)))
+      (rep.count(_._2 == "rewritten").toLong,
+        rep.filter(_._2 == "dv").map(_._4).sum)
+    })
+  private[graft] def morRewrittenFiles(s: SparkSession, d: String): Long =
+    morProbe(s, d)._1
 
   /** Probe relation (ProbeWork): files OPENED by a change feed over an
     * UNTOUCHED version range — expected 0 at every scale (the version

@@ -147,4 +147,15 @@ object ProbeWork {
             graft.sources.v2.StagedScan.blockSurvives(b, schemaJson, filters) })
       (opened - expected) + 1
     })))
+
+  /** SECOND work counter for probes whose wall and work tell different
+    * stories (r11 VERDICT #5): etl_delete_vectors pins rewritten-files at
+    * 1.0 (scale-invariant) while the find-positions scan grows with the
+    * band — this counter carries the matched-positions count (∝ band
+    * rows, ~10 at 10×) so the wall growth is attributed, not inferred.
+    * Reported by Bench as work2_* beside the primary counter.
+    */
+  val counters2: Map[String, (String, (SparkSession, String) => Long)] = Map(
+    "etl_delete_vectors" -> (("dv_positions_matched",
+      (s, d) => graft.queries.Ingest.morProbe(s, d)._2)))
 }
