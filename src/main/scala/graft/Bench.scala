@@ -28,10 +28,17 @@ import org.apache.spark.sql.SparkSession
   * completed query/probe/sf1 leg the JSON is atomically re-published
   * (write-temp + rename) with the completed prefix and `"partial":true`,
   * so a wrapper timeout or kill -9 mid-run still leaves a parseable
-  * artifact; and SPARK_GRAFT_BENCH_BUDGET_S (optional, seconds) degrades
-  * the per-query sample count best-of-N→3→1 as the elapsed clock runs hot
-  * so a stalled VM finishes inside the wrapper's window instead of
-  * recording rc=124/parsed:null.
+  * artifact; and a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, DEFAULT
+  * 2400 s since r13 — the driver never sets it and two arbiter runs died
+  * rc=124 un-budgeted) degrades the per-query sample count best-of-N→3→1
+  * as the elapsed clock runs hot so a stalled VM finishes inside the
+  * wrapper's window instead of recording rc=124/parsed:null.
+  *
+  * Sections run probes → sf1 → per-query legs (r12 VERDICT #1b): the
+  * noise-immune work ratios and the second scale point carry the most
+  * information per second, so they run while the budget is cold; a kill
+  * can only truncate the leg tail, and the budget exists to make even
+  * that not happen.
   */
 object Bench {
   private def clearState(spark: SparkSession): Unit = {
@@ -62,6 +69,32 @@ object Bench {
     }
   }
 
+  /** One-time start-of-run sweep of the SHARED `sh*` fixture namespaces
+    * (r12 ADVICE): they are keyed by a fingerprint of the source parquet, so
+    * regenerated testdata orphans the old key's full-table copies forever —
+    * and cleanStaging above deliberately never touches them mid-run (the
+    * whole point of the shared fixtures is build-once/serve-many across the
+    * query legs). Sweeping at START keeps the amortization AND bounds the
+    * cross-run debris: each run begins from zero sh-trees and builds exactly
+    * the fixtures the current testdata fingerprints to. (Probe-section
+    * rebuilds under ArtifactCache.bypass no longer land here at all — they
+    * route into the per-dir `x`-namespaces cleanStaging already removes;
+    * see Ingest.sharedStaged.)
+    */
+  private def sweepSharedFixtures(): Unit = {
+    val v2 = new java.io.File("/tmp/graft_stage/v2")
+    Option(v2.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sh"))
+      .foreach(f => cleanStagingTree(f.toPath))
+  }
+
+  private def cleanStagingTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q): Unit)
+    }
+
   /** Best-of-N sample count (N timed runs after one warm-up). Default 5:
     * the driver's re-run previously defaulted to 3 while the committed
     * artifact used 5, and the protocol mismatch alone read as a 1.39×
@@ -70,17 +103,27 @@ object Bench {
   private val bestOf: Int =
     sys.env.get("SPARK_GRAFT_BENCH_BEST").map(_.trim.toInt).filter(_ > 0).getOrElse(5)
 
-  /** Optional wall-clock budget (seconds). When the elapsed clock runs hot
-    * against it, the remaining queries degrade their sample count
-    * best-of-N → 3 → 1 so the run FINISHES inside the wrapper's timeout
-    * instead of producing a rc=124 artifact (the r9 driver bench completed
-    * all 229 queries but its wrapper timed out and recorded parsed:null).
-    * Degraded queries trade sample-count noise immunity for completion —
-    * the right trade for the cheap tail, and the artifact records how many
-    * queries ran degraded so a comparison knows.
+  /** Wall-clock budget (seconds). When the elapsed clock runs hot against
+    * it, the remaining queries degrade their sample count best-of-N → 3 → 1
+    * so the run FINISHES inside the wrapper's timeout instead of producing
+    * a rc=124 artifact (the r9 driver bench completed all 229 queries but
+    * its wrapper timed out and recorded parsed:null). Degraded queries
+    * trade sample-count noise immunity for completion — the right trade for
+    * the cheap tail, and the artifact records how many queries ran degraded
+    * so a comparison knows.
+    *
+    * DEFAULTS ON at 2400 s (r12 VERDICT #1): the driver's un-configured
+    * runs never set SPARK_GRAFT_BENCH_BUDGET_S, so for two consecutive
+    * rounds an un-budgeted best-of-5 over every section overran the
+    * harness wall and the arbiter artifact came back rc=124/partial. A
+    * stalled VM now sheds samples instead of time. Set the variable to 0
+    * (or negative) for an explicitly unbudgeted run.
     */
   private val budgetS: Option[Double] =
-    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.trim.toDouble).filter(_ > 0)
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S") match {
+      case Some(v) => Some(v.trim.toDouble).filter(_ > 0)
+      case None    => Some(2400.0)
+    }
 
   /** Samples to take given elapsed seconds against the budget: full N
     * below 60% of budget, 3 to 85%, 1 beyond — monotone non-increasing so
@@ -192,19 +235,14 @@ object Bench {
       publish(outPath,
         s"""{"metric":"total","value":$tot,"unit":"sec","failed":$nf,"partial":true,"completed":${done.length},"of":${selected.length},"queries":$qsJ$extra$budgetJson,"sf":"$sfDir"}""")
     }
-    for (name <- selected) {
-      ensureAlive()
-      resultsBuf += name -> fmt(timeQuery(spark, name, sfDir, nextSamples())._1)
-      flushPartial("")
-      cleanStaging(sfDir)
-    }
-    val results = resultsBuf.sortBy(_._1).toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // -1 marks a failed query; keep it visible per-query but never let the
-    // sentinel deflate the total
-    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-    val nFailed = results.count(_._2 < 0)
+    // SECTION ORDER (r12 VERDICT #1b): probes, then sf1, then the per-query
+    // legs. The probe work-ratios and the sf1 anchor are the run's
+    // highest-information rows (work counts are noise-immune; sf1 is the
+    // only second scale point) and for two rounds they were exactly what a
+    // wall kill blanked. Running them first means a timeout can only
+    // truncate the 247-leg tail — and the legs degrade 5→3→1 under the
+    // default budget precisely so that tail fits.
+    sweepSharedFixtures()
 
     // Throughput scale probes: time a query on the bench corpus AND on a
     // synthetic 10x copy. With corpus-size-independent parameterization
@@ -238,7 +276,11 @@ object Bench {
       try {
       def probeOf(q: String): String = {
         ensureAlive()
-        val n = nextSamples()
+        // probes cap at best-of-3 by design: their certified metric is the
+        // WORK RATIO (exact counts, noise-immune), timing is advisory — two
+        // fewer samples of the heavy 10x legs buy ~30% of the section's
+        // wall back for the sections whose numbers ARE the timings
+        val n = math.min(3, nextSamples())
         val (baseSec0, baseRows) = timeQuery(spark, q, sfDir, n)
         val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir, n)
         val (baseSec, scaledSec) = (fmt(baseSec0), fmt(scaledSec0))
@@ -291,7 +333,7 @@ object Bench {
       val wr = {
         import org.apache.spark.sql.functions.col
         graft.sources.v2.StagedParquet.ensureCatalog(spark)
-        val wrSamples = nextSamples()
+        val wrSamples = math.min(3, nextSamples())
         def leg(d: String): (Double, Long, Long) = {
           val ns = "probe" + java.lang.Integer.toHexString(d.hashCode)
           val tbl = s"graft_staged.$ns.write_probe"
@@ -352,10 +394,14 @@ object Bench {
       // scale-INVARIANT work counts: a sparse MOR delete rewrites 0 files
       // and an untouched feed range reads 0 files at ANY scale (both
       // probes report count+1, so work_ratio pins at exactly 1.0)
+      // stream_table_upsert_eq is the fifteenth probe (r12 VERDICT #3):
+      // its work metric pins the eq epoch's destination writes at ZERO
+      // (files touched + DVs written, +1 → ratio 1.0 at any scale) while
+      // the second counter attributes wall growth to the wave's own keys
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile", "etl_days_prune", "etl_days_dpp",
         "etl_minmax_skip", "etl_delete_vectors", "etl_change_feed",
-        "etl_partition_evolve").map(probeOf)
+        "etl_partition_evolve", "stream_table_upsert_eq").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false
@@ -393,7 +439,10 @@ object Bench {
         // settle pass, and the inspection relations
         "etl_partition_evolve", "etl_layout_migrate",
         "etl_meta_partitions", "etl_meta_files", "etl_meta_history",
-        "stream_table_upsert")
+        "stream_table_upsert",
+        // round-13: the equality-delete upsert at 10x (epoch cost must
+        // stay ∝ the wave while the destination grows)
+        "stream_table_upsert_eq")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -413,6 +462,23 @@ object Bench {
       }
       sf1Fragment()
     }
+
+    // per-query legs LAST (see section-order note above): every flush below
+    // carries the already-complete probe and sf1 fragments, so a kill at any
+    // leg leaves an artifact whose only gap is the untimed leg suffix
+    for (name <- selected) {
+      ensureAlive()
+      resultsBuf += name -> fmt(timeQuery(spark, name, sfDir, nextSamples())._1)
+      flushPartial(probeJson + sf1Json)
+      cleanStaging(sfDir)
+    }
+    val results = resultsBuf.sortBy(_._1).toSeq
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // -1 marks a failed query; keep it visible per-query but never let the
+    // sentinel deflate the total
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    val nFailed = results.count(_._2 < 0)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs$probeJson$sf1Json$budgetJson,"sf":"$sfDir"}"""
     // The driver keeps only the last few KB of sbt stdout and parses the

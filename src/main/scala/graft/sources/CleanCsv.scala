@@ -123,8 +123,14 @@ object CleanCsv {
       .option("mode", "PERMISSIVE")
       .csv(path)
     val sane = EtlOps.sanitizeHeader(raw)
-    val cleaned = EtlOps.cleanNullBytes(sane,
+    val cleaned0 = EtlOps.cleanNullBytes(sane,
       sane.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq)
+    // drop ALL-NULL rows (sharepoint.py:124-125: an xlsx sheet's trailing
+    // blank rows arrive as rows of Nones and are removed before the CSV
+    // lands; a blank CSV line parses the same way here) — one codegen'd
+    // disjunction, no extra pass
+    val cleaned = cleaned0.filter(
+      cleaned0.columns.map(c => col(c).isNotNull).reduce(_ || _))
     jsonSchema match {
       case Some(js) =>
         // schema names go through the same sanitation as the CSV header, so

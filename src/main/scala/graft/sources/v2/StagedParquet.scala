@@ -110,6 +110,79 @@ object StagedParquet {
     * root-swapping rewrite that leaves no DVs behind drops it.
     */
   val DvFlagFile = "_dvflag"
+  /** Equality-delete files (Iceberg format-v2's SECOND delete kind, next
+    * to position deletes/DVs): `_eq-<boundary>-<nonce>.parquet` at the
+    * table root — a one-column parquet of deleted KEY VALUES whose column
+    * name IS the key column. Applies at read time to every data file
+    * added at a version STRICTLY BELOW the boundary (the writing epoch's
+    * own adds sit exactly AT it). The streaming upsert's reason to exist:
+    * an epoch writes its keys once — O(epoch bytes) — instead of scanning
+    * a 100 TB destination for positions; the scan pays a hash-set probe
+    * per row until maintenance MATERIALIZES the files into the physical
+    * tiers ([[materializeEqDeletes]]). See [[writeEqFile]]/[[liveEqFiles]].
+    */
+  val EqPrefix = "_eq-"
+  /** Root marker twin of [[DvFlagFile]]: at least one equality delete is
+    * live. Non-eq tables skip every per-scan eq lookup at zero cost;
+    * materialization drops it.
+    */
+  val EqFlagFile = "_eqflag"
+  /** Retired (materialized) equality-delete files move under
+    * `__meta/eqfiles/` — VERSION AS OF below the materialization still
+    * resolves them there; vacuum's retention applies as for retained
+    * trees.
+    */
+  val EqRetireDir = "eqfiles"
+  /** Column-level schema-evolution metadata, carried INSIDE
+    * `_schema.json` as StructField metadata (it rides every schemaJson a
+    * split, a footer-pruning call, or a reader already receives):
+    * [[FieldIdKey]] pins a stable per-column id, [[AliasesKey]] lists the
+    * historical physical names a RENAMED column's bytes still live under
+    * in committed files. Readers resolve declared name → aliases against
+    * each file's physical schema (the Iceberg field-ID/name-mapping
+    * answer), so RENAME COLUMN is one metadata commit at any table size.
+    */
+  val FieldIdKey = "graft.id"
+  val AliasesKey = "graft.aliases"
+
+  private[graft] def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(AliasesKey))
+      f.metadata.getStringArray(AliasesKey).toSeq
+    else Nil
+
+  private[graft] def columnAliases(schema: StructType, name: String): Seq[String] =
+    schema.fields.find(_.name == name).map(aliasesOf).getOrElse(Nil)
+
+  /** RENAME-aware raw parquet reads, the pair every rewrite path uses:
+    * [[widenForAliases]] extends the declared data schema by each renamed
+    * column's historical names (nullable, same type), and
+    * [[coalesceAliases]] folds them back — a field with aliases becomes
+    * coalesce(current, aliases…), so a mixed batch of pre- and
+    * post-rename files reconstitutes every row (Spark's by-name parquet
+    * resolution alone would null the renamed column in pre-rename files;
+    * compaction and COW rewrites run through this pair so a rewrite can
+    * never null history). Split in two because the rewrite sites attach
+    * `_metadata.row_index` / input_file_name() between the scan and the
+    * fold. Alias collisions are rejected at rename time, so the widened
+    * schema is unambiguous; on tables never renamed both are identity.
+    */
+  private[v2] def widenForAliases(dataSchema: StructType): StructType =
+    if (!dataSchema.fields.exists(f => aliasesOf(f).nonEmpty)) dataSchema
+    else StructType(dataSchema.fields.flatMap { f =>
+      f +: aliasesOf(f).map(a => StructField(a, f.dataType, nullable = true))
+    })
+
+  private[v2] def coalesceAliases(df: org.apache.spark.sql.DataFrame,
+                                  dataSchema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    dataSchema.fields.filter(f => aliasesOf(f).nonEmpty).foldLeft(df) {
+      (d2, f) =>
+        val als = aliasesOf(f)
+        d2.withColumn(f.name, coalesce((f.name +: als).map(col): _*))
+          .drop(als: _*)
+    }
+  }
+
   /** Partition-spec evolution — layout generations. See
     * [[evolvePartitioning]]: old generations live under
     * `_layouts/g-<n>/` (each with its own `_partition.json`), the CURRENT
@@ -282,6 +355,11 @@ object StagedParquet {
     val d = tableDir(s, table)
     val root = new Path(d)
     val f = fs(root)
+    // compaction doubles as the EQUALITY-delete settling pass, exactly as
+    // it does for deletion vectors below — and it must run first: the
+    // rewrite resets file add versions, which parameterize eq
+    // applicability
+    materializeEqDeletes(s, d)
     val sj = readString(new Path(root, SchemaFile)).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $d"))
     val schema = DataType.fromJson(sj).asInstanceOf[StructType]
@@ -373,7 +451,8 @@ object StagedParquet {
           Row(raw, w.rel, b) }).asJava, infoSchema)
       val allFiles = gwork.flatMap(_.bins.map(_._2))
       val totalBins = math.max(1, gwork.map(_.nOut).sum.toInt)
-      var scan = s.read.schema(gDataSchema).parquet(allFiles: _*)
+      var scan = s.read.schema(widenForAliases(gDataSchema))
+        .parquet(allFiles: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       // deletion vectors materialize here: DV'd positions are dropped and
@@ -396,6 +475,9 @@ object StagedParquet {
             col("__pos") >= col("__dvs") && col("__pos") < col("__dve"),
           "left_anti").drop("__pos")
       }
+      // RENAMED columns reconstitute here (compaction settles the bytes
+      // to the current name — post-compaction files need no aliases)
+      scan = coalesceAliases(scan, gDataSchema)
       // OPTIMIZE re-sorts a sorted table's bins (merging two sorted files
       // would otherwise break the declared order and silently withdraw
       // the scan's sort-free plans)
@@ -550,19 +632,57 @@ object StagedParquet {
     val out = mutable.Buffer[(String, Long)]()
     // RESUME pass: any generation a prior run left mid-swap finishes first
     // — even one whose directory vanished between the whole-root rename
-    // and its shell recreation (layoutRoots would not list it below)
-    f.listStatus(root).toSeq
+    // and its shell recreation (layoutRoots would not list it below).
+    // Marker bodies are parsed TOLERANTLY (r12 ADVICE): both formats end
+    // in a `:#` terminator and the swapping flip goes through tmp+rename,
+    // so this pass can always tell a complete plan from a torn one — a
+    // torn body falls back to the correct phase (see below) instead of
+    // wedging every later migrate behind a MatchError.
+    val allMarkers = f.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(MigrateMarkerPrefix))
+    // adopt a completed flip whose rename never ran: the tmp body is fully
+    // written and closed BEFORE the live marker is deleted, so a parseable
+    // tmp alongside a missing/torn live marker IS the pinned plan; next to
+    // an intact pending marker it is redundant (the redo path recomputes
+    // the same plan) and is dropped
+    allMarkers.filter(_.getPath.getName.endsWith(".tmp")).foreach { st =>
+      val live = new Path(root, st.getPath.getName.stripSuffix(".tmp"))
+      val liveBody = readString(live)
+      val adopt = readString(st.getPath).flatMap(parseSwapping).nonEmpty &&
+        liveBody.flatMap(parseSwapping).isEmpty &&
+        liveBody.flatMap(parsePending).isEmpty
+      if (adopt) {
+        f.delete(live, false): Unit
+        if (!f.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"migrateLayouts: cannot adopt pinned plan ${st.getPath}")
+      } else f.delete(st.getPath, false): Unit
+    }
+    f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(MigrateMarkerPrefix) &&
+        !st.getPath.getName.endsWith(".tmp"))
       .foreach { st =>
-        readString(st.getPath).filter(_.startsWith("swapping:")).foreach { m =>
-          val Array(_, vs, rels) = m.split(":", 3)
-          val v = vs.toLong
-          val swaps = rels.split(",").filter(_.nonEmpty).toSeq
-          val prefix = s"$LayoutsDir/${st.getPath.getName.stripPrefix(MigrateMarkerPrefix)}"
-          finishMigrateSwaps(d, root, prefix, v, swaps)
-          if (currentVersion(d) < v) recordVersion(d, v, Nil, swaps): Unit
-          f.delete(st.getPath, false): Unit
-          out += ((prefix, -1L))
+        val body = readString(st.getPath)
+        parseSwapping(body.getOrElse("")) match {
+          case Some((v, swaps)) =>
+            val prefix = s"$LayoutsDir/${st.getPath.getName.stripPrefix(MigrateMarkerPrefix)}"
+            finishMigrateSwaps(d, root, prefix, v, swaps)
+            recordMigrateSwaps(d, v, swaps): Unit
+            f.delete(st.getPath, false): Unit
+            out += ((prefix, -1L))
+          case None if body.exists(b => parsePending(b).isEmpty) =>
+            // torn/unparsable body that is not an intact pending pin. A
+            // flip is only attempted after the append decision completed,
+            // so the generation is in its swap phase: re-pin a version no
+            // live table ever holds (-1) — the settle loop below then
+            // skips the append and recomputes the swap plan from the
+            // current listing. (A torn PENDING body can only mean a crash
+            // during the initial pin, i.e. before any append — parsePending
+            // fails, the loop below re-pins fresh, and redoing the append
+            // is exactly right.)
+            if (body.exists(b => b.startsWith("swapping:")))
+              writeString(root, st.getPath.getName, "pending:-1:#")
+          case None => () // intact pending pin: the settle loop handles it
         }
       }
     val gens = layoutRoots(d).dropRight(1)
@@ -580,10 +700,9 @@ object StagedParquet {
         }
       if (dirs.nonEmpty) {
         val marker = new Path(root, MigrateMarkerPrefix + lroot.getName)
-        val pinned = readString(marker).filter(_.startsWith("pending:"))
-          .map(_.stripPrefix("pending:").toLong)
+        val pinned = readString(marker).flatMap(parsePending)
         val v0 = pinned.getOrElse(currentVersion(d))
-        if (pinned.isEmpty) writeString(root, marker.getName, s"pending:$v0")
+        if (pinned.isEmpty) writeString(root, marker.getName, s"pending:$v0:#")
         // rows migrated, from footer counts minus live DV positions —
         // metadata only, no second data pass
         val migrated = dirs.map { sd =>
@@ -609,7 +728,7 @@ object StagedParquet {
             .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
               !st.getPath.getName.endsWith("__old"))
             .map(st => s"$prefix/${st.getPath.getName}")
-        writeString(root, marker.getName, s"swapping:$v:${swaps.mkString(",")}")
+        flipMigrateMarker(root, marker, s"swapping:$v:${swaps.mkString(",")}:#")
         finishMigrateSwaps(d, root, prefix, v, swaps)
         recordVersion(d, v, Nil, swaps): Unit
         f.delete(marker, false): Unit
@@ -620,6 +739,112 @@ object StagedParquet {
   }
 
   private[v2] val MigrateMarkerPrefix = "_migrate-"
+
+  /** Parse an intact pending pin `pending:<v0>:#`. The trailing terminator
+    * proves the body is complete: a torn create can truncate anywhere, and
+    * a truncated v0 ("pending:1" torn from "pending:12:#") would make the
+    * resume skip an append that never ran — silently stranding the
+    * generation's rows in the retained tree. A torn pending can only mean
+    * a crash during the initial pin (before any append), so rejecting it
+    * and re-pinning fresh is exactly right.
+    */
+  private def parsePending(m: String): Option[Long] =
+    if (m.startsWith("pending:") && m.endsWith(":#"))
+      m.stripPrefix("pending:").stripSuffix(":#").toLongOption
+    else None
+
+  /** Parse an intact swap plan `swapping:<v>:<rels>:#` → (v, rels). Torn
+    * bodies (missing terminator, truncated rels) return None and the
+    * resume pass falls back to recomputing the plan (r12 ADVICE — the old
+    * `split(":", 3)` MatchError'd on "swapping:5" and IOException'd on a
+    * truncated rel, wedging every later migrate).
+    */
+  private def parseSwapping(m: String): Option[(Long, Seq[String])] =
+    if (m.startsWith("swapping:") && m.endsWith(":#"))
+      m.stripPrefix("swapping:").stripSuffix(":#").split(":", 2) match {
+        case Array(vs, rels) if vs.nonEmpty && vs.forall(_.isDigit) =>
+          Some((vs.toLong, rels.split(",").filter(_.nonEmpty).toSeq))
+        case _ => None
+      }
+    else None
+
+  /** Flip a migrate marker pending→swapping via tmp-file + rename (r12
+    * ADVICE): a create-overwrite can tear mid-write and leave a body that
+    * parses as neither phase. The tmp is fully written and closed BEFORE
+    * the live marker is touched, so every crash window leaves one of: the
+    * intact pending body (redo recomputes the plan), the complete tmp next
+    * to no live marker (the resume pass adopts it), or the complete new
+    * body.
+    */
+  private def flipMigrateMarker(root: Path, marker: Path, body: String): Unit = {
+    val f = fs(root)
+    val tmp = new Path(root, marker.getName + ".tmp")
+    val o = f.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    f.delete(marker, false): Unit
+    if (!f.rename(tmp, marker))
+      throw new java.io.IOException(s"migrateLayouts: cannot publish $marker")
+  }
+
+  /** Newest retained tree for swap `rel` keyed at or above `minKey`.
+    * Retained trees are keyed by the version BEFORE the recording swap
+    * (retainedPath v-1), so a swap pinned at v searches from key v-1
+    * upward: re-keyed trees from crashed resumes land higher, while lower
+    * keys belong to earlier, already-recorded swaps of the same rel.
+    */
+  private def newestRetained(d: String, minKey: Long, rel: String): Option[Path] = {
+    val md = metaDir(d)
+    val f = fs(md)
+    if (!f.exists(md)) return None
+    val relPath = if (rel == ".") "__root" else rel
+    f.listStatus(md).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        st.getPath.getName.stripPrefix("v").toLong >= minKey)
+      .sortBy(-_.getPath.getName.stripPrefix("v").toLong)
+      .map(st => new Path(st.getPath, relPath))
+      .find(f.exists)
+  }
+
+  /** Record a RESUMED migrate's swap delta. The happy path claims the
+    * pinned version `v`; the guarded path (r12 ADVICE, medium) covers the
+    * crash-to-rerun gap: if a normal append claimed `v` in between, `s-v`
+    * holds an unrelated delta — the previous `currentVersion < v` guard
+    * silently skipped the record, so VERSION AS OF below the settle missed
+    * the migrated generation, the exact silent-miss the contract forbids.
+    * Now the delta is re-recorded at a fresh version and the retained
+    * trees are RE-KEYED to match (retainedPath keys on version-1), so time
+    * travel stays complete. Idempotent across repeated crashes: any
+    * `s-*` at or above v holding exactly this swap body is ours.
+    */
+  private def recordMigrateSwaps(d: String, v: Long, swaps: Seq[String]): Long = {
+    if (currentVersion(d) < v) return recordVersion(d, v, Nil, swaps)
+    val expected = swaps.sorted.map("~" + _).mkString("\n")
+    val md = metaDir(d)
+    val f = fs(md)
+    val mine = f.listStatus(md).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("s-"))
+      .filter(_.getName.stripPrefix("s-").toLong >= v)
+      .filter(p => readString(p).contains(expected))
+      .map(_.getName.stripPrefix("s-").toLong).maxOption
+    mine.getOrElse {
+      val v2 = currentVersion(d) + 1
+      for (rel <- swaps) {
+        val to = retainedPath(d, v2, rel)
+        if (!f.exists(to)) {
+          // the tree sits wherever the last attempt left it: the original
+          // v-1 key or a prior crashed resume's re-key
+          val from = newestRetained(d, v - 1, rel).getOrElse(
+            throw new java.io.IOException(
+              s"migrateLayouts: resumed swap $rel has no retained tree at or above v${v - 1} under $md"))
+          f.mkdirs(to.getParent): Unit
+          if (!f.rename(from, to))
+            throw new java.io.IOException(
+              s"migrateLayouts: cannot re-key $from to $to")
+        }
+      }
+      recordVersion(d, v2, Nil, swaps)
+    }
+  }
 
   /** Execute (or RESUME) a migrate's pinned retention swaps: each rel not
     * yet retained renames to its version-`v` retained path; a whole-root
@@ -636,22 +861,28 @@ object StagedParquet {
       val src = new Path(root, rel)
       val keep = retainedPath(d, v, rel)
       if (!f.exists(keep)) {
-        if (!f.exists(src))
+        if (f.exists(src)) {
+          f.mkdirs(keep.getParent): Unit
+          if (!f.rename(src, keep))
+            throw new java.io.IOException(
+              s"migrateLayouts: cannot retain $src at $keep")
+        } else if (newestRetained(d, v - 1, rel).isEmpty)
+          // a crashed resume may have RE-KEYED the tree to a fresher
+          // version (recordMigrateSwaps) — only neither-source-nor-any-
+          // retained-key is a genuine loss
           throw new java.io.IOException(
             s"migrateLayouts: planned swap $rel exists at neither $src nor $keep")
-        f.mkdirs(keep.getParent): Unit
-        if (!f.rename(src, keep))
-          throw new java.io.IOException(
-            s"migrateLayouts: cannot retain $src at $keep")
       }
       if (!rel.split('/').last.contains("=")) {
         // whole-generation swap: recreate the empty shell (snapshot
-        // lookups need its spec) unless a prior attempt already did
+        // lookups need its spec) unless a prior attempt already did; the
+        // spec rides the retained tree, wherever re-keying left it
         val shellSpec = new Path(src, PartitionFile)
         if (!f.exists(shellSpec)) {
           f.mkdirs(src): Unit
           writeString(src, PartitionFile,
-            readString(new Path(keep, PartitionFile))
+            newestRetained(d, v - 1, rel)
+              .flatMap(k => readString(new Path(k, PartitionFile)))
               .getOrElse(PartSpec.serialize(Seq.empty)))
         }
       }
@@ -673,6 +904,10 @@ object StagedParquet {
     val d = tableDir(s, table)
     val root = new Path(d)
     val f = fs(root)
+    // the layout move renames every data file under the generation —
+    // add-version bookkeeping (what parameterizes equality-delete
+    // applicability) doesn't survive the move, so settle eq files first
+    materializeEqDeletes(s, d)
     val sj = readString(new Path(root, SchemaFile)).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $d"))
     val schema = DataType.fromJson(sj).asInstanceOf[StructType]
@@ -859,9 +1094,15 @@ object StagedParquet {
                   filters: Seq[org.apache.spark.sql.sources.Filter],
                   update: Option[Seq[(String, org.apache.spark.sql.Column)]],
                   excludeNames: Set[String] = Set.empty,
-                  keySet: Option[(String, org.apache.spark.sql.DataFrame)] = None): Seq[(String, String, Long, Long)] = {
+                  keySet: Option[(String, org.apache.spark.sql.DataFrame)] = None,
+                  skipEqSettle: Boolean = false): Seq[(String, String, Long, Long)] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    // live equality deletes settle FIRST (skipEqSettle = the settle's own
+    // group deletes): a COW rewrite copies raw rows into fresh files, and
+    // a fresh file's add version would wrongly re-expose it to every
+    // older eq filter — materialize, then mutate
+    if (!skipEqSettle) materializeEqDeletes(s, d)
     val root = new Path(d)
     val f = fs(root)
     val sj = readString(new Path(root, SchemaFile)).getOrElse(
@@ -1309,10 +1550,12 @@ object StagedParquet {
           st.getPath.toUri.getRawPath +: sentinel(w.rel) +: iv))
       }.asJava, infoSchema)
       val allAffected = gwork.flatMap(_.affected).map(_.getPath.toString)
-      var scan = s.read.schema(gDataSchema).parquet(allAffected: _*)
+      var scan = s.read.schema(widenForAliases(gDataSchema))
+        .parquet(allAffected: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
         .withColumn("__pos", col("_metadata.row_index"))
+      scan = coalesceAliases(scan, gDataSchema)
       // rows an earlier DV already deleted must not match (or count) again
       val priorDv = gwork.flatMap { w =>
         val dvs = dirDvs(w.dir)
@@ -1480,7 +1723,8 @@ object StagedParquet {
       }
       val info = s.createDataFrame(infoRows.asJava, infoSchema)
       val allAffected = gwork.flatMap(_.affected).map(_.getPath.toString)
-      var scan = s.read.schema(gDataSchema).parquet(allAffected: _*)
+      var scan = s.read.schema(widenForAliases(gDataSchema))
+        .parquet(allAffected: _*)
         .withColumn("__src",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       // rows a deletion vector already removed must not survive the
@@ -1504,6 +1748,9 @@ object StagedParquet {
             col("__pos") >= col("__dvs") && col("__pos") < col("__dve"),
           "left_anti").drop("__pos")
       }
+      // RENAMED columns reconstitute before predicates/updates touch them
+      // (the rewrite writes current names — it settles the aliases)
+      scan = coalesceAliases(scan, gDataSchema)
       // LEFT join + loud per-row guard: a scanned row that matched no
       // metadata row (an encoding mismatch between input_file_name() and
       // the listing) must FAIL the job, never silently drop the row —
@@ -1647,11 +1894,16 @@ object StagedParquet {
     // resurrect deleted rows. An EVOLVED table must too: its
     // pre-evolution generations live under `_layouts/` — an
     // underscore-prefixed dir the built-in source treats as hidden and
-    // silently drops. Un-flagged, un-evolved tables keep the built-in
-    // path (identical results, zero behavior change).
-    if (hasDvFlag(new Path(d)) ||
+    // silently drops. So must a table with live EQUALITY deletes, or one
+    // with RENAMED columns (the built-in by-name resolution would null a
+    // renamed column's pre-rename files; the V2 reader resolves aliases).
+    // Un-flagged, un-evolved tables keep the built-in path (identical
+    // results, zero behavior change).
+    val declared = DataType.fromJson(sj).asInstanceOf[StructType]
+    if (hasDvFlag(new Path(d)) || hasEqFlag(new Path(d)) ||
+        declared.fields.exists(f => aliasesOf(f).nonEmpty) ||
         (hasOldLayouts(d) && oldLayoutsHoldData(d))) s.table(table)
-    else s.read.schema(DataType.fromJson(sj).asInstanceOf[StructType]).parquet(d)
+    else s.read.schema(declared).parquet(d)
   }
 
   /** Staged MERGE — the sink's upsert rung (reference: postgres.py:1092-1180
@@ -1763,9 +2015,20 @@ object StagedParquet {
   // destroy its own history. VACUUM prunes retained trees past the
   // retention window (the delta files are tiny and kept; a reconstruction
   // that needs a pruned tree fails loudly as "version expired").
-  // Mutations are single-writer per table (the documented maintenance
-  // contract); concurrent APPENDS race safely — the s-<v> claim is a
-  // create-no-overwrite, a loser just claims the next id.
+  // CONCURRENCY (optimistic, CAS on the version file): the s-<v> claim is
+  // a create-no-overwrite — the commit lock IS the version file.
+  //   - APPENDS are fully multi-writer: disjoint files never conflict; a
+  //     claim loser retries the next id, manifests claim ids the same way
+  //     (StagedConcurrencySpec: N racing appenders all land, versions
+  //     linearize, every file recorded exactly once).
+  //   - REPLACE re-keys its retained root and linearizes AFTER any append
+  //     that stole its id (promote's retry loop) — last-writer-wins at
+  //     the root swap, the stolen-id appends stay reachable via time
+  //     travel.
+  //   - row-level MUTATIONS and maintenance verbs (DELETE/UPDATE/compact/
+  //     evolve/migrate) remain single-writer per table: their claims pass
+  //     exact=true and FAIL LOUDLY on collision (two interleaved
+  //     mutations would interleave retained trees).
 
   private[v2] def metaDir(prodDir: String): Path = new Path(prodDir + "__meta")
 
@@ -1829,9 +2092,13 @@ object StagedParquet {
     * under — per-dir because a snapshot of an evolved table mixes layout
     * generations.
     */
+  /** @param eq file name -> EQUALITY-delete files (absolute paths) active
+    *        at the reconstructed version and applicable to it (add
+    *        version below the eq boundary); empty on never-eq tables.
+    */
   private[graft] case class SnapDir(rel: String, vals: Seq[String],
       files: Seq[String], deleted: Map[String, Seq[(Long, Long)]],
-      spec: Seq[PartField])
+      spec: Seq[PartField], eq: Map[String, Seq[String]] = Map.empty)
 
   private[graft] case class Snapshot(schema: StructType, partSpec: Seq[PartField],
       dirs: Seq[SnapDir])
@@ -1862,8 +2129,24 @@ object StagedParquet {
     // full rel (any `_layouts/g-<n>/` prefix included) ->
     //   (physical dir path, file names, the dir's spec)
     val state = mutable.Map.empty[String, (Path, mutable.Set[String], Seq[PartField])]
+    // equality-delete files ACTIVE at the reconstructed version, by name:
+    // seeded from the base root's live set (re-seeded on a root-swap
+    // rebase — a REPLACE's retained root carries ITS eq files), then the
+    // walk undoes `!eqdel` (created above the target → inactive) and
+    // `!eqmat` (materialized above the target → still active at it)
+    val eqActive = mutable.Set.empty[String]
+    def reseedEq(): Unit = {
+      eqActive.clear()
+      val br = new Path(baseRoot)
+      if (f.exists(br)) f.listStatus(br).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(EqPrefix) && n.endsWith(".parquet"))
+          eqActive += n
+      }
+    }
     def rebase(): Unit = {
       state.clear()
+      reseedEq()
       baseSpec = specOf(baseRoot)
       val dvFlagged = hasDvFlag(new Path(baseRoot))
       // every layout generation, each under its own spec — a snapshot of
@@ -1939,11 +2222,33 @@ object StagedParquet {
         }
         baseSpec = specOf(new Path(new Path(baseRoot), prefix).toString)
       }
+      // equality-delete lifecycle, undone in version order: an eq created
+      // above the target wasn't active yet; one materialized above the
+      // target still was
+      lines.filter(_.startsWith("!eqdel=")).foreach(l =>
+        eqActive -= l.stripPrefix("!eqdel="))
+      lines.filter(_.startsWith("!eqmat=")).foreach(l =>
+        eqActive += l.stripPrefix("!eqmat="))
     }
     val schema = readString(new Path(baseRoot, SchemaFile))
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"$d version $version: no schema at $baseRoot"))
+    // resolve the active eq names: live at the reconstructed root, else
+    // retired under __meta/eqfiles (materialized after the target; the
+    // retire renames are recorded-then-moved, so a name past its !eqmat
+    // mark always resolves one of the two)
+    val eqResolved: Seq[(String, Long)] = eqActive.toSeq.sorted.flatMap { n =>
+      val atRoot = new Path(baseRoot, n)
+      val retired = new Path(new Path(metaDir(d), EqRetireDir), n)
+      val p0 = if (f.exists(atRoot)) Some(atRoot)
+      else if (f.exists(retired)) Some(retired)
+      else None
+      p0.map(p1 => (p1.toString, eqBoundary(n)))
+    }
+    val eqAddV: Map[String, Long] =
+      if (eqResolved.isEmpty) Map.empty
+      else addVersionsSince(d, eqResolved.map(_._2).min - 1, version)
     Snapshot(schema, baseSpec,
       state.toSeq.sortBy(_._1).flatMap { case (dirRel, (base, names, spec)) =>
         val (dvNames, dataNames) =
@@ -1959,8 +2264,17 @@ object StagedParquet {
           val deleted = mergeDvEntries(dvNames
             .flatMap(n => dvLines(new Path(base, n)))
             .filter { case (fn, _) => dataSet(fn) })
+          val eqByFile: Map[String, Seq[String]] =
+            if (eqResolved.isEmpty) Map.empty
+            else dataNames.flatMap { n =>
+              val rel = if (dirRel == ".") n else s"$dirRel/$n"
+              val av = eqAddV.getOrElse(rel, -1L)
+              val app = eqResolved.filter(_._2 > av).map(_._1)
+              if (app.isEmpty) None else Some(n -> app)
+            }.toMap
           Some(SnapDir(dirRel, vals,
-            dataNames.map(n => new Path(base, n).toString), deleted, spec))
+            dataNames.map(n => new Path(base, n).toString), deleted, spec,
+            eqByFile))
         }
       })
   }
@@ -2013,6 +2327,16 @@ object StagedParquet {
         .exists(_.split("\n").exists(_.startsWith("!evolve=")))),
       "changesBetween: the range crosses a partition-spec evolution — " +
         "diff up to the evolution version and from it separately")
+    // an equality-delete commit (or its materialization) changes rows with
+    // no per-dir file diff to read them from — the feed would misreport
+    // the eq-deleted rows as unchanged. Materialize, then diff across the
+    // materialization from its retained trees.
+    require(!((fromV + 1) to toV).exists(v =>
+      readString(new Path(metaDir(d), s"s-$v"))
+        .exists(_.split("\n").exists(l =>
+          l.startsWith("!eqdel=") || l.startsWith("!eqmat=")))),
+      "changesBetween: the range crosses an equality-delete commit — " +
+        "materialize (compact) first, or diff around the eq versions")
     require(a.schema.json == b.schema.json && a.partSpec == b.partSpec,
       "changesBetween: the range crosses a REPLACE that changed the " +
         "schema or partitioning — diff the generations separately")
@@ -2186,12 +2510,191 @@ object StagedParquet {
   private[graft] def hasDvFlag(root: Path): Boolean =
     fs(root).exists(new Path(root, DvFlagFile))
 
+  // ---- equality deletes ---------------------------------------------------
+
+  private[graft] def hasEqFlag(root: Path): Boolean =
+    fs(root).exists(new Path(root, EqFlagFile))
+
+  /** Live equality-delete files at the table root: (absolute path, add
+    * boundary), boundary-ascending.
+    */
+  private[graft] def liveEqFiles(d: String): Seq[(String, Long)] = {
+    val root = new Path(d)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(EqPrefix) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, eqBoundary(st.getPath.getName)))
+      .sortBy(_._2)
+  }
+
+  private[graft] def eqBoundary(name: String): Long =
+    name.stripPrefix(EqPrefix).split("-")(0).toLong
+
+  /** rel data-file path -> the version whose delta ADDED it, for adds
+    * recorded in (fromV, toV] — O(toV-fromV) tiny metadata reads, done
+    * once per scan plan. Files absent from the map were added at or below
+    * fromV, or entered by a swap (COW rewrites copy RAW rows, so a
+    * rewritten file legitimately re-needs every eq filter): both classes
+    * are conservatively OLD, and every equality delete with a boundary
+    * above fromV applies to them.
+    */
+  private[graft] def addVersionsSince(d: String, fromV: Long,
+                                      toV: Long): Map[String, Long] = {
+    val md = metaDir(d)
+    val m = mutable.Map.empty[String, Long]
+    for (v <- (fromV + 1) to toV;
+         sv <- readString(new Path(md, s"s-$v")).toSeq;
+         l <- sv.split("\n") if l.startsWith("+"))
+      m(l.stripPrefix("+")) = v
+    m.toMap
+  }
+
+  /** Write one equality-delete file at the table root: the incoming
+    * (already-distinct, non-null) key values in `keyDf`, single column
+    * named the key. ONE narrow job over the epoch's own files — cost ∝
+    * epoch bytes, independent of destination size, the whole point.
+    * Returns the published name.
+    */
+  private[v2] def writeEqFile(s: SparkSession, d: String,
+                              keyDf: org.apache.spark.sql.DataFrame,
+                              boundary: Long): String = {
+    val root = new Path(d)
+    val f = fs(root)
+    val tmp = new Path(
+      d + "__staging.eq-" + java.util.UUID.randomUUID().toString.take(8))
+    keyDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .getOrElse(throw new IllegalStateException(
+        s"equality-delete write produced no parquet under $tmp"))
+    val name = EqPrefix + boundary + "-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+    if (!f.rename(part, new Path(root, name)))
+      throw new java.io.IOException(s"cannot publish equality delete $name")
+    f.delete(tmp, true): Unit
+    writeString(root, EqFlagFile, "")
+    name
+  }
+
+  /** MATERIALIZE every live equality delete into the physical tiers (the
+    * same tiered DV/COW core a position delete uses) and RETIRE the eq
+    * files under `__meta/eqfiles/`. This is the deferred price the
+    * per-epoch eq write avoided — one destination scan, paid at
+    * maintenance (compaction, row-level COW, dynamic overwrite,
+    * partition-spec evolution), never on the CDC hot path. Those verbs
+    * call this FIRST: they rewrite or move data files, which would reset
+    * a file's add-version and wrongly re-expose it to older eq filters.
+    *
+    * Applicability is NESTED in the add version (an eq applies to every
+    * file added below its boundary), so files group by how many
+    * boundaries they sit above; each group takes ONE tiered delete with
+    * the union of its applicable keys, excludeNames masking the rest.
+    * Crash-safe: group deletes are physically idempotent (a re-run
+    * matches no surviving row), the `!eqmat` marks record BEFORE the
+    * retire renames, and the flag drops last — a rerun at any window
+    * converges.
+    */
+  private[v2] def materializeEqDeletes(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val root = new Path(d)
+    val f = fs(root)
+    if (!hasEqFlag(root)) return
+    val eqs = liveEqFiles(d)
+    if (eqs.isEmpty) { f.delete(new Path(root, EqFlagFile), false): Unit; return }
+    val addV = addVersionsSince(d, eqs.map(_._2).min - 1, currentVersion(d))
+    val boundaries = eqs.map(_._2)
+    val rels = listRelative(root).filter { rel =>
+      val n = rel.split('/').last
+      n.endsWith(".parquet") && !n.startsWith("_")
+    }
+    val allNames = rels.map(_.split('/').last).toSet
+    // group index = how many boundaries the file's add version has passed;
+    // eq files at indices >= that apply to it
+    val groups = rels.groupBy { rel =>
+      val av = addV.getOrElse(rel, -1L)
+      boundaries.count(_ <= av)
+    }
+    // Spark's file index hides `_`-prefixed paths, so the eq files stage
+    // as visible-name copies for the distributed key read (small files;
+    // the copy is the price of data files and delete files sharing one
+    // directory tree)
+    val stage = new Path(
+      d + "__staging.eqmat-" + java.util.UUID.randomUUID().toString.take(8))
+    f.mkdirs(stage): Unit
+    val staged: Map[String, String] = eqs.zipWithIndex.map { case (e, i) =>
+      val to = new Path(stage, s"eq-$i.parquet")
+      if (!org.apache.hadoop.fs.FileUtil.copy(f, new Path(e._1), f, to,
+          false, s.sparkContext.hadoopConfiguration))
+        throw new java.io.IOException(s"cannot stage eq file ${e._1}")
+      e._1 -> to.toString
+    }.toMap
+    try {
+    for ((gi, files) <- groups.toSeq.sortBy(_._1) if gi < eqs.length) {
+      val applicable = eqs.drop(gi)
+      val byKey = applicable.map(e => s.read.parquet(staged(e._1)))
+        .groupBy(_.schema.fieldNames.head)
+      for ((kc, dfs) <- byKey) {
+        val union = dfs.reduce(_ unionByName _).distinct()
+        val mm = union.agg(min(col(kc)), max(col(kc))).head()
+        if (!mm.isNullAt(0))
+          cowWhereDir(s, d,
+            Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(kc, mm.get(0)),
+              org.apache.spark.sql.sources.LessThanOrEqual(kc, mm.get(1))),
+            None, excludeNames = allNames -- files.map(_.split('/').last),
+            keySet = Some((kc, union)), skipEqSettle = true): Unit
+      }
+    }
+    } finally f.delete(stage, true): Unit
+    // retire: marks FIRST (a crash between renames then loses no history
+    // — a root-resident file past its mark double-deletes already-deleted
+    // rows, a no-op), renames second, flag last
+    val names = eqs.map(e => new Path(e._1).getName)
+    recordVersion(d, currentVersion(d) + 1, Nil, Nil,
+      marks = names.map(n => s"!eqmat=$n")): Unit
+    val rd = new Path(metaDir(d), EqRetireDir)
+    f.mkdirs(rd): Unit
+    for (n <- names) {
+      val from = new Path(root, n)
+      val to = new Path(rd, n)
+      if (f.exists(to)) f.delete(from, false): Unit
+      else if (f.exists(from)) {
+        if (!f.rename(from, to))
+          throw new java.io.IOException(s"cannot retire equality delete $n")
+      }
+      // else: a group delete on an UNPARTITIONED layout mutates by root
+      // swap, and the eq file rode the retention rename — history is
+      // intact (the snapshot walk reseeds its eq set from the rebased
+      // retained root), there is just nothing left to move
+    }
+    f.delete(new Path(root, EqFlagFile), false): Unit
+  }
+
+  /** Scan-plan view of the live equality deletes: Nil on unflagged tables
+    * (one O(1) probe); else each live eq file with its boundary plus the
+    * add-version map the per-file applicability test needs.
+    */
+  private[graft] def eqPlanState(d: String): (Seq[(String, Long)], Map[String, Long]) = {
+    if (!hasEqFlag(new Path(d))) (Nil, Map.empty)
+    else {
+      val eqs = liveEqFiles(d)
+      if (eqs.isEmpty) (Nil, Map.empty)
+      else (eqs, addVersionsSince(d, eqs.map(_._2).min - 1, currentVersion(d)))
+    }
+  }
+
   /** Rows the DRIVER materialized in the last merge-on-read DELETE's
     * position pass — one per touched directory with the executor-side DV
     * write (StagedDvSpec pins ≤ O(dirs); before r12 this was O(deleted
     * runs), the 100 TB sparse-delete bottleneck). -1 = no MOR pass ran.
     */
   private[graft] val morDriverRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Epochs whose replace half took the EQUALITY-DELETE form (`graft.
+    * upsert.eq`) — spec/probe observability.
+    */
+  private[graft] val upsertEqEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Epoch deletes that took the WIDE (distributed keySet) form — spec
     * visibility that a ≥keyInMax epoch never collected its keys.
@@ -2280,11 +2783,41 @@ object StagedParquet {
     val v = currentVersion(prodDir) + 1
     val hadProd = swapDirs(stagingDir, prodDir,
       Some(retainedPath(prodDir, v, ".")))
-    if (hadProd) recordVersion(prodDir, v, Nil, Seq(".")): Unit
-    else {
-      val adds = listRelative(new Path(prodDir)).filter(rel =>
+    // OPTIMISTIC version claim (r12 VERDICT #4): concurrent APPENDS may
+    // have taken v between the read above and this record — their claims
+    // CAS-retry past each other by design. Throwing here (the exact=true
+    // default) would leave the table swapped but its version UNRECORDED —
+    // an irreversible half-commit. Instead the replace re-keys its
+    // retained root to a fresh id and linearizes AFTER the appends.
+    // (An append whose files landed in the pre-swap root rode the
+    // retention rename — last-writer-wins is the REPLACE contract; the
+    // rows stay reachable through time travel at the re-keyed version.)
+    val adds: Seq[String] =
+      if (hadProd) Nil
+      else listRelative(new Path(prodDir)).filter(rel =>
         rel.endsWith(".parquet") && !rel.split('/').last.startsWith("_"))
-      recordVersion(prodDir, v, adds, Nil): Unit
+    var id = v
+    var done = false
+    while (!done) {
+      try {
+        recordVersion(prodDir, id,
+          if (hadProd) Nil else adds, if (hadProd) Seq(".") else Nil): Unit
+        done = true
+      } catch {
+        case _: IllegalStateException =>
+          val id2 = currentVersion(prodDir) + 1
+          if (hadProd) {
+            val f = fs(new Path(prodDir))
+            val from = retainedPath(prodDir, id, ".")
+            val to = retainedPath(prodDir, id2, ".")
+            if (f.exists(from)) {
+              f.mkdirs(to.getParent): Unit
+              if (!f.rename(from, to)) throw new java.io.IOException(
+                s"promote: cannot re-key retained root $from to $to")
+            }
+          }
+          id = id2
+      }
     }
   }
 
@@ -2362,21 +2895,39 @@ object StagedParquet {
     * sweep's view of a (possibly partitioned) table directory. Metadata
     * files at the root are excluded; goes through the Hadoop FileSystem
     * API so the table can live on object storage.
+    *
+    * Tolerates CONCURRENT-WRITER churn: a racing appender's task commit
+    * renames `_tmp-*` files while this walks, and a file vanishing
+    * between the directory read and its stat throws (RawLocalFileSystem
+    * even shells out for permissions and surfaces a RuntimeException).
+    * Those transients belong to the OTHER writer's in-flight state — the
+    * sweep never touches foreign tokens anyway — so the walk retries a
+    * few times and only then rethrows (a persistent failure is a real
+    * I/O problem, not a race).
     */
   private[v2] def listRelative(dir: Path): Seq[String] = {
     val f = fs(dir)
-    if (!f.exists(dir)) Seq.empty
-    else {
-      val base = dir.toUri.getPath
-      val it = f.listFiles(dir, true)
-      val out = mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-        out += rel
+    var attempt = 0
+    while (true) {
+      try {
+        if (!f.exists(dir)) return Seq.empty
+        val base = dir.toUri.getPath
+        val it = f.listFiles(dir, true)
+        val out = mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+          out += rel
+        }
+        return out.toSeq
+      } catch {
+        case _: java.io.FileNotFoundException | _: RuntimeException
+            if attempt < 4 =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
       }
-      out.toSeq
     }
+    Seq.empty // unreachable (the loop returns or rethrows)
   }
 }
 
@@ -2758,14 +3309,16 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
             _.split("\n").contains(name)),
           s"staged catalog: column $name was previously dropped; old files " +
             "still hold its bytes — use a new name")
+        // ... and the same for a RENAMED column's historical names
+        require(!schema.fields.flatMap(StagedParquet.aliasesOf)
+            .exists(_.equalsIgnoreCase(name)),
+          s"staged catalog: $name is a renamed column's historical name; " +
+            "old files still hold its bytes — use a new name")
         schema = schema.add(StructField(name, add.dataType(), nullable = true))
       case del: TableChange.DeleteColumn =>
         // metadata-only DROP: the declared schema shrinks, data files keep
         // the column's bytes (readers project only declared columns; the
-        // next compaction settles the files to the narrowed width). The
-        // SAFE half of evolution — RENAME is deliberately unsupported:
-        // name-based file mapping would silently null a renamed column's
-        // history, the failure mode field-ID formats exist to prevent
+        // next compaction settles the files to the narrowed width)
         require(del.fieldNames().length == 1,
           "staged catalog: only top-level DROP COLUMN is supported")
         val name = del.fieldNames()(0)
@@ -2776,10 +3329,73 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
           s"staged catalog: cannot drop partition-referenced column $name")
         require(schema.fields.length > 1,
           "staged catalog: cannot drop the last column")
+        // tombstone the name AND its pre-rename aliases — files hold
+        // bytes under every one of them
+        val dropped = name +: StagedParquet.aliasesOf(schema(name))
         schema = StructType(schema.fields.filterNot(_.name == name))
         val prior = readString(new Path(d, DroppedFile))
           .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-        writeString(new Path(d), DroppedFile, (prior :+ name).mkString("\n"))
+        writeString(new Path(d), DroppedFile, (prior ++ dropped).mkString("\n"))
+      case ren: TableChange.RenameColumn =>
+        // metadata-only RENAME (r12 VERDICT #7 — the last ALTER TABLE
+        // gap): committed files keep the column's bytes under the OLD
+        // physical name; the declared field takes the new name, keeps a
+        // stable field id, and records the old name as an ALIAS in its
+        // StructField metadata (carried inside `_schema.json`). Readers
+        // resolve declared name → aliases against each file's physical
+        // schema, footer pruning consults the same alias list, and
+        // rewrite paths read coalesce(current, aliases) — the
+        // name-mapping mechanics field-ID formats standardize. Committed
+        // files settle to the current name at the next compaction.
+        require(ren.fieldNames().length == 1,
+          "staged catalog: only top-level RENAME COLUMN is supported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from),
+          s"staged catalog: no such column $from")
+        val rPartCols = loadPartSpec(d).map(_.name).toSet
+        require(!rPartCols.contains(from),
+          s"staged catalog: cannot rename partition-referenced column " +
+            s"$from — directory names encode it; evolve the spec first")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"staged catalog: column $to already exists")
+        require(!schema.fields.flatMap(StagedParquet.aliasesOf)
+            .exists(_.equalsIgnoreCase(to)),
+          s"staged catalog: $to is a renamed column's historical name")
+        require(!readString(new Path(d, DroppedFile)).exists(
+            _.split("\n").exists(_.equalsIgnoreCase(to))),
+          s"staged catalog: column $to was previously dropped; old files " +
+            "still hold its bytes — use a new name")
+        require(!StagedParquet.hasEqFlag(new Path(d)),
+          "staged catalog: live equality deletes reference column names " +
+            "— materialize (compact) first, then rename")
+        // assign stable field ids on first rename (pinned forever after)
+        var nextId = schema.fields
+          .flatMap(f => if (f.metadata.contains(StagedParquet.FieldIdKey))
+            Some(f.metadata.getLong(StagedParquet.FieldIdKey)) else None)
+          .maxOption.map(_ + 1).getOrElse(0L)
+        schema = StructType(schema.fields.map { f =>
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          if (!f.metadata.contains(StagedParquet.FieldIdKey)) {
+            mb.putLong(StagedParquet.FieldIdKey, nextId)
+            nextId += 1
+          }
+          if (f.name == from) {
+            mb.putStringArray(StagedParquet.AliasesKey,
+              (StagedParquet.aliasesOf(f) :+ from).toArray)
+            StructField(to, f.dataType, f.nullable, mb.build())
+          } else StructField(f.name, f.dataType, f.nullable, mb.build())
+        })
+        // a declared sort order names columns — it follows the rename
+        val rProps = StagedParquet.tableProperties(new Path(d))
+        rProps.get(StagedParquet.SortOrderProp).foreach { so =>
+          val cols = so.split(",").map(_.trim)
+          if (cols.contains(from))
+            writeString(new Path(d), PropertiesFile,
+              (rProps + (StagedParquet.SortOrderProp ->
+                cols.map(c => if (c == from) to else c).mkString(","))).toSeq
+                .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+        }
       case set: TableChange.SetProperty =>
         val cur = StagedParquet.tableProperties(new Path(d))
         writeString(new Path(d), PropertiesFile,
@@ -3150,8 +3766,12 @@ class StagedParquetTable(tableName: String, prodDir: String, tableSchema: Struct
                   s"graft.upsert.key: $k is identity/days-partitioned — " +
                     "bucket(n, key) is the upsert-friendly layout")
               }
+              val upsertEq =
+                Option(info.options().get("graft.upsert.eq")).exists(_.toBoolean)
+              require(!upsertEq || upsertKey.nonEmpty,
+                "graft.upsert.eq requires graft.upsert.key")
               new StagedStreamingWrite(prodDir, info.schema(),
-                partSpec, info.queryId(), upsertKey)
+                partSpec, info.queryId(), upsertKey, upsertEq)
             case m => throw new UnsupportedOperationException(
               s"staged streaming write supports Append output mode only (got $m)")
           }
@@ -3361,9 +3981,15 @@ class StagedParquetBatchWrite(targetDir: String, promoteTo: Option[String],
   *        The INPUT must be key-unique per micro-batch (the standard
   *        upsert-stream contract — pre-aggregate latest-per-key).
   */
+/** @param upsertEq with [[upsertKey]]: the epoch's replace half writes an
+  *        EQUALITY-DELETE file instead of running the find-positions scan
+  *        (`graft.upsert.eq` write option) — see the commit body and
+  *        [[StagedParquet.materializeEqDeletes]].
+  */
 class StagedStreamingWrite(prodDir: String, schema: StructType,
                            partSpec: Seq[PartField], queryId: String,
-                           upsertKey: Option[String] = None)
+                           upsertKey: Option[String] = None,
+                           upsertEq: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import StagedParquet._
 
@@ -3439,9 +4065,11 @@ class StagedStreamingWrite(prodDir: String, schema: StructType,
     // manifest append stays AFTER the delete (replay semantics: a crash
     // between the delete and the manifest redoes a delete that matches
     // nothing new).
-    if (committed.nonEmpty)
-      recordVersion(prodDir, currentVersion(prodDir) + 1,
-        committed.toSeq, Nil, exact = false): Unit
+    val vAdd: Long =
+      if (committed.nonEmpty)
+        recordVersion(prodDir, currentVersion(prodDir) + 1,
+          committed.toSeq, Nil, exact = false)
+      else -1L
     // UPSERT half: delete the PRE-EXISTING rows this epoch replaces, the
     // delete tiered as usual with the epoch files excluded. NARROW epochs
     // (at most graft.staged.upsert.keyInMax distinct keys, default 10k)
@@ -3458,6 +4086,24 @@ class StagedStreamingWrite(prodDir: String, schema: StructType,
         .parquet(committed.toSeq.map(rel => new Path(p, rel).toString): _*)
         .filter(org.apache.spark.sql.functions.col(key).isNotNull)
         .distinct()
+      if (upsertEq) {
+        // EQUALITY-DELETE epoch (`graft.upsert.eq`, r12 VERDICT #3): the
+        // epoch's keys publish as one `_eq-` file with boundary = the
+        // adds' version (the epoch's own rows sit AT the boundary, every
+        // pre-existing file strictly below — the find-positions scan the
+        // position-delete path pays per epoch never runs). Epoch cost is
+        // O(written bytes) at ANY destination size; the scan-side
+        // anti-probe and the maintenance-time materialization carry the
+        // deferred work. Replay stays idempotent one level up (the txn
+        // marker short-circuits before this half); a crash between the eq
+        // write and the manifest redoes the epoch, and the redo's eq file
+        // covers the first attempt's orphaned adds exactly like the redone
+        // position delete used to.
+        StagedParquet.upsertEqEpochs.incrementAndGet(): Unit
+        val name = writeEqFile(s, prodDir, keyDf, vAdd)
+        recordVersion(prodDir, currentVersion(prodDir) + 1, Nil, Nil,
+          exact = false, marks = Seq(s"!eqdel=$name")): Unit
+      } else {
       val maxIn =
         try s.conf.get("graft.staged.upsert.keyInMax").toInt
         catch { case _: Throwable => 10000 }
@@ -3479,6 +4125,7 @@ class StagedStreamingWrite(prodDir: String, schema: StructType,
           Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(key, mm.get(0)),
             org.apache.spark.sql.sources.LessThanOrEqual(key, mm.get(1))),
           None, excludeNames = excl, keySet = Some((key, keyDf))): Unit
+      }
       }
     }
     val mid =
@@ -3527,6 +4174,11 @@ class DynamicOverwriteBatchWrite(stagingDir: String, prodDir: String,
     super.commit(messages) // staging dir now holds exactly the committed files
     val prod = new Path(prodDir)
     val f = fs(prod)
+    // a swapped-in partition's files carry no add-version record, so a
+    // live equality delete would wrongly apply to the OVERWRITTEN rows —
+    // settle first (full-root promote below swaps the eq files away with
+    // the rest of the old root, which is already the right semantics)
+    if (partSpec.nonEmpty) materializeEqDeletes(SparkSession.active, prodDir)
     if (partSpec.isEmpty) { promote(stagingDir, prodDir); return }
     val committed = messages.flatMap(_.asInstanceOf[StagedFilesCommit].files)
     val parts = committed.map { rel =>

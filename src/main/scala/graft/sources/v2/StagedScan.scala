@@ -149,6 +149,11 @@ class StagedScanBuilder(tableName: String, prodDir: String,
     // pushdown by materializing the deletes and dropping the flag.
     if (StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir)))
       return false
+    // ... and the same for live EQUALITY deletes: footer stats count
+    // eq-deleted rows; materialization drops the flag and the pushdown
+    // returns
+    if (StagedParquet.hasEqFlag(new org.apache.hadoop.fs.Path(prodDir)))
+      return false
     // partition-spec evolution: old-generation files group by DIRECTORY
     // values of a different spec and may lack today's grouped column in
     // their footers — footer answers would be wrong, so the pushdown
@@ -165,7 +170,11 @@ class StagedScanBuilder(tableName: String, prodDir: String,
         case f: NamedReference if f.fieldNames().length == 1 &&
             !identityCols.contains(f.fieldNames()(0)) &&
             tableSchema.fieldNames.contains(f.fieldNames()(0)) &&
-            statTypes(tableSchema(f.fieldNames()(0)).dataType) =>
+            statTypes(tableSchema(f.fieldNames()(0)).dataType) &&
+            // a RENAMED column's pre-rename files keep stats under the
+            // old physical name — the footer-agg reader resolves by
+            // current name only, so the pushdown stands down for it
+            StagedParquet.aliasesOf(tableSchema(f.fieldNames()(0))).isEmpty =>
           Some(f.fieldNames()(0))
         case _ => None
       }
@@ -282,6 +291,24 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
   // every per-dir DV listing below
   private lazy val tableHasDvs: Boolean =
     StagedParquet.hasDvFlag(new org.apache.hadoop.fs.Path(prodDir))
+  // equality deletes: (live eq files with boundaries, rel-path -> add
+  // version) — (Nil, empty) at one O(1) probe on tables never upserted in
+  // eq mode. A file's applicable eq set = every eq whose boundary exceeds
+  // the version that added the file (absent = old = all apply).
+  private lazy val tableEqState: (Seq[(String, Long)], Map[String, Long]) =
+    StagedParquet.eqPlanState(prodDir)
+  private def eqOf(absFile: String): Seq[String] = {
+    val (eqs, addV) = tableEqState
+    if (eqs.isEmpty) Nil
+    else {
+      // listings return scheme-qualified URIs while prodDir may be bare —
+      // compare URI path components, the form the add deltas record
+      val rel = new Path(absFile).toUri.getPath
+        .stripPrefix(new Path(prodDir).toUri.getPath).stripPrefix("/")
+      val av = addV.getOrElse(rel, -1L)
+      eqs.filter(_._2 > av).map(_._1)
+    }
+  }
   private lazy val plannedPair: (Array[StagedInputPartition], Long) = {
     var bytes = 0L
     val splits = plannedDirs.flatMap { case (vals, files, spec) =>
@@ -299,13 +326,14 @@ class StagedScan(tableName: String, prodDir: String, tableSchema: StructType,
           StagedScan.filterAttr(f).exists(dirIdentity))
       files.flatMap { case (f, len) =>
         val dv = dirDv.getOrElse(new Path(f).getName, Nil)
+        val eqf = eqOf(f)
         def whole = { bytes += len
           StagedInputPartition(vals, Seq(f), tableSchema.json,
-            spec, required.fieldNames.toSeq, None, dv, 0L) }
+            spec, required.fieldNames.toSeq, None, dv, 0L, eqf) }
         def ranged(r: (Long, Long), row0: Long) = { bytes += r._2 - r._1
           StagedInputPartition(vals, Seq(f),
             tableSchema.json, spec, required.fieldNames.toSeq,
-            Some(r), dv, row0) }
+            Some(r), dv, row0, eqf) }
         if (len <= splitBytes && dirSkip.isEmpty) Seq(whole)
         else {
           // one footer read decides both row-group splitting and the
@@ -636,7 +664,10 @@ object StagedScan {
         case LessThan(a, _) => a; case LessThanOrEqual(a, _) => a
         case _ => return true // unreachable: pushFilters only admits these
       }
-      b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+      // stats may live under a historical (pre-RENAME) physical name —
+      // the bytes are the column's, so its bounds are equally valid
+      val physNames = name +: StagedParquet.columnAliases(schema, name)
+      b.getColumns.asScala.find(c => physNames.contains(c.getPath.toDotString)) match {
         case None => false // pre-evolution file: all null, comparison can't match
         case Some(cc) =>
           val st = cc.getStatistics
@@ -964,13 +995,20 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
   *                  empty on tables without deletion vectors
   * @param rowStart  FILE-absolute row index where this split begins (0 for
   *                  whole-file splits; a range split's first block offset)
+  * @param eq       absolute paths of the EQUALITY-DELETE files whose
+  *                  boundary covers this split's file (planner-side
+  *                  applicability test — see StagedParquet.eqPlanState);
+  *                  the reader hash-probes each row's key against their
+  *                  loaded (executor-cached) key sets. Empty on tables
+  *                  without live equality deletes.
   */
 case class StagedInputPartition(rawValues: Seq[String], files: Seq[String],
                                 schemaJson: String, partSpec: Seq[PartField],
                                 requiredCols: Seq[String],
                                 range: Option[(Long, Long)] = None,
                                 dv: Seq[(Long, Long)] = Nil,
-                                rowStart: Long = 0L)
+                                rowStart: Long = 0L,
+                                eq: Seq[String] = Nil)
     extends InputPartition with HasPartitionKey {
 
   /** The split's partition-key row: typed TRANSFORM RESULTS in transform
@@ -1019,6 +1057,55 @@ object StagedReaderFactory {
   val readersCreated = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
+/** Executor-local cache of equality-delete key sets: eq-file path ->
+  * (key column name, key values as Spark internal reps). An eq file is
+  * immutable once published (nonce-named; retirement MOVES it, so the
+  * path is never re-pointed at new bytes) — load once per executor, share
+  * across every split of every query in the JVM. The key column name is
+  * read from the eq parquet itself (self-describing schema); values load
+  * through the same FlatRowReadSupport the data path uses, so set probes
+  * compare identical representations (UTF8String vs UTF8String, boxed
+  * primitives vs boxed primitives).
+  */
+object StagedEqSets {
+  /** Eq-set loads that hit parquet (cache misses) — spec observability:
+    * N live eq files cost N loads per executor, not N per split.
+    */
+  val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.util.HashSet[Any])]()
+
+  def load(path: String, tableSchema: StructType): (String, java.util.HashSet[Any]) = {
+    val got = cache.get(path)
+    if (got != null) return got
+    loads.incrementAndGet(): Unit
+    val p = new Path(path)
+    val conf = new Configuration()
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    val key =
+      try fr.getFooter.getFileMetaData.getSchema.getFields.get(0).getName
+      finally fr.close()
+    val field = tableSchema(key)
+    val set = new java.util.HashSet[Any]()
+    val reader = ParquetReader
+      .builder(new FlatRowReadSupport(Seq(field)), p).withConf(conf).build()
+    try {
+      var rec = reader.read()
+      while (rec != null) {
+        if (rec(0) != null) set.add(rec(0)): Unit
+        rec = reader.read()
+      }
+    } finally reader.close()
+    // live eq files are bounded by epochs-between-maintenance; the crude
+    // cap only guards a JVM that outlives many maintenance cycles
+    if (cache.size > 256) cache.clear()
+    val v = (key, set)
+    cache.putIfAbsent(path, v)
+    v
+  }
+}
+
 /** Streams this partition's files through the hand-rolled parquet
   * [[ReadSupport]]; identity partition columns are reconstituted from the
   * directory values as per-partition constants (they are not stored in the
@@ -1030,9 +1117,19 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val identity = partSpec.filter(_.kind == "identity").map(_.name)
-  // requested DATA fields (everything not reconstituted from the dir name)
-  private val dataFields: Seq[StructField] =
-    requiredCols.filterNot(identity.contains).map(n => schema(n))
+  // equality deletes applying to this split's file: (key column, key set)
+  // per eq file, loaded once per executor (StagedEqSets)
+  private val eqLoaded: Seq[(String, java.util.HashSet[Any])] =
+    p.eq.map(StagedEqSets.load(_, schema))
+  // requested DATA fields (everything not reconstituted from the dir
+  // name), EXTENDED by any eq key column the projection didn't ask for —
+  // the probe needs the value; the slots below never expose the extras
+  private val dataFields: Seq[StructField] = {
+    val base = requiredCols.filterNot(identity.contains)
+    val extra = eqLoaded.map(_._1).distinct
+      .filterNot(base.contains).filterNot(identity.contains)
+    (base ++ extra).map(n => schema(n))
+  }
   // output ordinal -> Left(constant) | Right(index into the data array)
   private val slots: Array[Either[Any, Int]] = requiredCols.map { n =>
     val pi = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == n)
@@ -1058,6 +1155,36 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
   private def dvDeleted(x: Long): Boolean = {
     while (dvIdx < dvRanges.length && dvRanges(dvIdx)._2 <= x) dvIdx += 1
     dvIdx < dvRanges.length && dvRanges(dvIdx)._1 <= x
+  }
+
+  // equality-delete probes: key set + accessor (identity keys are
+  // per-split constants — the write guard keeps upsert keys data-stored,
+  // but the reader stays general)
+  private val eqProbes: Array[(java.util.HashSet[Any], Either[Any, Int])] =
+    eqLoaded.map { case (k, set) =>
+      val pi = partSpec.indexWhere(pf => pf.kind == "identity" && pf.name == k)
+      val acc: Either[Any, Int] =
+        if (pi >= 0) Left(StagedScan.partValue(schema(k).dataType, p.rawValues(pi)))
+        else Right(dataFields.indexWhere(_.name == k))
+      (set, acc)
+    }.toArray
+  // a constant-key probe that matches deletes the WHOLE split — also the
+  // only correct answer for the footer-count (zero-data-column) path
+  private val eqWholeSplitDeleted: Boolean = eqProbes.exists {
+    case (set, Left(c)) => c != null && set.contains(c)
+    case _              => false
+  }
+  private def eqDeleted(rec: Array[Any]): Boolean = {
+    var i = 0
+    while (i < eqProbes.length) {
+      val v = eqProbes(i)._2 match {
+        case Left(c)   => c
+        case Right(ix) => rec(ix)
+      }
+      if (v != null && eqProbes(i)._1.contains(v)) return true
+      i += 1
+    }
+    false
   }
 
   private def openNext(): Boolean = {
@@ -1100,6 +1227,7 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
   }
 
   override def next(): Boolean = {
+    if (eqWholeSplitDeleted) return false
     if (dataFields.isEmpty) {
       while (pendingRows == 0L && fileIter.hasNext) openNext(): Unit
       if (pendingRows == 0L) return false
@@ -1111,7 +1239,8 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
       val rec = reader.read()
       if (rec != null) {
         val x = pos; pos += 1
-        if (dvRanges.isEmpty || !dvDeleted(x)) { current = rec; return true }
+        if ((dvRanges.isEmpty || !dvDeleted(x)) &&
+            (eqProbes.isEmpty || !eqDeleted(rec))) { current = rec; return true }
       } else { reader.close(); reader = null }
     }
     false
@@ -1145,11 +1274,23 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
 private[v2] class FlatRowReadSupport(requested: Seq[StructField])
     extends ReadSupport[Array[Any]] {
 
+  // a requested field resolves to its declared name, or — files written
+  // before a RENAME COLUMN — to a historical alias present in the file
+  // (StructField metadata rides in through `requested`); validation at
+  // rename time keeps names and aliases disjoint, so the reverse lookup
+  // below is unambiguous
+  private def ordinalOf(physical: String): Int =
+    requested.indexWhere(f => f.name == physical ||
+      StagedParquet.aliasesOf(f).contains(physical))
+
   override def init(ctx: InitContext): ReadSupport.ReadContext = {
     val fileSchema = ctx.getFileSchema
-    val present = requested.filter(f => fileSchema.containsField(f.name))
     val tps: java.util.List[org.apache.parquet.schema.Type] =
-      present.map(f => fileSchema.getType(Seq(f.name): _*)).asJava
+      requested.flatMap { f =>
+        (f.name +: StagedParquet.aliasesOf(f))
+          .find(fileSchema.containsField)
+          .map(n => fileSchema.getType(Seq(n): _*))
+      }.asJava
     new ReadSupport.ReadContext(new MessageType("spark_schema", tps))
   }
 
@@ -1160,9 +1301,9 @@ private[v2] class FlatRowReadSupport(requested: Seq[StructField])
     val projected = readContext.getRequestedSchema
     // projected field i -> ordinal in the requested (output) array
     val target: Array[Int] = projected.getFields.asScala.toArray
-      .map(t => requested.indexWhere(_.name == t.getName))
+      .map(t => ordinalOf(t.getName))
     val types: Array[DataType] = projected.getFields.asScala.toArray
-      .map(t => requested(requested.indexWhere(_.name == t.getName)).dataType)
+      .map(t => requested(ordinalOf(t.getName)).dataType)
     new RecordMaterializer[Array[Any]] {
       private val row = new Array[Any](requested.length)
 
@@ -1317,9 +1458,13 @@ class StagedSnapshotTable(tableName: String,
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
           snap.dirs.flatMap { sd =>
-            sd.files.map(f => StagedInputPartition(sd.vals, Seq(f),
-              snap.schema.json, sd.spec, required.fieldNames.toSeq,
-              None, sd.deleted.getOrElse(new Path(f).getName, Nil), 0L))
+            sd.files.map { f =>
+              val n = new Path(f).getName
+              StagedInputPartition(sd.vals, Seq(f),
+                snap.schema.json, sd.spec, required.fieldNames.toSeq,
+                None, sd.deleted.getOrElse(n, Nil), 0L,
+                sd.eq.getOrElse(n, Nil))
+            }
           }.toArray[InputPartition]
         override def createReaderFactory(): PartitionReaderFactory =
           StagedReaderFactory(snap.schema.json, snap.partSpec,

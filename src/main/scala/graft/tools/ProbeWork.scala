@@ -118,6 +118,16 @@ object ProbeWork {
     "etl_partition_evolve" -> (("evolve_changed_files_plus1", (s, d) => {
       graft.queries.Ingest.evolveRewrittenFiles(s, d) + 1
     })),
+    // pre-existing destination files TOUCHED by one equality-delete
+    // upsert wave (plus the deletion vectors it wrote), plus 1: the eq
+    // epoch's contract is that it never reads, rewrites, or vectors a
+    // destination file — expected 0, probe reads 1 at EVERY scale
+    // (work_ratio 1.0). A fallback to the position-delete path writes
+    // DVs and the count jumps with the touched buckets. Measured from
+    // the file tree, not the code path's own accounting.
+    "stream_table_upsert_eq" -> (("eq_dest_files_touched_plus1", (s, d) => {
+      graft.queries.Ingest.eqUpsertProbe(s, d)._1 + 1
+    })),
     // files OPENED by a change feed over an UNTOUCHED version range, plus
     // 1: the feed's directory classification must read ZERO bytes when
     // the version deltas name no changes — at 10x the table is 10x
@@ -157,5 +167,10 @@ object ProbeWork {
     */
   val counters2: Map[String, (String, (SparkSession, String) => Long)] = Map(
     "etl_delete_vectors" -> (("dv_positions_matched",
-      (s, d) => graft.queries.Ingest.morProbe(s, d)._2)))
+      (s, d) => graft.queries.Ingest.morProbe(s, d)._2)),
+    // the eq wave's published key volume (∝ the wave, ≈10 at 10×) — the
+    // wall growth attributed to the epoch's OWN bytes while the primary
+    // counter pins destination work at zero
+    "stream_table_upsert_eq" -> (("eq_keys_written",
+      (s, d) => graft.queries.Ingest.eqUpsertProbe(s, d)._2)))
 }

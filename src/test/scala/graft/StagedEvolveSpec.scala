@@ -422,7 +422,7 @@ class StagedEvolveSpec extends AnyFunSuite {
     val swaps = Seq("_layouts/g-0/prio=p0", "_layouts/g-0/prio=p1")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(d, "_migrate-g-0"),
-      s"swapping:$v:${swaps.mkString(",")}".getBytes("UTF-8"))
+      s"swapping:$v:${swaps.mkString(",")}:#".getBytes("UTF-8"))
     val keep0 = new java.io.File(s"${d}__meta/v${v - 1}/_layouts/g-0")
     assert(keep0.mkdirs())
     assert(new java.io.File(gen, "prio=p0")
@@ -461,7 +461,7 @@ class StagedEvolveSpec extends AnyFunSuite {
     // now lives at the root and flips pending→swapping atomically)
     val v0 = StagedParquet.currentVersion(d)
     java.nio.file.Files.write(java.nio.file.Paths.get(d, "_migrate-g-0"),
-      s"pending:$v0".getBytes("UTF-8"))
+      s"pending:$v0:#".getBytes("UTF-8"))
     spark.sql(s"SELECT * FROM $t").writeTo(t).append() // the migrate append
     // rerun: pending + version advanced ⇒ the append is NOT redone
     val rep = StagedParquet.migrateLayouts(spark, t)
@@ -469,6 +469,109 @@ class StagedEvolveSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 600L,
       "a redone append would have duplicated every old-generation row")
     assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
+  }
+
+  test("migrateLayouts tolerates a torn swapping marker (falls back to swap redo)") {
+    import spark.implicits._
+    val t = tbl("e7e")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 400L).map(i => (i, s"p${i % 2}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    // crash state: append COMMITTED, the marker flip tore mid-write — the
+    // body is a truncated plan that parses as neither phase (the pre-fix
+    // parser MatchError'd on exactly this body and wedged every later
+    // migrate until the marker was removed by hand; r12 ADVICE)
+    spark.sql(s"SELECT * FROM $t").writeTo(t).append()
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_migrate-g-0"),
+      "swapping:5".getBytes("UTF-8"))
+    val rep = StagedParquet.migrateLayouts(spark, t)
+    assert(rep.exists(_._1 == "_layouts/g-0"), s"got $rep")
+    assert(spark.table(t).count() == 400L,
+      "the flip comes after the append decision: redoing the append would duplicate")
+    assert(spark.table(t).select(sum($"id")).as[Long].head() ==
+      (0L until 400L).sum)
+    assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(!new java.io.File(d, "_migrate-g-0").exists, "marker must drop")
+    assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
+  }
+
+  test("migrateLayouts adopts a completed flip whose rename never ran") {
+    import spark.implicits._
+    val t = tbl("e7f")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 400L).map(i => (i, s"p${i % 2}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    // crash window between the flip's delete and its rename: the tmp body
+    // is complete (it is fully written and closed before the live marker
+    // is touched) but no live marker exists. Re-pinning fresh here would
+    // redo the already-committed append and duplicate every old-gen row —
+    // the resume pass must ADOPT the tmp as the pinned plan instead.
+    spark.sql(s"SELECT * FROM $t").writeTo(t).append()
+    val v = StagedParquet.currentVersion(d) + 1
+    val swaps = Seq("_layouts/g-0/prio=p0", "_layouts/g-0/prio=p1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "_migrate-g-0.tmp"),
+      s"swapping:$v:${swaps.mkString(",")}:#".getBytes("UTF-8"))
+    val rep = StagedParquet.migrateLayouts(spark, t)
+    assert(rep.exists(_._1 == "_layouts/g-0"), s"got $rep")
+    assert(spark.table(t).count() == 400L)
+    assert(spark.table(t).select(sum($"id")).as[Long].head() ==
+      (0L until 400L).sum)
+    assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(!new java.io.File(d, "_migrate-g-0").exists, "marker must drop")
+    assert(!new java.io.File(d, "_migrate-g-0.tmp").exists, "tmp must drop")
+    assert(StagedParquet.currentVersion(d) == v,
+      "the adopted plan records at its pinned version")
+    assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
+  }
+
+  test("resumed migrate re-records when an append claimed the pinned version") {
+    import spark.implicits._
+    val t = tbl("e7g")
+    val d = StagedParquet.tableDir(spark, t)
+    (0L until 400L).map(i => (i, s"p${i % 2}", i % 3)).toDF("id", "prio", "grp")
+      .writeTo(t).partitionedBy(col("prio")).createOrReplace()
+    StagedParquet.evolvePartitioning(spark, t,
+      Seq(PartField("grp", "identity"))): Unit
+    // crash state mid-swap, exactly like e7c: append committed, plan
+    // pinned at v, ONE of the two generation dirs already retained
+    spark.sql(s"SELECT * FROM $t").writeTo(t).append()
+    val vAppend = StagedParquet.currentVersion(d)
+    val v = vAppend + 1
+    val gen = new java.io.File(d, "_layouts/g-0")
+    val swaps = Seq("_layouts/g-0/prio=p0", "_layouts/g-0/prio=p1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "_migrate-g-0"),
+      s"swapping:$v:${swaps.mkString(",")}:#".getBytes("UTF-8"))
+    val keep0 = new java.io.File(s"${d}__meta/v${v - 1}/_layouts/g-0")
+    assert(keep0.mkdirs())
+    assert(new java.io.File(gen, "prio=p0")
+      .renameTo(new java.io.File(keep0, "prio=p0")))
+    // crash-to-rerun gap, OUTSIDE the maintenance window: a normal append
+    // claims version v for itself (r12 ADVICE, medium). The pre-fix resume
+    // guarded recordVersion with currentVersion < v and silently skipped —
+    // every VERSION AS OF below the settle then missed the generation.
+    (1000L until 1050L).map(i => (i, s"p${i % 2}", i % 3))
+      .toDF("id", "prio", "grp").writeTo(t).append()
+    assert(StagedParquet.currentVersion(d) == v, "gap append must claim v")
+    val rep = StagedParquet.migrateLayouts(spark, t)
+    assert(rep.exists(_._1 == "_layouts/g-0"), s"got $rep")
+    assert(spark.table(t).count() == 450L)
+    assert(!StagedParquet.oldLayoutsHoldData(d))
+    assert(!new java.io.File(d, "_migrate-g-0").exists, "marker must drop")
+    // the swap delta re-recorded at a FRESH version with the retained
+    // trees re-keyed to it: time travel right below the settle sees the
+    // maintenance-window state (old gen in place + the appended copies +
+    // the gap append), not a silently truncated one
+    assert(StagedParquet.currentVersion(d) == v + 1)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $v").count() == 850L,
+      "AS OF the gap append's version must still see the old generation")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $vAppend").count() == 800L)
     assert(StagedParquet.migrateLayouts(spark, t).isEmpty)
   }
 

@@ -390,12 +390,22 @@ class StagedSinkSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN early INT FIRST")
     }
-    // RENAME stays unsupported: name-based file mapping would silently
-    // null the renamed column's history
-    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl RENAME COLUMN name TO nm") }
-    // rejected alters left the schema as the successful one declared it
+    // RENAME is metadata-only since r13 (field-id + alias mapping):
+    // committed files keep their bytes under the OLD name and read back
+    // through the alias — byte-identical files, values intact
+    val filesPreRename = filesIn("tev", "").filterNot(_.startsWith("_"))
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN name TO nm")
+    assert(filesIn("tev", "").filterNot(_.startsWith("_")) == filesPreRename)
     assert(graft.sources.v2.StagedParquet.readTable(spark, tbl)
-      .schema.fieldNames.toSeq == Seq("id", "name", "score"))
+      .schema.fieldNames.toSeq == Seq("id", "nm", "score"))
+    assert(graft.sources.v2.StagedParquet.readTable(spark, tbl)
+      .orderBy("id").collect()
+      .forall(r => r.getString(1) == s"n${r.getLong(0)}"),
+      "pre-rename bytes must read back through the alias")
+    // a historical name stays RESERVED: rename-back or re-add would
+    // re-bind the old files' bytes to a different column
+    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl RENAME COLUMN nm TO name") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $tbl ADD COLUMN name DOUBLE") }
 
     // metadata-only DROP COLUMN: files byte-identical, readers project the
     // declared remainder, and the dropped NAME is tombstoned (a re-add
@@ -405,13 +415,13 @@ class StagedSinkSpec extends AnyFunSuite {
     val filesPreDrop = dataOnly(filesIn("tev", ""))
     spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
     assert(dataOnly(filesIn("tev", "")) == filesPreDrop)
-    assert(spark.table(tbl).columns.toSeq == Seq("id", "name"))
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "nm"))
     assert(spark.table(tbl).count() == 50)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE") // tombstoned
     }
     spark.sql(s"ALTER TABLE $tbl ADD COLUMN score2 DOUBLE") // fresh name ok
-    assert(spark.table(tbl).columns.toSeq == Seq("id", "name", "score2"))
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "nm", "score2"))
     // partition-referenced columns can never be dropped
     val pt = s"graft_staged.$ns.tev_part"
     spark.range(0, 8).select((col("id") % 2).as("k"), col("id"))

@@ -18,14 +18,16 @@
 #                           since r8 — the committed protocol; the r7
 #                           driver re-run at the old default 3 read 1.39x
 #                           the committed artifact from VM noise alone)
-#   SPARK_GRAFT_BENCH_BUDGET_S  optional wall-clock budget in seconds: past
-#                           60%/85% of it remaining queries sample
-#                           best-of-3/best-of-1 so the run finishes inside
-#                           a wrapper timeout; the artifact is also
-#                           re-published atomically after EVERY query, so
-#                           even a hard kill leaves a parseable
-#                           "partial":true artifact with the completed
-#                           prefix
+#   SPARK_GRAFT_BENCH_BUDGET_S  wall-clock budget in seconds (DEFAULT 2400
+#                           since r13; set 0 to disable): past 60%/85% of
+#                           it remaining queries sample best-of-3/best-of-1
+#                           so the run finishes inside a wrapper timeout;
+#                           the artifact is also re-published atomically
+#                           after EVERY query, so even a hard kill leaves a
+#                           parseable "partial":true artifact with the
+#                           completed prefix. Sections run probes -> sf1 ->
+#                           per-query legs so a kill can only blank the
+#                           leg tail.
 set -u
 cd "$(dirname "$0")/.."
 OUT="${SPARK_GRAFT_BENCH_OUT:-$PWD/BENCH_OUT.json}"
