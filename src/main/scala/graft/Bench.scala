@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * (write-temp + rename) with the completed prefix and `"partial":true`,
   * so a wrapper timeout or kill -9 mid-run still leaves a parseable
   * artifact; and a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, DEFAULT
-  * 2400 s since r13 — the driver never sets it and two arbiter runs died
+  * 1800 s since r13 — the driver never sets it and two arbiter runs died
   * rc=124 un-budgeted) degrades the per-query sample count best-of-N→3→1
   * as the elapsed clock runs hot so a stalled VM finishes inside the
   * wrapper's window instead of recording rc=124/parsed:null.
@@ -112,17 +112,26 @@ object Bench {
     * the cheap tail, and the artifact records how many queries ran degraded
     * so a comparison knows.
     *
-    * DEFAULTS ON at 2400 s (r12 VERDICT #1): the driver's un-configured
+    * DEFAULTS ON at 1800 s (r12 VERDICT #1): the driver's un-configured
     * runs never set SPARK_GRAFT_BENCH_BUDGET_S, so for two consecutive
     * rounds an un-budgeted best-of-5 over every section overran the
     * harness wall and the arbiter artifact came back rc=124/partial. A
-    * stalled VM now sheds samples instead of time. Set the variable to 0
-    * (or negative) for an explicitly unbudgeted run.
+    * stalled VM now sheds samples instead of time. The number is sized
+    * from measured section walls, not wishes: the budget bounds SAMPLED
+    * time but warm runs and the 10x sections have a floor (~35 min
+    * quiet-machine wall for corpus build + capped probes + sf1 + 1-sample
+    * legs), so the threshold must sit LOW enough that degradation fires
+    * before the floor is spent — 1800 s lands the whole default run
+    * ≈30-35 min quiet and ≈50 min on a 1.5x-slower arbiter box, inside a
+    * one-hour wrapper with headroom (a 2400 s trial run measured 63 min
+    * quiet: degradation fired too late). Set the variable to 0 (or
+    * negative) for an explicitly unbudgeted run — every section then runs
+    * at its cap (probes best-of-2, sf1 best-of-3, legs best-of-N).
     */
   private val budgetS: Option[Double] =
     sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S") match {
       case Some(v) => Some(v.trim.toDouble).filter(_ > 0)
-      case None    => Some(2400.0)
+      case None    => Some(1800.0)
     }
 
   /** Samples to take given elapsed seconds against the budget: full N
@@ -276,11 +285,11 @@ object Bench {
       try {
       def probeOf(q: String): String = {
         ensureAlive()
-        // probes cap at best-of-3 by design: their certified metric is the
-        // WORK RATIO (exact counts, noise-immune), timing is advisory — two
-        // fewer samples of the heavy 10x legs buy ~30% of the section's
-        // wall back for the sections whose numbers ARE the timings
-        val n = math.min(3, nextSamples())
+        // probes cap at best-of-2 by design: their certified metric is the
+        // WORK RATIO (exact counts, noise-immune), timing is advisory —
+        // every sample shed from the heavy 10x legs buys wall back for
+        // the sections whose numbers ARE the timings
+        val n = math.min(2, nextSamples())
         val (baseSec0, baseRows) = timeQuery(spark, q, sfDir, n)
         val (scaledSec0, scaledRows) = timeQuery(spark, q, scaleDir, n)
         val (baseSec, scaledSec) = (fmt(baseSec0), fmt(scaledSec0))
@@ -452,7 +461,12 @@ object Bench {
       }
       for (q <- heavies) {
         ensureAlive()
-        timedBuf += q -> fmt(timeQuery(spark, q, scaleDir, nextSamples())._1)
+        // best-of-3 cap, like the probes: the sf1 anchor's job is the
+        // second scale point, not noise-immunity — two fewer samples of
+        // 35 10x heavies buy back several hundred wall seconds for the
+        // arbiter's budget (r12 VERDICT #1)
+        timedBuf += q -> fmt(timeQuery(spark, q, scaleDir,
+          math.min(3, nextSamples()))._1)
         flushPartial(probeJson + sf1Fragment())
         // the sf1 lifecycle queries stage GENUINE 10× V2 tables (plus their
         // retained versions) per run — without per-query cleanup the tree

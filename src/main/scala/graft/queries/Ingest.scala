@@ -1088,8 +1088,13 @@ object Ingest {
     val ns = stagedNs(s, d)
     val src = s"graft_staged.$ns.upsert_eq_src"
     val dst = s"graft_staged.$ns.upsert_eq_dst"
+    // the EVEN half of orders: the query deliberately pays a full
+    // materialization pass on top of three streaming queries to gate BOTH
+    // read shapes — half the volume keeps the leg comparable to its
+    // position-delete twin while exercising every code path
     val o = orders(s, d).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
     o.filter(lit(false)).writeTo(dst)
       .tableProperty("delete.mode", "merge-on-read")
       .partitionedBy(bucket(8, col("o_orderkey"))).createOrReplace()
@@ -1149,11 +1154,21 @@ object Ingest {
     * not from the code path's own accounting — any regression that
     * touches destination bytes is caught regardless of which code does.
     */
+  private val eqProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private[graft] def eqUpsertProbe(s: SparkSession, d: String): (Long, Long) = {
+    // both Bench work counters read this scenario — run it once per data
+    // dir per JVM (the streaming snapshot load dominates its wall)
+    val memo = eqProbeMemo.get(d)
+    if (memo != null) return memo
     val ns = stagedNs(s, d)
     val src = s"graft_staged.$ns.upsert_eqprobe_src"
     val dst = s"graft_staged.$ns.upsert_eqprobe_dst"
+    // a fixed QUARTER of orders: still ∝ the corpus (the probe's
+    // destination-independence claim binds at any slice), 4x less wall
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 === 0)
     o.filter(lit(false)).writeTo(dst)
       .tableProperty("delete.mode", "merge-on-read")
       .partitionedBy(bucket(8, col("o_orderkey"))).createOrReplace()
@@ -1198,7 +1213,9 @@ object Ingest {
         try rd.getRecordCount finally rd.close()
       }.sum
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
-    (touched.toLong, keys)
+    val res = (touched.toLong, keys)
+    eqProbeMemo.put(d, res): Unit
+    res
   }
 
   /** PARTITION-SPEC EVOLUTION
@@ -1684,6 +1701,6 @@ object Ingest {
          max(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 3
                   WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
                   ELSE o_totalprice END) AS max_price
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1"""
   )
 }

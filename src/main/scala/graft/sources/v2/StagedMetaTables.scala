@@ -92,11 +92,18 @@ object StagedMetaTables {
     * DELETE/UPDATE, compaction), additions that are all deletion vectors a
     * merge-on-read DELETE, anything else an APPEND.
     */
-  private[v2] def classify(adds: Seq[String], swaps: Seq[String]): String =
+  private[v2] def classify(adds: Seq[String], swaps: Seq[String],
+                           marks: Seq[String] = Nil): String =
     if (swaps.contains(".")) "replace"
     else if (swaps.nonEmpty) "rewrite"
     else if (adds.nonEmpty && adds.forall(
       _.split('/').last.startsWith(StagedParquet.DvPrefix))) "delete"
+    // marks-only metadata commits get their own kinds (previously they
+    // read as zero-add "append"s): a partition-spec evolution, an
+    // equality-delete epoch commit, an eq materialization record
+    else if (marks.exists(_.startsWith("!evolve="))) "evolve"
+    else if (marks.exists(_.startsWith("!eqdel="))) "eqdelete"
+    else if (marks.exists(_.startsWith("!eqmat="))) "eqmaterialize"
     else "append"
 }
 
@@ -157,9 +164,10 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
             val lines = body.split("\n").toSeq.filter(_.nonEmpty)
             val adds = lines.filter(_.startsWith("+")).map(_.stripPrefix("+"))
             val swaps = lines.filter(_.startsWith("~")).map(_.stripPrefix("~"))
+            val marks = lines.filter(_.startsWith("!"))
             val (dvAdds, fileAdds) =
               adds.partition(_.split('/').last.startsWith(StagedParquet.DvPrefix))
-            Seq[Any](v, StagedMetaTables.classify(adds, swaps),
+            Seq[Any](v, StagedMetaTables.classify(adds, swaps, marks),
               fileAdds.length.toLong, dvAdds.length.toLong,
               swaps.length.toLong)
           }

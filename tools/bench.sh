@@ -18,7 +18,7 @@
 #                           since r8 — the committed protocol; the r7
 #                           driver re-run at the old default 3 read 1.39x
 #                           the committed artifact from VM noise alone)
-#   SPARK_GRAFT_BENCH_BUDGET_S  wall-clock budget in seconds (DEFAULT 2400
+#   SPARK_GRAFT_BENCH_BUDGET_S  wall-clock budget in seconds (DEFAULT 1800
 #                           since r13; set 0 to disable): past 60%/85% of
 #                           it remaining queries sample best-of-3/best-of-1
 #                           so the run finishes inside a wrapper timeout;
