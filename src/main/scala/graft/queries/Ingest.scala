@@ -242,6 +242,9 @@ object Ingest {
     f.delete(new org.apache.hadoop.fs.Path(dst.toString + "__meta"), true): Unit
     if (!org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf))
       throw new java.io.IOException(s"cannot copy fixture $src to $dst")
+    // the copy is this table's CREATED base state (version 0) — stamp its
+    // instant so TIMESTAMP AS OF below the first mutation resolves it
+    graft.sources.v2.StagedParquet.stampCreation(dst.toString)
     tbl
   }
 
@@ -809,6 +812,118 @@ object Ingest {
     profile(1).unionByName(profile(2))
       .select(col("version"), col("priority"), col("n_orders"), col("sum_price"))
       .orderBy("version", "priority")
+  }
+
+  /** TIMESTAMP AS OF time travel — the wall-clock twin of
+    * etl_time_travel (reference: the same versioned-warehouse audit
+    * posture; Iceberg/Delta's timestamp travel). Every commit stamps its
+    * instant into the version delta (`!ts=` mark), resolution
+    * monotonizes the instants so they agree with version order even
+    * under clock skew, and the `.history` relation serves the SAME
+    * monotonized timeline as `commit_at` — so an instant read from
+    * history always travels back to the commit that produced it ("what
+    * did the 9am job read?" needs no version numbers). The query deletes
+    * a band, reads the delete commit's instant back from history, and
+    * reconstructs BOTH sides of it: t-1ms = the pre-delete state (strict
+    * monotonization guarantees distinct instants), t = the post-delete
+    * state. O(commits) metadata resolution, zero extra data reads at any
+    * table size; both states oracle-recomputed from raw orders.
+    */
+  def timeTravelTs(s: SparkSession, d: String): DataFrame = {
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrio(s, d), "orders_tts")
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    val delMs = s.table(s"$tbl.history")
+      .filter(col("version") === 1L)
+      .select(col("commit_at")).head().getTimestamp(0).getTime
+    // the session TZ is pinned UTC (core.Tables) — format the literal there
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def profile(phase: Int, ms: Long): DataFrame =
+      s.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF " +
+          s"'${fmt.format(java.time.Instant.ofEpochMilli(ms))}'")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+        .withColumn("phase", lit(phase))
+    profile(1, delMs - 1).unionByName(profile(2, delMs))
+      .select(col("phase"), col("priority"), col("n_orders"), col("sum_price"))
+      .orderBy("phase", "priority")
+  }
+
+  /** Named TAGS + retention pinning (Iceberg tag refs): a tag is one
+    * metadata file (`__meta/refs/<name>` → version id) — an immutable
+    * named snapshot readable as `VERSION AS OF 'name'`, creatable
+    * through SQL (`CALL graft_staged.system.create_tag`). The query tags
+    * the pre-delete state, deletes a band, then runs a ZERO-retention
+    * vacuum — which would prune the pre-delete retained tree and expire
+    * the version, except the tag PINS it (vacuum skips every retained
+    * tree at or above the lowest tagged version). The tag read after the
+    * vacuum is the gate: it only reconstructs if the pin held. At 100 TB
+    * "keep the pre-migration state" is this one metadata file, not a
+    * data copy. Both states oracle-recomputed from raw orders.
+    */
+  def tableTag(s: SparkSession, d: String): DataFrame = {
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrio(s, d), "orders_tag")
+    s.sql(s"CALL graft_staged.system.create_tag('$tbl', 'pre_delete')")
+      .collect(): Unit
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    graft.sources.v2.StagedParquet.vacuum(s, tbl, 0L, 0L): Unit
+    def profile(phase: Int, df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+        .withColumn("phase", lit(phase))
+    profile(1, s.sql(s"SELECT * FROM $tbl VERSION AS OF 'pre_delete'"))
+      .unionByName(profile(2, s.table(tbl)))
+      .select(col("phase"), col("priority"), col("n_orders"), col("sum_price"))
+      .orderBy("phase", "priority")
+  }
+
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern; reference semantics:
+    * the staging-table rename-replace loads in postgres.py/carto_.py,
+    * generalized to APPENDS): a candidate batch lands in a side AUDIT
+    * table — invisible to destination readers — a quality gate
+    * interrogates it with plain SQL, and `CALL
+    * graft_staged.system.publish_appends` renames every audited file
+    * into the destination as ONE append commit: zero bytes copied, one
+    * version delta, one commit manifest (`#txn=wap:`), crash-resumable
+    * via an intent file. At 100 TB the publish is O(files) metadata
+    * renames — audit cost never doubles write cost. The query gates BOTH
+    * sides: phase 1 (collected BEFORE the publish) proves isolation —
+    * the destination serves only its base half; phase 2 proves the
+    * published total. Oracle recomputes both from raw orders.
+    */
+  def wapPublish(s: SparkSession, d: String): DataFrame = {
+    graft.sources.v2.StagedParquet.ensureCatalog(s)
+    val ns = stagedNs(s, d)
+    val dst = s"graft_staged.$ns.wap_dst"
+    val audit = s"graft_staged.$ns.wap_audit"
+    val o = orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 2 === 1).writeTo(dst)
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    o.filter(col("o_orderkey") % 2 === 0).writeTo(audit)
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    // the audit gate: contract checks run against the SIDE table only
+    val bad = s.table(audit).filter(col("o_orderkey").isNull ||
+      col("o_orderpriority").isNull || col("o_totalprice") < 0).count()
+    require(bad == 0, s"wap: audit gate failed — $bad contract-violating rows")
+    def profile(phase: Int): DataFrame = s.table(dst)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .withColumn("phase", lit(phase))
+    // phase 1 materializes BEFORE the publish so the lazy plan cannot
+    // observe the published state — this is the isolation gate
+    val stagedAgg = profile(1)
+    val staged = s.createDataFrame(stagedAgg.collect().toSeq.asJava,
+      stagedAgg.schema)
+    s.sql(s"CALL graft_staged.system.publish_appends('$audit', '$dst')")
+      .collect(): Unit
+    staged.unionByName(profile(2))
+      .select(col("phase"), col("priority"), col("n_orders"), col("sum_price"))
+      .orderBy("phase", "priority")
   }
 
   /** MERGE-ON-READ deletes (deletion vectors) — the sparse-delete rung of
@@ -1403,7 +1518,10 @@ object Ingest {
     "etl_partition_evolve" -> (partitionEvolve _),
     "etl_layout_migrate" -> (layoutMigrate _),
     "stream_table_upsert" -> (streamTableUpsert _),
-    "stream_table_upsert_eq" -> (streamTableUpsertEq _)
+    "stream_table_upsert_eq" -> (streamTableUpsertEq _),
+    "etl_time_travel_ts" -> (timeTravelTs _),
+    "etl_table_tag"      -> (tableTag _),
+    "etl_wap_publish"    -> (wapPublish _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1583,6 +1701,48 @@ object Ingest {
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
            FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
          ) ORDER BY version, priority""",
+    // the wall-clock twin: phase 1 = TIMESTAMP AS OF just before the
+    // delete commit (all orders), phase 2 = AS OF the commit instant
+    "etl_time_travel_ts" ->
+      """SELECT * FROM (
+           SELECT 1 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 2 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
+         ) ORDER BY phase, priority""",
+    // phase 1 = the tagged pre-delete state read back through the tag
+    // AFTER a zero-retention vacuum (the pin is the gate), phase 2 = live
+    "etl_table_tag" ->
+      """SELECT * FROM (
+           SELECT 1 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 2 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
+         ) ORDER BY phase, priority""",
+    // phase 1 = destination BEFORE publish (odd half only — the audit
+    // table is invisible), phase 2 = after the zero-copy publish (all)
+    "etl_wap_publish" ->
+      """SELECT * FROM (
+           SELECT 1 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 2
+           UNION ALL
+           SELECT 2 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2
+         ) ORDER BY phase, priority""",
     // all three merge-on-read phases recomputed from raw orders with the
     // two deleted bands cut: the DV-applying scan, the DV-aware snapshot
     // reconstruction, and the compaction that materialized the vectors

@@ -78,7 +78,11 @@ object StagedMetaTables {
         StructField("change", StringType, nullable = false),
         StructField("files_added", LongType, nullable = false),
         StructField("dvs_added", LongType, nullable = false),
-        StructField("dirs_rewritten", LongType, nullable = false)))
+        StructField("dirs_rewritten", LongType, nullable = false),
+        // the commit's MONOTONIZED instant (StagedParquet.commitTimeline)
+        // — the exact timeline TIMESTAMP AS OF resolves against, so an
+        // instant read from this column always travels back to this row
+        StructField("commit_at", TimestampType, nullable = false)))
       case "manifests" => StructType(Seq(
         StructField("manifest_id", LongType, nullable = false),
         StructField("file_count", LongType, nullable = false),
@@ -104,6 +108,8 @@ object StagedMetaTables {
     else if (marks.exists(_.startsWith("!evolve="))) "evolve"
     else if (marks.exists(_.startsWith("!eqdel="))) "eqdelete"
     else if (marks.exists(_.startsWith("!eqmat="))) "eqmaterialize"
+    else if (marks.exists(_.startsWith("!wap="))) "publish"
+    else if (marks.exists(_.startsWith("!create"))) "create"
     else "append"
 }
 
@@ -154,6 +160,7 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
       val d = prodDir
       val md = StagedParquet.metaDir(d)
       val f = StagedParquet.fs(md)
+      val times = StagedParquet.commitTimeline(d).toMap
       val rows: Seq[Seq[Any]] =
         if (!f.exists(md)) Seq.empty
         else f.listStatus(md).toSeq.filter(_.isFile)
@@ -169,7 +176,8 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
               adds.partition(_.split('/').last.startsWith(StagedParquet.DvPrefix))
             Seq[Any](v, StagedMetaTables.classify(adds, swaps, marks),
               fileAdds.length.toLong, dvAdds.length.toLong,
-              swaps.length.toLong)
+              swaps.length.toLong,
+              times.getOrElse(v, 0L) * 1000L) // TimestampType micros
           }
       Array(MetaRowsPartition(rows))
     case "manifests" =>

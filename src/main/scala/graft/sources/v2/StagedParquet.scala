@@ -277,9 +277,15 @@ object StagedParquet {
     val vcutoff = System.currentTimeMillis() - versionRetainMs
     val versionDebris = mutable.Buffer[(String, String)]()
     val md = metaDir(d)
+    // tags PIN retention: reconstructing tagged version t undoes deltas
+    // t+1..cur, whose swaps read retained trees v<t>..v<cur-1> — nothing
+    // at or above the LOWEST tag may prune, whatever its age
+    val minTagged = listTags(d).map(_._2).minOption
     if (f.exists(md)) f.listStatus(md).foreach { st =>
+      val pinned = minTagged.exists(t =>
+        st.getPath.getName.stripPrefix("v").toLongOption.exists(_ >= t))
       if (st.isDirectory && st.getPath.getName.startsWith("v") &&
-          st.getModificationTime <= vcutoff) {
+          !pinned && st.getModificationTime <= vcutoff) {
         f.delete(st.getPath, true): Unit
         versionDebris += ((s"__meta/${st.getPath.getName}", "expired_version"))
       }
@@ -2061,8 +2067,10 @@ object StagedParquet {
     val md = metaDir(prodDir)
     val f = fs(md)
     f.mkdirs(md): Unit
-    val body = (marks ++ swaps.sorted.map("~" + _) ++
-      adds.sorted.map("+" + _)).mkString("\n")
+    // every delta carries its commit instant (`!ts=` mark) — TIMESTAMP AS
+    // OF resolves from these (monotonized at read, see commitTimeline)
+    val body = ((s"!ts=${System.currentTimeMillis()}" +: marks) ++
+      swaps.sorted.map("~" + _) ++ adds.sorted.map("+" + _)).mkString("\n")
     var id = v
     var done = false
     while (!done) {
@@ -2079,6 +2087,262 @@ object StagedParquet {
       }
     }
     id
+  }
+
+  // ---- commit timestamps / TIMESTAMP AS OF --------------------------------
+  // Every version delta carries a `!ts=<epoch-millis>` mark (recordVersion
+  // stamps it; pre-existing deltas fall back to the delta file's mtime).
+  // Timestamp resolution MONOTONIZES the raw instants with a strictly
+  // increasing running max — wall clocks stall and step backwards between
+  // commits, but `TIMESTAMP AS OF` must agree with the version order
+  // (Delta Lake's commit-timestamp adjustment, applied at READ so
+  // already-written logs never need a rewrite). The same monotonized
+  // timeline serves the `.history` table's commit_at column, so an
+  // instant read from history always resolves back to the version that
+  // produced it.
+
+  /** The table-creation marker: `s-0` holding `!create` + the creation
+    * instant. currentVersion already treats "no higher delta" as version
+    * 0, so commit ids are unchanged; the marker exists so `TIMESTAMP AS
+    * OF` an instant before the first COMMIT can resolve the created base
+    * state instead of failing. No-op if any delta (s-0 included) exists.
+    */
+  private[graft] def stampCreation(prodDir: String): Unit = {
+    val md = metaDir(prodDir)
+    val f = fs(md)
+    val has = f.exists(md) && f.listStatus(md).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("s-"))
+    if (!has) {
+      f.mkdirs(md): Unit
+      try {
+        val out = f.create(new Path(md, "s-0"), false)
+        try out.write(s"!create\n!ts=${System.currentTimeMillis()}"
+          .getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => () } // a racer stamped it
+    }
+  }
+
+  /** (version, monotonized commit millis) ascending — the table's commit
+    * timeline. O(versions) tiny-file metadata reads, never O(data).
+    */
+  private[graft] def commitTimeline(prodDir: String): Seq[(Long, Long)] = {
+    val md = metaDir(prodDir)
+    val f = fs(md)
+    if (!f.exists(md)) return Seq.empty
+    val raw = f.listStatus(md).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("s-"))
+      .map { p =>
+        val v = p.getName.stripPrefix("s-").toLong
+        val ts = readString(p).getOrElse("").split("\n")
+          .find(_.startsWith("!ts=")).map(_.stripPrefix("!ts=").toLong)
+          .getOrElse(f.getFileStatus(p).getModificationTime)
+        (v, ts)
+      }.sortBy(_._1)
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      val m = if (prev == Long.MinValue) t else math.max(t, prev + 1)
+      prev = m
+      (v, m)
+    }
+  }
+
+  /** The latest version whose monotonized commit instant is <= tsMillis.
+    * Throws if the table has no state that old — Iceberg's "no snapshot
+    * older than" contract (resolving to an empty table no reader could
+    * ever have observed would be silently wrong).
+    */
+  private[graft] def versionAt(prodDir: String, tsMillis: Long): Long =
+    commitTimeline(prodDir).filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$prodDir has no version at or before timestamp $tsMillis ms — " +
+          "the table's first recorded commit is newer"))
+
+  // ---- named refs (tags) --------------------------------------------------
+  // `__meta/refs/<name>` holds a version id. A tag is an IMMUTABLE named
+  // snapshot (Iceberg's tag refs): readable as `VERSION AS OF '<name>'`,
+  // and it PINS retention — vacuum never prunes a retained tree a tagged
+  // version still needs — so "keep the pre-migration state around" is
+  // one metadata file, not a data copy, at any table size.
+
+  private[v2] val RefsDir = "refs"
+
+  private[graft] def refPath(prodDir: String, name: String): Path =
+    new Path(new Path(metaDir(prodDir), RefsDir), name)
+
+  private[graft] def createTag(s: SparkSession, table: String, name: String,
+                               version: Option[Long] = None): Long = {
+    val d = tableDir(s, table)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+      s"staged refs: invalid tag name '$name' (must be identifier-like)")
+    val cur = currentVersion(d)
+    val v = version.getOrElse(cur)
+    require(v >= 0 && v <= cur, s"$table has no version $v (current: $cur)")
+    val p = refPath(d, name)
+    val f = fs(p)
+    f.mkdirs(p.getParent): Unit
+    val out = try f.create(p, false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"staged refs: tag '$name' already exists on $table — tags are " +
+          "immutable; drop it first", e)
+    }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  private[graft] def dropTag(s: SparkSession, table: String,
+                             name: String): Boolean = {
+    val p = refPath(tableDir(s, table), name)
+    fs(p).delete(p, false)
+  }
+
+  private[graft] def listTags(prodDir: String): Seq[(String, Long)] = {
+    val rd = new Path(metaDir(prodDir), RefsDir)
+    val f = fs(rd)
+    if (!f.exists(rd)) Seq.empty
+    else f.listStatus(rd).toSeq.filter(_.isFile).map(st =>
+      (st.getPath.getName,
+        readString(st.getPath).getOrElse("0").trim.toLong)).sortBy(_._1)
+  }
+
+  // ---- write-audit-publish ------------------------------------------------
+  /** Publish every data file of `srcTable` into `dstTable` as ONE append
+    * commit, by RENAME — zero bytes copied, so staging a batch in a side
+    * table, auditing it, and publishing is a metadata operation at any
+    * batch size (Iceberg's write-audit-publish pattern: the audit table
+    * is the WAP branch, publish is the fast-forward). Two-phase: an
+    * intent file (`__meta/_wapintent` on dst, tmp+rename) records the
+    * full rename map BEFORE any file moves; the version delta carries a
+    * `!wap=` mark and the commit manifest a `#txn=wap:` marker, both
+    * claim-once — a crash at ANY point resumes by re-calling publish
+    * (renames skip-if-done, recorded markers short-circuit). The audit
+    * table is dropped last (its files now belong to dst), then the
+    * intent, so every crash window leaves a resumable state.
+    *
+    * Checked loudly: identical partition spec, src schema fields present
+    * in dst's declared schema with identical types, no DVs / equality
+    * deletes / layout generations on src (an audit table is written
+    * fresh), and dst must not declare a sort order src lacks.
+    *
+    * @return (files published, bytes published)
+    */
+  private[graft] def publishAppends(s: SparkSession, srcTable: String,
+                                    dstTable: String): (Long, Long) = {
+    val sd = tableDir(s, srcTable)
+    val dd = tableDir(s, dstTable)
+    val sp = new Path(sd)
+    val dp = new Path(dd)
+    val f = fs(dp)
+    val intent = new Path(metaDir(dd), "_wapintent")
+    val resuming = f.exists(intent)
+    require(resuming || f.exists(new Path(sp, SuccessFile)),
+      s"publish_appends: source $srcTable is not a committed table")
+    require(f.exists(new Path(dp, SuccessFile)),
+      s"publish_appends: destination $dstTable is not a committed table")
+    val srcName = sp.getName
+
+    val mapping: Seq[(String, String)] =
+      if (resuming) {
+        val lines = readString(intent).getOrElse("")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        require(lines.headOption.contains(s"src=$srcName"),
+          "publish_appends: an unfinished publish from a DIFFERENT " +
+            s"source is pending on $dstTable " +
+            s"(${lines.headOption.getOrElse("?")}) — finish it first")
+        lines.tail.map { l => val kv = l.split("\t", 2); (kv(0), kv(1)) }
+      } else {
+        val srcSpec = readString(new Path(sp, PartitionFile)).getOrElse("")
+        val dstSpec = readString(new Path(dp, PartitionFile)).getOrElse("")
+        require(srcSpec == dstSpec,
+          s"publish_appends: partition specs differ ($srcTable: " +
+            s"'$srcSpec' vs $dstTable: '$dstSpec') — publish renames 1:1 " +
+            "by partition path and requires identical specs")
+        require(!hasDvFlag(sp),
+          s"publish_appends: $srcTable has merge-on-read deletes — an " +
+            "audit table must be written fresh")
+        require(!f.exists(new Path(sp, LayoutsDir)),
+          s"publish_appends: $srcTable has layout generations")
+        require(!f.listStatus(sp).exists(st => st.isFile &&
+            st.getPath.getName.startsWith(EqPrefix)),
+          s"publish_appends: $srcTable has equality-delete files")
+        val srcSchema = readString(new Path(sp, SchemaFile))
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(StructType(Nil))
+        val dstSchema = readString(new Path(dp, SchemaFile))
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(StructType(Nil))
+        srcSchema.fields.foreach { sf0 =>
+          require(dstSchema.fields.exists(df0 =>
+            df0.name == sf0.name && df0.dataType == sf0.dataType),
+            s"publish_appends: column ${sf0.name}:" +
+              s"${sf0.dataType.simpleString} of $srcTable is not in " +
+              s"$dstTable's schema with that type")
+        }
+        require(tableProperties(dp).get(SortOrderProp).forall(so =>
+          tableProperties(sp).get(SortOrderProp).contains(so)),
+          s"publish_appends: $dstTable declares a sort order the audit " +
+            "table does not share")
+        val rels = listRelative(sp).filter { rel =>
+          val n = rel.split('/').last
+          n.endsWith(".parquet") && !n.startsWith("_")
+        }
+        require(rels.nonEmpty, s"publish_appends: $srcTable has no data files")
+        val m = rels.map { rel =>
+          val tgt = if (!f.exists(new Path(dp, rel))) rel
+          else { // same-name collision (unique write tokens make this rare)
+            val segs = rel.split('/')
+            (segs.dropRight(1) :+ s"wap-${segs.last}").mkString("/")
+          }
+          (rel, tgt)
+        }
+        val tmp = new Path(metaDir(dd), "_tmp-wapintent")
+        f.mkdirs(metaDir(dd)): Unit
+        val out = f.create(tmp, true)
+        try out.write((s"src=$srcName" +: m.map { case (a, b) => s"$a\t$b" })
+          .mkString("\n").getBytes("UTF-8")) finally out.close()
+        if (!f.rename(tmp, intent)) throw new java.io.IOException(
+          s"publish_appends: cannot record intent at $intent")
+        m
+      }
+
+    // phase 2: the renames, skip-if-done (source gone AND target present)
+    var bytes = 0L
+    mapping.foreach { case (srcRel, dstRel) =>
+      val from = new Path(sp, srcRel)
+      val to = new Path(dp, dstRel)
+      if (f.exists(from)) {
+        f.mkdirs(to.getParent): Unit
+        bytes += f.getFileStatus(from).getLen
+        if (!f.rename(from, to)) throw new java.io.IOException(
+          s"publish_appends: cannot move $from to $to")
+      } else {
+        require(f.exists(to),
+          s"publish_appends: $srcRel is at neither source nor " +
+            "destination — the intent does not match the tables on disk")
+        bytes += f.getFileStatus(to).getLen
+      }
+    }
+
+    // phase 3: ONE version delta (claim-once by its !wap mark) + ONE
+    // commit manifest (claim-once by its #txn marker)
+    val adds = mapping.map(_._2)
+    val mark = s"!wap=$srcName"
+    val md = metaDir(dd)
+    val recorded = f.exists(md) && f.listStatus(md).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("s-") &&
+        readString(st.getPath).exists(_.split("\n").contains(mark)))
+    if (!recorded)
+      recordVersion(dd, currentVersion(dd) + 1, adds, Nil, exact = false,
+        marks = Seq(mark)): Unit
+    val txn = s"wap:$srcName"
+    if (!manifestIds(dp).exists(id => readManifest(dp, id)._1.contains(txn)))
+      appendManifest(dp, adds, Some(txn)): Unit
+
+    // phase 4: the audit table's files belong to dst now — drop it, THEN
+    // the intent (a crash between leaves intent + no src: fully resumable)
+    f.delete(sp, true): Unit
+    f.delete(new Path(sd + "__meta"), true): Unit
+    f.delete(intent, false): Unit
+    (mapping.size.toLong, bytes)
   }
 
   /** A reconstructed historical state: the schema and partition spec of
@@ -3236,12 +3500,30 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
         s"staged catalog: unknown snapshot handle '$version'")
       return new StagedSnapshotTable(s"${ident.name}@$version", snap)
     }
-    val v = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"staged catalog: VERSION AS OF takes a numeric version, got '$version'")
+    // a non-numeric version is a TAG name (__meta/refs/<name>) — an
+    // immutable named snapshot, resolved to its pinned version id
+    val v = version.trim.toLongOption.getOrElse {
+      StagedParquet.readString(StagedParquet.refPath(d, version.trim))
+        .map(_.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"staged catalog: VERSION AS OF takes a numeric version or a " +
+            s"tag name, and '$version' is neither (no such tag)"))
     }
     val snap = StagedParquet.snapshotOfDir(d, v)
     new StagedSnapshotTable(s"${ident.name}@v$v", snap)
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — resolves the latest version
+    * whose monotonized commit instant is <= ts
+    * ([[StagedParquet.versionAt]]) and serves that snapshot, so "what did
+    * the 9am job read?" needs no version numbers. Spark hands micros
+    * since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = dir(ident)
+    if (!isCommitted(d)) throw new NoSuchTableException(ident)
+    val v = StagedParquet.versionAt(d, timestamp / 1000L)
+    new StagedSnapshotTable(s"${ident.name}@t$v",
+      StagedParquet.snapshotOfDir(d, v))
   }
 
   override def tableExists(ident: Identifier): Boolean = isCommitted(dir(ident))
@@ -3261,6 +3543,9 @@ class StagedCatalog extends TableCatalog with StagingTableCatalog
     if (spec.nonEmpty) writeString(p, PartitionFile, PartSpec.serialize(spec))
     StagedParquet.writeProperties(p, props)
     writeString(p, SuccessFile, "")
+    // the created-empty base state gets a creation instant (s-0), so
+    // TIMESTAMP AS OF before the first commit resolves version 0
+    StagedParquet.stampCreation(d)
     new StagedParquetTable(ident.name, d, schema, spec, props)
   }
 

@@ -27,13 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object StagedProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "evolve_partitioning", "migrate_layouts", "vacuum")
+    Seq("compact", "evolve_partitioning", "migrate_layouts", "vacuum",
+      "create_tag", "drop_tag", "publish_appends")
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact"             => Some(CompactProcedure)
     case "evolve_partitioning" => Some(EvolveProcedure)
     case "migrate_layouts"     => Some(MigrateProcedure)
     case "vacuum"              => Some(VacuumProcedure)
+    case "create_tag"          => Some(CreateTagProcedure)
+    case "drop_tag"            => Some(DropTagProcedure)
+    case "publish_appends"     => Some(PublishProcedure)
     case _                     => None
   }
 
@@ -117,6 +121,58 @@ object StagedProcedures {
     override def run(s: SparkSession, in: InternalRow): Seq[InternalRow] =
       StagedParquet.migrateLayouts(s, qualify(in.getUTF8String(0).toString))
         .map { case (g, n) => new GenericInternalRow(Array[Any](utf8(g), n)) }
+  }
+
+  /** CALL graft_staged.system.create_tag('ns.t', 'name' [, version]) —
+    * an immutable named snapshot (readable as VERSION AS OF 'name';
+    * vacuum never prunes what a tag still needs). version defaults to
+    * the table's current version (-1 sentinel = current).
+    */
+  private object CreateTagProcedure extends GraftProcedure("create_tag",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build()),
+    StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType)))) {
+    override def run(s: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val n = in.getUTF8String(1).toString
+      val v0 = in.getLong(2)
+      val v = StagedParquet.createTag(s, qualify(in.getUTF8String(0).toString),
+        n, if (v0 < 0) None else Some(v0))
+      Seq(new GenericInternalRow(Array[Any](utf8(n), v)))
+    }
+  }
+
+  private object DropTagProcedure extends GraftProcedure("drop_tag",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(StructField("dropped", BooleanType)))) {
+    override def run(s: SparkSession, in: InternalRow): Seq[InternalRow] =
+      Seq(new GenericInternalRow(Array[Any](StagedParquet.dropTag(s,
+        qualify(in.getUTF8String(0).toString), in.getUTF8String(1).toString))))
+  }
+
+  /** CALL graft_staged.system.publish_appends('ns.audit', 'ns.dst') —
+    * write-audit-publish: every data file of the audit table renames
+    * into dst as ONE append commit (zero bytes copied), the audit table
+    * drops. Crash-resumable via the intent file; see
+    * [[StagedParquet.publishAppends]].
+    */
+  private object PublishProcedure extends GraftProcedure("publish_appends",
+    Seq(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build()),
+    StructType(Seq(
+      StructField("files_published", LongType),
+      StructField("bytes_published", LongType)))) {
+    override def run(s: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val (nf, nb) = StagedParquet.publishAppends(s,
+        qualify(in.getUTF8String(0).toString),
+        qualify(in.getUTF8String(1).toString))
+      Seq(new GenericInternalRow(Array[Any](nf, nb)))
+    }
   }
 
   private object VacuumProcedure extends GraftProcedure("vacuum",
