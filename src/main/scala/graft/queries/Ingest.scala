@@ -880,6 +880,43 @@ object Ingest {
       .orderBy("phase", "priority")
   }
 
+  /** ROLLBACK (`CALL graft_staged.system.rollback_to_version` —
+    * Iceberg's rollback verb): a bad DELETE lands, and the table is
+    * restored to its pre-delete version as a NEW versioned commit — one
+    * distributed REPLACE fed by the snapshot scan, the generation's
+    * partition spec and table properties re-applied, nothing erased
+    * (the bad version stays time-travelable below the rollback). Phase
+    * 1 (materialized pre-rollback) gates the damage is real; phase 2
+    * gates the restore is exact; phase 3 re-reads the BAD version
+    * through time travel ABOVE the rollback — history survives. The
+    * restore cost is an honest distributed rewrite of the restored
+    * bytes (this engine retains history as renamed trees, so live/
+    * history file sharing — what makes Iceberg's rollback metadata-only
+    * — would break other versions' reconstructions). All three phases
+    * oracle-recomputed from raw orders.
+    */
+  def rollback(s: SparkSession, d: String): DataFrame = {
+    val tbl = mutableCopyOf(s, d, sharedOrdersPrio(s, d), "orders_rb")
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 200000.0")
+    def profile(phase: Int, df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.core.Determinism.dsum(col("o_totalprice"), 18, 2).as("sum_price"))
+        .withColumn("phase", lit(phase))
+    // phase 1 materializes BEFORE the rollback (the lazy plan must not
+    // observe the restored state)
+    val damagedAgg = profile(1, s.table(tbl))
+    val damaged = s.createDataFrame(damagedAgg.collect().toSeq.asJava,
+      damagedAgg.schema)
+    s.sql(s"CALL graft_staged.system.rollback_to_version('$tbl', 0)")
+      .collect(): Unit
+    damaged
+      .unionByName(profile(2, s.table(tbl)))
+      .unionByName(profile(3, s.sql(s"SELECT * FROM $tbl VERSION AS OF 1")))
+      .select(col("phase"), col("priority"), col("n_orders"), col("sum_price"))
+      .orderBy("phase", "priority")
+  }
+
   /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern; reference semantics:
     * the staging-table rename-replace loads in postgres.py/carto_.py,
     * generalized to APPENDS): a candidate batch lands in a side AUDIT
@@ -1521,7 +1558,8 @@ object Ingest {
     "stream_table_upsert_eq" -> (streamTableUpsertEq _),
     "etl_time_travel_ts" -> (timeTravelTs _),
     "etl_table_tag"      -> (tableTag _),
-    "etl_wap_publish"    -> (wapPublish _)
+    "etl_wap_publish"    -> (wapPublish _),
+    "etl_rollback"       -> (rollback _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1725,6 +1763,26 @@ object Ingest {
            FROM orders GROUP BY 2
            UNION ALL
            SELECT 2 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
+         ) ORDER BY phase, priority""",
+    // phase 1 = the damaged (post-delete) state, phase 2 = the restored
+    // table after rollback_to_version (all orders), phase 3 = the bad
+    // version read back THROUGH the rollback via time travel
+    "etl_rollback" ->
+      """SELECT * FROM (
+           SELECT 1 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2
+           UNION ALL
+           SELECT 2 AS phase, o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 3 AS phase, o_orderpriority AS priority,
                   CAST(count(*) AS BIGINT) AS n_orders,
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
            FROM orders WHERE o_totalprice < 200000.0 GROUP BY 2

@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_staged.<ns>.<table>.files
   *   SELECT * FROM graft_staged.<ns>.<table>.history
   *   SELECT * FROM graft_staged.<ns>.<table>.manifests
+  *   SELECT * FROM graft_staged.<ns>.<table>.refs
   *
   * Reference semantics: the reference CLI's post-load checks interrogate
   * the warehouse for row counts and table state (postgres.py's
@@ -41,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     listing a single data directory.
   */
 object StagedMetaTables {
-  val Kinds: Set[String] = Set("partitions", "files", "history", "manifests")
+  val Kinds: Set[String] =
+    Set("partitions", "files", "history", "manifests", "refs")
 
   def forKind(kind: String, tableName: String, prodDir: String,
               tableSchema: StructType, partSpec: Seq[PartField]): Table =
@@ -87,6 +89,12 @@ object StagedMetaTables {
         StructField("manifest_id", LongType, nullable = false),
         StructField("file_count", LongType, nullable = false),
         StructField("txn", StringType, nullable = true)))
+      case "refs" => StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        // the pinned version's commit instant (null for a version the
+        // timeline does not know, e.g. a pre-upgrade table's v0)
+        StructField("commit_at", TimestampType, nullable = true)))
       case other => throw new IllegalArgumentException(
         s"staged catalog: unknown metadata table '$other'")
     }
@@ -185,6 +193,13 @@ private[v2] class StagedMetaScan(kind: String, tableName: String,
       val rows: Seq[Seq[Any]] = StagedParquet.manifestIds(root).map { id =>
         val (txn, files) = StagedParquet.readManifest(root, id)
         Seq[Any](id, files.length.toLong, txn.orNull)
+      }
+      Array(MetaRowsPartition(rows))
+    case "refs" =>
+      val times = StagedParquet.commitTimeline(prodDir).toMap
+      val rows: Seq[Seq[Any]] = StagedParquet.listTags(prodDir).map {
+        case (n, v) =>
+          Seq[Any](n, v, times.get(v).map(_ * 1000L).orNull) // micros
       }
       Array(MetaRowsPartition(rows))
     case other => throw new IllegalArgumentException(

@@ -2574,6 +2574,52 @@ object StagedParquet {
     * Appends later deleted within the range cancel out (net semantics).
     * Rejects ranges crossing a REPLACE that changed schema/partitioning.
     */
+  /** ROLLBACK: restore version `v` as the table's NEW current state —
+    * one distributed REPLACE fed by the snapshot scan (`VERSION AS OF
+    * v`), with the target generation's partition spec and the table's
+    * user properties re-applied, so the restored table writes/reads
+    * exactly like the original did. The rollback itself is a normal
+    * versioned commit: nothing is erased, every pre-rollback version
+    * stays reachable through time travel, and rolling the rollback back
+    * is just another call.
+    *
+    * COST IS A DISTRIBUTED REWRITE of the restored bytes (executor
+    * tasks, scales with cluster width) — NOT metadata-only. This engine
+    * retains swapped-out states as renamed trees; sharing files between
+    * the live tree and history (what makes Iceberg's rollback free)
+    * would break the other versions' reconstructions, so the restore
+    * honestly re-materializes. Returns the new current version.
+    */
+  private[graft] def rollbackToVersion(s: SparkSession, table: String,
+                                       v: Long): Long = {
+    import org.apache.spark.sql.functions.{bucket, col, days}
+    val d = tableDir(s, table)
+    val snap = snapshotOfDir(d, v) // throws if v never existed / expired
+    val props = tableProperties(new Path(d))
+    val df = s.sql(s"SELECT * FROM $table VERSION AS OF $v")
+    var w = df.writeTo(table)
+    props.foreach { case (k, pv) => w = w.tableProperty(k, pv) }
+    val cols = snap.partSpec.map {
+      case PartField(n, "bucket", b) => bucket(b, col(n))
+      case PartField(n, "days", _)   => days(col(n))
+      case PartField(n, _, _)        => col(n)
+    }
+    if (cols.nonEmpty) w.partitionedBy(cols.head, cols.tail: _*).createOrReplace()
+    else w.createOrReplace()
+    currentVersion(d)
+  }
+
+  /** The change feed over a WALL-CLOCK window: both instants resolve
+    * through the monotonized commit timeline ([[versionAt]]) and the
+    * range delegates to the version form — "what changed since the 9am
+    * sync?" without version bookkeeping in the caller.
+    */
+  def changesBetweenInstants(s: SparkSession, table: String,
+      fromMs: Long, toMs: Long): org.apache.spark.sql.DataFrame = {
+    val d = tableDir(s, table)
+    changesBetween(s, table, versionAt(d, fromMs), versionAt(d, toMs))
+  }
+
   def changesBetween(s: SparkSession, table: String,
                      fromV: Long, toV: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit

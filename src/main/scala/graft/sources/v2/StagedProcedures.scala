@@ -17,6 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft_staged.system.evolve_partitioning('ns.table', 'bucket(8,key)')
   *   CALL graft_staged.system.migrate_layouts('ns.table')
   *   CALL graft_staged.system.vacuum('ns.table' [, min_age_ms, version_retain_ms])
+  *   CALL graft_staged.system.create_tag('ns.table', 'name' [, version])
+  *   CALL graft_staged.system.drop_tag('ns.table', 'name')
+  *   CALL graft_staged.system.publish_appends('ns.audit', 'ns.table')
+  *   CALL graft_staged.system.rollback_to_version('ns.table', v)
   *
   * Each returns its library twin's report as a result set (LocalScan), so
   * a SQL-only operator can run — and audit — the whole maintenance cycle
@@ -28,7 +32,7 @@ object StagedProcedures {
 
   val names: Seq[String] =
     Seq("compact", "evolve_partitioning", "migrate_layouts", "vacuum",
-      "create_tag", "drop_tag", "publish_appends")
+      "create_tag", "drop_tag", "publish_appends", "rollback_to_version")
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact"             => Some(CompactProcedure)
@@ -38,6 +42,7 @@ object StagedProcedures {
     case "create_tag"          => Some(CreateTagProcedure)
     case "drop_tag"            => Some(DropTagProcedure)
     case "publish_appends"     => Some(PublishProcedure)
+    case "rollback_to_version" => Some(RollbackProcedure)
     case _                     => None
   }
 
@@ -172,6 +177,27 @@ object StagedProcedures {
         qualify(in.getUTF8String(0).toString),
         qualify(in.getUTF8String(1).toString))
       Seq(new GenericInternalRow(Array[Any](nf, nb)))
+    }
+  }
+
+  /** CALL graft_staged.system.rollback_to_version('ns.t', v) — restore
+    * version v as the NEW current state (a normal versioned REPLACE:
+    * pre-rollback versions stay time-travelable; a tag name resolves
+    * through VERSION AS OF first if preferred). Distributed rewrite of
+    * the restored bytes — see [[StagedParquet.rollbackToVersion]].
+    */
+  private object RollbackProcedure extends GraftProcedure("rollback_to_version",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build()),
+    StructType(Seq(
+      StructField("restored_version", LongType),
+      StructField("new_version", LongType)))) {
+    override def run(s: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val v = in.getLong(1)
+      val nv = StagedParquet.rollbackToVersion(s,
+        qualify(in.getUTF8String(0).toString), v)
+      Seq(new GenericInternalRow(Array[Any](v, nv)))
     }
   }
 

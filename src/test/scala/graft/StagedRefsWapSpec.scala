@@ -206,6 +206,75 @@ class StagedRefsWapSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 30L, "failed publishes leave dst untouched")
   }
 
+  test(".refs relation lists tags with their pinned commit instants") {
+    val t = tbl("refs1")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    df(0 until 20, "seed").writeTo(t).createOrReplace()
+    df(20 until 40, "more").writeTo(t).append()
+    spark.sql(s"CALL graft_staged.system.create_tag('$t', 'a', 1)").collect()
+    spark.sql(s"CALL graft_staged.system.create_tag('$t', 'b', 2)").collect()
+    val rows = spark.table(s"$t.refs").orderBy("name").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    val hist = spark.table(s"$t.history").collect()
+      .map(r => r.getAs[Long]("version") ->
+        r.getAs[java.sql.Timestamp]("commit_at")).toMap
+    assert(rows.map(_.getAs[java.sql.Timestamp]("commit_at")).toSeq ==
+      Seq(hist(1L), hist(2L)),
+      ".refs commit_at must be the pinned version's history instant")
+  }
+
+  test("changesBetweenInstants: the CDF window resolves by wall clock") {
+    import spark.implicits._
+    val t = tbl("cdfts1")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    df(0 until 30, "seed").writeTo(t).createOrReplace()
+    df(30 until 45, "w1").writeTo(t).append()
+    df(45 until 55, "w2").writeTo(t).append()
+    val d = StagedParquet.tableDir(spark, t)
+    val ts = StagedParquet.commitTimeline(d).toMap
+    // window (v1, v3] by instants: both appends, nothing from the seed
+    val feed = StagedParquet.changesBetweenInstants(spark, t, ts(1L), ts(3L))
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet
+    assert(inserted == (30L until 55L).toSet, s"got $inserted")
+    // an empty window (same instant twice) is an empty feed
+    assert(StagedParquet.changesBetweenInstants(spark, t, ts(3L), ts(3L))
+      .count() == 0L)
+  }
+
+  test("rollback_to_version restores exactly and keeps history readable") {
+    import spark.implicits._
+    val t = tbl("rb1")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0 until 200).map(i => (i.toLong, s"g${i % 3}", i * 1.5))
+      .toDF("id", "g", "v")
+      .writeTo(t).tableProperty("delete.mode", "merge-on-read")
+      .partitionedBy(col("g")).createOrReplace()
+    spark.sql(s"DELETE FROM $t WHERE id >= 120") // the bad mutation
+    assert(spark.table(t).count() == 120L)
+    val rep = spark.sql(
+      s"CALL graft_staged.system.rollback_to_version('$t', 1)").collect()
+    assert(rep.head.getLong(0) == 1L && rep.head.getLong(1) >= 3L)
+    // restored exactly
+    assert(spark.table(t).count() == 200L)
+    assert(spark.table(t).select(countDistinct($"id")).as[Long].head() == 200L)
+    // the restore preserved partitioning and table properties
+    val d = StagedParquet.tableDir(spark, t)
+    val spec = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "_partition.json")), "UTF-8")
+    assert(spec.contains("g"), s"partition spec must survive: $spec")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .exists(r => r.getString(0) == "delete.mode" &&
+        r.getString(1) == "merge-on-read"),
+      "table properties must survive the rollback")
+    // nothing erased: the BAD version still reads through time travel
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").count() == 120L)
+    // and rolling back the rollback works (restore the damaged state)
+    spark.sql(s"CALL graft_staged.system.rollback_to_version('$t', 2)").collect()
+    assert(spark.table(t).count() == 120L)
+  }
+
   test("WAP publish: a crash mid-rename resumes from the intent file") {
     import spark.implicits._
     val t = tbl("wap_dst3")
