@@ -407,10 +407,15 @@ object Bench {
       // its work metric pins the eq epoch's destination writes at ZERO
       // (files touched + DVs written, +1 → ratio 1.0 at any scale) while
       // the second counter attributes wall growth to the wave's own keys
+      // etl_wap_publish is the sixteenth probe (r13): its work metric
+      // pins PUBLISHED-BYTES-COPIED at zero (|dst-growth − audit-bytes|
+      // + 1 → ratio 1.0 at any scale — a publish is pure renames) while
+      // the second counter carries the audit volume the staging write pays
       val anchors = Seq("q1_agg", "q3_topk", "q18_running_total", "asof_join",
         "etl_cdc_apply", "etl_profile", "etl_days_prune", "etl_days_dpp",
         "etl_minmax_skip", "etl_delete_vectors", "etl_change_feed",
-        "etl_partition_evolve", "stream_table_upsert_eq").map(probeOf)
+        "etl_partition_evolve", "stream_table_upsert_eq",
+        "etl_wap_publish").map(probeOf)
       val all = (Seq(ann, mh, ds, ld, gr, nd, wr) ++ anchors).mkString(",")
       s""","scale_probe":$ann,"scale_probes":[$all]"""
       } finally graft.core.ArtifactCache.bypass = false
@@ -450,8 +455,11 @@ object Bench {
         "etl_meta_partitions", "etl_meta_files", "etl_meta_history",
         "stream_table_upsert",
         // round-13: the equality-delete upsert at 10x (epoch cost must
-        // stay ∝ the wave while the destination grows)
-        "stream_table_upsert_eq")
+        // stay ∝ the wave while the destination grows), then the
+        // wall-clock/refs/WAP/rollback lifecycle rungs
+        "stream_table_upsert_eq",
+        "etl_time_travel_ts", "etl_table_tag", "etl_wap_publish",
+        "etl_rollback")
       val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       def sf1Fragment(): String = {
         val qj = timedBuf.map { case (k, v) => s"\"" + k + "\":" + v }

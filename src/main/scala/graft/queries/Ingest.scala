@@ -1370,6 +1370,48 @@ object Ingest {
     res
   }
 
+  /** WAP ZERO-COPY probe: |dataBytes(dst after) − dataBytes(dst before)
+    * − dataBytes(audit)| and the audit volume itself. A publish is pure
+    * renames, and a rename preserves sizes, so the identity holds
+    * EXACTLY at any scale — any copy or rewrite during publish breaks
+    * it by the copied volume. Measured from the file tree, not the code
+    * path's own accounting (the same black-box posture as the other
+    * lifecycle probes). Memoized per data dir: both Bench counters read
+    * one scenario.
+    */
+  private val wapProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[graft] def wapProbe(s: SparkSession, d: String): (Long, Long) = {
+    val memo = wapProbeMemo.get(d)
+    if (memo != null) return memo
+    graft.sources.v2.StagedParquet.ensureCatalog(s)
+    val ns = stagedNs(s, d)
+    val dst = s"graft_staged.$ns.wapprobe_dst"
+    val audit = s"graft_staged.$ns.wapprobe_aud"
+    val o = orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 4 === 1).writeTo(dst)
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    o.filter(col("o_orderkey") % 4 === 2).writeTo(audit)
+      .partitionedBy(col("o_orderpriority")).createOrReplace()
+    def dataBytes(tbl: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) {
+          if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            f.length else 0L
+        } else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(graft.sources.v2.StagedParquet.tableDir(s, tbl)))
+    }
+    val before = dataBytes(dst)
+    val auditBytes = dataBytes(audit)
+    s.sql(s"CALL graft_staged.system.publish_appends('$audit', '$dst')")
+      .collect(): Unit
+    val res = (math.abs(dataBytes(dst) - before - auditBytes), auditBytes)
+    wapProbeMemo.put(d, res): Unit
+    res
+  }
+
   /** PARTITION-SPEC EVOLUTION
     * ([[graft.sources.v2.StagedParquet.evolvePartitioning]] — Iceberg's
     * flagship metadata operation): the EVEN order keys land under

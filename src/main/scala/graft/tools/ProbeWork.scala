@@ -128,6 +128,14 @@ object ProbeWork {
     "stream_table_upsert_eq" -> (("eq_dest_files_touched_plus1", (s, d) => {
       graft.queries.Ingest.eqUpsertProbe(s, d)._1 + 1
     })),
+    // bytes COPIED or rewritten by a write-audit-publish, plus 1: the
+    // publish's contract is pure renames (rename preserves sizes, so
+    // bytes(dst after) − bytes(dst before) − bytes(audit) is EXACTLY 0
+    // at any scale — work_ratio 1.0). Any copy-based publish breaks the
+    // identity by the copied volume. Measured from the file tree.
+    "etl_wap_publish" -> (("wap_bytes_copied_plus1", (s, d) => {
+      graft.queries.Ingest.wapProbe(s, d)._1 + 1
+    })),
     // files OPENED by a change feed over an UNTOUCHED version range, plus
     // 1: the feed's directory classification must read ZERO bytes when
     // the version deltas name no changes — at 10x the table is 10x
@@ -172,5 +180,10 @@ object ProbeWork {
     // wall growth attributed to the epoch's OWN bytes while the primary
     // counter pins destination work at zero
     "stream_table_upsert_eq" -> (("eq_keys_written",
-      (s, d) => graft.queries.Ingest.eqUpsertProbe(s, d)._2)))
+      (s, d) => graft.queries.Ingest.eqUpsertProbe(s, d)._2)),
+    // the published audit volume (∝ the corpus, ≈10 at 10×) — the
+    // publish's wall is the rename count + this staging write, while the
+    // primary counter pins copied bytes at zero
+    "etl_wap_publish" -> (("wap_audit_bytes",
+      (s, d) => graft.queries.Ingest.wapProbe(s, d)._2)))
 }

@@ -275,6 +275,14 @@ class StagedRefsWapSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 120L)
   }
 
+  test("the WAP probe pins copied bytes at zero (pure renames)") {
+    val (copied, auditBytes) =
+      graft.queries.Ingest.wapProbe(spark, "/root/testdata/sf0.001")
+    assert(copied == 0L,
+      s"publish must copy nothing — $copied bytes unaccounted for")
+    assert(auditBytes > 0L)
+  }
+
   test("WAP publish: a crash mid-rename resumes from the intent file") {
     import spark.implicits._
     val t = tbl("wap_dst3")

@@ -16,7 +16,7 @@ OUT=/tmp/verify_sf1_anchor
 # round-9 V2 READ trio so the read path's pruning arithmetic hash-checks at
 # a second scale (VERDICT r9 #8), plus the round-10 lifecycle rungs
 # (compact, DELETE, bucket SPJ, UPDATE, streaming tail)
-HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index,etl_spj_join,etl_stats_scan,etl_days_prune,etl_days_dpp,etl_compact_files,etl_delete_rows,etl_bucket_join,etl_update_rows,stream_table_tail,stream_table_ingest,etl_time_travel,etl_delete_vectors,etl_change_feed,etl_sort_order,etl_partition_evolve,etl_layout_migrate,etl_meta_partitions,etl_meta_files,etl_meta_history,stream_table_upsert,stream_table_upsert_eq"
+HEAVY="ann_nndescent,ann_graph_search,ann_recall_gsearch,ann_recall_nnd,graph_pagerank_raw,graph_cosim,graph_cc_raw,dedup_minhash_lsh,dedup_winnowing,etl_profile,etl_cdc_apply,q18_running_total,etl_rename_replace,stream_dedup_index,etl_spj_join,etl_stats_scan,etl_days_prune,etl_days_dpp,etl_compact_files,etl_delete_rows,etl_bucket_join,etl_update_rows,stream_table_tail,stream_table_ingest,etl_time_travel,etl_delete_vectors,etl_change_feed,etl_sort_order,etl_partition_evolve,etl_layout_migrate,etl_meta_partitions,etl_meta_files,etl_meta_history,stream_table_upsert,stream_table_upsert_eq,etl_time_travel_ts,etl_table_tag,etl_wap_publish,etl_rollback"
 
 # a pre-existing dir may have been built from a DIFFERENT sf (the bench
 # probe section rebuilds this path from ITS sf dir) — the _source stamp
