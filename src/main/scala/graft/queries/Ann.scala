@@ -353,7 +353,7 @@ object Ann {
     val pairs = withN.select(col("vec_id"), col("v"), subs)
       .join(broadcast(pqCents(withN)), lit(true))
       .select(col("vec_id"), col("sub"), col("cent_id"),
-        Dedup.dotSeq(subvec(col("v"), col("sub")),
+        graft.plans.DotProduct.dot(subvec(col("v"), col("sub")),
           subvec(col("cv"), col("sub"))).as("subdot"))
     val bySub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("subdot").desc, col("cent_id"))
@@ -374,7 +374,7 @@ object Ann {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), subs)
       .join(broadcast(cents), lit(true))
       .select(col("probe_id"), col("sub"), col("cent_id").as("code"),
-        floor(Dedup.dotSeq(subvec(col("pv"), col("sub")),
+        floor(graft.plans.DotProduct.dot(subvec(col("pv"), col("sub")),
           subvec(col("cv"), col("sub"))) * 1e9).cast("long").as("pdot"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -392,7 +392,7 @@ object Ann {
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(probeVecs), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+        graft.plans.DotProduct.dot(col("pv"), col("nv")).as("dot"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dot").desc, col("neighbor_id"))
     reranked.withColumn("rk", row_number().over(w))
@@ -442,8 +442,7 @@ object Ann {
     val scored = q.toDF("neighbor_id", "qn")
       .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qp"), col("qn"), (a, b) => a * b),
-          lit(0L), (acc, el) => acc + el).as("iscore"))
+        graft.plans.DotProductLong.dot(col("qp"), col("qn")).as("iscore"))
     val shortlist = graft.plans.TopK.perKey(scored, Seq("probe_id"),
       Seq(col("iscore").desc, col("neighbor_id").asc), SQ_SHORTLIST)
       .select(col("probe_id"), col("neighbor_id"))
@@ -453,7 +452,7 @@ object Ann {
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(probeVecs), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+        graft.plans.DotProduct.dot(col("pv"), col("nv")).as("dot"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dot").desc, col("neighbor_id"))
     reranked.withColumn("rk", row_number().over(w))
@@ -499,7 +498,7 @@ object Ann {
     val cpairs = resid.select(col("vec_id"), col("cell"), col("rv"), subs)
       .join(broadcast(cb), lit(true))
       .select(col("vec_id"), col("cell"), col("sub"), col("cent_id"),
-        Dedup.dotSeq(subvec(col("rv"), col("sub")),
+        graft.plans.DotProduct.dot(subvec(col("rv"), col("sub")),
           subvec(col("cbv"), col("sub"))).as("subdot"))
     val bySub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("subdot").desc, col("cent_id"))
@@ -514,12 +513,13 @@ object Ann {
       .join(broadcast(cents), "cell")
       .select(col("probe_id"), col("cell"),
         zip_with(col("pv"), col("cv"), (a, b) => a - b).as("rp"),
-        floor(Dedup.dotSeq(col("pv"), col("cv")) * 1e9).cast("long").as("coarse"))
+        floor(graft.plans.DotProduct.dot(col("pv"), col("cv")) * 1e9)
+          .cast("long").as("coarse"))
     val lut = pres.select(col("probe_id"), col("cell"), col("coarse"), col("rp"), subs)
       .join(broadcast(cb), lit(true))
       .select(col("probe_id"), col("cell"), col("coarse"), col("sub"),
         col("cent_id").as("code"),
-        floor(Dedup.dotSeq(subvec(col("rp"), col("sub")),
+        floor(graft.plans.DotProduct.dot(subvec(col("rp"), col("sub")),
           subvec(col("cbv"), col("sub"))) * 1e9).cast("long").as("pdot"))
     val scored = codes.join(broadcast(lut), Seq("cell", "sub", "code"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -532,7 +532,7 @@ object Ann {
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        Dedup.dotSeq(col("pv"), col("nv")).as("dot"))
+        graft.plans.DotProduct.dot(col("pv"), col("nv")).as("dot"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dot").desc, col("neighbor_id"))
     reranked.withColumn("rk", row_number().over(w))

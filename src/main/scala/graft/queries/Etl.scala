@@ -589,8 +589,12 @@ object Etl {
     val o = orders(s, d)
     val status = when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
       .otherwise(col("o_orderstatus"))
-    val src = o.select(col("o_orderkey").as("k"), status.as("status"),
-      col("o_totalprice").as("price"), col("o_orderdate").as("dt"))
+    // spread: the single-row-group source otherwise runs the whole
+    // Expand(x5)+partial-aggregate on ONE core of 32 (profiled 1.5 s of a
+    // 1.7 s query on one task, optimization round r13; Tables.spread
+    // no-ops on multi-split production inputs)
+    val src = spread(o.select(col("o_orderkey").as("k"), status.as("status"),
+      col("o_totalprice").as("price"), col("o_orderdate").as("dt")))
     def r2fmt(c: org.apache.spark.sql.Column) =
       format_string("%.2f", floor(c * 100.0 + 0.5) / 100.0)
     val agg = src.agg(
@@ -876,9 +880,10 @@ object Etl {
     * two live ones. Same single-aggregate + stack shape as etl_profile.
     */
   def deadColumn(s: SparkSession, d: String): DataFrame = {
-    val staged = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+    // spread: same single-task partial-aggregate profile as etl_profile
+    val staged = spread(orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       lit("databridge").as("c_source_system"),
-      lit(null).cast("string").as("c_legacy_notes"))
+      lit(null).cast("string").as("c_legacy_notes")))
     val cols = Seq("o_orderkey", "o_orderstatus", "c_source_system", "c_legacy_notes")
     def stats(c: String) = Seq(
       count(col(c)).as(s"${c}_nn"),

@@ -171,8 +171,11 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("cv"), (col("l_suppkey") * 2 + 1).as("sv"))
       .distinct()
-    val und = pairs.select(col("cv").as("src"), col("sv").as("dst"))
-      .unionAll(pairs.select(col("sv").as("src"), col("cv").as("dst")))
+    // explode-mirror (see cosim): one distinct pass emits both directions
+    val und = pairs.select(explode(array(
+        struct(col("cv").as("src"), col("sv").as("dst")),
+        struct(col("sv").as("src"), col("cv").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
     und.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= RawDegCap)
@@ -272,8 +275,11 @@ object Graph {
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CcMinTrades)
-    pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // explode-mirror (see cosim): one threshold-agg pass, both directions
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
   }
 
@@ -395,8 +401,10 @@ object Graph {
     val stars = (1 to CcRounds).foldLeft(e0) { (e, _) =>
       // large-star: symmetric neighborhoods; larger neighbors re-hang on
       // the neighborhood minimum
-      val nl = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val nl = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
       val ml = nl.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
       val el = nl.join(ml, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
@@ -459,8 +467,10 @@ object Graph {
     * fixpoint.
     */
   def kcorePeel(e: DataFrame, k: Int): DataFrame = {
-    val sym = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
     val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k).select(col("u"))
     e.join(keep, Seq("u"), "left_semi")
@@ -498,8 +508,7 @@ object Graph {
 
   def kcore(s: SparkSession, d: String): DataFrame = {
     val eN = kcoreEdges(s, d)
-    val sym = eN.select(col("u"), col("v"))
-      .unionAll(eN.select(col("v").as("u"), col("u").as("v")))
+    val sym = eN.select(explode(array(col("u"), col("v"))).as("u"))
     sym.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("id"),
         when(col("u") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
@@ -552,8 +561,15 @@ object Graph {
     val co = a.join(b, "cust").filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("common"))
       .filter(col("common") >= CosimMinCommon)
-    val sym = co.select(col("sa").as("src"), col("sb").as("dst"), col("common"))
-      .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("common")))
+    // mirror by exploding a 2-element array instead of union-of-self: the
+    // union form computes the pair AGGREGATION twice (ReusedExchange shares
+    // the shuffle write, but the final-agg read+hash runs per branch — the
+    // profiled 82 MB double read, optimization round r13); the explode
+    // emits both directions in the same stage, one aggregation pass total
+    val sym = co.select(explode(array(
+        struct(col("sa").as("src"), col("sb").as("dst")),
+        struct(col("sb").as("src"), col("sa").as("dst")))).as("e"), col("common"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("common"))
     val scored = sym
       .join(deg.select(col("supp").as("src"), col("deg").as("dsrc")), "src")
       .join(deg.select(col("supp").as("dst"), col("deg").as("ddst")), "dst")

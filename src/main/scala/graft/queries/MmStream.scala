@@ -140,7 +140,14 @@ object MmStream {
       lit("data").cast("binary"), le(dataSize, 4))
     val payload = when(col("doc_id") % 3 === 0, concat(header, col("body")))
       .otherwise(col("body"))
-    doc.select((col("doc_id") +: parseWavHeader(payload)): _*)
+    // stage the payload as a NAMED column (the headerParse pattern): pasting
+    // the ~200-node construction tree into each of parseWavHeader's ~30
+    // payload references made the optimizer walk a several-thousand-node
+    // plan per action — ~2 s of pure driver time per run at any data size
+    // (optimization round r13; CollapseProject keeps the non-cheap alias
+    // un-inlined, and codegen CSE already shared the runtime work)
+    val staged = doc.select(col("doc_id"), payload.as("payload"))
+    staged.select((col("doc_id") +: parseWavHeader(col("payload"))): _*)
       .orderBy("doc_id")
   }
 

@@ -268,7 +268,7 @@ private[v2] case class MetaReaderFactory(kind: String, partSpec: Seq[PartField])
           val dvs: Map[String, Seq[(Long, Long)]] =
             if (!p.dvFlagged || p.files.isEmpty) Map.empty
             else StagedParquet.readDvs(new Path(p.files.head._1).getParent)
-          val conf = new Configuration()
+          val conf = StagedScan.freshConf()
           p.files.map { case (path, len) =>
             val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -595,6 +595,17 @@ class StagedMicroBatchStream(tableName: String, prodDir: String,
 }
 
 object StagedScan {
+  /** Hadoop defaults parsed ONCE per JVM: every `new Configuration()` walks
+    * the core-default/core-site XML (several ms of driver or task time),
+    * and the scan paths were allocating one per footer open / per file —
+    * the profiled XML-parse frames in the lifecycle queries (optimization
+    * round r13). The copy constructor clones the property map without
+    * re-parsing, so per-reader isolation stays (parquet read-supports may
+    * set keys on their conf).
+    */
+  private[graft] lazy val baseHadoopConf = new Configuration()
+  private[graft] def freshConf(): Configuration = new Configuration(baseHadoopConf)
+
   /** Byte ranges covering each row group of `file` (footer starting
     * positions; last range closes at the file length) with the group's
     * footer metadata: one range per row group, chosen so each group's
@@ -604,7 +615,7 @@ object StagedScan {
   private[graft] def blockRanges(file: String, len: Long): Seq[(Long, Long, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(file), new Configuration()))
+        new Path(file), freshConf()))
     try {
       val blocks = fr.getFooter.getBlocks.asScala.toSeq
       val starts = blocks.map(_.getStartingPos)
@@ -891,7 +902,7 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
       private var done = false
 
       private def footerStats(): InternalRow = {
-        val conf = new Configuration()
+        val conf = StagedScan.freshConf()
         var count = 0L
         // per Mn/Mx func: folded (value, sawAnyNonNull)
         val acc = new Array[Any](funcs.length)
@@ -962,7 +973,7 @@ case class StagedAggReaderFactory(schemaJson: String, partSpec: Seq[PartField],
         for (file <- p.files) {
           val r = ParquetReader.builder(
             new FlatRowReadSupport(Seq(schema(col))), new Path(file))
-            .withConf(new Configuration()).build()
+            .withConf(StagedScan.freshConf()).build()
           try {
             var rec = r.read()
             while (rec != null) {
@@ -1080,7 +1091,7 @@ object StagedEqSets {
     if (got != null) return got
     loads.incrementAndGet(): Unit
     val p = new Path(path)
-    val conf = new Configuration()
+    val conf = StagedScan.freshConf()
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     val key =
@@ -1193,7 +1204,7 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
     else if (dataFields.isEmpty) {
       val f = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(fileIter.next()), new Configuration()))
+          new Path(fileIter.next()), StagedScan.freshConf()))
       // a range split counts only its own row groups (midpoint rule —
       // the same criterion parquet-hadoop's range filter applies); DV'd
       // positions subtract per block so footer counts stay exact
@@ -1215,7 +1226,7 @@ class StagedPartitionReader(p: StagedInputPartition, schemaJson: String,
     } else {
       val builder = ParquetReader
         .builder(new FlatRowReadSupport(dataFields), new Path(fileIter.next()))
-        .withConf(new Configuration())
+        .withConf(StagedScan.freshConf())
       reader = p.range
         .map { case (s0, e0) => builder.withFileRange(s0, e0) }
         .getOrElse(builder)
