@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * functions are interpreted with per-element boxing, while this compiles
   * into the whole-stage-codegen loop: one fused `for` over the unsafe array
   * data, no allocation. ~10× on 64-dim vectors.
+  *
+  * PRECONDITION: equivalence holds for equal-length arrays with non-null
+  * elements (every graft call site — fixed-dimension vectors). On unequal
+  * lengths this truncates to the shorter array where the HOF NULL-pads
+  * via zip_with; a null element reads an undefined slot value here and
+  * NULL-propagates there.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -12,9 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (guide §4: the HOF formulation `aggregate(zip_with(qp,qn,(a,b)=>a*b),
   * 0L, (acc,el)=>acc+el)` interprets one lambda per element with boxing;
   * this compiles into the whole-stage-codegen loop). Long addition is
-  * exact and order-independent, so equivalence with the HOF left fold is
-  * trivial (no IEEE ordering concerns at all); overflow wraps identically
-  * (Java long arithmetic in both paths).
+  * exact and order-independent, so equivalence with the HOF left fold
+  * holds for EQUAL-LENGTH, NON-NULL-ELEMENT arrays (the SQ8 call sites:
+  * uniform-length quantized codes); overflow wraps identically (Java long
+  * arithmetic in both paths).
+  *
+  * PRECONDITION (same caveat as [[DotProduct]]): on unequal lengths this
+  * truncates to the shorter array, where `zip_with` null-pads and the HOF
+  * fold yields NULL; a null ELEMENT reads an undefined slot value here and
+  * NULL-propagates there. Do not reach for this expression from a call
+  * site that relies on the HOF's NULL semantics.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
+      GraftExtensions.dotLongBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("graft_distinct_bitmap"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_distinct_bitmap"),
       BitmapDistinct.builder))
@@ -45,6 +49,9 @@ object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression =
     children => DotProduct(children(0), children(1))
 
+  private[graft] val dotLongBuilder: Seq[Expression] => Expression =
+    children => DotProductLong(children(0), children(1))
+
   /** Register graft functions on an already-running session. Strategy +
     * optimizer rule go through the experimental hooks (the only post-build
     * injection point Spark offers); the rule is useless without the
@@ -53,6 +60,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_dot", dotBuilder)
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "graft_dot_long", dotLongBuilder)
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "graft_distinct_bitmap", BitmapDistinct.builder)
     org.apache.spark.sql.graftbridge.Bridge

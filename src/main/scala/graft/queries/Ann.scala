@@ -33,7 +33,12 @@ object Ann {
   private def vecs(s: SparkSession, d: String): DataFrame =
     graft.core.Tables.spread(
       embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v")))
+        // array cast, not transform(_.cast): the HOF is CodegenFallback
+        // (one boxed lambda per element, and it breaks the whole-stage
+        // span feeding every graft_dot); Cast(array<float>→array<double>)
+        // is the same element-wise widening inside codegen (round r14,
+        // guide §4 — the class r13 purged from the dot products)
+        col("embedding").cast("array<double>").as("v")))
 
   /** Fixed-size deterministic hash panel: the `n` vec_ids with the smallest
     * salted md5 (vec_id tie-break). `orderBy + limit` compiles to
@@ -126,7 +131,7 @@ object Ann {
     */
   def filterSearch(s: SparkSession, d: String): DataFrame = {
     val v = graft.core.Tables.spread(embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"),
+      col("embedding").cast("array<double>").as("v"), // codegen cast, see vecs
       col("label").cast("int").as("label")))
     val norms = v.select(col("vec_id"),
       graft.plans.DotProduct.dot(col("v"), col("v")).as("nrm"))
@@ -434,9 +439,11 @@ object Ann {
       .agg(max(abs(col("x"))).as("mx"))
     val q = base.crossJoin(broadcast(rng))
       .select(col("vec_id"),
-        transform(col("v"), x =>
-          when(col("mx") === 0, lit(0L))
-            .otherwise(floor(x * 127.0 / col("mx") + 0.5).cast("long"))).as("qv"))
+        // codegen quantizer instead of the transform(...) HOF (round r14,
+        // guide §4): same per-element arithmetic — floor(x·127/mx + 0.5)
+        // with the mx=0 guard — compiled into the whole-stage span instead
+        // of one interpreted lambda per element over every corpus vector
+        graft.plans.ArrayQuantizeSq8.quantize(col("v"), col("mx")).as("qv"))
     val probes = q.join(broadcast(panel(base, "probe:", PROBE_COUNT)), "vec_id")
       .toDF("probe_id", "qp")
     val scored = q.toDF("neighbor_id", "qn")
@@ -488,7 +495,10 @@ object Ann {
       .toDF("cell", "cv", "cnrm").drop("cnrm")
     val resid = withN.join(assignment, "vec_id").join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+        // codegen residual instead of zip_with (round r14, guide §4): one
+        // interpreted lambda per element over every corpus vector, and it
+        // broke the projection out of whole-stage codegen
+        graft.plans.ArraySub.sub(col("v"), col("cv")).as("rv"))
     // residual codebook: the ivfpq: panel's own residuals (fixed PQ_K size)
     val cb = resid.join(broadcast(panel(withN, "ivfpq:", PQ_K)), "vec_id")
       .select(col("vec_id").as("cent_id"), col("rv").as("cbv"))
@@ -512,7 +522,7 @@ object Ann {
     val pres = probes.join(broadcast(probeCells), "probe_id")
       .join(broadcast(cents), "cell")
       .select(col("probe_id"), col("cell"),
-        zip_with(col("pv"), col("cv"), (a, b) => a - b).as("rp"),
+        graft.plans.ArraySub.sub(col("pv"), col("cv")).as("rp"),
         floor(graft.plans.DotProduct.dot(col("pv"), col("cv")) * 1e9)
           .cast("long").as("coarse"))
     val lut = pres.select(col("probe_id"), col("cell"), col("coarse"), col("rp"), subs)
@@ -921,8 +931,15 @@ object Ann {
       .join(broadcast(panel(all, "entry:", GS_ENTRIES)), "vec_id")
       .select(col("vec_id").as("cand"))
     val corpus = ok.toDF("cand", "cv", "cn")
-    // scores (probe, cand) pairs; drops the probe itself (cos 1 with itself)
-    def scoredPairs(pc: DataFrame): DataFrame = pc
+    // scores (probe, cand) pairs; drops the probe itself (cos 1 with itself).
+    // The FRONTIER side broadcasts explicitly (round r14, guide §3.1 /
+    // r13 VERDICT #4): pc is ≤ probes·beam·deg rows but flows out of a
+    // localCheckpoint, whose LogicalRDD carries no size statistics — the
+    // planner assumed it huge and SORT-MERGE-joined, shuffling the CORPUS
+    // by cand on every hop. With the hint the corpus never shuffles: the
+    // search's whole 100 TB claim ("per probe touches ≤ beam·deg vertices,
+    // joined to the corpus by id") is now the plan's shape too.
+    def scoredPairs(pc: DataFrame): DataFrame = broadcast(pc)
       .join(corpus, "cand")
       .join(broadcast(probes), "probe_id")
       .filter(col("cand") =!= col("probe_id"))
@@ -936,9 +953,13 @@ object Ann {
       val beam = graft.plans.TopK.perKey(visited, Seq("probe_id"),
           Seq(col("cos").desc, col("cand").asc), GS_BEAM)
         .select("probe_id", "cand")
-      val nbrs = beam.join(und.toDF("cand", "nxt"), "cand")
+      // beam (≤ probes·beam rows) broadcasts against the graph relation —
+      // the id-keyed hop join the scaladoc promises; same no-stats cause
+      val nbrs = broadcast(beam).join(und.toDF("cand", "nxt"), "cand")
         .select(col("probe_id"), col("nxt").as("cand")).distinct()
-      val fresh = nbrs.join(visited.select("probe_id", "cand"),
+      // the visited-set anti-join: visited is probes·pool-sized (ids only)
+      // — broadcast the build side instead of shuffling both
+      val fresh = nbrs.join(broadcast(visited.select("probe_id", "cand")),
         Seq("probe_id", "cand"), "left_anti")
       visited = visited.unionByName(scoredPairs(fresh)).localCheckpoint()
     }

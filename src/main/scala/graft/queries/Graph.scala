@@ -275,12 +275,17 @@ object Graph {
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CcMinTrades)
-    // explode-mirror (see cosim): one threshold-agg pass, both directions
+    // explode-mirror (see cosim): one threshold-agg pass, both directions.
+    // No distinct (guide §2.4, round r14): pairs is keyed by (c, s) — one
+    // row per group — and c (even) ≠ s (odd), so neither direction can
+    // collide with the other or with a different pair's mirror; the old
+    // .distinct() re-shuffled the whole edge set once more before the
+    // checkpoint for nothing.
     pairs.select(explode(array(
         struct(col("c").as("src"), col("s").as("dst")),
         struct(col("s").as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
   }
 
   def labelProp(s: SparkSession, d: String): DataFrame =
@@ -392,19 +397,30 @@ object Graph {
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CcMinTrades)
+    // no distinct: pairs is keyed by (c, s) — one row per group — and
+    // c (even) can never equal s (odd), so (greatest, least) is injective
+    // on the group keys; the old .distinct() was a full extra exchange +
+    // aggregate on an already-distinct set (guide §2.4, round r14)
     val e0 = pairs
       .select(greatest(col("c"), col("s")).as("u"), least(col("c"), col("s")).as("v"))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     // the engaged vertex domain, pinned BEFORE the rounds mutate the edges
     val verts = e0.select(col("u")).unionAll(e0.select(col("v").as("u")))
       .distinct().localCheckpoint()
     val stars = (1 to CcRounds).foldLeft(e0) { (e, _) =>
       // large-star: symmetric neighborhoods; larger neighbors re-hang on
       // the neighborhood minimum
+      // no distinct on the mirror (guide §2.4, round r14): every round's
+      // edge set is a distinct set of pairs with u > v (e0 by injectivity,
+      // round outputs by their own .distinct() + downward-pointing
+      // invariant), so the two explode directions can never collide —
+      // and even a hypothetical duplicate is absorbed downstream (ml is a
+      // min; el carries its own .distinct()). Removes one edge-sized
+      // exchange + aggregate per round, 5 rounds.
       val nl = e.select(explode(array(
           struct(col("u"), col("v")),
           struct(col("v").as("u"), col("u").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
+        .select(col("p.u").as("u"), col("p.v").as("v"))
       val ml = nl.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
       val el = nl.join(ml, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
@@ -458,8 +474,9 @@ object Graph {
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minTrades)
+      // no distinct: one row per (c, s) group and c (even) ≠ s (odd), so
+      // (greatest, least) stays injective (guide §2.4, round r14)
       .select(greatest(col("c"), col("s")).as("u"), least(col("c"), col("s")).as("v"))
-      .distinct()
 
   /** One peeling round: drop every vertex whose degree in the CURRENT
     * subgraph is < k, and every edge touching a dropped vertex. Exposed
